@@ -1,0 +1,128 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Train/test split, K-fold assignment, and offset accumulation
+  * (SURVEY.md §2.4, W1–W6) re-expressed as window/join operators.
+  *
+  * Semantics pinned against the reference:
+  *  - train-size clamps:      `/root/reference/DFW/preprocess.py:161-173`
+  *  - rotation CV (size<cv):  `preprocess.py:179-184`
+  *  - linspace folds:         `preprocess.py:185-191`
+  *  - cross-class offsets:    `preprocess.py:128-136`
+  *
+  * All operators are per-class window computations partitioned by the
+  * class keys: at cluster scale each class's rank assignment is a
+  * single shuffle on the class key, and every downstream op reuses
+  * that partitioning (no second shuffle until the centering aggregate).
+  */
+object SplitOps {
+
+  /** How much of each class goes to the train side
+    * (reference `preprocess.py:161-173`).
+    */
+  sealed trait TrainSpec
+  /** `train == -1`: everything is train. */
+  case object All extends TrainSpec
+  /** `0 < f < 1`: banker's-rounded fraction, clamped up to `min(size, cv)`. */
+  final case class Frac(f: Double) extends TrainSpec
+  /** integer `>= 1`: `min(k, size)`, clamped up to `min(cv, size)`. */
+  final case class Count(k: Int) extends TrainSpec
+
+  /** Round-half-to-even on a non-negative double column — Python's
+    * builtin `round` used at `preprocess.py:165`. Spark's `round` is
+    * HALF_UP, so 2.5 would round to 3 instead of the reference's 2.
+    * Returns LongType.
+    */
+  def roundHalfEven(x: Column): Column =
+    when(x - floor(x).cast("double") === 0.5, floor(x) + pmod(floor(x), lit(2L)))
+      .otherwise(floor(x + 0.5))
+
+  /** W2: per-class train size with the reference's clamp rules.
+    * `n` is the class size (LongType column); result is LongType.
+    */
+  def trainSizeCol(n: Column, spec: TrainSpec, cv: Int): Column = spec match {
+    case All => n
+    case Frac(f) =>
+      require(f > 0 && f < 1, "\"train\" fraction must be between 0 and 1")
+      val s = roundHalfEven(n.cast("double") * f)
+      when(s < cv, least(n, lit(cv.toLong))).otherwise(s)
+    case Count(k) =>
+      require(k >= 1, "\"train\" count must be a positive integer")
+      val s = least(lit(k.toLong), n)
+      when(s < cv, least(lit(cv.toLong), n)).otherwise(s)
+  }
+
+  /** Rank every sample within its class by the permutation key
+    * (J1's ordering): adds `rn` (1-based), `pos` (0-based) and `n`
+    * (class size). One shuffle on `clsCols`; everything downstream
+    * (split, folds, offsets) reuses it.
+    */
+  def rankByPermutation(df: DataFrame, clsCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(clsCols.map(col): _*).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(clsCols.map(col): _*)
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("pos", col("rn") - 1)
+      .withColumn("n", count(lit(1)).over(wAll))
+  }
+
+  /** W1+W2: tag each ranked row `train` / `test`. Expects the columns
+    * added by [[rankByPermutation]]. Adds `train_size` and `role`.
+    * (reference `preprocess.py:176`).
+    */
+  def trainTestSplit(ranked: DataFrame, spec: TrainSpec, cv: Int): DataFrame = {
+    val ts = trainSizeCol(col("n"), spec, cv)
+    ranked
+      .withColumn("train_size", ts)
+      .withColumn("role", when(col("rn") <= col("train_size"), lit("train")).otherwise(lit("test")))
+  }
+
+  /** W3: linspace fold assignment for the train rows of each class,
+    * matching `math.floor(np.linspace(0, n, cv+1))` exactly
+    * (`preprocess.py:185-191`): boundary_i = floor(i * (n/cv)) computed
+    * in IEEE double — except the last boundary, which numpy pins to
+    * exactly n. Worked examples from the reference's own comments:
+    * n=8,cv=5 → folds [[0],[1,2],[3],[4,5],[6,7]];
+    * n=7,cv=5 → [[0],[1],[2,3],[4],[5,6]].
+    *
+    * Expects `pos` (0-based rank within class) and a `train_n` column
+    * holding the per-class train size; adds `fold`. Implemented as a
+    * broadcast nested-loop join against a cv-row literal table — the
+    * fold table is tiny, so this never shuffles the data side.
+    */
+  def linspaceFolds(trainRows: DataFrame, cv: Int): DataFrame = {
+    val spark = trainRows.sparkSession
+    val folds = spark.range(cv).select(col("id").cast("int").as("fold"))
+    val step = col("train_n").cast("double") / cv
+    val lo = floor(col("fold") * step)
+    val hi = when(col("fold") === cv - 1, col("train_n")).otherwise(floor((col("fold") + 1) * step))
+    trainRows.join(broadcast(folds), col("pos") >= lo && col("pos") < hi)
+  }
+
+  /** W4: rotation (leave-one-out round-robin) CV for classes whose
+    * train size is smaller than cv (`preprocess.py:179-184`): fold i
+    * tests the single sample at `pos == i mod n`, trains on the rest.
+    * Produces one (fold, role) row per sample per fold.
+    */
+  def rotationFolds(trainRows: DataFrame, cv: Int): DataFrame = {
+    val spark = trainRows.sparkSession
+    val folds = spark.range(cv).select(col("id").cast("int").as("fold"))
+    trainRows.join(broadcast(folds))
+      .withColumn("cv_role",
+        when(col("pos") === pmod(col("fold").cast("long"), col("train_n")), lit("test"))
+          .otherwise(lit("train")))
+  }
+
+  /** W5: cross-class offset accumulation — each class's CV indices are
+    * shifted by the cumulative train sizes of preceding classes
+    * (`preprocess.py:128-136`). A running-sum analytic window with an
+    * explicit `rowsBetween(unboundedPreceding, -1)` frame over the
+    * per-class summary (tiny — one row per class).
+    */
+  def classOffsets(perClass: DataFrame, orderCol: String, trainSizeCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+    perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-row transforms, aggregations and set ops
+  * (SURVEY.md §2.5, T1–T7).
+  */
+object TransformOps {
+
+  /** T1: bias extension — append a constant 1.0 to every feature
+    * vector (reference `preprocess.py:54-56`).
+    */
+  def extendBias(features: Column): Column =
+    concat(features, array(lit(1.0)))
+
+  /** T2/J4: leak-free mean-centering. Computes per-group means over
+    * the rows where `roleCol === "train"` only, then subtracts them
+    * from every row (train AND test) — the reference's train-statistics
+    * normalization (`preprocess.py:76-79`).
+    *
+    * Plan shape at scale: one partial+final hash aggregate (map-side
+    * combine) over the train rows produces a tiny per-group means
+    * table, which is **broadcast** back — no shuffle of the data side.
+    *
+    * @param df        input with group keys, role column and value columns
+    * @param groupCols grouping keys
+    * @param valueCols numeric columns to center; output adds `<name>_centered`
+    */
+  def centerByTrainMean(df: DataFrame, groupCols: Seq[String], roleCol: String,
+                        valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map(c => avg(col(c)).as(s"__mean_$c"))
+    val means = df.filter(col(roleCol) === "train")
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(means), groupCols)
+    valueCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_centered", col(c) - col(s"__mean_$c"))
+    }.drop(valueCols.map(c => s"__mean_$c"): _*)
+  }
+
+  /** T3: per-fold centering — same aggregate with the fold id added to
+    * the grouping keys (reference `preprocess.py:81-84`).
+    */
+  def centerByFoldTrainMean(df: DataFrame, groupCols: Seq[String], foldCol: String,
+                            cvRoleCol: String, valueCols: Seq[String]): DataFrame =
+    centerByTrainMean(df, groupCols :+ foldCol, cvRoleCol, valueCols)
+
+  /** T2 (array form): per-feature mean over ARRAY<DOUBLE> features and
+    * element-wise subtraction via `zip_with` — the whole-vector
+    * variant used when features live in one array column. The mean
+    * vector is computed with `posexplode` + hash aggregate (partial +
+    * final, so it map-side combines at scale).
+    */
+  def centerFeatureArray(df: DataFrame, groupCols: Seq[String], roleCol: String,
+                         featuresCol: String): DataFrame = {
+    val keyCols = groupCols.map(col)
+    val means = df.filter(col(roleCol) === "train")
+      .select(keyCols :+ posexplode(col(featuresCol)).as(Seq("fpos", "fval")): _*)
+      .groupBy((groupCols :+ "fpos").map(col): _*)
+      .agg(avg("fval").as("fmean"))
+      .groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(struct(col("fpos"), col("fmean")))).as("__ms"))
+      .withColumn("__means", expr("transform(__ms, s -> s.fmean)"))
+      .drop("__ms")
+    df.join(broadcast(means), groupCols)
+      .withColumn(s"${featuresCol}_centered",
+        zip_with(col(featuresCol), col("__means"), (x, m) => x - m))
+      .drop("__means")
+  }
+
+  /** T6: schema-aligned union — UNION ALL by column name
+    * (reference `_array_concatenate`, `preprocess.py:101-103`).
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** T5: class counting (reference `preprocess.py:120,280-281`). */
+  def classCount(df: DataFrame, groupCols: Seq[String], clsCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(clsCol)).as("class_num"))
+
+  /** T7: delimiter-join of a grouped string column, deterministic
+    * (sorted) — reference `Join2String`, `tools.py:94-105`.
+    */
+  def stringJoinAgg(c: Column, delimiter: String): Column =
+    array_join(array_sort(collect_list(c)), delimiter)
+}

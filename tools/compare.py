@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness check.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each query's Spark parquet output from <verifyOutDir>/<name>/,
+runs the paired oracle SQL (oracle_sql.json) in DuckDB against views
+over <sfDir>'s tables, sorts columns by name, and compares values
+exactly. Dev tooling only — not part of the shipped engine.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    return df.reset_index(drop=True)
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+            exp = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        ok, detail = True, ""
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
+                ga = g.astype(float).to_numpy(); ea = e.astype(float).to_numpy()
+                same = (ga == ea) | (np.isnan(ga) & np.isnan(ea))
+                if not same.all():
+                    d = np.nanmax(np.abs(ga - ea))
+                    ok = False; detail += f" col {c}: {int((~same).sum())} diffs max|Δ|={d:.3e};"
+            else:
+                gs, es = g.astype(str), e.astype(str)
+                if not (gs == es).all():
+                    i = int(np.argmax((gs != es).to_numpy()))
+                    ok = False; detail += f" col {c}: {int((gs != es).sum())} diffs e.g. row {i}: {g.iloc[i]!r} vs {e.iloc[i]!r};"
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}:{detail}"); n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
