@@ -63,7 +63,7 @@ object SplitOps {
   def rankByPermutation(df: DataFrame, clsCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(clsCols.map(col): _*).orderBy(orderCols: _*)
     val wAll = Window.partitionBy(clsCols.map(col): _*)
-    df.withColumn("rn", row_number().over(w))
+    df.withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("pos", col("rn") - 1)
       .withColumn("n", count(lit(1)).over(wAll))
   }

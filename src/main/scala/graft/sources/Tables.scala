@@ -44,7 +44,14 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/${normalizeFormat(name)}"
-    spark.read.parquet(path)
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as LongType and convert with integer
+      // division (a double division would lose precision at ~1.7e18 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(path)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
   }
 
   /** S2: variable/domain projection — read only the requested columns;
