@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, SliceOps}
+import graft.llm.{DedupOps, SimilarityOps, TextOps, MultimodalOps}
+import graft.streaming.StreamOps
 
 /** The engine's named queries and their DuckDB oracle SQL.
   *
@@ -428,7 +430,204 @@ object Queries {
       },
       Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
              |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- X1: exact dedup (keep lowest id per normalized key) ----
+    ("x1_dedup_exact",
+      (s: SparkSession, dir: String) => {
+        DedupOps.exactDedup(Tables.load(s, dir, "documents"),
+            substring(col("text"), 1, 50), "doc_id")
+          .select(col("doc_id"), col("n_dups"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH k AS (SELECT doc_id, substr(text, 1, 50) AS key FROM documents),
+             |r AS (SELECT doc_id,
+             |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY key) AS cnt FROM k)
+             |SELECT doc_id, CAST(cnt AS BIGINT) AS n_dups FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- X2: exact n-gram Jaccard near-dup pairs (inverted-index join) ----
+    ("x2_jaccard_pairs",
+      (s: SparkSession, dir: String) => {
+        val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+        DedupOps.jaccardPairs(sh, 1, 2).orderBy(col("doc1"), col("doc2"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+             |  CAST(z1.n_sh + z2.n_sh - inter AS BIGINT) AS uni
+             |FROM p JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
+             |ORDER BY doc1, doc2""".stripMargin)),
+
+    // ---- X2: MinHash + LSH banding (scale path; LSH recall — rows-only check) ----
+    ("x2_minhash_lsh",
+      (s: SparkSession, dir: String) => {
+        DedupOps.minHashLshPairs(Tables.load(s, dir, "documents"),
+            "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      None),
+
+    // ---- X2: SimHash fingerprint + hamming-banded pairs (rows-only check) ----
+    ("x2_simhash_pairs",
+      (s: SparkSession, dir: String) => {
+        val fps = DedupOps.simHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        DedupOps.simHashPairs(fps, maxHamming = 3).orderBy(col("doc1"), col("doc2"))
+      },
+      None),
+
+    // ---- X3: exact brute-force top-k cosine (quantized, oracle-exact) ----
+    ("x3_knn_cosine",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS qa, b.n2 AS qb
+             |      FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X3: IVF-bucketed approximate NN (scale path; rows-only check) ----
+    ("x3_ann_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None),
+
+    // ---- X4: token statistics ----
+    ("x4_text_stats",
+      (s: SparkSession, dir: String) => {
+        TextOps.tokenStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_tok_len,
+             |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS longest
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: marker-based language scoring ----
+    ("x4_lang_score",
+      (s: SparkSession, dir: String) => {
+        TextOps.langScore(Tables.load(s, dir, "documents"), "doc_id", "text",
+            markers = Seq("the", "a"), threshold = 3, label = "en")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_markers,
+             |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) >= 3
+             |       THEN 'en' ELSE 'other' END AS predicted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: quality scoring ----
+    ("x4_quality",
+      (s: SparkSession, dir: String) => {
+        TextOps.qualityScore(Tables.load(s, dir, "documents"), "doc_id", "text",
+            stopwords = Seq("the", "a"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |    CAST(length(text) AS BIGINT) AS n_chars_m,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents)
+             |SELECT doc_id, n_chars_m, n_tokens, n_stop,
+             |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+             |  CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= CAST(0.05 AS DOUBLE) THEN 'high'
+             |       WHEN n_tokens >= 10 THEN 'medium' ELSE 'low' END AS quality
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: rolling-hash document fingerprint ----
+    ("x4_fingerprint",
+      (s: SparkSession, dir: String) => {
+        TextOps.fingerprint(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ' '),
+             |        t -> CAST(ascii(substr(t, 1, 1)) * 256 + length(t) AS BIGINT))),
+             |    (h, t) -> (h * 1000003 + t) % 2147483647) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5: multimodal blob metadata (binary column plumbing) ----
+    ("x5_multimodal_meta",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"),
+            octet_length(col("blob")).cast("long").as("blob_len"),
+            upper(substring(hex(col("blob")), 1, 16)).as("header_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+             |  upper(substr(hex(encode(text)), 1, 16)) AS header_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5: stubbed media decode through mapPartitions (rows-only check) ----
+    ("x5_decode_stub",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.decodeBlobs(
+            MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+            "doc_id", "blob")
+          .toDF()
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- X6: sliding time window ----
+    ("x6_sliding_window",
+      (s: SparkSession, dir: String) => {
+        StreamOps.slidingAgg(Tables.load(s, dir, "events"), "1 hour", "30 minutes")
+          .withColumn("sum_value", round(col("sum_value"), 4))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS ws,
+             |  event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+             |FROM events e, (VALUES (0), (1)) k(k)
+             |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
+    // ---- X6: gap-based sessionization (batch twin of session_window) ----
+    ("x6_sessionize",
+      (s: SparkSession, dir: String) => {
+        StreamOps.sessionizeBatch(Tables.load(s, dir, "events"), gapMinutes = 10)
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+             |x AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM x)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  CAST(count(*) AS BIGINT) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

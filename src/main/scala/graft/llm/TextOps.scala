@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators (SURVEY.md §2.8 X4): token statistics,
+  * marker-based language scoring, quality ratios, and document
+  * fingerprinting. All pure scalar-function pipelines — they stay
+  * inside whole-stage codegen and need no shuffle until the final
+  * aggregation (if any).
+  */
+object TextOps {
+
+  /** Token statistics per document. Tokenization is whitespace split;
+    * everything downstream is exact integer arithmetic plus one
+    * division, so it is oracle-reproducible.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__toks"), col(textCol).as("__t"))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_uniq"),
+        (size(array_distinct(col("__toks"))).cast("double") / size(col("__toks"))).as("ttr"),
+        (length(regexp_replace(col("__t"), " ", "")).cast("double") / size(col("__toks"))).as("avg_tok_len"),
+        expr("CAST(array_max(transform(__toks, t -> length(t))) AS BIGINT)").as("longest"))
+
+  /** Marker-token language scoring — the n-gram-heuristic shape of a
+    * language identifier: count tokens from a marker set, threshold to
+    * a label. Real marker tables per language plug into the same plan.
+    */
+  def langScore(docs: DataFrame, idCol: String, textCol: String,
+                markers: Seq[String], threshold: Int, label: String): DataFrame = {
+    val inSet = markers.map(m => s"t = '$m'").mkString(" OR ")
+    docs.select(
+      col(idCol),
+      expr(s"CAST(size(filter(split($textCol, ' '), t -> $inSet)) AS BIGINT)").as("n_markers"))
+      .withColumn("predicted", when(col("n_markers") >= threshold, lit(label)).otherwise(lit("other")))
+  }
+
+  /** Quality scoring: length-based and stopword-ratio heuristics that
+    * gate training-data pipelines. All exact-arithmetic.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val inSet = stopwords.map(m => s"t = '$m'").mkString(" OR ")
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_m"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      expr(s"CAST(size(filter(split($textCol, ' '), t -> $inSet)) AS BIGINT)").as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05, lit("high"))
+          .when(col("n_tokens") >= 10, lit("medium"))
+          .otherwise(lit("low")))
+  }
+
+  /** Document fingerprint: a polynomial rolling hash over per-token
+    * surrogates (first-char code and length), mod 2^31-1 — the rolling
+    * structure of Rabin-Karp content fingerprints, in portable integer
+    * arithmetic (`aggregate` HOF = strict left fold, same as the
+    * oracle's `list_reduce`).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"""aggregate(split($textCol, ' '), CAST(0 AS BIGINT),
+              |  (h, t) -> (h * 1000003 + ascii(substring(t, 1, 1)) * 256 + length(t)) % 2147483647)"""
+        .stripMargin).as("fp"))
+}
