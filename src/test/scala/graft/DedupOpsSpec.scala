@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.DedupOps
+
+/** X1/X2: exact and near-duplicate detection on crafted corpora. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again tomorrow"),// near dup of 1
+    (4L, "completely different text about distributed query engines here now"),
+    (5L, "short doc")                                                  // < 5 tokens: no shingles
+  ).toDF("doc_id", "text")
+
+  test("X1 exactDedup keeps the lowest id and counts group size") {
+    val got = DedupOps.exactDedup(docs, col("text"), "doc_id")
+      .select("doc_id", "n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+  }
+
+  test("wordShingles yields distinct w-grams, none for short docs") {
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
+    sh.filter(col("doc_id") === 5L).count() shouldBe 0
+    // doc 4 has 9 tokens, all distinct => 5 5-gram shingles
+    sh.filter(col("doc_id") === 4L).count() shouldBe 5
+  }
+
+  test("X2 jaccardPairs finds exact and near duplicates, skips unrelated") {
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
+    val pairs = DedupOps.jaccardPairs(sh, 1, 2)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // identical: jaccard 1.0
+    pairs should contain((1L, 3L)) // one-word change: high overlap
+    pairs.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("X2 minHashLshPairs recovers the exact-duplicate pair with exact stats") {
+    val got = DedupOps.minHashLshPairs(docs, "doc_id", "text",
+        shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // identical docs collide in every band; inter == uni for the (1,2) pair
+    got.find(t => t._1 == 1L && t._2 == 2L) match {
+      case Some((_, _, inter, uni)) => inter shouldBe uni
+      case None => fail("LSH missed the exact-duplicate pair (1,2)")
+    }
+  }
+
+  test("X2 simHash: identical docs get identical fingerprints, hamming 0 pair found") {
+    val fps = DedupOps.simHash(docs, "doc_id", "text")
+    val byId = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId(1L) shouldBe byId(2L)
+    val pairs = DedupOps.simHashPairs(fps, maxHamming = 0)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dfw.SplitOps
+
+/** W1–W5 semantics pinned against the reference's own worked examples
+  * (`/root/reference/DFW/preprocess.py:161-191`).
+  */
+class SplitOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A single class of n samples already in permutation order. */
+  private def ranked(n: Int): DataFrame =
+    SplitOps.rankByPermutation(
+      (0 until n).map(i => ("c0", i.toLong)).toDF("cls", "sample_id"),
+      Seq("cls"), Seq(col("sample_id")))
+
+  private def foldsOf(n: Int, cv: Int): Map[Int, Seq[Long]] =
+    SplitOps.linspaceFolds(ranked(n).withColumn("train_n", col("n")), cv)
+      .select("fold", "pos").collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+
+  test("W3 linspace folds reproduce the reference's n=8, cv=5 example") {
+    // preprocess.py:186: [[0],[1,2],[3],[4,5],[6,7]]
+    foldsOf(8, 5) shouldBe Map(
+      0 -> Seq(0L), 1 -> Seq(1L, 2L), 2 -> Seq(3L), 3 -> Seq(4L, 5L), 4 -> Seq(6L, 7L))
+  }
+
+  test("W3 linspace folds reproduce the reference's n=7, cv=5 example") {
+    // preprocess.py:187: [[0],[1],[2,3],[4],[5,6]]
+    foldsOf(7, 5) shouldBe Map(
+      0 -> Seq(0L), 1 -> Seq(1L), 2 -> Seq(2L, 3L), 3 -> Seq(4L), 4 -> Seq(5L, 6L))
+  }
+
+  test("W3 folds are disjoint, cover all positions, and sizes differ by <= 1") {
+    for (n <- Seq(5, 9, 16, 23); cv <- Seq(2, 3, 5)) {
+      val folds = foldsOf(n, cv)
+      val all = folds.values.flatten.toSeq.sorted
+      withClue(s"n=$n cv=$cv: ") {
+        all shouldBe (0L until n.toLong)
+        folds.keySet shouldBe (0 until cv).toSet
+        val sizes = folds.values.map(_.size)
+        (sizes.max - sizes.min) should be <= 1
+      }
+    }
+  }
+
+  test("W4 rotation folds: fold i tests sample pos = i mod n, trains the rest") {
+    val rows = SplitOps.rotationFolds(
+        ranked(3).filter(col("rn") <= 3).withColumn("train_n", lit(3L)), cv = 5)
+      .select("fold", "pos", "cv_role").collect()
+    rows.length shouldBe 15 // 3 samples x 5 folds
+    rows.foreach { r =>
+      val expected = if (r.getLong(1) == r.getInt(0) % 3) "test" else "train"
+      r.getString(2) shouldBe expected
+    }
+  }
+
+  test("roundHalfEven matches Python round() on halves") {
+    val got = spark.range(1).select(
+      SplitOps.roundHalfEven(lit(0.5)).as("a"),
+      SplitOps.roundHalfEven(lit(1.5)).as("b"),
+      SplitOps.roundHalfEven(lit(2.5)).as("c"),
+      SplitOps.roundHalfEven(lit(3.5)).as("d"),
+      SplitOps.roundHalfEven(lit(2.4)).as("e"),
+      SplitOps.roundHalfEven(lit(2.6)).as("f")).head()
+    (0 to 5).map(got.getLong) shouldBe Seq(0L, 2L, 2L, 4L, 2L, 3L)
+  }
+
+  test("W2 train-size clamps match preprocess.py:161-173") {
+    def ts(n: Long, spec: SplitOps.TrainSpec, cv: Int = 5): Long =
+      spark.range(1).select(SplitOps.trainSizeCol(lit(n), spec, cv)).head().getLong(0)
+
+    ts(10, SplitOps.All) shouldBe 10                // -1 => everything
+    ts(10, SplitOps.Frac(0.5)) shouldBe 5           // round(10*0.5)
+    ts(10, SplitOps.Frac(0.25)) shouldBe 5          // round=2 < cv => min(n, cv)
+    ts(3, SplitOps.Frac(0.5)) shouldBe 3            // round=2 < cv => min(3, 5)
+    ts(10, SplitOps.Frac(0.45)) shouldBe 5          // banker's round(4.5)=4, then 4 < cv => min(n, cv)
+    ts(10, SplitOps.Frac(0.45), cv = 2) shouldBe 4  // banker's: round(4.5) = 4 (HALF_UP would give 5)
+    ts(10, SplitOps.Frac(0.55), cv = 2) shouldBe 6  // banker's: round(5.5) = 6
+    ts(10, SplitOps.Count(7)) shouldBe 7            // min(7,10) >= cv
+    ts(10, SplitOps.Count(3)) shouldBe 5            // min(3,10) < cv => min(cv, n)
+    ts(3, SplitOps.Count(100)) shouldBe 3           // min(100,3)=3 < cv => min(5,3)
+  }
+
+  test("W1 split: exactly train_size rows are train, the prefix in rank order") {
+    val split = SplitOps.trainTestSplit(ranked(10), SplitOps.Frac(0.7), cv = 5)
+    val train = split.filter(col("role") === "train").select("pos").as[Long].collect().sorted
+    train shouldBe (0L until 7L).toArray // round(10*0.7)=7, prefix of permutation order
+    split.filter(col("role") === "test").count() shouldBe 3
+  }
+
+  test("W5 offsets accumulate preceding train sizes in class order") {
+    val perClass = Seq(("a", 3L), ("b", 5L), ("c", 2L)).toDF("cls", "train_size")
+    val got = SplitOps.classOffsets(perClass, "cls", "train_size")
+      .select("cls", "offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 0L, "b" -> 3L, "c" -> 8L)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** X6: the same transform bodies must work in batch and on a real
+  * Structured Streaming source. The streaming tests drive a
+  * MemoryStream through `writeStream` into a memory sink.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  private val eventRows = Seq(
+    (1L, "u1", "click", 1.0, ts(0)),
+    (2L, "u1", "click", 2.0, ts(5)),
+    (3L, "u1", "view", 4.0, ts(40)),  // 35-min gap: new session for u1
+    (4L, "u2", "click", 8.0, ts(2)))
+
+  private def events = eventRows.toDF("event_id", "user_id", "event_type", "value", "ts")
+
+  test("sessionizeBatch splits on gaps > threshold") {
+    val got = StreamOps.sessionizeBatch(events, gapMinutes = 10)
+      .select("user_id", "session_id", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L))
+  }
+
+  test("tumblingAgg buckets by window start") {
+    val got = StreamOps.tumblingAgg(events, "1 hour")
+      .select("ws", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val hour = Timestamp.valueOf("2026-01-01 10:00:00")
+    got shouldBe Set((hour, "click", 3L), (hour, "view", 1L))
+  }
+
+  test("tumblingAggStream runs on a real stream and matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = StreamOps.tumblingAggStream(streamDf, "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select("ws", "event_type", "n", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val hour = Timestamp.valueOf("2026-01-01 10:00:00")
+      got shouldBe Set((hour, "click", 3L, 11.0), (hour, "view", 1L, 4.0))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream (session_window) agrees with sessionizeBatch session sizes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = StreamOps.sessionizeStream(streamDf, gapMinutes = 10, watermark = "2 hours")
+      .writeStream.format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("session_test")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      got shouldBe Map("u1" -> Seq(1L, 2L), "u2" -> Seq(1L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{MultimodalOps, TextOps}
+
+/** X4/X5: text statistics and multimodal plumbing. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "aa bb aa cccc")).toDF("doc_id", "text")
+
+  test("tokenStats computes exact counts and ratios") {
+    val r = TextOps.tokenStats(docs, "doc_id", "text").head()
+    r.getLong(1) shouldBe 4L                 // n_tokens
+    r.getLong(2) shouldBe 3L                 // n_uniq
+    r.getDouble(3) shouldBe 0.75             // ttr
+    r.getDouble(4) shouldBe 10.0 / 4         // avg_tok_len: 10 non-space chars
+    r.getLong(5) shouldBe 4L                 // longest token
+  }
+
+  test("langScore counts marker tokens and thresholds the label") {
+    val d = Seq((1L, "the cat in the hat"), (2L, "chat chapeau")).toDF("doc_id", "text")
+    val got = TextOps.langScore(d, "doc_id", "text", Seq("the"), threshold = 2, label = "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    got(1L) shouldBe ((2L, "en"))
+    got(2L) shouldBe ((0L, "other"))
+  }
+
+  test("fingerprint is a deterministic left fold over tokens") {
+    def fold(text: String): Long =
+      text.split(" ").foldLeft(0L)((h, t) =>
+        (h * 1000003L + t.head.toInt * 256L + t.length) % 2147483647L)
+    val r = TextOps.fingerprint(docs, "doc_id", "text").head()
+    r.getLong(1) shouldBe fold("aa bb aa cccc")
+  }
+
+  test("X5 decodeBlobs is deterministic and preserves row count") {
+    val blobs = MultimodalOps.documentsAsBlobs(docs, "doc_id", "text")
+    val metas = MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect()
+    metas.length shouldBe 1
+    val m = metas.head
+    m.doc_id shouldBe 1L
+    m.blob_len shouldBe "aa bb aa cccc".getBytes("UTF-8").length.toLong
+    m.channels should (be >= 1 and be <= 3)
+    // determinism: same input -> same fake decode
+    MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect().head shouldBe m
+  }
+}

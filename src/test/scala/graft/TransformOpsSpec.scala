@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dfw.{SliceOps, TransformOps}
+
+/** T1–T7 + P1/P2 semantics on hand-computed fixtures. */
+class TransformOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T1 extendBias appends exactly one trailing 1.0") {
+    val got = Seq(Seq(2.0, 3.0)).toDF("f")
+      .select(TransformOps.extendBias(col("f")).as("fe"))
+      .head().getSeq[Double](0)
+    got shouldBe Seq(2.0, 3.0, 1.0)
+  }
+
+  test("T2 centerByTrainMean uses ONLY train rows for the mean (leak-free)") {
+    val df = Seq(
+      ("a", "train", 1.0), ("a", "train", 3.0), ("a", "test", 100.0),
+      ("b", "train", 10.0), ("b", "test", 0.0)).toDF("cls", "role", "x")
+    val got = TransformOps.centerByTrainMean(df, Seq("cls"), "role", Seq("x"))
+      .select("cls", "role", "x", "x_centered").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    // class a train mean = 2.0 (the 100.0 test row must not contribute)
+    got(("a", "train", 1.0)) shouldBe 1.0 - 2.0
+    got(("a", "test", 100.0)) shouldBe 100.0 - 2.0
+    got(("b", "test", 0.0)) shouldBe 0.0 - 10.0
+  }
+
+  test("T2 array form: per-feature mean subtracted element-wise") {
+    val df = Seq(
+      ("a", "train", Seq(1.0, 10.0)), ("a", "train", Seq(3.0, 30.0)),
+      ("a", "test", Seq(5.0, 50.0))).toDF("cls", "role", "f")
+    val got = TransformOps.centerFeatureArray(df, Seq("cls"), "role", "f")
+      .filter(col("role") === "test")
+      .select("f_centered").head().getSeq[Double](0)
+    got shouldBe Seq(5.0 - 2.0, 50.0 - 20.0)
+  }
+
+  test("T3 per-fold centering groups by (keys, fold)") {
+    val df = Seq(
+      ("a", 0, "train", 2.0), ("a", 0, "train", 4.0), ("a", 0, "test", 9.0),
+      ("a", 1, "train", 100.0), ("a", 1, "test", 100.0)).toDF("cls", "fold", "cv_role", "x")
+    val got = TransformOps.centerByFoldTrainMean(df, Seq("cls"), "fold", "cv_role", Seq("x"))
+      .filter(col("cv_role") === "test")
+      .select("fold", "x_centered").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    got shouldBe Map(0 -> (9.0 - 3.0), 1 -> 0.0)
+  }
+
+  test("T6 unionAll aligns by column name") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id") // reversed column order
+    val got = TransformOps.unionAll(Seq(a, b)).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    got shouldBe Array((1, "x"), (2, "y"))
+  }
+
+  test("T5 classCount counts distinct labels") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9)).toDF("db", "cls")
+    val got = TransformOps.classCount(df, Seq("db"), "cls")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 2L, "b" -> 1L)
+  }
+
+  test("T7 stringJoinAgg is deterministic (sorted) regardless of input order") {
+    val got = Seq(("g", "b"), ("g", "c"), ("g", "a")).toDF("k", "s")
+      .groupBy("k").agg(TransformOps.stringJoinAgg(col("s"), ",").as("j"))
+      .head().getString(1)
+    got shouldBe "a,b,c"
+  }
+
+  test("P1 classRange is 1-based inclusive; -1 means all") {
+    val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
+    SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
+    SliceOps.classRange(df, "cls", (-1, 0)).count() shouldBe 10
+  }
+
+  test("P2 dropLabelEntry drops the trailing entry only when labeled") {
+    val df = Seq(Seq(1.0, 2.0, 9.0)).toDF("f")
+    df.select(SliceOps.dropLabelEntry(col("f"), labeled = true)).head().getSeq[Double](0) shouldBe Seq(1.0, 2.0)
+    df.select(SliceOps.dropLabelEntry(col("f"), labeled = false)).head().getSeq[Double](0) shouldBe Seq(1.0, 2.0, 9.0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{QuantizedDot, VectorFunctions}
+
+/** The codegen'd quantized dot product must agree exactly with a
+  * driver-side reimplementation, and its rounding must be
+  * half-away-from-zero (matching `round()` in Spark SQL and DuckDB).
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refDot(a: Seq[Float], b: Seq[Float], scale: Double): Long =
+    a.zip(b).map { case (x, y) =>
+      QuantizedDot.q(x * scale) * QuantizedDot.q(y * scale)
+    }.sum
+
+  test("q() rounds half away from zero") {
+    QuantizedDot.q(2.5) shouldBe 3L
+    QuantizedDot.q(-2.5) shouldBe -3L
+    QuantizedDot.q(2.4) shouldBe 2L
+    QuantizedDot.q(-2.4) shouldBe -2L
+    QuantizedDot.q(0.0) shouldBe 0L
+    // the +0.5-then-truncate trap: 0.49999999999999994 must round DOWN
+    QuantizedDot.q(0.49999999999999994) shouldBe 0L
+  }
+
+  test("quantizedDot (interpreted + codegen) matches the driver-side reference") {
+    val vecs = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, -0.25f, 4.0f)),
+      (Seq(0.001f, -0.0005f), Seq(1.0f, 1.0f)),
+      (Seq.empty[Float], Seq.empty[Float]))
+    val df = vecs.toDF("a", "b")
+    val got = df.select(VectorFunctions.quantizedDot(col("a"), col("b")).as("d"))
+      .as[Long].collect()
+    got shouldBe vecs.map { case (a, b) => refDot(a, b, 1000.0) }.toArray
+  }
+
+  test("quantizedNorm2 is the self dot product") {
+    val v = Seq(Tuple1(Seq(0.6f, -0.8f))).toDF("a")
+    val got = v.select(VectorFunctions.quantizedNorm2(col("a")).as("n")).as[Long].head()
+    got shouldBe (600L * 600L + 800L * 800L)
+  }
+}
