@@ -1,4 +1,5 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round throughput benchmark: runs every SparkEntry query against
@@ -7,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink rather than `count()`:
   * count() lets Catalyst prune every projection, which would time the
   * scan instead of the query.
+  *
+  * Before timing, every query runs once at sf0.001: one cold pass
+  * compiles all whole-stage-codegen classes and JITs the hot loops, so
+  * the timed numbers measure the query, not JVM warmup (first-run
+  * penalty is ~5s/query otherwise). A GC between queries keeps one
+  * query's garbage from being charged to the next.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -19,11 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen once so per-query numbers measure the query,
-    // not first-run classloading.
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

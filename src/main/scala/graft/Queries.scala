@@ -214,6 +214,57 @@ object Queries {
               |FROM s JOIN m ON s.cls = m.cls
               |ORDER BY s.cls, s.sample_id, s.role, qty_c, price_c""".stripMargin)),
 
+    // ---- W6+T3: CV materialization + per-fold leak-free centering ----
+    ("t3_center_fold",
+      (s: SparkSession, dir: String) => {
+        val folded = SplitOps.linspaceFolds(ranked(s, dir).withColumn("train_n", col("n")), CV)
+        val cv = SplitOps.cvAssign(folded, CV)
+        TransformOps.centerByFoldTrainMean(cv, Seq("cls"), "cv_fold", "cv_role", Seq("l_quantity"))
+          .select(col("cls"), col("cv_fold"), col("sample_id"), col("cv_role"),
+            col("l_quantity_centered").as("qty_c"))
+          .orderBy(col("cls"), col("cv_fold"), col("sample_id"), col("cv_role"), col("qty_c"))
+      },
+      Some(s"""$rSql,
+              |fd AS (SELECT r.*, CAST(g.fold AS INT) AS fold
+              |      FROM r, generate_series(0, ${CV - 1}) g(fold)
+              |      WHERE rn - 1 >= floor(g.fold * (CAST(n AS DOUBLE) / $CV))
+              |        AND rn - 1 < CASE WHEN g.fold = ${CV - 1} THEN CAST(n AS DOUBLE)
+              |                          ELSE floor((g.fold + 1) * (CAST(n AS DOUBLE) / $CV)) END),
+              |cvx AS (SELECT fd.*, CAST(g.cv_fold AS INT) AS cv_fold,
+              |          CASE WHEN fd.fold = g.cv_fold THEN 'test' ELSE 'train' END AS cv_role
+              |        FROM fd, generate_series(0, ${CV - 1}) g(cv_fold)),
+              |m AS (SELECT cls, cv_fold, avg(l_quantity) AS m_qty
+              |      FROM cvx WHERE cv_role = 'train' GROUP BY cls, cv_fold)
+              |SELECT c.cls, c.cv_fold, c.sample_id, c.cv_role, c.l_quantity - m.m_qty AS qty_c
+              |FROM cvx c JOIN m ON c.cls = m.cls AND c.cv_fold = m.cv_fold
+              |ORDER BY c.cls, c.cv_fold, c.sample_id, c.cv_role, qty_c""".stripMargin)),
+
+    // ---- flagship: the reference's full generator pipeline in one plan ----
+    // gather-order rank -> bias extend -> train/test split -> label ->
+    // train-mean centering of the feature ARRAY (leak-free), SURVEY.md §7.2.
+    ("gen_pipeline",
+      (s: SparkSession, dir: String) => {
+        val split = SplitOps.trainTestSplit(ranked(s, dir), SplitOps.Frac(0.5), CV)
+          .withColumn("features",
+            TransformOps.extendBias(array(col("l_quantity"), col("l_extendedprice"))))
+        TransformOps.centerFeatureArray(split, Seq("cls"), "role", "features")
+          .select(col("cls"), col("sample_id"), col("role"),
+            element_at(col("features_centered"), 1).as("f1_c"),
+            round(element_at(col("features_centered"), 2), 4).as("f2_c"),
+            element_at(col("features_centered"), 3).as("f3_c"))
+          .orderBy(col("cls"), col("sample_id"), col("role"), col("f1_c"), col("f2_c"))
+      },
+      Some(s"""$rSql,
+              |s AS (SELECT *, CASE WHEN rn <= ${tsFracSql("n", "0.5", CV)} THEN 'train' ELSE 'test' END AS role FROM r),
+              |m AS (SELECT cls, avg(l_quantity) AS m1, avg(l_extendedprice) AS m2
+              |      FROM s WHERE role = 'train' GROUP BY cls)
+              |SELECT s.cls, s.sample_id, s.role,
+              |  s.l_quantity - m.m1 AS f1_c,
+              |  round(s.l_extendedprice - m.m2, 4) AS f2_c,
+              |  CAST(0.0 AS DOUBLE) AS f3_c
+              |FROM s JOIN m ON s.cls = m.cls
+              |ORDER BY s.cls, s.sample_id, s.role, f1_c, f2_c""".stripMargin)),
+
     // ---- P1: 1-based inclusive class-range slice ----
     ("p1_class_range",
       (s: SparkSession, dir: String) => {
@@ -482,6 +533,25 @@ object Queries {
       },
       None),
 
+    // ---- X2: embedding-cosine near-dup pairs (quantized, oracle-exact) ----
+    ("x2_embed_neardup",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", num = 9, den = 10)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS na, b.n2 AS nb
+             |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+             |FROM p WHERE dot >= 0 AND dot * dot * 100 >= na * nb * 81
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- X3: exact brute-force top-k cosine (quantized, oracle-exact) ----
     ("x3_knn_cosine",
       (s: SparkSession, dir: String) => {
@@ -562,6 +632,20 @@ object Queries {
              |  CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= CAST(0.05 AS DOUBLE) THEN 'high'
              |       WHEN n_tokens >= 10 THEN 'medium' ELSE 'low' END AS quality
              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: BPE-ish regex token counting ----
+    ("x4_regex_tokens",
+      (s: SparkSession, dir: String) => {
+        TextOps.regexTokenCount(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS rt,
+             |    len(string_split(text, ' ')) AS n_ws FROM documents)
+             |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(rt) AS BIGINT) AS n_bpe_tokens,
+             |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_bpe_uniq
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // ---- X4: rolling-hash document fingerprint ----
     ("x4_fingerprint",

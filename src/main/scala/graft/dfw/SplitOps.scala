@@ -115,6 +115,22 @@ object SplitOps {
           .otherwise(lit("train")))
   }
 
+  /** W6: CV data materialization — expand fold-assigned rows into one
+    * row per (sample, cv_fold) pair: a sample is `test` in the fold
+    * matching its own chunk and `train` everywhere else (the
+    * complement slicing of `preprocess.py:68-74,91-96`). Broadcast
+    * nested-loop against the cv-row fold table: the data side never
+    * shuffles and its `(cls)` partitioning survives for the per-fold
+    * centering aggregate that typically follows.
+    */
+  def cvAssign(foldedRows: DataFrame, cv: Int): DataFrame = {
+    val spark = foldedRows.sparkSession
+    val folds = spark.range(cv).select(col("id").cast("int").as("cv_fold"))
+    foldedRows.join(broadcast(folds))
+      .withColumn("cv_role",
+        when(col("fold") === col("cv_fold"), lit("test")).otherwise(lit("train")))
+  }
+
   /** W5: cross-class offset accumulation — each class's CV indices are
     * shifted by the cumulative train sizes of preceding classes
     * (`preprocess.py:128-136`). A running-sum analytic window with an

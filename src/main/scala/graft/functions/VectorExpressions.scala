@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expressions for embedding similarity (SURVEY.md §2.8 X3).
   *
@@ -68,6 +68,78 @@ object QuantizedDot {
   }
 }
 
+/** ARRAY<FLOAT> → ARRAY<BIGINT>: each element rounded half-away-from-zero
+  * after scaling. Factoring quantization out of [[LongDot]] matters in
+  * pair joins: quantize is O(N) rows while the dot runs O(N²) times, so
+  * the inner loop should be pure integer multiply-add.
+  */
+case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_vec"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = QuantizedDot.q(x.getFloat(i) * scale); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val qFn = QuantizedDot.getClass.getName.stripSuffix("$") + ".q"
+      val arrData = classOf[ArrayData].getName
+      s"""
+         |int n = $a.numElements();
+         |long[] out = new long[n];
+         |for (int i = 0; i < n; i++) {
+         |  out[i] = $qFn((double)$a.getFloat(i) * $scale);
+         |}
+         |${ev.value} = $arrData.toArrayData(out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two ARRAY<BIGINT> — the tight inner loop of the
+  * similarity pair joins. Whole-stage codegen emits a primitive loop
+  * over the array data with no allocation.
+  */
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long s = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getLong(i) * $b.getLong(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -77,4 +149,14 @@ object VectorFunctions {
   /** Squared quantized L2 norm — self dot product. */
   def quantizedNorm2(a: Column, scale: Int = 1000): Column =
     quantizedDot(a, a, scale)
+
+  /** Pre-quantize a float vector to ARRAY<BIGINT> (do this once per row
+    * BEFORE a pair join, then combine with [[longDot]]).
+    */
+  def quantizeVec(a: Column, scale: Int = 1000): Column =
+    ColumnBridge.toColumn(QuantizeVec(ColumnBridge.toExpr(a), scale.toDouble))
+
+  /** Integer dot product over two quantized vectors. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(LongDot(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
 }

@@ -18,14 +18,16 @@ import graft.functions.VectorFunctions
   *    100 TB path: the cross join shrinks from N to N·nProbe/K per
   *    query, and buckets are independent partitions.
   *
-  * Scores are quantized-integer cosine (see
-  * [[graft.functions.QuantizedDot]]): deterministic in any execution
-  * order, hence oracle-reproducible.
+  * Scores are quantized-integer cosine, deterministic in any execution
+  * order, hence oracle-reproducible. Every vector is quantized ONCE
+  * ([[graft.functions.QuantizeVec]], O(N)) before any pair join; the
+  * O(N²) inner loop is a pure integer dot product
+  * ([[graft.functions.LongDot]], codegen'd, allocation-free).
   */
 object SimilarityOps {
 
-  /** cosine = qdot / sqrt(qnorm2(a) * qnorm2(b)) — all-integer until
-    * the final division, so bitwise identical on any engine.
+  /** cosine = dot / sqrt(norm2(a) * norm2(b)) — all-integer until the
+    * final division, so bitwise identical on any engine.
     */
   def quantizedCosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / sqrt((n2a * n2b).cast("double"))
@@ -38,13 +40,16 @@ object SimilarityOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = withNorm(queries, idCol, vecCol).select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__n2").as("__qn2"))
-    val c = withNorm(corpus, idCol, vecCol).select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
+    val q = quantized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
+    val c = quantized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    // project the arrays away BEFORE the rank window: the sort must
+    // move (query_id, neighbor_id, cosine) rows, not kilobyte vectors
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        quantizedCosine(VectorFunctions.quantizedDot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2")))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -62,33 +67,34 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("__cent"))
+    val cents = quantized(corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
+      .select(col(idCol).as("centroid_id"), col("__qv").as("__centq"), col("__n2").as("__centn2"))
     val centsB = broadcast(cents)
 
     // bucket assignment: nearest centroid by quantized cosine
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = withNorm(df, id, vec).join(centsB)
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = quantized(df, idCol, vecCol).join(centsB)
         .withColumn("__cscore",
-          quantizedCosine(VectorFunctions.quantizedDot(col(vec), col("__cent")),
-            col("__n2"), VectorFunctions.quantizedNorm2(col("__cent"))))
-      val w = Window.partitionBy(col(id)).orderBy(col("__cscore").desc, col("centroid_id"))
+          quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
+            col("__n2"), col("__centn2")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__cscore").desc, col("centroid_id"))
       scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= keep)
-        .drop("__cscore", "__cr", "__cent")
+        .drop("__cscore", "__cr", "__centq", "__centn2")
     }
 
-    val bucketed = assign(corpus, idCol, vecCol, 1)
-      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("__n2").as("__cn2"))
-    val probes = assign(queries, idCol, vecCol, nProbe)
-      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__n2").as("__qn2"))
+    val bucketed = assign(corpus, 1)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    val probes = assign(queries, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
 
     // per-bucket brute force: join is on centroid_id, so only probed
     // buckets are scanned; at scale both sides shuffle-partition by
     // centroid_id instead of a full cross join.
     val scored = probes.join(bucketed, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        quantizedCosine(VectorFunctions.quantizedDot(col("__qv"), col("__cv")), col("__qn2"), col("__cn2")))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -96,6 +102,35 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.withColumn("__n2", VectorFunctions.quantizedNorm2(col(vecCol)))
+  /** X2 (embedding variant): near-duplicate pairs by cosine >=
+    * `num/den` over all `id_a < id_b` pairs. The threshold test is done
+    * on the all-integer dot/norms (den²·dot² vs num²·n2a·n2b, guarded
+    * on dot >= 0), so it is bit-exact on any engine. This is the
+    * correctness baseline; the scale path buckets by IVF centroid (see
+    * [[ivfTopK]]) or LSH first and verifies pairs per bucket.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         num: Long, den: Long): DataFrame = {
+    val a = quantized(df, idCol, vecCol)
+      .select(col(idCol).as("id_a"), col("__qv").as("__qa"), col("__n2").as("__na"))
+    val b = quantized(df, idCol, vecCol)
+      .select(col(idCol).as("id_b"), col("__qv").as("__qb"), col("__n2").as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__dot", VectorFunctions.longDot(col("__qa"), col("__qb")))
+      // cosine >= num/den  <=>  den·dot >= num·sqrt(na·nb)
+      //                    <=>  dot >= 0 && den²·dot² >= num²·na·nb
+      .filter(col("__dot") >= 0 &&
+        col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num))
+      .select(col("id_a"), col("id_b"),
+        quantizedCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))
+  }
+
+  /** Adds `__qv` (quantized ARRAY<BIGINT>) and `__n2` (integer squared
+    * norm). Runs once per input row — keep this OUTSIDE pair joins.
+    */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("__qv", VectorFunctions.quantizeVec(col(vecCol)))
+      // norm via the fused float-path expression: CollapseProject would
+      // otherwise inline quantizeVec into longDot and evaluate it 3x/row
+      .withColumn("__n2", VectorFunctions.quantizedDot(col(vecCol), col(vecCol)))
 }

@@ -56,6 +56,24 @@ object TextOps {
           .otherwise(lit("low")))
   }
 
+  /** Regex ("BPE-ish") tokenization: words, digit runs, and single
+    * punctuation marks as separate tokens — the pre-tokenizer split
+    * rule that byte-pair encoders apply before merges. Counting these
+    * approximates BPE token counts far better than whitespace splitting
+    * on punctuation-heavy text. Pure `regexp_extract_all`, fully
+    * codegen'd, no shuffle.
+    */
+  def regexTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)").as("__rt"),
+      size(split(col(textCol), " ")).cast("long").as("n_ws_tokens"))
+      .select(
+        col(idCol),
+        col("n_ws_tokens"),
+        size(col("__rt")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("__rt"))).cast("long").as("n_bpe_uniq"))
+
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer
