@@ -1,0 +1,120 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The engine's user-facing facade — the reference's
+  * `PreProcessTransfer` lifecycle (`/root/reference/DFW/preprocess.py:
+  * 24-99`) re-expressed as lazy plan construction.
+  *
+  * The reference couples state: `__init__` eagerly loads + cuts
+  * indices, `generator` materializes and caches CV slices, the `train`
+  * setter recomputes everything (`preprocess.py:244-298`), and
+  * `get_cv_data` silently depends on `generator` having run first
+  * (`preprocess.py:69-74,91-96`). Here every accessor derives a fresh
+  * `DataFrame` plan from immutable inputs — re-configuration is
+  * [[withTrain]]/[[withCv]] returning a new facade (lazy evaluation
+  * makes the reference's recompute free), and there is no hidden
+  * ordering between calls.
+  *
+  * Expected input schemas (SURVEY.md §1.2):
+  *  - samples: `(db STRING, descriptor STRING, cls INT/LONG,
+  *    sample_id LONG, features ARRAY<DOUBLE>)`
+  *  - permutations (optional): `(db, descriptor, cls, trial INT,
+  *    pos LONG, sample_id LONG)` — pre-stored orderings; when absent,
+  *    a deterministic hash ordering replaces them (same role: seed-free
+  *    reproducible splits).
+  */
+final class PreProcess(
+    samples: DataFrame,
+    permutations: Option[DataFrame],
+    val trainSpec: SplitOps.TrainSpec,
+    val cv: Int,
+    center: Boolean,
+    extend: Boolean,
+    classRange: (Int, Int)) {
+
+  private val keys = Seq("db", "descriptor", "cls")
+
+  /** T11: the reference's `train` setter — a new lazy facade, nothing
+    * recomputed until an action (`preprocess.py:244-267,292-298`).
+    */
+  def withTrain(spec: SplitOps.TrainSpec): PreProcess =
+    new PreProcess(samples, permutations, spec, cv, center, extend, classRange)
+
+  def withCv(newCv: Int): PreProcess =
+    new PreProcess(samples, permutations, trainSpec, newCv, center, extend, classRange)
+
+  /** P1 applied at scan time — pushed into the Parquet read. */
+  private def sliced: DataFrame = SliceOps.classRange(samples, "cls", classRange)
+
+  /** J1/J2 + W1 ordering: rank every sample inside its class, by the
+    * stored permutation when present (gather join), else by a
+    * deterministic hash of the sample id.
+    */
+  def ranked(trial: Int): DataFrame = permutations match {
+    case Some(perm) =>
+      val p = PermOps.normalizeIndices(
+        perm.filter(col("trial") === trial), keys, "pos")
+      SplitOps.rankByPermutation(
+        sliced.join(p.select((keys :+ "sample_id" :+ "pos").map(col): _*), keys :+ "sample_id"),
+        keys, Seq(col("pos")))
+    case None =>
+      SplitOps.rankByPermutation(
+        sliced.withColumn("pos", xxhash64(col("sample_id"), lit(trial))),
+        keys, Seq(col("pos"), col("sample_id")))
+  }
+
+  /** The reference's `generator` (`preprocess.py:44-89`): gather →
+    * extend → split → label → center, returned as one long DataFrame
+    * with `role` ∈ {train, test} (labels are the carried `cls` column).
+    */
+  def generator(trial: Int): DataFrame = {
+    val split = SplitOps.trainTestSplit(ranked(trial), trainSpec, cv)
+    val extended =
+      if (extend) split.withColumn("features", TransformOps.extendBias(col("features")))
+      else split
+    if (center) TransformOps.centerFeatureArray(extended, keys, "role", "features")
+    else extended
+  }
+
+  /** W3/W4 + W6 + T3: per-fold CV materialization over the train rows
+    * of [[generator]]'s split, with per-fold centering when enabled
+    * (`preprocess.py:68-74,81-84,91-96` without the hidden cache).
+    */
+  def cvData(trial: Int): DataFrame = {
+    val train = SplitOps.trainTestSplit(ranked(trial), trainSpec, cv)
+      .filter(col("role") === "train")
+      .withColumn("train_n", col("train_size"))
+      // re-rank within the train prefix so fold positions are 0..train_n-1
+      .withColumn("pos", col("rn") - 1)
+    val folded = SplitOps.linspaceFolds(train, cv)
+    val assigned = SplitOps.cvAssign(folded, cv)
+    if (center)
+      TransformOps.centerFeatureArray(assigned, keys :+ "cv_fold", "cv_role", "features")
+    else assigned
+  }
+
+  /** T5: `get_class_num` (`preprocess.py:280-281`). */
+  def classNum: DataFrame =
+    TransformOps.classCount(sliced, Seq("db", "descriptor"), "cls")
+
+  /** W5: cross-class offsets into the concatenated train matrix
+    * (`preprocess.py:128-136`).
+    */
+  def offsets(trial: Int): DataFrame = {
+    val perClass = SplitOps.trainTestSplit(ranked(trial), trainSpec, cv)
+      .groupBy(keys.map(col): _*).agg(max(col("train_size")).as("train_size"))
+    SplitOps.classOffsets(perClass, "cls", "train_size", Seq("db", "descriptor"))
+  }
+}
+
+object PreProcess {
+  /** Build with the reference's defaults (`predefine.py:17-22`). */
+  def apply(samples: DataFrame,
+            permutations: Option[DataFrame] = None,
+            config: Config.ProcessConfig = Config.ProcessConfig(),
+            load: Config.LoadConfig = Config.LoadConfig()): PreProcess =
+    new PreProcess(samples, permutations, config.train.head, config.cv,
+      config.center, config.extend, load.range)
+}

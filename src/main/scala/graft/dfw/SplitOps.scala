@@ -137,8 +137,12 @@ object SplitOps {
     * explicit `rowsBetween(unboundedPreceding, -1)` frame over the
     * per-class summary (tiny — one row per class).
     */
-  def classOffsets(perClass: DataFrame, orderCol: String, trainSizeCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+  def classOffsets(perClass: DataFrame, orderCol: String, trainSizeCol: String,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
     perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
   }
 }
