@@ -119,6 +119,21 @@ object Queries {
               |  CASE WHEN rn <= ${tsFracSql("n", "0.5", CV)} THEN 'train' ELSE 'test' END AS role
               |FROM r ORDER BY cls, sample_id, role""".stripMargin)),
 
+    // ---- W1 at scale: two-phase distributed rank (same oracle as w1) ----
+    ("w1_split_scalable",
+      (s: SparkSession, dir: String) => {
+        val r = SplitOps.rankByPermutationScalable(featureTable(s, dir), Seq("cls"),
+          Seq(col("perm"), col("sample_id"), col("l_quantity"), col("l_extendedprice")),
+          numParts = 32)
+        SplitOps.trainTestSplit(r, SplitOps.Frac(0.5), CV)
+          .select(col("cls"), col("sample_id"), col("role"))
+          .orderBy(col("cls"), col("sample_id"), col("role"))
+      },
+      Some(s"""$rSql
+              |SELECT cls, sample_id,
+              |  CASE WHEN rn <= ${tsFracSql("n", "0.5", CV)} THEN 'train' ELSE 'test' END AS role
+              |FROM r ORDER BY cls, sample_id, role""".stripMargin)),
+
     // ---- W2: train-size clamp semantics on small classes ----
     ("w2_train_clamp",
       (s: SparkSession, dir: String) => {

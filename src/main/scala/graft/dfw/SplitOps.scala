@@ -68,6 +68,46 @@ object SplitOps {
       .withColumn("n", count(lit(1)).over(wAll))
   }
 
+  /** Scale-path variant of [[rankByPermutation]]. The plain version
+    * windows over `partitionBy(clsCols)` — with few classes (lineitem
+    * has 3 return flags) every row of a class lands on ONE task, which
+    * is the classic low-cardinality window bottleneck at 100 TB.
+    *
+    * Two-phase distributed rank instead:
+    *  1. `repartitionByRange(clsCols ++ orderCols)` — order-preserving
+    *     even spread over `numParts` tasks (no skew: the range
+    *     partitioner samples the sort key);
+    *  2. local `row_number` within (class, physical partition);
+    *  3. per-(class, partition) counts — a TINY table (numParts×classes
+    *     rows) — turned into cumulative offsets and class sizes, then
+    *     **broadcast** back; global rank = local rank + offset.
+    *
+    * Output contract identical to [[rankByPermutation]]: `rn`, `pos`,
+    * `n`. Requires `orderCols` to be a total order (ties crossing a
+    * range boundary would get arbitrary relative ranks otherwise) —
+    * the same requirement oracle determinism already imposes.
+    */
+  def rankByPermutationScalable(df: DataFrame, clsCols: Seq[String],
+                                orderCols: Seq[Column], numParts: Int): DataFrame = {
+    val parted = df
+      .repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy((clsCols :+ "__pid").map(col): _*).orderBy(orderCols: _*)
+    val local = parted.withColumn("__lrn", row_number().over(localW).cast("long"))
+    val counts = local.groupBy((clsCols :+ "__pid").map(col): _*).agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(clsCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nW = Window.partitionBy(clsCols.map(col): _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .withColumn("n", sum(col("__c")).over(nW))
+      .drop("__c")
+    local.join(broadcast(offsets), clsCols :+ "__pid")
+      .withColumn("rn", col("__lrn") + col("__off"))
+      .withColumn("pos", col("rn") - 1)
+      .drop("__pid", "__lrn", "__off")
+  }
+
   /** W1+W2: tag each ranked row `train` / `test`. Expects the columns
     * added by [[rankByPermutation]]. Adds `train_size` and `role`.
     * (reference `preprocess.py:176`).

@@ -93,6 +93,19 @@ class SplitOpsSpec extends SparkSpec {
     split.filter(col("role") === "test").count() shouldBe 3
   }
 
+  test("scalable two-phase rank matches the single-window rank exactly") {
+    val df = (0 until 500).map { i =>
+      (s"c${i % 3}", i.toLong, ((i * 2654435761L) % 97L))
+    }.toDF("cls", "sample_id", "perm")
+    val plain = SplitOps.rankByPermutation(df, Seq("cls"), Seq(col("perm"), col("sample_id")))
+      .select("cls", "sample_id", "rn", "pos", "n")
+    val scalable = SplitOps.rankByPermutationScalable(df, Seq("cls"),
+        Seq(col("perm"), col("sample_id")), numParts = 7)
+      .select("cls", "sample_id", "rn", "pos", "n")
+    plain.exceptAll(scalable).count() shouldBe 0
+    scalable.exceptAll(plain).count() shouldBe 0
+  }
+
   test("W5 offsets accumulate preceding train sizes in class order") {
     val perClass = Seq(("a", 3L), ("b", 5L), ("c", 2L)).toDF("cls", "train_size")
     val got = SplitOps.classOffsets(perClass, "cls", "train_size")
