@@ -486,6 +486,43 @@ object Queries {
              |FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
              |GROUP BY band ORDER BY band""".stripMargin)),
 
+    // ---- set ops: INTERSECT / EXCEPT (SURVEY §2.6 extension menu) ----
+    ("set_intersect",
+      (s: SparkSession, dir: String) => {
+        val custNations = Tables.loadColumns(s, dir, "customer", Seq("c_nationkey"))
+          .select(col("c_nationkey").as("nationkey")).distinct()
+        val suppNations = Tables.loadColumns(s, dir, "supplier", Seq("s_nationkey"))
+          .select(col("s_nationkey").as("nationkey")).distinct()
+        custNations.intersect(suppNations).orderBy(col("nationkey"))
+      },
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    ("set_except",
+      (s: SparkSession, dir: String) => {
+        val ordered = Tables.loadColumns(s, dir, "orders", Seq("o_custkey"))
+          .select(col("o_custkey").as("custkey"))
+        val all = Tables.loadColumns(s, dir, "customer", Seq("c_custkey"))
+          .select(col("c_custkey").as("custkey"))
+        all.except(ordered).orderBy(col("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- skew-safe aggregation: salted two-phase partial/final ----
+    ("agg_salted",
+      (s: SparkSession, dir: String) => {
+        TransformOps.saltedAgg(
+            Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", salt = 16)
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_v, CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- X6 (batch form): tumbling time-window aggregation ----
     ("x6_tumbling_window",
       (s: SparkSession, dir: String) => {

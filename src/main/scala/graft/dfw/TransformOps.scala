@@ -79,6 +79,22 @@ object TransformOps {
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(clsCol)).as("class_num"))
 
+  /** Skew-safe aggregation: explicit two-phase salted sum/count for
+    * keys whose groups are too hot even for map-side combine (billions
+    * of rows under 3 keys leave the final reduce with 3 tasks; salting
+    * spreads phase one over `salt`× more tasks, and phase two reduces
+    * `keys × salt` tiny partials). Sum/count decompose exactly; any
+    * algebraic aggregate (avg = sum/count, etc.) composes from these.
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], valueCol: String, salt: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__s")).as("sum_v"), sum(col("__c")).as("cnt"))
+  }
+
   /** T7: delimiter-join of a grouped string column, deterministic
     * (sorted) — reference `Join2String`, `tools.py:94-105`.
     */

@@ -1,8 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming operators (SURVEY.md §2.8 X6). The reference is fully
   * batch; these are the extension surface. Each transform is written
@@ -60,4 +63,45 @@ object StreamOps {
   /** Watermarked tumbling aggregation for append-mode streams. */
   def tumblingAggStream(events: DataFrame, windowDuration: String, watermark: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), windowDuration)
+
+  /** Typed event row for the custom-state operators. */
+  final case class Event(event_id: Long, user_id: Long, event_type: String,
+                         value: Double, ts: Timestamp)
+
+  /** Per-user running totals held in the state store. */
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom incremental state via `flatMapGroupsWithState`: per-user
+    * running count/sum that survives across micro-batches (the
+    * KeyValueGroupedDataset state API — what windowed aggregates can't
+    * express when the update rule is bespoke). Update output mode: one
+    * refreshed row per user per batch. At scale, state lives in the
+    * per-partition state store keyed by user — no global structure.
+    *
+    * The batch twin is [[userStatsBatch]]; after all input is fed, the
+    * stream's final state equals the batch aggregate (tested).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserStats(uid, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Batch twin of [[runningUserStats]] — what the stream's state
+    * converges to once all input has been processed.
+    */
+  def userStatsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 }

@@ -56,6 +56,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running stats converge to the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val streamEvents = mem.toDF()
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .as[StreamOps.Event]
+    val q = StreamOps.runningUserStats(streamEvents)
+      .writeStream.format("memory").queryName("running_test").outputMode("update").start()
+    try {
+      // two micro-batches: state must carry across them
+      mem.addData((1L, 7L, "click", 1.5, ts(0)), (2L, 7L, "click", 2.5, ts(1)))
+      q.processAllAvailable()
+      mem.addData((3L, 7L, "view", 6.0, ts(2)), (4L, 8L, "click", 10.0, ts(3)))
+      q.processAllAvailable()
+      // last update per user == final state
+      val finalRows = spark.table("running_test")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("sum_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.sum_value")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finalRows shouldBe Set((7L, 3L, 10.0), (8L, 1L, 10.0))
+      // equals the batch twin over the same rows
+      val batch = Seq((1L, 7L, "click", 1.5, ts(0)), (2L, 7L, "click", 2.5, ts(1)),
+        (3L, 7L, "view", 6.0, ts(2)), (4L, 8L, "click", 10.0, ts(3)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val twin = StreamOps.userStatsBatch(batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      twin shouldBe finalRows
+    } finally q.stop()
+  }
+
   test("sessionizeStream (session_window) agrees with sessionizeBatch session sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
