@@ -667,6 +667,27 @@ object Queries {
              |       THEN 'en' ELSE 'other' END AS predicted
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: char-trigram language ID (n-gram profile argmax) ----
+    ("x4_trigram_langid",
+      (s: SparkSession, dir: String) => {
+        TextOps.trigramLangId(Tables.load(s, dir, "documents"), "doc_id", "text",
+            profiles = Seq(
+              "en" -> Seq("the", "ing", "and", "ion", "ent"),
+              "de" -> Seq("der", "sch", "ein", "ich", "und")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_transform(range(1, greatest(length(text) - 1, 1)),
+             |      i -> substr(lower(text), CAST(i AS INT), 3)) AS tg
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(list_filter(tg, x -> x IN ('the','ing','and','ion','ent'))) AS BIGINT) AS n_en,
+             |  CAST(len(list_filter(tg, x -> x IN ('der','sch','ein','ich','und'))) AS BIGINT) AS n_de,
+             |  CASE WHEN len(list_filter(tg, x -> x IN ('der','sch','ein','ich','und')))
+             |          > len(list_filter(tg, x -> x IN ('the','ing','and','ion','ent')))
+             |       THEN 'de' ELSE 'en' END AS predicted
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: quality scoring ----
     ("x4_quality",
       (s: SparkSession, dir: String) => {
@@ -737,6 +758,34 @@ object Queries {
           .orderBy(col("doc_id"))
       },
       None),
+
+    // ---- X5: stubbed feature extraction (rows-only check) ----
+    ("x5_features",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.extractFeatures(
+            MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+            "doc_id", "blob")
+          .toDF()
+          .select(col("doc_id"), round(element_at(col("features"), 2).cast("double"), 6).as("f2"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- X5: frame sampling (one-to-many explode of a binary column) ----
+    ("x5_frame_sample",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.sampleFrames(
+            MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+            "doc_id", "blob", frameSize = 16, stride = 2)
+          .toDF()
+          .select(col("doc_id"), col("frame_no"),
+            octet_length(col("frame")).cast("long").as("frame_len"))
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+             |f AS (SELECT doc_id, unnest(range(0, n // 16)) AS frame_no FROM b WHERE n >= 16)
+             |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, CAST(16 AS BIGINT) AS frame_len
+             |FROM f WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin)),
 
     // ---- X6: sliding time window ----
     ("x6_sliding_window",

@@ -65,4 +65,83 @@ object MultimodalOps {
     */
   def documentsAsBlobs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol).cast("binary").as("blob"))
+
+  /** Fixed-size feature vector per media blob. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** STUB feature extraction (a real implementation runs a vision /
+    * audio encoder): a deterministic 8-dim byte-histogram sketch.
+    * Partition-parallel with one "model init" per partition — exactly
+    * the batched-iterator shape a real encoder needs (load weights
+    * once, stream the partition through).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real codec/model handle would be created HERE, once per partition
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          val hist = new Array[Float](8)
+          var i = 0
+          while (i < b.length) { hist((b(i) & 0xff) >> 5) += 1f; i += 1 }
+          val n = math.max(1, b.length).toFloat
+          var j = 0
+          while (j < 8) { hist(j) /= n; j += 1 }
+          MediaFeatures(id, hist)
+        }
+      }
+  }
+
+  /** Resized media record: blob plus target geometry. */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, blob: Array[Byte])
+
+  /** STUB resize (a real implementation decodes, scales, re-encodes):
+    * deterministic byte subsampling to `w*h` bytes, preserving the
+    * partition-parallel plumbing and the binary-in/binary-out schema.
+    */
+  def resizeMedia(df: DataFrame, idCol: String, blobCol: String,
+                  w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          val target = w * h
+          val out = new Array[Byte](target)
+          if (b.nonEmpty) {
+            var i = 0
+            while (i < target) { out(i) = b((i.toLong * b.length / target).toInt); i += 1 }
+          }
+          ResizedMedia(id, w, h, out)
+        }
+      }
+  }
+
+  /** One sampled frame of a (pretend) video blob. */
+  final case class MediaFrame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB frame sampling (a real implementation seeks keyframes):
+    * every `stride`-th fixed-size chunk becomes a "frame" row —
+    * the one-to-many explode shape of video pipelines, with
+    * partition-parallel iteration and bounded memory per row.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+                   frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val b = Option(bytes).getOrElse(Array.empty[Byte])
+        val nFrames = b.length / frameSize
+        (0 until nFrames by stride).map { f =>
+          MediaFrame(id, f, java.util.Arrays.copyOfRange(b, f * frameSize, (f + 1) * frameSize))
+        }
+      }
+  }
 }

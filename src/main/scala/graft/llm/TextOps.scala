@@ -38,6 +38,34 @@ object TextOps {
       .withColumn("predicted", when(col("n_markers") >= threshold, lit(label)).otherwise(lit("other")))
   }
 
+  /** Character-trigram language ID — the classic n-gram-profile
+    * heuristic: slide a 3-char window over the lowercased text, count
+    * hits against per-language trigram profiles, argmax wins. Pure
+    * higher-order functions (transform/filter), no explode, no
+    * shuffle; profiles are literal arrays folded into codegen.
+    */
+  def trigramLangId(docs: DataFrame, idCol: String, textCol: String,
+                    profiles: Seq[(String, Seq[String])]): DataFrame = {
+    // lower bound 1 (not 0): sequence(1, 0) would count DOWN. A sub-3-char
+    // text yields one short window that matches no 3-char profile entry.
+    val tg = s"transform(sequence(1, greatest(length($textCol) - 2, 1)), i -> substring(lower($textCol), i, 3))"
+    val withCounts = profiles.foldLeft(
+      docs.select(col(idCol), expr(tg).as("__tg"))) { case (d, (lang, grams)) =>
+      val set = grams.map(g => s"'${g}'").mkString(", ")
+      d.withColumn(s"n_$lang",
+        expr(s"CAST(size(filter(__tg, t -> t IN ($set))) AS BIGINT)"))
+    }
+    // argmax with first-profile tie-break, written as a fold of whens
+    val (firstLang, firstCount) = (profiles.head._1, col(s"n_${profiles.head._1}"))
+    val pred = profiles.tail.foldLeft((lit(firstLang), firstCount)) {
+      case ((plabel, pcount), (lang, _)) =>
+        val c = col(s"n_$lang")
+        (when(c > pcount, lit(lang)).otherwise(plabel),
+          when(c > pcount, c).otherwise(pcount))
+    }._1
+    withCounts.withColumn("predicted", pred).drop("__tg")
+  }
+
   /** Quality scoring: length-based and stopword-ratio heuristics that
     * gate training-data pipelines. All exact-arithmetic.
     */

@@ -35,6 +35,31 @@ class TextOpsSpec extends SparkSpec {
     r.getLong(1) shouldBe fold("aa bb aa cccc")
   }
 
+  test("X5 extractFeatures: normalized 8-bin histogram sums to ~1") {
+    val blobs = MultimodalOps.documentsAsBlobs(docs, "doc_id", "text")
+    val f = MultimodalOps.extractFeatures(blobs, "doc_id", "blob").collect().head
+    f.features.length shouldBe 8
+    f.features.map(_.toDouble).sum shouldBe 1.0 +- 1e-6
+  }
+
+  test("X5 resizeMedia emits exactly w*h bytes from the source blob") {
+    val blobs = MultimodalOps.documentsAsBlobs(docs, "doc_id", "text")
+    val r = MultimodalOps.resizeMedia(blobs, "doc_id", "blob", 4, 3).collect().head
+    r.blob.length shouldBe 12
+    // subsampled bytes come from the source
+    val src = "aa bb aa cccc".getBytes("UTF-8").toSet
+    r.blob.toSet.subsetOf(src) shouldBe true
+  }
+
+  test("X5 sampleFrames explodes every stride-th fixed-size chunk") {
+    val blobs = MultimodalOps.documentsAsBlobs(
+      Seq((9L, "x" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+    val frames = MultimodalOps.sampleFrames(blobs, "doc_id", "blob", frameSize = 16, stride = 2)
+      .collect().sortBy(_.frame_no)
+    frames.map(_.frame_no) shouldBe Array(0, 2, 4) // 100/16 = 6 frames, stride 2
+    all(frames.map(_.frame.length)) shouldBe 16
+  }
+
   test("X5 decodeBlobs is deterministic and preserves row count") {
     val blobs = MultimodalOps.documentsAsBlobs(docs, "doc_id", "text")
     val metas = MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect()
