@@ -107,6 +107,47 @@ object Queries {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- pushdown showcase: date+band range filters reach the scan (TPC-H Q6 shape) ----
+    ("q6_filter_pushdown",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01")
+            && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // ---- date functions: monthly revenue rollup ----
+    ("q_monthly_rollup",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             |  round(sum(o_totalprice), 2) AS revenue, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)),
+
+    // ---- JSON functions: extract typed values from the props column ----
+    ("x6_json_props",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- W1/W2: per-class train/test split by stored permutation order ----
     ("w1_train_test",
       (s: SparkSession, dir: String) => {
