@@ -50,9 +50,16 @@ object Queries {
   // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
   // pairs, so the rank ordering must be total over every projected
   // column or the two engines could swap tied rows.
+  //
+  // Shared rank uses the SCALABLE two-phase variant: lineitem has only
+  // 3 classes, so the plain per-class window would run on 3 tasks
+  // regardless of cluster size (verified identical output in
+  // SplitOpsSpec and by w1 vs w1_split_scalable sharing an oracle).
+  // w1_train_test below exercises the plain single-window op directly.
   private def ranked(s: SparkSession, dir: String): DataFrame =
-    SplitOps.rankByPermutation(featureTable(s, dir), Seq("cls"),
-      Seq(col("perm"), col("sample_id"), col("l_quantity"), col("l_extendedprice")))
+    SplitOps.rankByPermutationScalable(featureTable(s, dir), Seq("cls"),
+      Seq(col("perm"), col("sample_id"), col("l_quantity"), col("l_extendedprice")),
+      numParts = 32)
 
   private val rSql =
     s"""WITH f AS ($fSql),
@@ -151,7 +158,9 @@ object Queries {
     // ---- W1/W2: per-class train/test split by stored permutation order ----
     ("w1_train_test",
       (s: SparkSession, dir: String) => {
-        SplitOps.trainTestSplit(ranked(s, dir), SplitOps.Frac(0.5), CV)
+        val plainRanked = SplitOps.rankByPermutation(featureTable(s, dir), Seq("cls"),
+          Seq(col("perm"), col("sample_id"), col("l_quantity"), col("l_extendedprice")))
+        SplitOps.trainTestSplit(plainRanked, SplitOps.Frac(0.5), CV)
           .select(col("cls"), col("sample_id"), col("role"))
           .orderBy(col("cls"), col("sample_id"), col("role"))
       },
