@@ -849,6 +849,32 @@ object Queries {
              |FROM events e, (VALUES (0), (1)) k(k)
              |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // ---- as-of join: latest view value at-or-before each click ----
+    ("j_asof",
+      (s: SparkSession, dir: String) => {
+        val e = Tables.load(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        graft.dfw.AsofOps.asofJoin(clicks, views, Seq("user_id"), "ts", "event_id", Seq("value"))
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("value"), col("value_asof"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value, event_type FROM events),
+             |u AS (
+             |  SELECT user_id, event_id, us, value, 1 AS side, CAST(NULL AS DOUBLE) AS p
+             |  FROM e WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, event_id, us, value, 0 AS side, value AS p
+             |  FROM e WHERE event_type = 'view'),
+             |f AS (SELECT *, last_value(p IGNORE NULLS) OVER (
+             |        PARTITION BY user_id ORDER BY us, side, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_asof FROM u)
+             |SELECT user_id, event_id, us, value, value_asof FROM f WHERE side = 1
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- X6: gap-based sessionization (batch twin of session_window) ----
     ("x6_sessionize",
       (s: SparkSession, dir: String) => {
