@@ -155,6 +155,51 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- ROLLUP with grouping id (multi-level aggregation) ----
+    ("q_rollup",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- PIVOT: wide per-class aggregate matrix ----
+    ("q_pivot",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(col("l_quantity")))
+          .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+             |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- exact percentiles (median / p90 per class) ----
+    ("q_percentiles",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ---- W1/W2: per-class train/test split by stored permutation order ----
     ("w1_train_test",
       (s: SparkSession, dir: String) => {
@@ -769,6 +814,24 @@ object Queries {
              |  CAST(len(rt) AS BIGINT) AS n_bpe_tokens,
              |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_bpe_uniq
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: TF-IDF top terms per document ----
+    ("x4_tfidf",
+      (s: SparkSession, dir: String) => {
+        TextOps.tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             |         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+             |       FROM tf JOIN df USING (tok), n),
+             |r AS (SELECT doc_id, tok, score,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
+             |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, round(score, 6) AS score
+             |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
     // ---- X4: rolling-hash document fingerprint ----
     ("x4_fingerprint",

@@ -102,6 +102,27 @@ object TextOps {
         size(col("__rt")).cast("long").as("n_bpe_tokens"),
         size(array_distinct(col("__rt"))).cast("long").as("n_bpe_uniq"))
 
+  /** TF-IDF top-k terms per document. Plan shape at scale: one shuffle
+    * to (doc, token) term frequencies, one small shuffle to per-token
+    * document frequencies, the corpus size broadcast as a one-row
+    * cross join, a key-shuffle join tf⋈df on token, and a per-doc
+    * top-k rank window (high-cardinality partition key — no skew).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "tok")
+      .join(broadcast(n))
+      .withColumn("score", col("tf") * log(col("__n").cast("double") / col("df")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("tok"), round(col("score"), 6).as("score"))
+  }
+
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer
