@@ -155,6 +155,32 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- analytic window menu: lag/lead/rank/dense_rank/ntile/cume_dist ----
+    ("q_analytics",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+            col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("prio"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority AS prio, o_orderkey, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY prio, o_orderkey""".stripMargin)),
+
     // ---- ROLLUP with grouping id (multi-level aggregation) ----
     ("q_rollup",
       (s: SparkSession, dir: String) => {

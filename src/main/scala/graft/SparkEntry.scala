@@ -2,9 +2,12 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * gen_pipeline is the reference's whole generator lifecycle in one
+    * plan: rank -> bias extend -> split -> label -> leak-free centering.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Queries.queryMap("q1_agg")(spark, "/root/testdata/sf0.001")
+    Queries.queryMap("gen_pipeline")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queryMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

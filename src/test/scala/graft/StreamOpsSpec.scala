@@ -56,6 +56,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream: tumbling agg over real parquet matches the batch run") {
+    // file streams want a directory; stage the sf0.001 events file into one
+    val dir = java.nio.file.Files.createTempDirectory("stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.tumblingAggStream(streamed, "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("file_stream_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_test")
+        .agg(sum("n")).as[Long].head()
+      val batch = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running stats converge to the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
