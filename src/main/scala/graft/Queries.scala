@@ -689,6 +689,31 @@ object Queries {
              |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
              |ORDER BY doc1, doc2""".stripMargin)),
 
+    // ---- X2: transitive near-dup clusters (connected components) ----
+    ("x2_dup_clusters",
+      (s: SparkSession, dir: String) => {
+        val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+        DedupOps.clusterNearDups(DedupOps.jaccardPairs(sh, 1, 2))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p0 AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc1, doc2 FROM p0
+             |      JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |      WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)),
+             |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+             |walk(id, label) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.label FROM e JOIN walk ON e.b = walk.id)
+             |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: MinHash + LSH banding (scale path; LSH recall — rows-only check) ----
     ("x2_minhash_lsh",
       (s: SparkSession, dir: String) => {

@@ -102,6 +102,48 @@ object DedupOps {
       .select("doc1", "doc2", "inter", "uni")
   }
 
+  /** Near-dup clustering: connected components over a pair list —
+    * every document joined (transitively) by a near-dup edge gets
+    * `cluster_id` = the smallest doc id in its component. Iterative
+    * min-label propagation with a driver-side convergence loop (the
+    * loop is control flow only; data never leaves executors). Dup
+    * components are near-cliques, so convergence takes O(component
+    * diameter) ≈ 1-3 rounds; the billion-edge generalization swaps in
+    * the alternating large-star/small-star iteration on the same
+    * DataFrames.
+    *
+    * @param pairs (doc1, doc2) undirected near-dup edges
+    * @return (doc_id, cluster_id) for every doc appearing in a pair
+    */
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
+        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash fingerprint per document over token hashes:
     * bit j of the fingerprint is the sign of Σ_tokens (±1 by token's
     * bit j). Rows explode 64× per token here; the production-scale

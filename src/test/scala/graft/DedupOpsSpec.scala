@@ -50,6 +50,14 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("X2 clusterNearDups: transitive closure gets one min-id label per component") {
+    // components: {1,2,3} via chain 1-2, 2-3; {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
+    val got = DedupOps.clusterNearDups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+  }
+
   test("X2 simHash: identical docs get identical fingerprints, hamming 0 pair found") {
     val fps = DedupOps.simHash(docs, "doc_id", "text")
     val byId = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
