@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-side operators (SURVEY.md §2.1 S6 — the reference has no
+  * sink at all; results die in driver memory at
+  * `/root/reference/DFW/preprocess.py:86-89`). Parquet is the
+  * canonical on-disk format; these helpers encode the layout
+  * decisions that matter at 100 TB.
+  */
+object Sinks {
+
+  /** Hive-style partitioned Parquet: one directory per distinct value
+    * combination of `partitionCols`. Downstream readers get partition
+    * PRUNING (a filter on a partition column skips whole directories)
+    * — the right layout for low-cardinality keys that queries filter
+    * on (class labels, dates, languages).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Size-bounded Parquet files: repartition to `numFiles` before the
+    * write so the sink neither produces thousands of tiny files (task
+    * count) nor a few unsplittable giants. At cluster scale aim for
+    * 128-512 MB per file.
+    */
+  def writeSized(df: DataFrame, path: String, numFiles: Int,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(numFiles).write.mode(mode).parquet(path)
+
+  /** Partitioned AND clustered: directory partitioning on
+    * `partitionCols` plus `repartition(keyCols)` so rows that join or
+    * aggregate on `keyCols` land co-located within each partition's
+    * files — reader-side shuffles start from key-local data.
+    */
+  def writeClustered(df: DataFrame, path: String, partitionCols: Seq[String],
+                     keyCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(keyCols.map(col): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+}
