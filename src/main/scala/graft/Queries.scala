@@ -383,7 +383,7 @@ object Queries {
         val split = SplitOps.trainTestSplit(ranked(s, dir), SplitOps.Frac(0.5), CV)
           .withColumn("features",
             TransformOps.extendBias(array(col("l_quantity"), col("l_extendedprice"))))
-        TransformOps.centerFeatureArray(split, Seq("cls"), "role", "features")
+        TransformOps.centerFeatureArrayFast(split, Seq("cls"), "role", "features")
           .select(col("cls"), col("sample_id"), col("role"),
             element_at(col("features_centered"), 1).as("f1_c"),
             round(element_at(col("features_centered"), 2), 4).as("f2_c"),
@@ -726,7 +726,7 @@ object Queries {
     // ---- X2: SimHash fingerprint + hamming-banded pairs (rows-only check) ----
     ("x2_simhash_pairs",
       (s: SparkSession, dir: String) => {
-        val fps = DedupOps.simHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        val fps = DedupOps.simHashFast(Tables.load(s, dir, "documents"), "doc_id", "text")
         DedupOps.simHashPairs(fps, maxHamming = 3).orderBy(col("doc1"), col("doc2"))
       },
       None),

@@ -69,6 +69,24 @@ object TransformOps {
       .drop("__means")
   }
 
+  /** T2 (array form, scale path): identical semantics to
+    * [[centerFeatureArray]] via one typed `ArrayMeanAgg` aggregation —
+    * no `posexplode` row multiplication, one partial vector per task
+    * ([[graft.functions.Aggregators.ArrayMeanAgg]]).
+    */
+  def centerFeatureArrayFast(df: DataFrame, groupCols: Seq[String], roleCol: String,
+                             featuresCol: String): DataFrame = {
+    val meanUdaf = udaf(graft.functions.Aggregators.ArrayMeanAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    val means = df.filter(col(roleCol) === "train")
+      .groupBy(groupCols.map(col): _*)
+      .agg(meanUdaf(col(featuresCol)).as("__means"))
+    df.join(broadcast(means), groupCols)
+      .withColumn(s"${featuresCol}_centered",
+        zip_with(col(featuresCol), col("__means"), (x, m) => x - m))
+      .drop("__means")
+  }
+
   /** T6: schema-aligned union — UNION ALL by column name
     * (reference `_array_concatenate`, `preprocess.py:101-103`).
     */

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed aggregators (`Aggregator[IN, BUF, OUT]`) — map-side
+  * combinable partial aggregation for shapes the built-in functions
+  * only reach via row-exploding workarounds.
+  */
+object Aggregators {
+
+  /** SimHash fingerprint as ONE aggregation: the buffer is the 64
+    * per-bit counters, updated from each token hash directly. The
+    * HOF/explode formulation ([[graft.llm.DedupOps.simHash]]) emits
+    * 64 rows per token before aggregating — this emits none, and its
+    * partials merge associatively, so map-side combine does most of
+    * the work before the shuffle. Semantics identical (tested).
+    *
+    * IN: xxhash64 of a token; BUF: 64 counters; OUT: the fingerprint.
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Long], Long] {
+    override def zero: Array[Long] = new Array[Long](64)
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Long = {
+      var fp = 0L
+      var j = 0
+      while (j < 64) {
+        if (buf(j) >= 0) fp |= (1L << j)
+        j += 1
+      }
+      fp
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Element-wise mean of equal-length ARRAY<DOUBLE> columns in one
+    * pass: buffer = (sums, count). The DataFrame alternative
+    * (`posexplode` + per-position avg + `collect_list` reassembly,
+    * [[graft.dfw.TransformOps.centerFeatureArray]]) multiplies rows by
+    * the feature dimension before aggregating; this ships one partial
+    * vector per task. Used for train-mean centering at width.
+    */
+  object ArrayMeanAgg extends Aggregator[Array[Double], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+    override def reduce(buf: (Array[Double], Long), x: Array[Double]): (Array[Double], Long) = {
+      val sums = if (buf._2 == 0L) new Array[Double](x.length) else buf._1
+      var i = 0
+      val n = math.min(sums.length, x.length)
+      while (i < n) { sums(i) += x(i); i += 1 }
+      (sums, buf._2 + 1)
+    }
+
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._2 == 0L) b
+      else if (b._2 == 0L) a
+      else {
+        var i = 0
+        val n = math.min(a._1.length, b._1.length)
+        while (i < n) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+
+    override def finish(buf: (Array[Double], Long)): Array[Double] =
+      if (buf._2 == 0L) Array.empty[Double]
+      else buf._1.map(_ / buf._2)
+
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      Encoders.tuple(ExpressionEncoderHelper.doubleArray, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
+  }
+
+  private object ExpressionEncoderHelper {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  }
+}

@@ -160,6 +160,21 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L))).as("fp"))
 
+  /** Scale-path SimHash: same fingerprints as [[simHash]] from ONE
+    * typed aggregation over token hashes — no 64× row explosion; the
+    * 64 counters live in the aggregation buffer and partials merge
+    * map-side ([[graft.functions.Aggregators.SimHashAgg]]).
+    */
+  def simHashFast(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simhashUdaf = udaf(graft.functions.Aggregators.SimHashAgg,
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(simhashUdaf(col("h")).as("fp"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`
     * (< 16), using 16-bit chunk banding: any pair within distance 3
     * must agree on at least one of the four 16-bit chunks (pigeonhole),

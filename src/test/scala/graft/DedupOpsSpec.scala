@@ -50,6 +50,14 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("X2 simHashFast (typed aggregator) produces identical fingerprints to simHash") {
+    val slow = DedupOps.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = DedupOps.simHashFast(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe slow
+  }
+
   test("X2 clusterNearDups: transitive closure gets one min-id label per component") {
     // components: {1,2,3} via chain 1-2, 2-3; {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")

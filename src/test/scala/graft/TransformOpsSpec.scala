@@ -38,6 +38,18 @@ class TransformOpsSpec extends SparkSpec {
     got shouldBe Seq(5.0 - 2.0, 50.0 - 20.0)
   }
 
+  test("T2 array form (typed aggregator) matches the posexplode implementation") {
+    val df = Seq(
+      ("a", "train", Seq(1.0, 10.0)), ("a", "train", Seq(3.0, 30.0)),
+      ("a", "test", Seq(5.0, 50.0)), ("b", "train", Seq(2.0, 4.0)))
+      .toDF("cls", "role", "f")
+    def result(d: org.apache.spark.sql.DataFrame) = d
+      .select("cls", "role", "f_centered").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Double](2))).toSet
+    result(TransformOps.centerFeatureArrayFast(df, Seq("cls"), "role", "f")) shouldBe
+      result(TransformOps.centerFeatureArray(df, Seq("cls"), "role", "f"))
+  }
+
   test("T3 per-fold centering groups by (keys, fold)") {
     val df = Seq(
       ("a", 0, "train", 2.0), ("a", 0, "train", 4.0), ("a", 0, "test", 9.0),
