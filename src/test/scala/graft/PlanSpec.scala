@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guards: the physical plans the engine
+  * depends on at scale (broadcasts, pushdown, pruning, codegen) must
+  * not silently degrade as queries evolve. Runs on sf0.001.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = Queries.queryMap(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q3_top_revenue: both joins broadcast, no sort-merge") {
+    val plan = formatted("q3_top_revenue")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q6_filter_pushdown: every predicate reaches the Parquet scan") {
+    val plan = formatted("q6_filter_pushdown")
+    plan should include("GreaterThanOrEqual(l_shipdate")
+    plan should include("LessThan(l_quantity,24.0)")
+    plan should include("GreaterThanOrEqual(l_discount,0.05)")
+  }
+
+  test("p1_class_range: scan reads only the projected columns") {
+    formatted("p1_class_range") should include("struct<vec_id:bigint,label:int>")
+  }
+
+  test("t2_center: means come back via broadcast, not a shuffled join") {
+    val plan = formatted("t2_center")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q1_agg: partial + final hash aggregation (map-side combine)") {
+    val plan = formatted("q1_agg")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("partial_sum")
+  }
+
+  test("q1_agg: aggregation stays inside whole-stage codegen") {
+    val code = Queries.queryMap("q1_agg")(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    code should include("WholeStageCodegen")
+  }
+
+  test("w1_split_scalable: rank comes from range partitioning + broadcast offsets") {
+    val plan = formatted("w1_split_scalable")
+    plan should include("rangepartitioning")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("x3_ann_ivf: probe-bucket join is keyed, not a cross join") {
+    formatted("x3_ann_ivf") should not include "CartesianProduct"
+  }
+}
