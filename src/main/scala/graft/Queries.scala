@@ -866,6 +866,22 @@ object Queries {
              |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_bpe_uniq
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: normalized corpus vocabulary statistics ----
+    ("x4_corpus_terms",
+      (s: SparkSession, dir: String) => {
+        TextOps.corpusTermStats(Tables.load(s, dir, "documents"), "doc_id", "text",
+            stopwords = Seq("the", "a", "of"), minCount = 5)
+          .orderBy(col("term"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_filter(list_transform(string_split(lower(text), ' '),
+             |      x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             |      x -> x != '' AND x NOT IN ('the', 'a', 'of'))) AS term
+             |  FROM documents)
+             |SELECT term, CAST(count(*) AS BIGINT) AS tf_corpus,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM t GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin)),
+
     // ---- X4: TF-IDF top terms per document ----
     ("x4_tfidf",
       (s: SparkSession, dir: String) => {

@@ -102,6 +102,25 @@ object TextOps {
         size(col("__rt")).cast("long").as("n_bpe_tokens"),
         size(array_distinct(col("__rt"))).cast("long").as("n_bpe_uniq"))
 
+  /** Corpus-level term statistics after normalization: lowercase,
+    * strip non-alphanumerics, drop stopwords — then global term
+    * frequencies with document counts. The corpus-frequency shape
+    * behind vocabulary builds and stopword discovery; one explode +
+    * one hash aggregation, map-side combined.
+    */
+  def corpusTermStats(docs: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String], minCount: Long): DataFrame = {
+    val stopSet = stopwords.map(s => s"'$s'").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(expr(s"filter(transform(split(lower($textCol), ' '), " +
+          s"t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '' AND t NOT IN ($stopSet))"))
+          .as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf_corpus"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("tf_corpus") >= minCount)
+  }
+
   /** TF-IDF top-k terms per document. Plan shape at scale: one shuffle
     * to (doc, token) term frequencies, one small shuffle to per-token
     * document frequencies, the corpus size broadcast as a one-row

@@ -108,6 +108,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch streams micro-batches into a partitioned parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val outDir = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Sinks.writePartitioned(batch, outDir, Seq("event_type"),
+          org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val back = spark.read.parquet(outDir)
+      back.count() shouldBe 4
+      new java.io.File(outDir).list().count(_.startsWith("event_type=")) shouldBe 2
+    } finally q.stop()
+  }
+
   test("sessionizeStream (session_window) agrees with sessionizeBatch session sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]

@@ -83,6 +83,15 @@ class TransformOpsSpec extends SparkSpec {
     got shouldBe "a,b,c"
   }
 
+  test("T5 at scale: approx_count_distinct stays within 5% of exact on testdata") {
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    math.abs(approx - exact) / exact should be < 0.03
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
