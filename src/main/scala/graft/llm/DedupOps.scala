@@ -77,6 +77,9 @@ object DedupOps {
                       num: Int, den: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // the shingle set feeds three consumers (signatures, sizes, the
+    // verify join); measured: re-deriving it is cheaper than a
+    // persist() materialization barrier, so it stays a lazy plan
     val sh = wordShingles(docs, idCol, textCol, shingleW)
     val sig = minHashSignatures(sh, numHashes)
     val banded = sig.select(col("doc_id"),
