@@ -97,6 +97,23 @@ object TransformOps {
     df.groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col(clsCol)).as("class_num"))
 
+  /** Deterministic stratified sampling: per-class fractions applied by
+    * hashing a stable row key — no RNG, so the sample is reproducible
+    * across runs, partitionings, and engines (the same property the
+    * reference gets from pre-stored permutations). A pure filter:
+    * pushes down, never shuffles.
+    */
+  def sampleStratified(df: DataFrame, clsCol: String, keyCol: String,
+                       fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val denom = 1000000L
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(clsCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(keyCol)), lit(denom)) < frac * denom)
+  }
+
   /** Skew-safe aggregation: explicit two-phase salted sum/count for
     * keys whose groups are too hot even for map-side combine (billions
     * of rows under 3 keys leave the final reduce with 3 tasks; salting

@@ -83,6 +83,21 @@ class TransformOpsSpec extends SparkSpec {
     got shouldBe "a,b,c"
   }
 
+  test("sampleStratified is deterministic and tracks per-class fractions") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong)).toDF("cls", "id")
+    val s1 = TransformOps.sampleStratified(df, "cls", "id", Map("a" -> 0.3, "b" -> 0.8))
+    val s2 = TransformOps.sampleStratified(df, "cls", "id", Map("a" -> 0.3, "b" -> 0.8))
+    // deterministic: identical row sets across runs
+    s1.exceptAll(s2).count() shouldBe 0
+    s2.exceptAll(s1).count() shouldBe 0
+    val counts = s1.groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("a").toDouble / 1000 shouldBe 0.3 +- 0.06
+    counts("b").toDouble / 1000 shouldBe 0.8 +- 0.06
+    // unlisted classes fall back to the default fraction (drop)
+    TransformOps.sampleStratified(df, "cls", "id", Map("a" -> 0.3))
+      .filter(col("cls") === "b").count() shouldBe 0
+  }
+
   test("T5 at scale: approx_count_distinct stays within 5% of exact on testdata") {
     val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val row = li.agg(
