@@ -29,6 +29,20 @@ object Sinks {
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.repartition(numFiles).write.mode(mode).parquet(path)
 
+  /** Bucketed catalog table: rows hash-bucketed (and optionally
+    * sorted) by the join/aggregation key at WRITE time. Two tables
+    * bucketed the same way join with NO exchange on either side — at
+    * 100 TB that removes the dominant shuffle from every recurring
+    * fact-to-fact join against the same key. Requires a catalog table
+    * (bucket metadata lives in the metastore).
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keyCols: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+
   /** Partitioned AND clustered: directory partitioning on
     * `partitionCols` plus `repartition(keyCols)` so rows that join or
     * aggregate on `keyCols` land co-located within each partition's

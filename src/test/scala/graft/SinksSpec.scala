@@ -30,6 +30,30 @@ class SinksSpec extends SparkSpec {
     spark.read.parquet(dir).count() shouldBe 3
   }
 
+  test("writeBucketed: same-bucketed tables join with no exchange on either side") {
+    val l = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    Sinks.writeBucketed(l, "li_bucketed", buckets = 4, keyCols = Seq("l_orderkey"))
+    Sinks.writeBucketed(o, "o_bucketed", buckets = 4, keyCols = Seq("o_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange" // bucketing satisfies the join distribution
+      joined.count() shouldBe l.count()  // every lineitem matches its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("writeClustered partitions by dir key and round-trips all rows") {
     val dir = Files.createTempDirectory("sink-clustered").toString
     Sinks.writeClustered(data, dir, partitionCols = Seq("cls"), keyCols = Seq("id"))
