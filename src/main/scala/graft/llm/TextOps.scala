@@ -48,13 +48,17 @@ object TextOps {
                     profiles: Seq[(String, Seq[String])]): DataFrame = {
     // lower bound 1 (not 0): sequence(1, 0) would count DOWN. A sub-3-char
     // text yields one short window that matches no 3-char profile entry.
+    //
+    // Explode + conditional aggregation rather than per-profile
+    // filter() columns: project collapse would inline the trigram
+    // transform into every referencing column and re-slide the window
+    // P+1 times per row; the Generate evaluates it exactly once.
     val tg = s"transform(sequence(1, greatest(length($textCol) - 2, 1)), i -> substring(lower($textCol), i, 3))"
-    val withCounts = profiles.foldLeft(
-      docs.select(col(idCol), expr(tg).as("__tg"))) { case (d, (lang, grams)) =>
-      val set = grams.map(g => s"'${g}'").mkString(", ")
-      d.withColumn(s"n_$lang",
-        expr(s"CAST(size(filter(__tg, t -> t IN ($set))) AS BIGINT)"))
+    val exploded = docs.select(col(idCol), explode_outer(expr(tg)).as("__t"))
+    val aggs = profiles.map { case (lang, grams) =>
+      sum(when(col("__t").isin(grams: _*), 1L).otherwise(0L)).as(s"n_$lang")
     }
+    val counts = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     // argmax with first-profile tie-break, written as a fold of whens
     val (firstLang, firstCount) = (profiles.head._1, col(s"n_${profiles.head._1}"))
     val pred = profiles.tail.foldLeft((lit(firstLang), firstCount)) {
@@ -63,7 +67,7 @@ object TextOps {
         (when(c > pcount, lit(lang)).otherwise(plabel),
           when(c > pcount, c).otherwise(pcount))
     }._1
-    withCounts.withColumn("predicted", pred).drop("__tg")
+    counts.withColumn("predicted", pred)
   }
 
   /** Quality scoring: length-based and stopword-ratio heuristics that
