@@ -211,6 +211,45 @@ object Queries {
              |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- statistical aggregates: stddev / variance / correlation / covariance ----
+    ("q_stats",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |  round(var_samp(l_quantity), 6) AS var_qty,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- array function menu over embeddings ----
+    ("q_array_funcs",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("CAST(round(CAST(array_max(embedding) AS DOUBLE), 6) AS DOUBLE)").as("emb_max"),
+            expr("CAST(round(CAST(array_min(embedding) AS DOUBLE), 6) AS DOUBLE)").as("emb_min"),
+            expr("CAST(round(CAST(element_at(array_sort(embedding), 1) AS DOUBLE), 6) AS DOUBLE)").as("sorted_first"),
+            expr("CAST(size(array_distinct(embedding)) AS BIGINT)").as("n_distinct"),
+            expr("CAST(round(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 4) AS DOUBLE)").as("emb_sum"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+             |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS emb_max,
+             |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS emb_min,
+             |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+             |  CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct,
+             |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, x) -> a + x), 4) AS emb_sum
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // ---- exact percentiles (median / p90 per class) ----
     ("q_percentiles",
       (s: SparkSession, dir: String) => {
