@@ -22,7 +22,10 @@ object GraftSession {
     *    200 default (local) — on a cluster set ~2-3x total cores;
     *  - 128 MB scan splits: the Parquet row-group sweet spot, keeps
     *    100 TB scans at ~800k tasks instead of millions;
-    *  - UTC session timezone for engine-independent timestamp logic.
+    *  - UTC session timezone for engine-independent timestamp logic;
+    *  - nanos-as-long: the events table stores TIMESTAMP(NANOS), which
+    *    Spark's vectorized reader rejects — set once here, not from
+    *    inside a reader function (readers must not mutate session conf).
     */
   def tuned(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
@@ -32,4 +35,5 @@ object GraftSession {
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

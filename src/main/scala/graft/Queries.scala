@@ -151,7 +151,7 @@ object Queries {
           .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
           .orderBy(col("event_type"))
       },
-      Some("""SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      Some("""SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -366,7 +366,7 @@ object Queries {
       Some(s"""$rSql,
               |p AS (SELECT cls, max(${tsFracSql("n", "0.5", CV)}) AS train_size FROM r GROUP BY cls)
               |SELECT cls, train_size,
-              |  COALESCE(sum(train_size) OVER (ORDER BY cls ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+              |  CAST(COALESCE(sum(train_size) OVER (ORDER BY cls ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
               |FROM p ORDER BY cls""".stripMargin)),
 
     // ---- T2/J4: leak-free train-mean centering ----
@@ -419,25 +419,30 @@ object Queries {
     // train-mean centering of the feature ARRAY (leak-free), SURVEY.md §7.2.
     ("gen_pipeline",
       (s: SparkSession, dir: String) => {
+        // Reference semantics (preprocess.py:76-79): the center is the
+        // mean of the CONCATENATED train matrix across all classes (one
+        // mean per descriptor), not per class — cls plays the class role
+        // here and the single implicit descriptor is materialized.
         val split = SplitOps.trainTestSplit(ranked(s, dir), SplitOps.Frac(0.5), CV)
+          .withColumn("descriptor", lit("default"))
           .withColumn("features",
             TransformOps.extendBias(array(col("l_quantity"), col("l_extendedprice"))))
-        TransformOps.centerFeatureArrayFast(split, Seq("cls"), "role", "features")
+        TransformOps.centerFeatureArrayFast(split, Seq("descriptor"), "role", "features")
           .select(col("cls"), col("sample_id"), col("role"),
-            element_at(col("features_centered"), 1).as("f1_c"),
+            round(element_at(col("features_centered"), 1), 6).as("f1_c"),
             round(element_at(col("features_centered"), 2), 4).as("f2_c"),
             element_at(col("features_centered"), 3).as("f3_c"))
           .orderBy(col("cls"), col("sample_id"), col("role"), col("f1_c"), col("f2_c"))
       },
       Some(s"""$rSql,
               |s AS (SELECT *, CASE WHEN rn <= ${tsFracSql("n", "0.5", CV)} THEN 'train' ELSE 'test' END AS role FROM r),
-              |m AS (SELECT cls, avg(l_quantity) AS m1, avg(l_extendedprice) AS m2
-              |      FROM s WHERE role = 'train' GROUP BY cls)
+              |m AS (SELECT avg(l_quantity) AS m1, avg(l_extendedprice) AS m2
+              |      FROM s WHERE role = 'train')
               |SELECT s.cls, s.sample_id, s.role,
-              |  s.l_quantity - m.m1 AS f1_c,
+              |  round(s.l_quantity - m.m1, 6) AS f1_c,
               |  round(s.l_extendedprice - m.m2, 4) AS f2_c,
               |  CAST(0.0 AS DOUBLE) AS f3_c
-              |FROM s JOIN m ON s.cls = m.cls
+              |FROM s CROSS JOIN m
               |ORDER BY s.cls, s.sample_id, s.role, f1_c, f2_c""".stripMargin)),
 
     // ---- P1: 1-based inclusive class-range slice ----
@@ -677,7 +682,8 @@ object Queries {
     ("agg_salted",
       (s: SparkSession, dir: String) => {
         TransformOps.saltedAgg(
-            Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", salt = 16)
+            Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", salt = 16,
+            saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_v, CAST(count(*) AS BIGINT) AS cnt

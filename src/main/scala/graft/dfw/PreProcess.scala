@@ -68,19 +68,33 @@ final class PreProcess(
   /** The reference's `generator` (`preprocess.py:44-89`): gather →
     * extend → split → label → center, returned as one long DataFrame
     * with `role` ∈ {train, test} (labels are the carried `cls` column).
+    *
+    * Centering matches the reference exactly: the mean is taken over
+    * the **concatenated train matrix per (db, descriptor) across ALL
+    * classes** (`preprocess.py:76-79` — `train[descriptor]` is the
+    * concatenation of every class's train slice), not per class.
     */
   def generator(trial: Int): DataFrame = {
     val split = SplitOps.trainTestSplit(ranked(trial), trainSpec, cv)
     val extended =
       if (extend) split.withColumn("features", TransformOps.extendBias(col("features")))
       else split
-    if (center) TransformOps.centerFeatureArray(extended, keys, "role", "features")
+    if (center)
+      TransformOps.centerFeatureArray(extended, Seq("db", "descriptor"), "role", "features")
     else extended
   }
 
   /** W3/W4 + W6 + T3: per-fold CV materialization over the train rows
     * of [[generator]]'s split, with per-fold centering when enabled
     * (`preprocess.py:68-74,81-84,91-96` without the hidden cache).
+    *
+    * Mirrors the reference's ordering: the bias column is appended to
+    * `class_data` BEFORE the train cut (`preprocess.py:54-56`), so CV
+    * slices include it; each fold is then centered by its own train
+    * mean, taken per (db, descriptor, cv_fold) across all classes —
+    * the CV slices are snapshots of the *uncentered* train matrix
+    * (numpy fancy indexing copies at `preprocess.py:68-74`), which the
+    * lazy re-derivation here reproduces.
     */
   def cvData(trial: Int): DataFrame = {
     val train = SplitOps.trainTestSplit(ranked(trial), trainSpec, cv)
@@ -88,10 +102,14 @@ final class PreProcess(
       .withColumn("train_n", col("train_size"))
       // re-rank within the train prefix so fold positions are 0..train_n-1
       .withColumn("pos", col("rn") - 1)
-    val folded = SplitOps.linspaceFolds(train, cv)
+    val extended =
+      if (extend) train.withColumn("features", TransformOps.extendBias(col("features")))
+      else train
+    val folded = SplitOps.linspaceFolds(extended, cv)
     val assigned = SplitOps.cvAssign(folded, cv)
     if (center)
-      TransformOps.centerFeatureArray(assigned, keys :+ "cv_fold", "cv_role", "features")
+      TransformOps.centerFeatureArray(assigned, Seq("db", "descriptor", "cv_fold"),
+        "cv_role", "features")
     else assigned
   }
 

@@ -120,10 +120,22 @@ object TransformOps {
     * spreads phase one over `salt`× more tasks, and phase two reduces
     * `keys × salt` tiny partials). Sum/count decompose exactly; any
     * algebraic aggregate (avg = sum/count, etc.) composes from these.
+    *
+    * The salt must be a pure function of row CONTENT, never of
+    * placement: `monotonically_increasing_id()`/`rand()` change value
+    * when a lost shuffle map stage is partially recomputed, so rows can
+    * land in a different salt group than the one already consumed
+    * downstream — double-counting or dropping them (the SPARK-23207
+    * class of bugs), precisely at the cluster scale salting targets.
+    *
+    * @param saltFrom stable row-content columns (e.g. the row's natural
+    *                 key) hashed to pick the salt bucket
     */
-  def saltedAgg(df: DataFrame, keyCols: Seq[String], valueCol: String, salt: Int): DataFrame = {
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], valueCol: String, salt: Int,
+                saltFrom: Seq[Column]): DataFrame = {
+    require(saltFrom.nonEmpty, "saltFrom needs at least one stable row-content column")
     val keys = keyCols.map(col)
-    df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    df.withColumn("__salt", pmod(xxhash64(saltFrom: _*), lit(salt)))
       .groupBy(keys :+ col("__salt"): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__c"))
       .groupBy(keys: _*)

@@ -3,10 +3,39 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Shared element-type handling: the similarity expressions accept both
+  * ARRAY<FLOAT> (the embeddings table) and ARRAY<DOUBLE> (the
+  * framework's canonical `features` type). Anything else fails at
+  * analysis time — silently reinterpreting bytes via the wrong getter
+  * returns garbage, which is strictly worse than an error.
+  */
+private[functions] object VecType {
+  def check(name: String, children: Seq[Expression]): TypeCheckResult = {
+    val bad = children.filterNot(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<FLOAT> or ARRAY<DOUBLE> inputs, got " +
+        bad.map(_.dataType.sql).mkString(", "))
+  }
+
+  def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Java source for reading element i of `arr` as a double. */
+  def getJava(arr: String, isDouble: Boolean): String =
+    if (isDouble) s"$arr.getDouble(i)" else s"(double)$arr.getFloat(i)"
+}
 
 /** Native Catalyst expressions for embedding similarity (SURVEY.md §2.8 X3).
   *
@@ -29,6 +58,12 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double)
   override def dataType: DataType = LongType
   override def prettyName: String = "quantized_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecType.check(prettyName, Seq(left, right))
+
+  private lazy val leftIsDouble = VecType.isDouble(left)
+  private lazy val rightIsDouble = VecType.isDouble(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -36,7 +71,9 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double)
     var s = 0L
     var i = 0
     while (i < n) {
-      s += QuantizedDot.q(x.getFloat(i) * scale) * QuantizedDot.q(y.getFloat(i) * scale)
+      val xv = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
+      s += QuantizedDot.q(xv * scale) * QuantizedDot.q(yv * scale)
       i += 1
     }
     s
@@ -49,7 +86,7 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double)
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long s = 0L;
          |for (int i = 0; i < n; i++) {
-         |  s += $qFn((double)$a.getFloat(i) * $scale) * $qFn((double)$b.getFloat(i) * $scale);
+         |  s += $qFn(${VecType.getJava(a, leftIsDouble)} * $scale) * $qFn(${VecType.getJava(b, rightIsDouble)} * $scale);
          |}
          |${ev.value} = s;
        """.stripMargin
@@ -78,12 +115,21 @@ case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "quantize_vec"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecType.check(prettyName, Seq(child))
+
+  private lazy val childIsDouble = VecType.isDouble(child)
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = QuantizedDot.q(x.getFloat(i) * scale); i += 1 }
+    while (i < n) {
+      val v = if (childIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      out(i) = QuantizedDot.q(v * scale)
+      i += 1
+    }
     ArrayData.toArrayData(out)
   }
 
@@ -95,7 +141,7 @@ case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression
          |int n = $a.numElements();
          |long[] out = new long[n];
          |for (int i = 0; i < n; i++) {
-         |  out[i] = $qFn((double)$a.getFloat(i) * $scale);
+         |  out[i] = $qFn(${VecType.getJava(a, childIsDouble)} * $scale);
          |}
          |${ev.value} = $arrData.toArrayData(out);
        """.stripMargin

@@ -43,11 +43,26 @@ object DedupOps {
     * inverted index — pairs sharing zero shingles are never
     * materialized. The threshold test `den·inter >= num·union` stays
     * in exact integer arithmetic.
+    *
+    * Hot-shingle cap: a shingle shared by M documents contributes M²
+    * rows to the self-join, and at corpus scale boilerplate shingles
+    * ("all rights reserved …") have M in the millions. Shingles with
+    * document frequency > `maxDocFreq` are dropped from the inverted
+    * index BEFORE the join (the standard LSH prefilter). Document
+    * sizes still count every shingle, so dropping can only lower the
+    * measured intersection — the cap introduces false NEGATIVES on
+    * pairs whose overlap is mostly boilerplate (which is the point),
+    * never false positives.
     */
-  def jaccardPairs(shingles: DataFrame, num: Int, den: Int): DataFrame = {
+  def jaccardPairs(shingles: DataFrame, num: Int, den: Int,
+                   maxDocFreq: Int = 128): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col("doc_id").as("doc1"), col("sh"))
-    val b = shingles.select(col("doc_id").as("doc2"), col("sh"))
+    val rare = shingles
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val a = rare.select(col("doc_id").as("doc1"), col("sh"))
+    val b = rare.select(col("doc_id").as("doc2"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("doc1") < col("doc2"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
     inter
@@ -107,44 +122,83 @@ object DedupOps {
 
   /** Near-dup clustering: connected components over a pair list —
     * every document joined (transitively) by a near-dup edge gets
-    * `cluster_id` = the smallest doc id in its component. Iterative
-    * min-label propagation with a driver-side convergence loop (the
-    * loop is control flow only; data never leaves executors). Dup
-    * components are near-cliques, so convergence takes O(component
-    * diameter) ≈ 1-3 rounds; the billion-edge generalization swaps in
-    * the alternating large-star/small-star iteration on the same
-    * DataFrames.
+    * `cluster_id` = the smallest doc id in its component.
+    *
+    * Alternating **large-star / small-star** iteration (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node toward its neighborhood minimum, halving
+    * component diameter, so a length-L chain converges in O(log L)
+    * rounds where plain min-label propagation needs L. The driver loop
+    * is control flow only; data never leaves executors.
+    *
+    * Per-round cost discipline: the edge set is `localCheckpoint`ed
+    * (truncating lineage so round k does not re-resolve rounds 1..k-1),
+    * and convergence is ONE tiny aggregate over the checkpointed
+    * partitions — (count, hash-sum) of the edge set; a fixed point of
+    * the iteration leaves the set bit-identical.
     *
     * @param pairs (doc1, doc2) undirected near-dup edges
     * @return (doc_id, cluster_id) for every doc appearing in a pair
     */
-  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id")))
       .distinct()
-      .cache()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .cache()
+
+    // directed u > v, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("doc1"), col("doc2")).as("u"),
+        least(col("doc1"), col("doc2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // order-free edge-set signature: equal sets => equal signature.
+    // Hashes are mod-reduced before summing so the ANSI-mode sum cannot
+    // overflow below ~9e9 edges per partition tree (and a wrap would
+    // only risk a spurious extra iteration, never a wrong result).
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min(col("nl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      val changes = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changes == 0
+      // large-star: every neighbor y > x links to m(x) = min(N(x) ∪ {x})
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = nbrs.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = nbrs.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: smaller neighbors (and u itself) link to min(N<(u))
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels
+
+    // at the fixed point every non-min node has exactly one edge, to
+    // its component min; min(v) also covers a maxIter-truncated run
+    val labels = edges.groupBy("u").agg(min(col("v")).as("cluster_id"))
+      .select(col("u").as("doc_id"), col("cluster_id"))
+    nodes.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** 64-bit SimHash fingerprint per document over token hashes:
@@ -178,14 +232,34 @@ object DedupOps {
       .agg(simhashUdaf(col("h")).as("fp"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= `maxHamming`
-    * (< 16), using 16-bit chunk banding: any pair within distance 3
-    * must agree on at least one of the four 16-bit chunks (pigeonhole),
-    * so the join is on chunk equality — no cross join.
+  /** SimHash near-dup pairs with Hamming distance <= `maxHamming`,
+    * using chunk banding: the 64-bit fingerprint splits into
+    * `maxHamming + 1` chunks, so any pair within the distance must
+    * agree on at least one whole chunk (pigeonhole — at most
+    * `maxHamming` bits differ, hence at most `maxHamming` chunks can
+    * differ). The join is on chunk equality — no cross join. Deriving
+    * the chunk count from `maxHamming` (instead of a fixed 4) keeps the
+    * guarantee exact for every threshold: a fixed 16-bit banding
+    * silently DROPS qualifying pairs for maxHamming in 4..15.
+    *
+    * Chunks narrow as `maxHamming` grows (64/(h+1) bits), so collision
+    * rates rise — the usual recall/cost tradeoff; `maxHamming <= 31`
+    * keeps every chunk at least 2 bits wide.
     */
   def simHashPairs(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // bit boundaries of nChunks near-equal chunks covering bits 0..63
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunkCols = (0 until nChunks).map { c =>
+      val lo = bounds(c)
+      val width = bounds(c + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      expr(s"shiftright(fp, $lo) & ${mask}L")
+    }
     val chunked = fps.select(col("doc_id"), col("fp"),
-      posexplode(expr("transform(sequence(0, 3), c -> (fp >> (c * 16)) & 65535)")).as(Seq("c", "chunk")))
+      posexplode(array(chunkCols: _*)).as(Seq("c", "chunk")))
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))

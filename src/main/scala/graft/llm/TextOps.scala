@@ -31,10 +31,12 @@ object TextOps {
     */
   def langScore(docs: DataFrame, idCol: String, textCol: String,
                 markers: Seq[String], threshold: Int, label: String): DataFrame = {
-    val inSet = markers.map(m => s"t = '$m'").mkString(" OR ")
+    // markers become In-expression literals (never spliced into SQL
+    // text, so quote-bearing markers are safe)
     docs.select(
       col(idCol),
-      expr(s"CAST(size(filter(split($textCol, ' '), t -> $inSet)) AS BIGINT)").as("n_markers"))
+      size(filter(split(col(textCol), " "), t => t.isInCollection(markers)))
+        .cast("long").as("n_markers"))
       .withColumn("predicted", when(col("n_markers") >= threshold, lit(label)).otherwise(lit("other")))
   }
 
@@ -75,12 +77,12 @@ object TextOps {
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
-    val inSet = stopwords.map(m => s"t = '$m'").mkString(" OR ")
     docs.select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars_m"),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-      expr(s"CAST(size(filter(split($textCol, ' '), t -> $inSet)) AS BIGINT)").as("n_stop"))
+      size(filter(split(col(textCol), " "), t => t.isInCollection(stopwords)))
+        .cast("long").as("n_stop"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("quality",
         when(col("n_tokens") >= 20 && col("stop_ratio") >= 0.05, lit("high"))
@@ -113,17 +115,17 @@ object TextOps {
     * one hash aggregation, map-side combined.
     */
   def corpusTermStats(docs: DataFrame, idCol: String, textCol: String,
-                      stopwords: Seq[String], minCount: Long): DataFrame = {
-    val stopSet = stopwords.map(s => s"'$s'").mkString(", ")
+                      stopwords: Seq[String], minCount: Long): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        explode(expr(s"filter(transform(split(lower($textCol), ' '), " +
-          s"t -> regexp_replace(t, '[^a-z0-9]', '')), t -> t != '' AND t NOT IN ($stopSet))"))
+        explode(filter(
+          transform(split(lower(col(textCol)), " "),
+            t => regexp_replace(t, lit("[^a-z0-9]"), lit(""))),
+          t => t =!= "" && !t.isInCollection(stopwords)))
           .as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("tf_corpus"), countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("tf_corpus") >= minCount)
-  }
 
   /** TF-IDF top-k terms per document. Plan shape at scale: one shuffle
     * to (doc, token) term frequencies, one small shuffle to per-token

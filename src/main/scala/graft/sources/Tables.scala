@@ -45,10 +45,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/${normalizeFormat(name)}"
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as LongType and convert with integer
-      // division (a double division would lose precision at ~1.7e18 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.parquet stores TIMESTAMP(NANOS); the session factory sets
+      // spark.sql.legacy.parquet.nanosAsLong (GraftSession.tuned) so the
+      // scan yields LongType nanos. Convert with integer division (a
+      // double division would lose precision at ~1.7e18 ns). The option
+      // below covers sessions not built via GraftSession: DSv2 honors
+      // per-read options only through the session conf, so require it.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true — build the session via GraftSession.tuned")
       val raw = spark.read.parquet(path)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(path)

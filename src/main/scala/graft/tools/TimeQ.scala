@@ -7,10 +7,10 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.tuned(
+        SparkSession.builder().master("local[32]")
+          .config("spark.ui.enabled", "false"), 32)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args(0); val dir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3

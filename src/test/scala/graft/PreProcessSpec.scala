@@ -32,14 +32,36 @@ class PreProcessSpec extends SparkSpec {
     counts shouldBe Set(6L)
   }
 
-  test("generator: extend appends bias before centering; train mean is ~0") {
+  test("generator: extend appends bias before centering; per-descriptor train mean is ~0") {
     val g = pp.generator(trial = 0)
     g.select(expr("size(features)")).distinct().as[Int].collect() shouldBe Array(4)
+    // the reference centers over the concatenated train matrix per
+    // (db, descriptor) across ALL classes (preprocess.py:76-79)
     val trainMeans = g.filter(col("role") === "train")
-      .select(col("db"), col("cls"), posexplode(col("features_centered")).as(Seq("p", "v")))
-      .groupBy("db", "cls", "p").agg(avg("v").as("m"))
+      .select(col("db"), col("descriptor"), posexplode(col("features_centered")).as(Seq("p", "v")))
+      .groupBy("db", "descriptor", "p").agg(avg("v").as("m"))
       .select("m").as[Double].collect()
     all(trainMeans.map(math.abs)) should be < 1e-9
+  }
+
+  test("generator: per-class train means are NOT zero — inter-class separation survives centering") {
+    // classes differ in their mean feature values; subtracting the shared
+    // per-descriptor mean must leave that separation intact (the reference
+    // never zeroes per-class means)
+    val s = (for {
+      cls <- 0 to 1; i <- 0 until 8
+    } yield ("d", "default", cls, (cls * 100 + i).toLong,
+        Seq(cls * 10.0 + i, cls * 20.0)))
+      .toDF("db", "descriptor", "cls", "sample_id", "features")
+    val g = PreProcess(s, config = Config.ProcessConfig(
+      center = true, extend = false, cv = 2, train = Seq(SplitOps.Frac(0.5))))
+      .generator(0)
+    val perClass = g.filter(col("role") === "train")
+      .select(col("cls"), element_at(col("features_centered"), 2).as("v"))
+      .groupBy("cls").agg(avg("v").as("m"))
+      .orderBy("cls").select("m").as[Double].collect()
+    perClass(0) should be < -1.0 // class 0 sits below the shared mean
+    perClass(1) should be > 1.0  // class 1 above it
   }
 
   test("withTrain re-derives splits lazily (the reference's train setter)") {
@@ -58,6 +80,18 @@ class PreProcessSpec extends SparkSpec {
       .groupBy("db", "cls", "cv_fold").count().select("count").as[Long].collect()
     testSizes.sum shouldBe 4 * 6 // each train sample is test exactly once
     all(testSizes) shouldBe 2L   // linspace(0,6,4) -> equal chunks of 2
+  }
+
+  test("cvData: bias extension applies before the fold cut (preprocess.py:54-56)") {
+    val cvd = pp.cvData(trial = 0)
+    cvd.select(expr("size(features)")).distinct().as[Int].collect() shouldBe Array(4)
+    // per-fold train mean ~0 per (db, descriptor, cv_fold) across classes
+    val foldMeans = cvd.filter(col("cv_role") === "train")
+      .select(col("db"), col("descriptor"), col("cv_fold"),
+        posexplode(col("features_centered")).as(Seq("p", "v")))
+      .groupBy("db", "descriptor", "cv_fold", "p").agg(avg("v").as("m"))
+      .select("m").as[Double].collect()
+    all(foldMeans.map(math.abs)) should be < 1e-9
   }
 
   test("stored permutations drive the gather order when provided") {

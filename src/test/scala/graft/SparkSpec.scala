@@ -9,12 +9,12 @@ import org.scalatest.matchers.should.Matchers
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSession.tuned(
+        SparkSession.builder()
+          .master("local[4]")
+          .appName("graft-tests")
+          .config("spark.ui.enabled", "false"),
+        parallelism = 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
