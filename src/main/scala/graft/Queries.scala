@@ -760,21 +760,57 @@ object Queries {
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- X2: MinHash + LSH banding (scale path; LSH recall — rows-only check) ----
+    // Oracle: the full exact-Jaccard pair set. LSH is approximate in
+    // general, but at 16 bands × 4 rows a J>=0.5 pair escapes every
+    // band with p <= (1 - 0.5^4)^16 ≈ 0.36 — and on THIS corpus the
+    // candidate set verifiably covers all 25 (sf0.01) / 256 (sf0.1)
+    // qualifying pairs (probed both scales), and xxhash64 is fixed, so
+    // the output is deterministic and value-exact vs the exact oracle.
     ("x2_minhash_lsh",
       (s: SparkSession, dir: String) => {
         DedupOps.minHashLshPairs(Tables.load(s, dir, "documents"),
             "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
           .orderBy(col("doc1"), col("doc2"))
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+             |  CAST(z1.n_sh + z2.n_sh - inter AS BIGINT) AS uni
+             |FROM p JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
+             |ORDER BY doc1, doc2""".stripMargin)),
 
-    // ---- X2: SimHash fingerprint + hamming-banded pairs (rows-only check) ----
+    // ---- X2: SimHash fingerprint + hamming-banded pairs ----
+    // The engine-neutral md5-derived token hash (DedupOps.md5TokenHash)
+    // makes the fingerprints — and hence the banded pair join —
+    // value-exact against a pure-SQL oracle that recomputes SimHash
+    // from scratch. The xxhash64 fast path is spec-verified equivalent
+    // in structure (DedupOpsSpec).
     ("x2_simhash_pairs",
       (s: SparkSession, dir: String) => {
-        val fps = DedupOps.simHashFast(Tables.load(s, dir, "documents"), "doc_id", "text")
-        DedupOps.simHashPairs(fps, maxHamming = 3).orderBy(col("doc1"), col("doc2"))
+        val fps = DedupOps.simHashFast(Tables.load(s, dir, "documents"), "doc_id", "text",
+          DedupOps.md5TokenHash)
+        DedupOps.simHashPairs(fps, maxHamming = 3)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("doc1"), col("doc2"))
       },
-      None),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+             |h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks),
+             |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) GROUP BY doc_id, j),
+             |fp AS (SELECT doc_id,
+             |         CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+             |       FROM bits GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             |        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+             |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+             |SELECT doc1, doc2, hamming FROM p WHERE hamming <= 3
+             |ORDER BY doc1, doc2""".stripMargin)),
 
     // ---- X2: embedding-cosine near-dup pairs (quantized, oracle-exact) ----
     ("x2_embed_neardup",
@@ -818,7 +854,9 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
-    // ---- X3: IVF-bucketed approximate NN (scale path; rows-only check) ----
+    // ---- X3: IVF-bucketed approximate NN (scale path; rows-only check
+    // by itself — x3_ann_ivf_full below pins the same plan against the
+    // exact oracle, and IvfSpec checks this query's recall against it) ----
     ("x3_ann_ivf",
       (s: SparkSession, dir: String) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -829,6 +867,33 @@ object Queries {
           .orderBy(col("query_id"), col("rnk"))
       },
       None),
+
+    // ---- X3: IVF at full probe — nProbe = nCentroids degenerates to an
+    // exhaustive search, so the SAME bucketed plan is value-exact
+    // against the brute-force oracle (validates assignment, probing and
+    // per-bucket scoring end to end) ----
+    ("x3_ann_ivf_full",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 16)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS qa, b.n2 AS qb
+             |      FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- X4: token statistics ----
     ("x4_text_stats",
@@ -973,7 +1038,11 @@ object Queries {
              |  upper(substr(hex(encode(text)), 1, 16)) AS header_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ---- X5: stubbed media decode through mapPartitions (rows-only check) ----
+    // ---- X5: stubbed media decode through mapPartitions. The fake
+    // decoder is deterministic byte arithmetic over the blob (ASCII
+    // text cast to binary), so the oracle recomputes it byte-for-byte
+    // with ord()/strlen in SQL — the mapPartitions plumbing is what's
+    // actually under test ----
     ("x5_decode_stub",
       (s: SparkSession, dir: String) => {
         MultimodalOps.decodeBlobs(
@@ -982,9 +1051,23 @@ object Queries {
           .toDF()
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n,
+             |    CASE WHEN strlen(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+             |    CASE WHEN strlen(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1,
+             |    COALESCE(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+             |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT), 0) AS s
+             |  FROM documents)
+             |SELECT doc_id, CAST(n AS BIGINT) AS blob_len,
+             |  CAST((b0 * 256 + b1) % 1024 AS INT) AS width,
+             |  CAST((b1 * 256 + b0) % 1024 AS INT) AS height,
+             |  CAST(1 + (b0 % 3) AS INT) AS channels,
+             |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END AS mean_byte
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
-    // ---- X5: stubbed feature extraction (rows-only check) ----
+    // ---- X5: stubbed feature extraction. The fake features are a
+    // normalized byte histogram computed in FLOAT on the Spark side;
+    // the oracle mirrors the float division exactly (FLOAT/FLOAT is
+    // IEEE-identical on both engines) before widening and rounding ----
     ("x5_features",
       (s: SparkSession, dir: String) => {
         MultimodalOps.extractFeatures(
@@ -994,7 +1077,13 @@ object Queries {
           .select(col("doc_id"), round(element_at(col("features"), 2).cast("double"), 6).as("f2"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n,
+             |    COALESCE(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+             |      i -> CASE WHEN ord(substr(text, CAST(i AS INT), 1)) // 32 = 1 THEN 1 ELSE 0 END)) AS BIGINT), 0) AS c
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(CAST(CAST(c AS FLOAT) / CAST(greatest(n, 1) AS FLOAT) AS DOUBLE), 6) AS f2
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ---- X5: frame sampling (one-to-many explode of a binary column) ----
     ("x5_frame_sample",

@@ -201,16 +201,31 @@ object DedupOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Default SimHash token hash: xxhash64 — the fast path at scale. */
+  val xxTokenHash: Column => Column = xxhash64(_)
+
+  /** Engine-neutral 60-bit token hash: the top 15 hex digits of md5,
+    * parsed as an integer. Strictly slower than xxhash64 but
+    * reproducible in any engine with an md5() function — which makes
+    * SimHash output value-exact against an external SQL oracle (xxhash64
+    * exists in no other engine). Fingerprint bits 60-63 come out 0 on
+    * both sides (every token hash is < 2^60, so those bit-sums are all
+    * negative).
+    */
+  val md5TokenHash: Column => Column =
+    t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** 64-bit SimHash fingerprint per document over token hashes:
     * bit j of the fingerprint is the sign of Σ_tokens (±1 by token's
     * bit j). Rows explode 64× per token here; the production-scale
     * variant is a TypedImperativeAggregate holding the 64 counters in
     * its buffer (same semantics, one pass, map-side combinable).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxTokenHash): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
       .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("j"))
       .withColumn("v", when(expr("(h >> j) & 1") === 1, lit(1)).otherwise(lit(-1)))
       .groupBy("doc_id", "j").agg(sum(col("v")).as("s"))
@@ -222,12 +237,13 @@ object DedupOps {
     * 64 counters live in the aggregation buffer and partials merge
     * map-side ([[graft.functions.Aggregators.SimHashAgg]]).
     */
-  def simHashFast(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashFast(docs: DataFrame, idCol: String, textCol: String,
+                  tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val simhashUdaf = udaf(graft.functions.Aggregators.SimHashAgg,
       org.apache.spark.sql.Encoders.scalaLong)
     docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
       .groupBy("doc_id")
       .agg(simhashUdaf(col("h")).as("fp"))
   }

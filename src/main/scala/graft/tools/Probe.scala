@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.llm.{DedupOps, SimilarityOps}
+
+/** Dev harness: one-off empirical checks that decide oracle strategy
+  * for the approximate operators (LSH recall, SimHash pair structure,
+  * IVF full-probe equivalence) on the fixed testdata.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.tuned(
+        SparkSession.builder().master("local[16]")
+          .config("spark.ui.enabled", "false"), 16)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (dir <- args) {
+      println(s"=== $dir ===")
+      val docs = Tables.load(spark, dir, "documents")
+
+      // 1) LSH(bands=16) vs exact Jaccard pair set
+      val exact = DedupOps.jaccardPairs(
+          DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2)
+        .select("doc1", "doc2")
+      val lsh16 = DedupOps.minHashLshPairs(docs, "doc_id", "text", 5, 64, 16, 1, 2)
+        .select("doc1", "doc2")
+      val nExact = exact.count(); val nLsh = lsh16.count()
+      val missed = exact.except(lsh16).count()
+      println(s"exact=$nExact lsh16=$nLsh missedByLsh16=$missed")
+
+      // 2) simhash hamming<=3 pairs vs identical-text pairs
+      val fps = DedupOps.simHashFast(docs, "doc_id", "text")
+      val sh = DedupOps.simHashPairs(fps, maxHamming = 3)
+      val identical = docs.as("a").join(docs.as("b"),
+          col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      val nSh = sh.count(); val nId = identical.count()
+      val shNotId = sh.select("doc1", "doc2").except(identical).count()
+      val idNotSh = identical.except(sh.select("doc1", "doc2")).count()
+      val maxHam = sh.agg(max("hamming")).head().get(0)
+      println(s"simhash<=3=$nSh identicalText=$nId shNotId=$shNotId idNotSh=$idNotSh maxHam=$maxHam")
+
+      // 3) IVF full probe == brute force
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val bf = SimilarityOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      val full = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding", 5, 16, 16)
+      val diff = bf.except(full).count() + full.except(bf).count()
+      println(s"fullProbeVsBrute diff=$diff")
+    }
+    spark.stop()
+  }
+}

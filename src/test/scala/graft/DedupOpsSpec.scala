@@ -74,4 +74,48 @@ class DedupOpsSpec extends SparkSpec {
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain((1L, 2L))
   }
+
+  test("X2 clusterNearDups: a long chain converges (large-star/small-star, not O(diameter))") {
+    // a 64-link chain: plain min-label propagation needs 64 rounds;
+    // the alternating-star iteration must finish inside maxIter=10
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = DedupOps.clusterNearDups(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe (0L to 64L).toSet
+    all(got.values) shouldBe 0L
+  }
+
+  test("X2 jaccardPairs: a hot shingle above maxDocFreq adds no candidate pairs") {
+    // 40 docs sharing one boilerplate shingle but nothing else: without
+    // the DF cap the self-join materializes 40*39/2 = 780 candidate
+    // pairs; with the cap the hot shingle is dropped before the join
+    // and no pair survives (their true overlap is 1 shingle anyway)
+    val boiler = (0 until 40).map(i =>
+      (100L + i, s"all rights reserved legal notice unique$i token$i word$i filler$i end$i"))
+      .toDF("doc_id", "text")
+    val sh = DedupOps.wordShingles(boiler, "doc_id", "text", 5)
+    val capped = DedupOps.jaccardPairs(sh, 1, 10, maxDocFreq = 8)
+    capped.count() shouldBe 0L
+    // the cap leaves genuinely-similar pairs intact (df below the cap)
+    val pairs = DedupOps.jaccardPairs(
+        DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2, maxDocFreq = 8)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 3L))
+  }
+
+  test("X2 simHashPairs: chunk count derives from maxHamming (no pigeonhole false negatives)") {
+    import graft.llm.DedupOps
+    // two fingerprints at Hamming distance 7, crafted so every 16-bit
+    // quarter differs (bits 3, 13, 19, 29, 35, 45, 51 set): a fixed
+    // 4-chunk banding would never join them, the 8-chunk banding for
+    // maxHamming=7 must
+    val fp1 = 0L
+    val fp2 = Seq(3, 13, 19, 29, 35, 45, 51).map(1L << _).sum
+    java.lang.Long.bitCount(fp1 ^ fp2) shouldBe 7
+    val fps = Seq((1L, fp1), (2L, fp2)).toDF("doc_id", "fp")
+    val got = DedupOps.simHashPairs(fps, maxHamming = 7)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 2L))
+  }
 }

@@ -27,6 +27,16 @@ class TextOpsSpec extends SparkSpec {
     got(2L) shouldBe ((0L, "other"))
   }
 
+  test("quote-bearing markers/stopwords are literals, not SQL text") {
+    // markers containing quotes previously broke expr() parsing
+    val d = Seq((1L, "don't can't won't plain")).toDF("doc_id", "text")
+    val ls = TextOps.langScore(d, "doc_id", "text", Seq("don't", "can't"), 1, "en").head()
+    ls.getLong(1) shouldBe 2L
+    ls.getString(2) shouldBe "en"
+    val qs = TextOps.qualityScore(d, "doc_id", "text", Seq("don't")).head()
+    qs.getAs[Long]("n_stop") shouldBe 1L
+  }
+
   test("fingerprint is a deterministic left fold over tokens") {
     def fold(text: String): Long =
       text.split(" ").foldLeft(0L)((h, t) =>

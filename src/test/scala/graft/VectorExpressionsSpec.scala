@@ -42,4 +42,25 @@ class VectorExpressionsSpec extends SparkSpec {
     val got = v.select(VectorFunctions.quantizedNorm2(col("a")).as("n")).as[Long].head()
     got shouldBe (600L * 600L + 800L * 800L)
   }
+
+  test("ARRAY<DOUBLE> inputs (the canonical features type) quantize correctly") {
+    // before the element-type branch these silently read doubles with
+    // getFloat and returned garbage
+    val v = Seq(Tuple1(Seq(0.6, -0.8))).toDF("a")
+    val norm = v.select(VectorFunctions.quantizedNorm2(col("a")).as("n")).as[Long].head()
+    norm shouldBe (600L * 600L + 800L * 800L)
+    val q = v.select(VectorFunctions.quantizeVec(col("a")).as("q"))
+      .as[Seq[Long]].head()
+    q shouldBe Seq(600L, -800L)
+    // mixed float x double dot
+    val m = Seq((Seq(1.0f, 2.0f), Seq(0.5, -0.25))).toDF("a", "b")
+    m.select(VectorFunctions.quantizedDot(col("a"), col("b")).as("d")).as[Long].head() shouldBe
+      (1000L * 500L + 2000L * -250L)
+  }
+
+  test("non-numeric-array inputs fail at analysis time, not silently") {
+    val v = Seq(Tuple1(Seq("x", "y"))).toDF("a")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      v.select(VectorFunctions.quantizeVec(col("a"))).collect()
+  }
 }
