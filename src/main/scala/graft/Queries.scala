@@ -862,7 +862,7 @@ object Queries {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 10 === 0)
         SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
-            k = 5, nCentroids = 16, nProbe = 4)
+            k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 2)
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },
@@ -877,7 +877,7 @@ object Queries {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 10 === 0)
         SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
-            k = 5, nCentroids = 16, nProbe = 16)
+            k = 5, nCentroids = 16, nProbe = 16, kmeansIters = 2)
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },

@@ -57,18 +57,68 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Deterministic Lloyd refinement of IVF centroids, entirely in
+    * quantized integer space: assignment uses the integer-cosine
+    * argmax with id tiebreak, and the new centroid is the element-wise
+    * integer mean (`sum div count` — exact longs, order-free), so every
+    * run and every engine produces bit-identical centroids from the
+    * same seeds. Empty buckets drop out (k can shrink), which IVF
+    * probing tolerates by construction.
+    *
+    * Per iteration: one broadcast of the (tiny) centroid table, one
+    * shuffle of the corpus by id for the argmax window, one hash
+    * aggregation for the means — the textbook distributed k-means
+    * cost, linear in corpus size.
+    *
+    * @param seeds (centroid_id, __centq ARRAY<BIGINT>) initial centroids
+    */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      seeds: DataFrame, iters: Int): DataFrame = {
+    val corpusQ = quantized(corpus, idCol, vecCol)
+      .select(col(idCol), col("__qv"), col("__n2"))
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val centsB = broadcast(cents
+        .withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq"))))
+      val scored = corpusQ.join(centsB)
+        .withColumn("__score",
+          when(col("__centn2") === 0, lit(-2.0)).otherwise(
+            quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
+              col("__n2"), col("__centn2"))))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("centroid_id"))
+      val assigned = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("__qv")).as(Seq("p", "v")))
+        .groupBy("centroid_id", "p").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("s div n"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("__ms"))
+        .withColumn("__centq", expr("transform(__ms, x -> x.m)"))
+        .select(col("centroid_id"), col("__centq"))
+        .localCheckpoint() // tiny table; truncates the per-iter lineage
+    }
+    cents
+  }
+
   /** IVF-style ANN: assign corpus vectors to their nearest of
-    * `centroids` (deterministically chosen corpus members), then search
-    * only the `nProbe` buckets nearest to each query.
+    * `centroids`, then search only the `nProbe` buckets nearest to
+    * each query.
     *
     * Centroid choice is seed-free and reproducible: the `nCentroids`
-    * corpus vectors with the smallest ids. (A k-means refinement is a
-    * drop-in replacement — the bucketing/probing plan is unchanged.)
+    * corpus vectors with the smallest ids, optionally refined with
+    * `kmeansIters` deterministic Lloyd iterations
+    * ([[refineCentroids]]) — same bucketing/probing plan, measurably
+    * better recall at low nProbe (IvfSpec pins the improvement).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = quantized(corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
-      .select(col(idCol).as("centroid_id"), col("__qv").as("__centq"), col("__n2").as("__centn2"))
+              k: Int, nCentroids: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
+    val seeds = quantized(corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
+      .select(col(idCol).as("centroid_id"), col("__qv").as("__centq"))
+    val refined =
+      if (kmeansIters > 0) refineCentroids(corpus, idCol, vecCol, seeds, kmeansIters)
+      else seeds
+    val cents = refined
+      .withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq")))
     val centsB = broadcast(cents)
 
     // bucket assignment: nearest centroid by quantized cosine

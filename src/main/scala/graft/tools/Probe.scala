@@ -51,6 +51,17 @@ object Probe {
       val full = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding", 5, 16, 16)
       val diff = bf.except(full).count() + full.except(bf).count()
       println(s"fullProbeVsBrute diff=$diff")
+
+      // 4) recall@5 on the real embeddings: id-seeded vs kmeans-refined
+      val truth = bf.select("query_id", "neighbor_id")
+      val nTruth = truth.count()
+      for (iters <- Seq(0, 1, 2, 3); nProbe <- Seq(1, 2, 4)) {
+        val got = SimilarityOps.ivfTopK(queries, emb, "vec_id", "embedding",
+            5, 16, nProbe, iters)
+          .select("query_id", "neighbor_id")
+        val recall = got.intersect(truth).count().toDouble / nTruth
+        println(f"ivf recall@5 nProbe=$nProbe iters=$iters: $recall%.4f")
+      }
     }
     spark.stop()
   }

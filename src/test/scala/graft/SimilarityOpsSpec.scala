@@ -41,4 +41,69 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     ivf shouldBe bf
   }
+
+  // ---- k-means centroid refinement ----
+
+  /** 4 well-separated clusters in 8-d; ids ordered so the 8 lowest ids
+    * (the IVF seeds) all sit in cluster 0 — the degenerate seeding the
+    * refinement must recover from. Per-point jitter on a rotating dim
+    * scatters the degenerate-seeded assignment across buckets.
+    */
+  private def clustered = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 40
+    } yield {
+      // dense deterministic jitter on every dim: cosine to each seed is
+      // distinct and nonzero, so the degenerate seeding scatters each
+      // cluster across many buckets instead of tying into one
+      val v = Array.tabulate(8)(j => 0.01f * ((i * 31 + j * 17 + c * 7) % 10))
+      v(2 * c) += 1.0f
+      ((c * 40 + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def recallAt5(got: org.apache.spark.sql.DataFrame,
+                        truth: org.apache.spark.sql.DataFrame): Double = {
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(truth.select("query_id", "neighbor_id")).count()
+    hits.toDouble / truth.count()
+  }
+
+  test("refineCentroids improves recall@5 over id-seeded centroids at low nProbe") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    val seeded = SimilarityOps.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 0)
+    val refined = SimilarityOps.ivfTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 3)
+    val rSeeded = recallAt5(seeded, truth)
+    val rRefined = recallAt5(refined, truth)
+    withClue(s"seeded=$rSeeded refined=$rRefined: ") {
+      rRefined should be > rSeeded
+      rRefined should be >= 0.9
+    }
+  }
+
+  test("refineCentroids is deterministic (integer means, id tiebreaks)") {
+    val seeds = SimilarityOps.ivfTopK(clustered, clustered, "vec_id", "embedding",
+      k = 1, nCentroids = 8, nProbe = 1, kmeansIters = 2)
+    val again = SimilarityOps.ivfTopK(clustered, clustered, "vec_id", "embedding",
+      k = 1, nCentroids = 8, nProbe = 1, kmeansIters = 2)
+    seeds.exceptAll(again).count() shouldBe 0L
+    again.exceptAll(seeds).count() shouldBe 0L
+  }
+
+  test("ivfTopK with kmeans refinement still matches brute force at full probe") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val bf = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val full = SimilarityOps.ivfTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 8, kmeansIters = 3)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    full shouldBe bf
+  }
 }
