@@ -108,7 +108,8 @@ object SimilarityOps {
     * corpus vectors with the smallest ids, optionally refined with
     * `kmeansIters` deterministic Lloyd iterations
     * ([[refineCentroids]]) — same bucketing/probing plan, measurably
-    * better recall at low nProbe (IvfSpec pins the improvement).
+    * better recall at low nProbe (SimilarityOpsSpec pins the
+    * improvement; tools/Probe measures it on the testdata embeddings).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nCentroids: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {

@@ -44,20 +44,32 @@ class SimilarityOpsSpec extends SparkSpec {
 
   // ---- k-means centroid refinement ----
 
-  /** 4 well-separated clusters in 8-d; ids ordered so the 8 lowest ids
+  /** 4 well-separated clusters in 8-d; ids ordered so the lowest ids
     * (the IVF seeds) all sit in cluster 0 — the degenerate seeding the
-    * refinement must recover from. Per-point jitter on a rotating dim
-    * scatters the degenerate-seeded assignment across buckets.
+    * refinement must recover from. The recall test uses nCentroids = 4
+    * = the cluster count: with more centroids than clusters even a
+    * perfectly-recovered clustering splits some cluster across two
+    * buckets, capping refined recall below 1 at nProbe=1.
+    * The jitter must be hash-mixed, not a
+    * simple linear residue: with `(i*31+...) % 10` a query's nearest
+    * same-cluster neighbors share `i mod 10`, hence the same jitter
+    * pattern, hence the same nearest seed — every neighbor lands in the
+    * query's bucket and seeded recall saturates at 1.0 (the round-2 bug
+    * this fixture replaces). Mixing the bits decorrelates "is my cosine
+    * neighbor" from "picks my seed", so degenerate seeding scatters
+    * neighbors across buckets and seeded recall at nProbe=1 is < 1.
     */
+  private def mix(x: Int): Int = {
+    val a = x * 0x9E3779B1
+    math.floorMod(a ^ (a >>> 16), 10)
+  }
+
   private def clustered = {
     val rows = for {
       c <- 0 until 4
       i <- 0 until 40
     } yield {
-      // dense deterministic jitter on every dim: cosine to each seed is
-      // distinct and nonzero, so the degenerate seeding scatters each
-      // cluster across many buckets instead of tying into one
-      val v = Array.tabulate(8)(j => 0.01f * ((i * 31 + j * 17 + c * 7) % 10))
+      val v = Array.tabulate(8)(j => 0.01f * mix(i * 8 + j + c * 997))
       v(2 * c) += 1.0f
       ((c * 40 + i).toLong, v.toSeq)
     }
@@ -76,12 +88,15 @@ class SimilarityOpsSpec extends SparkSpec {
     val queries = corpus.filter(col("vec_id") % 10 === 0)
     val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
     val seeded = SimilarityOps.ivfTopK(queries, corpus, "vec_id", "embedding",
-      k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 0)
+      k = 5, nCentroids = 4, nProbe = 1, kmeansIters = 0)
     val refined = SimilarityOps.ivfTopK(queries, corpus, "vec_id", "embedding",
-      k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 3)
+      k = 5, nCentroids = 4, nProbe = 1, kmeansIters = 5)
     val rSeeded = recallAt5(seeded, truth)
     val rRefined = recallAt5(refined, truth)
+    info(s"recall@5: seeded=$rSeeded refined=$rRefined")
     withClue(s"seeded=$rSeeded refined=$rRefined: ") {
+      // the fixture must not be saturated, or the strict > below is unsatisfiable
+      rSeeded should be < 1.0
       rRefined should be > rSeeded
       rRefined should be >= 0.9
     }
