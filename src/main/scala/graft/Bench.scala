@@ -28,21 +28,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
-    names.foreach { case (_, fn) =>
+    // warmup failures are reported too: a query that can't even warm up
+    // would otherwise show up only as a suspiciously fast timed run
+    names.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
+    // (name, seconds, error) — error None on success; a failed query's
+    // time is still recorded but flagged ok:false so a crash can never
+    // masquerade as a fast run
     val results = names.map { case (name, fn) =>
       System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          Some(e.getClass.getName)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val oks = results.map { case (k, _, e) => "\"" + k + "\":" + e.isEmpty }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val failed = results.count(_._3.nonEmpty)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
