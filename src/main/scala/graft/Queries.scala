@@ -719,7 +719,9 @@ object Queries {
     ("x2_jaccard_pairs",
       (s: SparkSession, dir: String) => {
         val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
-        DedupOps.jaccardPairs(sh, 1, 2).orderBy(col("doc1"), col("doc2"))
+        // uncapped: the DuckDB oracle has no document-frequency cap
+        DedupOps.jaccardPairs(sh, 1, 2, maxDocFreq = Int.MaxValue)
+          .orderBy(col("doc1"), col("doc2"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
@@ -738,7 +740,9 @@ object Queries {
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {
         val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
-        DedupOps.clusterNearDups(DedupOps.jaccardPairs(sh, 1, 2))
+        // uncapped: the DuckDB oracle has no document-frequency cap
+        DedupOps.clusterNearDups(
+            DedupOps.jaccardPairs(sh, 1, 2, maxDocFreq = Int.MaxValue))
           .orderBy(col("doc_id"))
       },
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -173,16 +173,32 @@ object SplitOps {
 
   /** W5: cross-class offset accumulation — each class's CV indices are
     * shifted by the cumulative train sizes of preceding classes
-    * (`preprocess.py:128-136`). A running-sum analytic window with an
-    * explicit `rowsBetween(unboundedPreceding, -1)` frame over the
-    * per-class summary (tiny — one row per class).
+    * (`preprocess.py:128-136`).
+    *
+    * With `partitionCols` this is a running-sum analytic window with an
+    * explicit `rowsBetween(unboundedPreceding, -1)` frame — one window
+    * partition per (db, descriptor) group.
+    *
+    * With no `partitionCols` the accumulation is GLOBAL, and a global
+    * window would funnel every row through one task (and make
+    * WindowExec warn `No Partition Defined`). Instead each row's offset
+    * is computed as the sum of the train sizes of strictly-smaller
+    * classes via a broadcast triangular join — fully parallel, no
+    * single-partition stage. O(C²) pair terms for C classes, which is
+    * fine precisely because `perClass` is a one-row-per-class summary;
+    * `orderCol` must be unique (it is the group key of that summary).
     */
   def classOffsets(perClass: DataFrame, orderCol: String, trainSizeCol: String,
-                   partitionCols: Seq[String] = Nil): DataFrame = {
-    val base =
-      if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
-      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-    val w = base.rowsBetween(Window.unboundedPreceding, -1)
-    perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
-  }
+                   partitionCols: Seq[String] = Nil): DataFrame =
+    if (partitionCols.isEmpty) {
+      val sums = broadcast(perClass
+        .select(col(orderCol).as("__ok"), col(trainSizeCol).as("__ts")))
+      perClass.join(sums, sums("__ok") < perClass(orderCol), "left")
+        .groupBy(perClass.columns.map(perClass(_)): _*)
+        .agg(coalesce(sum(col("__ts")), lit(0L)).as("offset"))
+    } else {
+      val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
+    }
 }

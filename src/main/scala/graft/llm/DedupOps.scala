@@ -57,10 +57,16 @@ object DedupOps {
   def jaccardPairs(shingles: DataFrame, num: Int, den: Int,
                    maxDocFreq: Int = 128): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = shingles
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
+    // Int.MaxValue = uncapped: skip the per-shingle df window entirely.
+    // Oracle-checked callers MUST use this (the DuckDB oracles are
+    // uncapped, so any dropped hot shingle would diverge from them);
+    // the capped default is the scale path only.
+    val rare =
+      if (maxDocFreq == Int.MaxValue) shingles
+      else shingles
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
     val a = rare.select(col("doc_id").as("doc1"), col("sh"))
     val b = rare.select(col("doc_id").as("doc2"), col("sh"))
     val inter = a.join(b, Seq("sh")).filter(col("doc1") < col("doc2"))
@@ -134,8 +140,11 @@ object DedupOps {
     * Per-round cost discipline: the edge set is `localCheckpoint`ed
     * (truncating lineage so round k does not re-resolve rounds 1..k-1),
     * and convergence is ONE tiny aggregate over the checkpointed
-    * partitions — (count, hash-sum) of the edge set; a fixed point of
-    * the iteration leaves the set bit-identical.
+    * partitions — a (count, hash-sum) edge-set signature; a fixed point
+    * of the iteration leaves the set bit-identical. A signature match
+    * is then confirmed with an exact set difference (runs once, at the
+    * true fixed point), so a hash collision can never end the loop
+    * early with wrong labels.
     *
     * @param pairs (doc1, doc2) undirected near-dup edges
     * @return (doc_id, cluster_id) for every doc appearing in a pair
@@ -154,9 +163,12 @@ object DedupOps {
       .localCheckpoint()
 
     // order-free edge-set signature: equal sets => equal signature.
-    // Hashes are mod-reduced before summing so the ANSI-mode sum cannot
-    // overflow below ~9e9 edges per partition tree (and a wrap would
-    // only risk a spurious extra iteration, never a wrong result).
+    // Used only as a cheap convergence PREFILTER — a signature match is
+    // confirmed with an exact exceptAll below, so a collision (or a
+    // wrapped sum) costs one extra set-difference job, never an early
+    // exit on a non-fixed-point. Hashes are mod-reduced before summing
+    // so the ANSI-mode sum cannot overflow below ~9e9 edges per
+    // partition tree.
     def signature(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
@@ -186,7 +198,11 @@ object DedupOps {
         .distinct()
         .localCheckpoint()
       val nsig = signature(next)
-      converged = nsig == sig
+      // both sides are distinct sets and the signatures carry counts,
+      // so equal count + empty one-sided difference ⇒ set equality;
+      // both frames are already localCheckpointed, so this reads
+      // materialized partitions, not recomputed lineage
+      converged = nsig == sig && next.exceptAll(edges).isEmpty
       sig = nsig
       edges = next
       iter += 1

@@ -41,6 +41,15 @@ object Tables {
 
   /** S1 + S5: scan with existence check. A missing file is a fatal
     * analysis error (reference `preprocess.py:398-399` exits; we throw).
+    *
+    * Session requirement: loading `events` needs
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session conf
+    * (the file stores TIMESTAMP(NANOS); DSv2 honors this flag only at
+    * the session level, not per-read). Sessions built via
+    * [[graft.GraftSession.tuned]] have it set; any other session gets a
+    * fail-fast `require` here rather than a mid-scan parquet error.
+    * Earlier versions self-healed by mutating the caller's session
+    * conf; the explicit requirement replaced that (behavior change).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/${normalizeFormat(name)}"

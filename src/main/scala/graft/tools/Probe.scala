@@ -23,8 +23,11 @@ object Probe {
       val docs = Tables.load(spark, dir, "documents")
 
       // 1) LSH(bands=16) vs exact Jaccard pair set
+      // uncapped — this is the EXACT baseline the LSH recall is judged
+      // against, so it must not itself drop hot-shingle pairs
       val exact = DedupOps.jaccardPairs(
-          DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2)
+          DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2,
+          maxDocFreq = Int.MaxValue)
         .select("doc1", "doc2")
       val lsh16 = DedupOps.minHashLshPairs(docs, "doc_id", "text", 5, 64, 16, 1, 2)
         .select("doc1", "doc2")

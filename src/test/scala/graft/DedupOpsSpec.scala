@@ -104,6 +104,27 @@ class DedupOpsSpec extends SparkSpec {
     pairs should contain((1L, 3L))
   }
 
+  test("LSH(16 bands) covers the full exact-Jaccard pair set on the shipped sf0.01 testdata") {
+    // x2_minhash_lsh is oracle-checked VALUE-EXACT against the uncapped
+    // exact-Jaccard oracle, which is only sound while LSH banding misses
+    // zero qualifying pairs on this corpus (per-pair escape probability
+    // at J=0.5 is ~0.36, so this is a property of the data, not the
+    // algorithm). This spec is the tripwire: if the testdata is ever
+    // regenerated and a pair escapes the bands, THIS fails — not the
+    // oracle hash diff.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists(),
+      s"shipped testdata not present at $dir")
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val exact = DedupOps.jaccardPairs(
+        DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2,
+        maxDocFreq = Int.MaxValue)
+      .select("doc1", "doc2")
+    val lsh16 = DedupOps.minHashLshPairs(docs, "doc_id", "text", 5, 64, 16, 1, 2)
+      .select("doc1", "doc2")
+    exact.except(lsh16).count() shouldBe 0L
+  }
+
   test("X2 simHashPairs: chunk count derives from maxHamming (no pigeonhole false negatives)") {
     import graft.llm.DedupOps
     // two fingerprints at Hamming distance 7, crafted so every 16-bit
