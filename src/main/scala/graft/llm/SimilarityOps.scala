@@ -100,9 +100,7 @@ object SimilarityOps {
     cents
   }
 
-  /** IVF-style ANN: assign corpus vectors to their nearest of
-    * `centroids`, then search only the `nProbe` buckets nearest to
-    * each query.
+  /** The IVF coarse index: `(centroid_id, __centq, __centn2)`.
     *
     * Centroid choice is seed-free and reproducible: the `nCentroids`
     * corpus vectors with the smallest ids, optionally refined with
@@ -110,32 +108,60 @@ object SimilarityOps {
     * ([[refineCentroids]]) — same bucketing/probing plan, measurably
     * better recall at low nProbe (SimilarityOpsSpec pins the
     * improvement; tools/Probe measures it on the testdata embeddings).
+    *
+    * This is the expensive, corpus-wide part of IVF — at scale compute
+    * it ONCE per corpus (localCheckpoint it, or persist it as a table),
+    * then pass the result to every [[ivfTopK]] /
+    * [[cosineNearDupPairsIvf]] batch: index once, query many. The
+    * convenience overloads that take `nCentroids` re-derive it inline
+    * and are for one-shot use.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nCentroids: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame = {
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, kmeansIters: Int = 0): DataFrame = {
     val seeds = quantized(corpus.orderBy(col(idCol)).limit(nCentroids), idCol, vecCol)
       .select(col(idCol).as("centroid_id"), col("__qv").as("__centq"))
     val refined =
       if (kmeansIters > 0) refineCentroids(corpus, idCol, vecCol, seeds, kmeansIters)
       else seeds
-    val cents = refined
-      .withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq")))
-    val centsB = broadcast(cents)
+    refined.withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq")))
+  }
 
-    // bucket assignment: nearest centroid by quantized cosine
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = quantized(df, idCol, vecCol).join(centsB)
-        .withColumn("__cscore",
-          quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
-            col("__n2"), col("__centn2")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__cscore").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= keep)
-        .drop("__cscore", "__cr", "__centq", "__centn2")
-    }
+  /** Each row of `df` joined to its `keep` nearest centroids by
+    * quantized cosine (id tiebreak): output is `df`'s (idCol, __qv,
+    * __n2) plus `centroid_id`, one row per (row, probed bucket).
+    */
+  private def assignBuckets(df: DataFrame, idCol: String, vecCol: String,
+                            centsB: DataFrame, keep: Int): DataFrame = {
+    val scored = quantized(df, idCol, vecCol).join(centsB)
+      .withColumn("__cscore",
+        quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
+          col("__n2"), col("__centn2")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cscore").desc, col("centroid_id"))
+    scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= keep)
+      .drop("__cscore", "__cr", "__centq", "__centn2")
+  }
 
-    val bucketed = assign(corpus, 1)
+  /** IVF-style ANN, one-shot: derives the coarse index inline, then
+    * searches. See the overload taking `centroids` for the amortized
+    * (index once, query many) shape.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nCentroids: Int, nProbe: Int, kmeansIters: Int = 0): DataFrame =
+    ivfTopK(queries, corpus, idCol, vecCol, k,
+      ivfCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters), nProbe)
+
+  /** IVF-style ANN against a precomputed coarse index
+    * ([[ivfCentroids]]): assign corpus vectors to their nearest
+    * centroid, then search only the `nProbe` buckets nearest to each
+    * query.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val centsB = broadcast(centroids)
+
+    val bucketed = assignBuckets(corpus, idCol, vecCol, centsB, 1)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    val probes = assign(queries, nProbe)
+    val probes = assignBuckets(queries, idCol, vecCol, centsB, nProbe)
       .select(col("centroid_id"), col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
 
     // per-bucket brute force: join is on centroid_id, so only probed
@@ -174,6 +200,42 @@ object SimilarityOps {
         col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num))
       .select(col("id_a"), col("id_b"),
         quantizedCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))
+  }
+
+  /** X2 (embedding variant), IVF-bucketed — the 100 TB shape of
+    * [[cosineNearDupPairs]]: every vector is assigned to its `nProbe`
+    * nearest coarse centroids ([[ivfCentroids]]), candidate pairs are
+    * only those co-located in at least one bucket, and each candidate
+    * is verified with the same all-integer threshold test. The pair
+    * join is on `centroid_id`, so work is per-bucket
+    * (Σ bucket² · nProbe² in the worst case), never N² — and each
+    * bucket is an independent shuffle partition.
+    *
+    * Recall semantics: a qualifying pair is missed iff its two vectors
+    * share none of their `nProbe` buckets (false negatives possible,
+    * like LSH banding); verified pairs are never false positives. At
+    * `nProbe` = nCentroids every pair co-locates, so the output
+    * degenerates to exactly [[cosineNearDupPairs]] — the oracle anchor
+    * the driver gate checks value-exact.
+    */
+  def cosineNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
+                            num: Long, den: Long,
+                            centroids: DataFrame, nProbe: Int): DataFrame = {
+    val assigned = assignBuckets(df, idCol, vecCol, broadcast(centroids), nProbe)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("__qv").as("__qa"), col("__n2").as("__na"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("__qv").as("__qb"), col("__n2").as("__nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__dot", VectorFunctions.longDot(col("__qa"), col("__qb")))
+      .filter(col("__dot") >= 0 &&
+        col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num))
+      .select(col("id_a"), col("id_b"),
+        quantizedCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))
+      // a pair can co-locate in up to nProbe² buckets; cosine is a pure
+      // function of the pair, so the duplicate rows are identical
+      .distinct()
   }
 
   /** Adds `__qv` (quantized ARRAY<BIGINT>) and `__n2` (integer squared

@@ -111,6 +111,21 @@ class SimilarityOpsSpec extends SparkSpec {
     again.exceptAll(seeds).count() shouldBe 0L
   }
 
+  test("cosineNearDupPairsIvf: full probe equals all-pairs baseline, low probe is a subset") {
+    val corpus = clustered
+    // within-cluster cosine ≈ 1, cross-cluster ≈ 0 ⇒ threshold 0.9
+    // selects exactly the within-cluster pairs
+    val base = SimilarityOps.cosineNearDupPairs(corpus, "vec_id", "embedding", 9, 10)
+    base.count() should be > 0L
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 8, kmeansIters = 2)
+    val full = SimilarityOps.cosineNearDupPairsIvf(corpus, "vec_id", "embedding", 9, 10, cents, nProbe = 8)
+    full.exceptAll(base).count() shouldBe 0L
+    base.exceptAll(full).count() shouldBe 0L
+    // bucketing can only drop pairs (false negatives), never invent them
+    val low = SimilarityOps.cosineNearDupPairsIvf(corpus, "vec_id", "embedding", 9, 10, cents, nProbe = 1)
+    low.exceptAll(base).count() shouldBe 0L
+  }
+
   test("ivfTopK with kmeans refinement still matches brute force at full probe") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") % 10 === 0)

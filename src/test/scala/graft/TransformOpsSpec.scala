@@ -107,6 +107,30 @@ class TransformOpsSpec extends SparkSpec {
     math.abs(approx - exact) / exact should be < 0.03
   }
 
+  test("approx_percentile honors the GK rank-error guarantee vs exact percentile") {
+    // pins q_percentiles_approx (rows-only in the driver gate): the
+    // returned element's rank must be within ε·N of the target rank,
+    // per class, for both percentiles the query computes
+    val accuracy = 10000 // ε = 1/accuracy
+    val li = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val approx = li.groupBy("l_returnflag").agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("aq"),
+        expr(s"approx_percentile(l_extendedprice, 0.9, $accuracy)").as("ap"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx should not be empty
+    for ((cls, (aq, ap)) <- approx; (colName, v, p) <- Seq(("l_quantity", aq, 0.5), ("l_extendedprice", ap, 0.9))) {
+      val grp = li.filter(col("l_returnflag") === cls)
+      val n = grp.count().toDouble
+      val below = grp.filter(col(colName) < v).count().toDouble
+      val atOrBelow = grp.filter(col(colName) <= v).count().toDouble
+      val eps = 1.0 / accuracy + 1.0 / n // GK bound + discreteness slack
+      withClue(s"$cls/$colName value=$v rank in [${below + 1}, $atOrBelow] of $n: ") {
+        atOrBelow / n should be >= (p - eps)
+        below / n should be <= (p + eps)
+      }
+    }
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
