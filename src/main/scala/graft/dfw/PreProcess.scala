@@ -135,4 +135,17 @@ object PreProcess {
             load: Config.LoadConfig = Config.LoadConfig()): PreProcess =
     new PreProcess(samples, permutations, config.train.head, config.cv,
       config.center, config.extend, load.range)
+
+  /** Build straight from the reference's native `.mat` layout
+    * (S1, `tools.py:58-79`): `x` feature cells become the samples,
+    * `r` permutation cells the stored orderings — both through the
+    * graft-mat DataSource V2.
+    */
+  def fromMat(spark: org.apache.spark.sql.SparkSession, path: String,
+              db: String = "default", descriptor: String = "default",
+              config: Config.ProcessConfig = Config.ProcessConfig(),
+              load: Config.LoadConfig = Config.LoadConfig()): PreProcess =
+    apply(graft.sources.Tables.matSamples(spark, path, db, descriptor),
+      Some(graft.sources.Tables.matPermutations(spark, path, db, descriptor)),
+      config, load)
 }

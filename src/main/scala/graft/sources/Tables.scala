@@ -75,4 +75,42 @@ object Tables {
     import org.apache.spark.sql.functions.col
     load(spark, dir, name).select(cols.map(col): _*)
   }
+
+  // ---------------------------------------------------------------
+  // S1 (.mat fidelity): the reference's native input — per-class `x`
+  // feature cells and `r` permutation cells in a MATLAB v5 file, read
+  // through the graft-mat DataSource V2 (graft.sources.mat).
+  // ---------------------------------------------------------------
+
+  /** The `x` variable as [[graft.dfw.PreProcess]] samples:
+    * `(db, descriptor, cls, sample_id, features)`. `sample_id` is the
+    * 0-based row index within the class cell — the identity the
+    * permutation values select (reference `preprocess.py:53`).
+    */
+  def matSamples(spark: SparkSession, path: String,
+                 db: String = "default", descriptor: String = "default"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft-mat").option("vars", "x").load(path)
+      .select(lit(db).as("db"), lit(descriptor).as("descriptor"), col("cls"),
+        col("row_idx").cast("long").as("sample_id"), col("vals").as("features"))
+  }
+
+  /** The `r` variable as [[graft.dfw.PreProcess]] permutations:
+    * `(db, descriptor, cls, trial, pos, sample_id)` — trial = the cell
+    * matrix row, pos = 0-based position in the stored order, sample_id
+    * = the stored sample index with the reference's MATLAB 1-based
+    * normalization applied per (class, trial)
+    * (`preprocess.py:423-424`, [[graft.dfw.PermOps.normalizeIndices]]).
+    */
+  def matPermutations(spark: SparkSession, path: String,
+                      db: String = "default", descriptor: String = "default"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val exploded = spark.read.format("graft-mat").option("vars", "r").load(path)
+      .select(lit(db).as("db"), lit(descriptor).as("descriptor"), col("cls"),
+        col("row_idx").as("trial"), posexplode(col("vals")).as(Seq("pos", "sid")))
+      .select(col("db"), col("descriptor"), col("cls"), col("trial"),
+        col("pos").cast("long").as("pos"), col("sid").cast("long").as("sample_id"))
+    graft.dfw.PermOps.normalizeIndices(exploded,
+      Seq("db", "descriptor", "cls", "trial"), "sample_id")
+  }
 }

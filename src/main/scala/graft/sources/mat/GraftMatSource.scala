@@ -1,0 +1,136 @@
+package graft.sources.mat
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference's `.mat` layout (S1 —
+  * reference `tools.py:58-79`): per-class feature matrices `x` and
+  * permutation matrices `r` stored as cell arrays.
+  *
+  * `spark.read.format("graft-mat").load(path)` yields
+  * `(var STRING, cls INT, row_idx INT, vals ARRAY<DOUBLE>)`:
+  * one row per matrix row, `cls` = the cell (class) index, `vals` =
+  * that row widened to double. Options:
+  *  - `vars` — comma-separated variable projection (S2 at the source:
+  *    unlisted variables are never even structure-parsed into
+  *    partitions)
+  *
+  * Scale shape: planning scans only element tags (O(#variables) I/O);
+  * each (variable, class) cell becomes its own InputPartition whose
+  * reader seeks directly to the cell's payload, so classes decode in
+  * parallel and a pruned read of the metadata columns (`vals` not
+  * required) performs NO data I/O at all — the row set comes from the
+  * dimensions in the tags. A .mat file is still a single-file format:
+  * for 100 TB pipelines this source is the fidelity/ingest edge, and
+  * the first job is `CREATE TABLE ... AS SELECT` into parquet.
+  */
+final class GraftMatSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mat"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftMatTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-mat: .load(path) is required"))
+    val vars = Option(properties.get("vars"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    new GraftMatTable(path, vars)
+  }
+}
+
+object GraftMatTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("var", StringType, nullable = false),
+    StructField("cls", IntegerType, nullable = false),
+    StructField("row_idx", IntegerType, nullable = false),
+    StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
+}
+
+final class GraftMatTable(path: String, vars: Option[Set[String]])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-mat:$path"
+  override def schema(): StructType = GraftMatTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMatScanBuilder(path, vars)
+}
+
+final class GraftMatScanBuilder(path: String, vars: Option[Set[String]])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GraftMatTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-mat $path vars=${vars.map(_.mkString(",")).getOrElse("*")} cols=${required.fieldNames.mkString(",")}"
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val metas = MatV5.scanStructure(path)
+        .filter(v => vars.forall(_.contains(v.name)))
+      metas.flatMap { v =>
+        v.cells.zipWithIndex.map { case (m, i) =>
+          MatInputPartition(path, v.name, i, m.rows, m.cols, m.dataType, m.dataOffset)
+        }
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new MatReaderFactory(required)
+  }
+}
+
+final case class MatInputPartition(path: String, varName: String, cls: Int,
+                                   rows: Int, cols: Int, dataType: Int,
+                                   dataOffset: Long) extends InputPartition
+
+final class MatReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MatInputPartition]
+    new PartitionReader[InternalRow] {
+      // the only data I/O in the reader — lazy, so it is skipped
+      // entirely when `vals` is pruned away (dims came from the
+      // planning-time tag scan)
+      private lazy val data: Array[Double] =
+        MatV5.readData(p.path, MatV5.NumericMeta(p.rows, p.cols, p.dataType, p.dataOffset))
+      private var r = -1
+
+      override def next(): Boolean = { r += 1; r < p.rows }
+
+      override def get(): InternalRow = {
+        val values = required.fieldNames.map {
+          case "var" => UTF8String.fromString(p.varName)
+          case "cls" => p.cls
+          case "row_idx" => r
+          case "vals" =>
+            // column-major payload -> this row's vector
+            val row = new Array[Double](p.cols)
+            var j = 0
+            while (j < p.cols) { row(j) = data(r + j * p.rows); j += 1 }
+            new GenericArrayData(row)
+          case other => throw new IllegalStateException(s"unknown column $other")
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
