@@ -179,26 +179,26 @@ object SplitOps {
     * explicit `rowsBetween(unboundedPreceding, -1)` frame — one window
     * partition per (db, descriptor) group.
     *
-    * With no `partitionCols` the accumulation is GLOBAL, and a global
-    * window would funnel every row through one task (and make
-    * WindowExec warn `No Partition Defined`). Instead each row's offset
-    * is computed as the sum of the train sizes of strictly-smaller
-    * classes via a broadcast triangular join — fully parallel, no
-    * single-partition stage. O(C²) pair terms for C classes, which is
-    * fine precisely because `perClass` is a one-row-per-class summary;
-    * `orderCol` must be unique (it is the group key of that summary).
+    * With no `partitionCols` the accumulation is GLOBAL and the single
+    * window partition IS the semantics — safe only because `perClass`
+    * is a one-row-per-class summary (#classes rows); callers
+    * accumulating across many (db, descriptor) groups must pass
+    * `partitionCols`. The partition key is a data-derived constant
+    * zero rather than nothing or `lit(0)`: value-wise one partition,
+    * but (a) not foldable, so Catalyst cannot strip it back to an
+    * empty partition spec (which would make WindowExec warn about an
+    * accidental `No Partition Defined` all-to-one move — here it is
+    * deliberate), and (b) still ONE derivation of the input plan —
+    * a triangular-join formulation was measured re-deriving the whole
+    * upstream split pipeline twice, a disastrous trade at scale.
     */
   def classOffsets(perClass: DataFrame, orderCol: String, trainSizeCol: String,
-                   partitionCols: Seq[String] = Nil): DataFrame =
-    if (partitionCols.isEmpty) {
-      val sums = broadcast(perClass
-        .select(col(orderCol).as("__ok"), col(trainSizeCol).as("__ts")))
-      perClass.join(sums, sums("__ok") < perClass(orderCol), "left")
-        .groupBy(perClass.columns.map(perClass(_)): _*)
-        .agg(coalesce(sum(col("__ts")), lit(0L)).as("offset"))
-    } else {
-      val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
-    }
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty)
+        Window.partitionBy(length(col(orderCol).cast("string")) * 0).orderBy(col(orderCol))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
+  }
 }

@@ -65,6 +65,20 @@ object Probe {
         val recall = got.intersect(truth).count().toDouble / nTruth
         println(f"ivf recall@5 nProbe=$nProbe iters=$iters: $recall%.4f")
       }
+
+      // 5) IVF near-dup pair recall vs the all-pairs baseline at 0.45;
+      // pair cost model is nProbe²/K of N², so (K, nProbe) must keep
+      // nProbe² << K to beat the baseline
+      val basePairs = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 9, 20)
+        .select("id_a", "id_b")
+      val nBase = basePairs.count()
+      for ((k, np) <- Seq((16, 2), (16, 4), (32, 2), (32, 4), (64, 4))) {
+        val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding", k, 2)
+        val got = SimilarityOps.cosineNearDupPairsIvf(emb, "vec_id", "embedding",
+            9, 20, cents, np).select("id_a", "id_b")
+        val hit = got.intersect(basePairs).count()
+        println(s"neardup ivf K=$k nProbe=$np: $hit/$nBase pairs")
+      }
     }
     spark.stop()
   }
