@@ -78,15 +78,13 @@ object SimilarityOps {
       .select(col(idCol), col("__qv"), col("__n2"))
     var cents = seeds
     for (_ <- 1 to iters) {
-      val centsB = broadcast(cents
-        .withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq"))))
-      val scored = corpusQ.join(centsB)
-        .withColumn("__score",
-          when(col("__centn2") === 0, lit(-2.0)).otherwise(
-            quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
-              col("__n2"), col("__centn2"))))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("centroid_id"))
-      val assigned = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      // map-only argmax ([[argTopCentroids]]): the only shuffle per
+      // iteration is the mean aggregation below
+      val assigned = argTopCentroids(
+        corpusQ,
+        cents.withColumn("__centn2",
+          VectorFunctions.longDot(col("__centq"), col("__centq"))),
+        keep = 1)
       cents = assigned
         .select(col("centroid_id"), posexplode(col("__qv")).as(Seq("p", "v")))
         .groupBy("centroid_id", "p").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -126,20 +124,53 @@ object SimilarityOps {
     refined.withColumn("__centn2", VectorFunctions.longDot(col("__centq"), col("__centq")))
   }
 
-  /** Each row of `df` joined to its `keep` nearest centroids by
-    * quantized cosine (id tiebreak): output is `df`'s (idCol, __qv,
-    * __n2) plus `centroid_id`, one row per (row, probed bucket).
+  /** MAP-ONLY centroid assignment: adds `centroid_id`, one output row
+    * per (input row, probed bucket), for rows already carrying
+    * (`__qv`, `__n2`).
+    *
+    * The centroid table is collapsed to a single row holding an array
+    * of (centroid_id, q, n2) structs and broadcast; each data row then
+    * scores all K centroids and takes its top-`keep` with a per-row
+    * sort — transform → array_sort → slice → explode, all inside the
+    * row's task. The previous formulation broadcast-joined K rows per
+    * input row and ranked them through a window PARTITIONED BY id:
+    * correct, but it shuffled N·K rows per query batch, which at
+    * K in the thousands dwarfs the search itself. Scoring work
+    * (K dots per row) is identical; the shuffle is gone.
+    *
+    * Ordering matches the old window exactly (score desc, centroid_id
+    * asc); zero-norm rows or centroids score -2.0 (below any real
+    * cosine) instead of NaN.
+    */
+  private def argTopCentroids(dfQ: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val centArr = broadcast(cents.agg(
+      array_sort(collect_list(struct(col("centroid_id"), col("__centq"), col("__centn2"))))
+        .as("__cents")))
+    val scored = transform(col("__cents"), c => struct(
+      when(col("__n2") === 0 || c.getField("__centn2") === 0, lit(-2.0))
+        .otherwise(quantizedCosine(
+          VectorFunctions.longDot(col("__qv"), c.getField("__centq")),
+          col("__n2"), c.getField("__centn2"))).as("score"),
+      c.getField("centroid_id").as("centroid_id")))
+    val ranked = array_sort(scored, (l, r) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("centroid_id") < r.getField("centroid_id"), -1)
+        .when(l.getField("centroid_id") > r.getField("centroid_id"), 1)
+        .otherwise(0))
+    dfQ.join(centArr) // 1-row broadcast: nested-loop join, no shuffle
+      .withColumn("__c", explode(slice(ranked, 1, keep)))
+      .withColumn("centroid_id", col("__c").getField("centroid_id"))
+      .drop("__cents", "__c")
+  }
+
+  /** Each row of `df` assigned to its `keep` nearest centroids by
+    * quantized cosine (id tiebreak): `df`'s columns plus (`__qv`,
+    * `__n2`, `centroid_id`), one row per (row, probed bucket).
     */
   private def assignBuckets(df: DataFrame, idCol: String, vecCol: String,
-                            centsB: DataFrame, keep: Int): DataFrame = {
-    val scored = quantized(df, idCol, vecCol).join(centsB)
-      .withColumn("__cscore",
-        quantizedCosine(VectorFunctions.longDot(col("__qv"), col("__centq")),
-          col("__n2"), col("__centn2")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cscore").desc, col("centroid_id"))
-    scored.withColumn("__cr", row_number().over(w)).filter(col("__cr") <= keep)
-      .drop("__cscore", "__cr", "__centq", "__centn2")
-  }
+                            cents: DataFrame, keep: Int): DataFrame =
+    argTopCentroids(quantized(df, idCol, vecCol), cents, keep)
 
   /** IVF-style ANN, one-shot: derives the coarse index inline, then
     * searches. See the overload taking `centroids` for the amortized
@@ -157,11 +188,9 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, centroids: DataFrame, nProbe: Int): DataFrame = {
-    val centsB = broadcast(centroids)
-
-    val bucketed = assignBuckets(corpus, idCol, vecCol, centsB, 1)
+    val bucketed = assignBuckets(corpus, idCol, vecCol, centroids, 1)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    val probes = assignBuckets(queries, idCol, vecCol, centsB, nProbe)
+    val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
       .select(col("centroid_id"), col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
 
     // per-bucket brute force: join is on centroid_id, so only probed
@@ -221,7 +250,7 @@ object SimilarityOps {
   def cosineNearDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
                             num: Long, den: Long,
                             centroids: DataFrame, nProbe: Int): DataFrame = {
-    val assigned = assignBuckets(df, idCol, vecCol, broadcast(centroids), nProbe)
+    val assigned = assignBuckets(df, idCol, vecCol, centroids, nProbe)
     val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
       col("__qv").as("__qa"), col("__n2").as("__na"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
