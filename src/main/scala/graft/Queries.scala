@@ -746,6 +746,27 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // ---- X1/X6: exact dedup on the event stream's batch twin —
+    // first arrival (lowest event_id) per (user_id, event_type); the
+    // streaming variant is StreamOps.dedupStream
+    // (dropDuplicatesWithinWatermark), spec-tested equal on shared
+    // input ----
+    ("x6_dedup_events",
+      (s: SparkSession, dir: String) => {
+        DedupOps.exactDedup(
+            Tables.load(s, dir, "events")
+              .select(col("event_id"), col("user_id"), col("event_type")),
+            struct(col("user_id"), col("event_type")), "event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("n_dups"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (SELECT event_id, user_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_dups
+             |  FROM events)
+             |SELECT event_id, user_id, event_type, n_dups FROM r WHERE rn = 1
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- X1: exact dedup (keep lowest id per normalized key) ----
     ("x1_dedup_exact",
       (s: SparkSession, dir: String) => {

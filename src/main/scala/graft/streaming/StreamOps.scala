@@ -64,6 +64,21 @@ object StreamOps {
   def tumblingAggStream(events: DataFrame, windowDuration: String, watermark: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), windowDuration)
 
+  /** Streaming exact dedup (X1 on a stream): keep only the FIRST
+    * arrival of each key, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` expires a key's state once the
+    * watermark passes it, which is the only way exact dedup survives
+    * an unbounded stream (plain `dropDuplicates` grows state forever).
+    * Keys recurring farther apart than the watermark re-emit; choose
+    * the horizon accordingly.
+    *
+    * Batch twin: [[graft.llm.DedupOps.exactDedup]] keyed the same way
+    * (the `x6_dedup_events` driver query pins it against the DuckDB
+    * oracle).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

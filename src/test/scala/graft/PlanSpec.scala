@@ -61,4 +61,20 @@ class PlanSpec extends SparkSpec {
   test("x3_ann_ivf: probe-bucket join is keyed, not a cross join") {
     formatted("x3_ann_ivf") should not include "CartesianProduct"
   }
+
+  test("x3_ann_ivf: centroid assignment is map-only — the only Window is the final rank") {
+    // the assignment used to rank N*K rows through a window partitioned
+    // by vector id (one shuffle per assign); the map-only rewrite must
+    // keep exactly ONE Window in the whole plan: the top-k rank
+    val plan = formatted("x3_ann_ivf")
+    // "(n) Window" counts physical nodes once (the formatted dump
+    // repeats each node in the tree and in the details section)
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("x2_embed_neardup_ivf: no windows at all, pair join keyed on centroid_id") {
+    val plan = formatted("x2_embed_neardup_ivf")
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
 }

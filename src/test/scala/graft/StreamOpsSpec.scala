@@ -56,6 +56,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream keeps first arrivals only, across micro-batches, equal to batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = StreamOps.dedupStream(streamDf, Seq("user_id", "event_type"), watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      // batch 1: first arrivals + an in-batch duplicate
+      mem.addData(
+        (1L, "u1", "click", 1.0, ts(0)),
+        (2L, "u1", "click", 2.0, ts(5)), // dup of (u1, click) in the same batch
+        (3L, "u2", "view", 3.0, ts(1)))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (state must remember u1/click)
+      // and one genuinely new key
+      mem.addData(
+        (4L, "u1", "click", 4.0, ts(10)),
+        (5L, "u2", "click", 5.0, ts(12)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      got shouldBe Set(1L, 3L, 5L)
+      // the batch twin keyed identically keeps the same survivors
+      val batchIds = graft.llm.DedupOps.exactDedup(
+          Seq((1L, "u1", "click"), (2L, "u1", "click"), (3L, "u2", "view"),
+            (4L, "u1", "click"), (5L, "u2", "click"))
+            .toDF("event_id", "user_id", "event_type"),
+          struct(col("user_id"), col("event_type")), "event_id")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      batchIds shouldBe got
+    } finally q.stop()
+  }
+
   test("file-source readStream: tumbling agg over real parquet matches the batch run") {
     // file streams want a directory; stage the sf0.001 events file into one
     val dir = java.nio.file.Files.createTempDirectory("stream-events")
