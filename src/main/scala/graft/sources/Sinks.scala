@@ -54,4 +54,35 @@ object Sinks {
     df.repartition(keyCols.map(col): _*)
       .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Export `(cls, features ARRAY<DOUBLE>)` rows back to the
+    * reference's native `.mat` layout: variable `x` = one cell matrix
+    * per class, rows ordered by `idCol` (graft.sources.mat.MatV5,
+    * readable by `scipy.io.loadmat` and by the graft-mat source).
+    *
+    * DELIBERATELY driver-side: a `.mat` file is a single-machine
+    * format — the reference itself holds everything in driver memory —
+    * so this is the interop/export edge for model-fitting-sized
+    * results, NOT a distributed sink. `maxRows` fail-fasts if someone
+    * points it at table-scale data (write parquet instead).
+    */
+  def writeMat(df: DataFrame, path: String, clsCol: String = "cls",
+               idCol: String = "sample_id", featuresCol: String = "features",
+               maxRows: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(clsCol).cast("int"), col(idCol), col(featuresCol))
+      .orderBy(col(clsCol), col(idCol))
+      .collect()
+    require(rows.length <= maxRows,
+      s".mat export is driver-side and got ${rows.length} rows (max $maxRows) — write parquet for data at scale")
+    val byCls = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    require(byCls.nonEmpty, ".mat export of an empty DataFrame")
+    val cells = byCls.map { case (_, rs) =>
+      val mats = rs.map(_.getSeq[Double](2))
+      val cols = mats.head.length
+      require(mats.forall(_.length == cols), "ragged feature arrays in .mat export")
+      graft.sources.mat.MatV5.Matrix(mats.length, cols, mats.flatten.toArray)
+    }
+    graft.sources.mat.MatV5.write(path, Seq("x" -> Right(cells)))
+  }
 }

@@ -77,6 +77,22 @@ class MatSourceSpec extends SparkSpec {
     f shouldBe Seq(20.0, 21.0, 22.0) // sample 2 of class 0
   }
 
+  test("Sinks.writeMat round-trips through the graft-mat source (read-write interop)") {
+    import spark.implicits._
+    val df = Seq(
+      (0, 0L, Seq(1.0, 2.0)), (0, 1L, Seq(3.0, 4.0)),
+      (1, 0L, Seq(9.0, 8.0))).toDF("cls", "sample_id", "features")
+    val dir = Files.createTempDirectory("graft-mat-out").toFile
+    dir.deleteOnExit()
+    val out = new java.io.File(dir, "export.mat").getPath
+    graft.sources.Sinks.writeMat(df, out)
+    val back = Tables.matSamples(spark, out)
+      .select("cls", "sample_id", "features").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSet
+    back shouldBe Set(
+      (0, 0L, Seq(1.0, 2.0)), (0, 1L, Seq(3.0, 4.0)), (1, 0L, Seq(9.0, 8.0)))
+  }
+
   test("matPermutations applies 1-based normalization per (class, trial)") {
     val perms = Tables.matPermutations(spark, fixture)
     perms.agg(min(col("sample_id")), max(col("sample_id"))).head() match {
