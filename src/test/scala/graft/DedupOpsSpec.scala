@@ -61,9 +61,15 @@ class DedupOpsSpec extends SparkSpec {
   test("X2 clusterNearDups: transitive closure gets one min-id label per component") {
     // components: {1,2,3} via chain 1-2, 2-3; {7,9}
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc1", "doc2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // default: small-graph union-find fast path
     val got = DedupOps.clusterNearDups(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    got shouldBe expected
+    // forced distributed iteration must produce identical labels
+    val distributed = DedupOps.clusterNearDups(pairs, localEdgeThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    distributed shouldBe expected
   }
 
   test("X2 simHash: identical docs get identical fingerprints, hamming 0 pair found") {
@@ -78,8 +84,10 @@ class DedupOpsSpec extends SparkSpec {
   test("X2 clusterNearDups: a long chain converges (large-star/small-star, not O(diameter))") {
     // a 64-link chain: plain min-label propagation needs 64 rounds;
     // the alternating-star iteration must finish inside maxIter=10
+    // (localEdgeThreshold = 0 forces the distributed path — the
+    // default would solve this driver-side)
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc1", "doc2")
-    val got = DedupOps.clusterNearDups(chain, maxIter = 10).collect()
+    val got = DedupOps.clusterNearDups(chain, maxIter = 10, localEdgeThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     got.keySet shouldBe (0L to 64L).toSet
     all(got.values) shouldBe 0L
