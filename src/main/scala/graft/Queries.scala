@@ -802,6 +802,68 @@ object Queries {
              |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
              |ORDER BY doc1, doc2""".stripMargin)),
 
+    // ---- X2: cross-corpus contamination (benchmark-leakage check):
+    // best-matching train doc per eval doc by shingle Jaccard ----
+    ("x2_contamination",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val trainSh = DedupOps.wordShingles(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", 5)
+        val evalSh = DedupOps.wordShingles(
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 5)
+        // uncapped: the DuckDB oracle has no document-frequency cap
+        DedupOps.contamination(trainSh, evalSh, maxDocFreq = Int.MaxValue)
+          .orderBy(col("eval_doc"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh FROM s0),
+             |tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+             |ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+             |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_t FROM tr GROUP BY 1),
+             |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_e FROM ev GROUP BY 1),
+             |it AS (SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+             |         CAST(count(*) AS BIGINT) AS inter
+             |       FROM ev JOIN tr ON ev.sh = tr.sh GROUP BY 1, 2),
+             |sc AS (SELECT eval_doc, train_doc, inter, n_e + n_t - inter AS uni,
+             |         CAST(inter AS DOUBLE) / (n_e + n_t - inter) AS jaccard
+             |       FROM it JOIN ne ON ne.doc_id = eval_doc JOIN nt ON nt.doc_id = train_doc),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY eval_doc ORDER BY jaccard DESC, train_doc) AS rn FROM sc)
+             |SELECT eval_doc, train_doc, inter, uni, jaccard FROM rk WHERE rn = 1
+             |ORDER BY eval_doc""".stripMargin)),
+
+    // ---- X4: context-window chunking (training-sequence cutting) ----
+    ("x4_chunk_windows",
+      (s: SparkSession, dir: String) => {
+        TextOps.chunkTokens(Tables.load(s, dir, "documents"), "doc_id", "text",
+            window = 64, stride = 48)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s FROM t)
+             |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+             |  array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text,
+             |  CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- X4: streaming sequence packing (cumulative token budget per shard) ----
+    ("x4_pack_greedy",
+      (s: SparkSession, dir: String) => {
+        TextOps.packGreedy(Tables.load(s, dir, "documents"), "doc_id", "text",
+            budgetTokens = 2048, shards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |       FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |      FROM t)
+             |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {

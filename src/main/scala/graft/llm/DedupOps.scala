@@ -79,6 +79,45 @@ object DedupOps {
       .select("doc1", "doc2", "inter", "uni")
   }
 
+  /** X2 (cross-corpus): train/eval contamination check — for each
+    * eval document, its best-matching train document by n-gram
+    * Jaccard, via the same shingle inverted index as [[jaccardPairs]]
+    * but across two corpora (the benchmark-leakage test every
+    * training-data pipeline runs before shipping a dataset).
+    *
+    * Only eval docs sharing at least one (sub-`maxDocFreq`) shingle
+    * with some train doc appear — absent means "no contamination
+    * candidate". `jaccard` is a single double division of exact
+    * integers, so it is oracle-reproducible; top-1 selection
+    * tiebreaks on train doc id. Scale shape: inverted-index join
+    * keyed on the shingle (never eval×train), hot shingles capped as
+    * in [[jaccardPairs]]; the top-1 rank runs per eval doc
+    * (WindowGroupLimit keeps it partial).
+    */
+  def contamination(trainShingles: DataFrame, evalShingles: DataFrame,
+                    maxDocFreq: Int = 128): DataFrame = {
+    val trainSizes = trainShingles.groupBy("doc_id").agg(count(lit(1)).as("n_t"))
+    val evalSizes = evalShingles.groupBy("doc_id").agg(count(lit(1)).as("n_e"))
+    val rareTrain =
+      if (maxDocFreq == Int.MaxValue) trainShingles
+      else trainShingles
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    val inter = evalShingles.select(col("doc_id").as("eval_doc"), col("sh"))
+      .join(rareTrain.select(col("doc_id").as("train_doc"), col("sh")), Seq("sh"))
+      .groupBy("eval_doc", "train_doc").agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(evalSizes.withColumnRenamed("doc_id", "eval_doc"), "eval_doc")
+      .join(trainSizes.withColumnRenamed("doc_id", "train_doc"), "train_doc")
+      .withColumn("uni", col("n_e") + col("n_t") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    val w = Window.partitionBy(col("eval_doc"))
+      .orderBy(col("jaccard").desc, col("train_doc"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select("eval_doc", "train_doc", "inter", "uni", "jaccard")
+  }
+
   /** MinHash signature per document: `sig[i] = min over shingles of
     * xxhash64(i, shingle)`. `numHashes` independent hash functions come
     * from seeding xxhash64 with the function index.

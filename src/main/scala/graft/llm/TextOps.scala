@@ -40,6 +40,60 @@ object TextOps {
       .withColumn("predicted", when(col("n_markers") >= threshold, lit(label)).otherwise(lit("other")))
   }
 
+  /** X4: context-window chunking — split each document's token stream
+    * into overlapping windows of `window` tokens every `stride`
+    * tokens (the standard shape for cutting corpus documents into
+    * training sequences). A chunk opens at every position
+    * 1, 1+stride, … ≤ n, so trailing chunks may be shorter than
+    * `window`; with `stride <= window` every token is covered.
+    *
+    * Scale: one Generate (explode) per document, no shuffle at all —
+    * chunk rows stay on their document's partitions; output grows by
+    * ~window/stride×.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(toks), 1), $stride), i -> slice(toks, i, $window))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast("long").as("n_tokens"))
+  }
+
+  /** X4: streaming sequence packing — assign documents to training
+    * packs of ~`budgetTokens` by cumulative token count, in
+    * deterministic `idCol` order within each of `shards` shards:
+    * `pack_id = tokens-before-this-doc div budget`. A document
+    * straddling a boundary stays in the earlier pack, so packs can
+    * overflow by less than one document — the streaming-pack variant
+    * used in practice (exact bin packing is inherently sequential and
+    * does not parallelize).
+    *
+    * Scale: sharding bounds every window partition (pick `shards` ≈
+    * cluster parallelism); within a shard the running sum is the
+    * standard analytic window. Packs are meaningful within a shard
+    * only — exactly how distributed tokenizer pipelines shard packing.
+    */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+                 budgetTokens: Int, shards: Int): DataFrame = {
+    require(budgetTokens > 0 && shards > 0, "budget and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budgetTokens"))
+      .select("doc_id", "shard", "n_tokens", "pack_id")
+  }
+
   /** Character-trigram language ID — the classic n-gram-profile
     * heuristic: slide a 3-char window over the lowercased text, count
     * hits against per-language trigram profiles, argmax wins. Pure

@@ -70,6 +70,46 @@ class TextOpsSpec extends SparkSpec {
     all(frames.map(_.frame.length)) shouldBe 16
   }
 
+  test("X4 chunkTokens: overlapping windows, trailing partial, short docs") {
+    // 10 tokens, window 4, stride 3 -> starts 1,4,7,10
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokens(d, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    got shouldBe Set(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),       // trailing partial chunk
+      (2L, 0L, "a b", 2L))       // doc shorter than one window
+  }
+
+  test("X4 packGreedy: boundary doc stays in the earlier pack, shards independent") {
+    // shard 0 (ids 0,2,4): tokens 3,3,3 with budget 5 ->
+    // cum_before 0,3,6 -> packs 0,0,1 (id 2 straddles: stays in pack 0)
+    val d = Seq((0L, "a b c"), (2L, "d e f"), (4L, "g h i"), (1L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextOps.packGreedy(d, "doc_id", "text", budgetTokens = 5, shards = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    got shouldBe Map(0L -> (0L, 0L), 2L -> (0L, 0L), 4L -> (0L, 1L), 1L -> (1L, 0L))
+  }
+
+  test("X2 contamination: picks the best-overlap train doc per eval doc") {
+    import graft.llm.DedupOps
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // eval (say)
+      (1L, "the quick brown fox jumps over the lazy cat"),    // near match
+      (2L, "completely unrelated text about query engines here"),
+      (3L, "the quick brown fox jumps over the lazy dog"))    // exact match
+      .toDF("doc_id", "text")
+    val evalSh = DedupOps.wordShingles(docs.filter(col("doc_id") === 10L), "doc_id", "text", 5)
+    val trainSh = DedupOps.wordShingles(docs.filter(col("doc_id") =!= 10L), "doc_id", "text", 5)
+    val got = DedupOps.contamination(trainSh, evalSh).collect()
+    got.length shouldBe 1
+    val r = got.head
+    (r.getLong(0), r.getLong(1)) shouldBe (10L, 3L) // exact dup wins
+    r.getDouble(4) shouldBe 1.0 // jaccard of identical shingle sets
+  }
+
   test("X5 decodeBlobs is deterministic and preserves row count") {
     val blobs = MultimodalOps.documentsAsBlobs(docs, "doc_id", "text")
     val metas = MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect()
