@@ -847,6 +847,22 @@ object Queries {
              |  CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- X4: within-doc repetition (Gopher-style duplicate-ngram rule) ----
+    ("x4_rep_ngrams",
+      (s: SparkSession, dir: String) => {
+        TextOps.repeatedNgramStats(Tables.load(s, dir, "documents"), "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+             |       FROM t WHERE len(toks) >= 3),
+             |g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g FROM g0),
+             |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rep,
+             |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS rep_ratio
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: streaming sequence packing (cumulative token budget per shard) ----
     ("x4_pack_greedy",
       (s: SparkSession, dir: String) => {

@@ -138,9 +138,9 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // the shingle set feeds three consumers (signatures, sizes, the
-    // verify join); measured: re-deriving it is cheaper than a
-    // persist() materialization barrier, so it stays a lazy plan
-    val sh = wordShingles(docs, idCol, textCol, shingleW)
+    // verify join x2); measured r1: persist() lost to lazy
+    // re-derivation; re-measured r3: localCheckpoint
+    val sh = wordShingles(docs, idCol, textCol, shingleW).localCheckpoint()
     val sig = minHashSignatures(sh, numHashes)
     val banded = sig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r), b))"))

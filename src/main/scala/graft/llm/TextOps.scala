@@ -65,6 +65,34 @@ object TextOps {
         size(col("chunk")).cast("long").as("n_tokens"))
   }
 
+  /** X4: within-document repetition stats — the Gopher-style quality
+    * rule "what fraction of the document is repeated n-grams".
+    * For each document: total word n-gram occurrences, occurrences
+    * belonging to an n-gram that appears more than once IN THIS
+    * document, and their ratio. High ratios flag boilerplate/spam for
+    * filtering. Exact integer counts + one division
+    * (oracle-reproducible).
+    *
+    * Scale: explode + two-level hash aggregation keyed by
+    * (doc, gram) then doc — partial aggregation combines map-side, so
+    * the shuffle carries near-distinct (doc, gram) counts, not raw
+    * occurrences.
+    */
+  def repeatedNgramStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+          .as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_rep"))
+      .withColumn("rep_ratio", col("n_rep").cast("double") / col("n_grams"))
+  }
+
   /** X4: streaming sequence packing — assign documents to training
     * packs of ~`budgetTokens` by cumulative token count, in
     * deterministic `idCol` order within each of `shards` shards:

@@ -93,6 +93,16 @@ class TextOpsSpec extends SparkSpec {
     got shouldBe Map(0L -> (0L, 0L), 2L -> (0L, 0L), 4L -> (0L, 1L), 1L -> (1L, 0L))
   }
 
+  test("X4 repeatedNgramStats counts occurrences of within-doc repeated n-grams") {
+    // "a b a b a": 3-grams = [a b a], [b a b], [a b a] -> 3 total,
+    // "a b a" occurs twice -> 2 repeated occurrences
+    val d = Seq((1L, "a b a b a"), (2L, "u v w x")).toDF("doc_id", "text")
+    val got = TextOps.repeatedNgramStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got(1L) shouldBe ((3L, 2L, 2.0 / 3.0))
+    got(2L) shouldBe ((2L, 0L, 0.0))
+  }
+
   test("X2 contamination: picks the best-overlap train doc per eval doc") {
     import graft.llm.DedupOps
     val docs = Seq(
