@@ -1119,7 +1119,9 @@ object Queries {
     // ---- X4: char-trigram language ID (n-gram profile argmax) ----
     ("x4_trigram_langid",
       (s: SparkSession, dir: String) => {
-        TextOps.trigramLangId(Tables.load(s, dir, "documents"), "doc_id", "text",
+        // fast path: one-pass codegen expression; TextOpsSpec pins its
+        // equality with the explode-formulated trigramLangId
+        TextOps.trigramLangIdFast(Tables.load(s, dir, "documents"), "doc_id", "text",
             profiles = Seq(
               "en" -> Seq("the", "ing", "and", "ion", "ent"),
               "de" -> Seq("der", "sch", "ein", "ich", "und")))

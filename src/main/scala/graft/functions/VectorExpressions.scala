@@ -186,6 +186,74 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
     copy(left = newLeft, right = newRight)
 }
 
+/** Count character-trigram hits against P language profiles in ONE
+  * pass over the text: returns `ARRAY<BIGINT>` of length P. The
+  * DataFrame formulation ([[graft.llm.TextOps.trigramLangId]])
+  * explodes one row per sliding window (25M+ rows at sf0.1) through a
+  * Generate and a two-level hash aggregate; this expression slides the
+  * window inside generated code, probes P hash sets per position, and
+  * emits nothing but the final counts — no explode, no shuffle.
+  * Semantics identical to the explode path (spec-pinned): text is
+  * lowercased first, windows shorter than 3 chars match nothing.
+  */
+case class TrigramProfileCount(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(profiles.nonEmpty && profiles.forall(_.forall(_.length == 3)),
+    "profiles must be non-empty lists of 3-char grams")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_profile_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { grams =>
+      val s = new java.util.HashSet[String]()
+      grams.foreach(g => s.add(g))
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val counts = new Array[Long](profiles.length)
+    val n = s.length
+    var i = 0
+    while (i + 3 <= n) {
+      val tri = s.substring(i, i + 3)
+      var p = 0
+      while (p < sets.length) { if (sets(p).contains(tri)) counts(p) += 1; p += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val setsRef = ctx.addReferenceObj("trigramSets", sets, "java.util.HashSet[]")
+      val arrData = classOf[ArrayData].getName
+      s"""
+         |String s = $c.toString().toLowerCase(java.util.Locale.ROOT);
+         |long[] counts = new long[${profiles.length}];
+         |int n = s.length();
+         |for (int i = 0; i + 3 <= n; i++) {
+         |  String tri = s.substring(i, i + 3);
+         |  for (int p = 0; p < ${profiles.length}; p++) {
+         |    if ($setsRef[p].contains(tri)) counts[p]++;
+         |  }
+         |}
+         |${ev.value} = $arrData.toArrayData(counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -205,4 +273,8 @@ object VectorFunctions {
   /** Integer dot product over two quantized vectors. */
   def longDot(a: Column, b: Column): Column =
     ColumnBridge.toColumn(LongDot(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+
+  /** One-pass trigram-profile hit counts (ARRAY<BIGINT>, one per profile). */
+  def trigramProfileCount(text: Column, profiles: Seq[Seq[String]]): Column =
+    ColumnBridge.toColumn(TrigramProfileCount(ColumnBridge.toExpr(text), profiles))
 }

@@ -143,15 +143,40 @@ object TextOps {
       sum(when(col("__t").isin(grams: _*), 1L).otherwise(0L)).as(s"n_$lang")
     }
     val counts = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    // argmax with first-profile tie-break, written as a fold of whens
+    counts.withColumn("predicted", argmaxLang(profiles))
+  }
+
+  /** argmax over the `n_<lang>` columns with first-profile tie-break,
+    * written as a fold of whens (shared by both language-ID paths).
+    */
+  private def argmaxLang(profiles: Seq[(String, Seq[String])]): Column = {
     val (firstLang, firstCount) = (profiles.head._1, col(s"n_${profiles.head._1}"))
-    val pred = profiles.tail.foldLeft((lit(firstLang), firstCount)) {
+    profiles.tail.foldLeft((lit(firstLang), firstCount)) {
       case ((plabel, pcount), (lang, _)) =>
         val c = col(s"n_$lang")
         (when(c > pcount, lit(lang)).otherwise(plabel),
           when(c > pcount, c).otherwise(pcount))
     }._1
-    counts.withColumn("predicted", pred)
+  }
+
+  /** Scale-path trigram language ID: same output as [[trigramLangId]]
+    * (spec-pinned) from ONE pass per document — the
+    * [[graft.functions.TrigramProfileCount]] codegen expression slides
+    * the window and probes every profile inside generated code, so
+    * there is no explode, no Generate, and no shuffle at all (the
+    * explode path ships 1 row per sliding window into a two-level hash
+    * aggregate).
+    */
+  def trigramLangIdFast(docs: DataFrame, idCol: String, textCol: String,
+                        profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val counts = graft.functions.VectorFunctions.trigramProfileCount(
+      col(textCol), profiles.map(_._2))
+    val withCounts = docs
+      .withColumn("__c", counts)
+      .select(col(idCol) +: profiles.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(col("__c"), i + 1).as(s"n_$lang")
+      }: _*)
+    withCounts.withColumn("predicted", argmaxLang(profiles))
   }
 
   /** Quality scoring: length-based and stopword-ratio heuristics that

@@ -70,6 +70,24 @@ class TextOpsSpec extends SparkSpec {
     all(frames.map(_.frame.length)) shouldBe 16
   }
 
+  test("X4 trigramLangIdFast (codegen expression) equals the explode implementation") {
+    val profiles = Seq(
+      "en" -> Seq("the", "ing", "and", "ion", "ent"),
+      "de" -> Seq("der", "sch", "ein", "ich", "und"))
+    // crafted edge cases: short text, case folding, overlapping hits
+    val crafted = Seq(
+      (1L, "The THEory of THIngs, lasting and ending"),
+      (2L, "ab"), (3L, ""),
+      (4L, "der schein und der schein ich")).toDF("doc_id", "text")
+    val real = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (d <- Seq(crafted, real)) {
+      val slow = TextOps.trigramLangId(d, "doc_id", "text", profiles)
+      val fast = TextOps.trigramLangIdFast(d, "doc_id", "text", profiles)
+      fast.exceptAll(slow).count() shouldBe 0L
+      slow.exceptAll(fast).count() shouldBe 0L
+    }
+  }
+
   test("X4 chunkTokens: overlapping windows, trailing partial, short docs") {
     // 10 tokens, window 4, stride 3 -> starts 1,4,7,10
     val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
