@@ -746,6 +746,25 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // ---- deterministic stratified sampling (engine-neutral md5 key
+    // hash so DuckDB reproduces the exact sample membership) ----
+    ("t_sample_stratified",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleStratified(
+            featureTable(s, dir).select("cls", "sample_id", "l_quantity", "l_extendedprice"),
+            "cls", "sample_id",
+            fractions = Map("A" -> 0.3, "N" -> 0.1, "R" -> 0.5), default = 0.0,
+            hash = k => DedupOps.md5TokenHash(k.cast("string")))
+          .orderBy(col("cls"), col("sample_id"), col("l_quantity"), col("l_extendedprice"))
+      },
+      Some("""WITH f AS (SELECT l_returnflag AS cls,
+             |    l_orderkey * 10 + l_linenumber AS sample_id, l_quantity, l_extendedprice
+             |  FROM lineitem),
+             |h AS (SELECT *, CAST(('0x' || substr(md5(CAST(sample_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hv FROM f)
+             |SELECT cls, sample_id, l_quantity, l_extendedprice FROM h
+             |WHERE hv < (CASE cls WHEN 'A' THEN 0.3 WHEN 'N' THEN 0.1 WHEN 'R' THEN 0.5 ELSE 0.0 END) * 1000000
+             |ORDER BY cls, sample_id, l_quantity, l_extendedprice""".stripMargin)),
+
     // ---- X1/X6: exact dedup on the event stream's batch twin —
     // first arrival (lowest event_id) per (user_id, event_type); the
     // streaming variant is StreamOps.dedupStream
@@ -1257,6 +1276,31 @@ object Queries {
              |  CAST((b1 * 256 + b0) % 1024 AS INT) AS height,
              |  CAST(1 + (b0 % 3) AS INT) AS channels,
              |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END AS mean_byte
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5: stubbed resize — deterministic byte subsampling to w*h
+    // bytes; the query digests the resized blob (sum/first/last of
+    // unsigned bytes) so DuckDB can recompute it byte-exactly from the
+    // source text via the same index arithmetic ----
+    ("x5_resize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        MultimodalOps.resizeMedia(
+            MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+            "doc_id", "blob", w = 8, h = 4)
+          .map(r => (r.doc_id, r.width, r.height,
+            r.blob.map(b => (b & 0xFF).toLong).sum,
+            if (r.blob.nonEmpty) r.blob.head & 0xFF else 0,
+            if (r.blob.nonEmpty) r.blob.last & 0xFF else 0))
+          .toDF("doc_id", "width", "height", "byte_sum", "first_byte", "last_byte")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, strlen(text) AS n, text FROM documents)
+             |SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+             |  CASE WHEN n = 0 THEN 0 ELSE CAST(list_sum(list_transform(range(0, 32),
+             |    i -> ord(substr(text, CAST((i * n) // 32 + 1 AS INT), 1)))) AS BIGINT) END AS byte_sum,
+             |  CAST(CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS INT) AS first_byte,
+             |  CAST(CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, CAST((31 * n) // 32 + 1 AS INT), 1)) END AS INT) AS last_byte
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ---- X5: stubbed feature extraction. The fake features are a

@@ -102,16 +102,22 @@ object TransformOps {
     * across runs, partitionings, and engines (the same property the
     * reference gets from pre-stored permutations). A pure filter:
     * pushes down, never shuffles.
+    *
+    * `hash` defaults to xxhash64 (fastest); pass
+    * [[graft.llm.DedupOps.md5TokenHash]] composed over a string key
+    * for an engine-neutral sample that external SQL engines reproduce
+    * bit-for-bit (the `t_sample_stratified` oracle does exactly this).
     */
   def sampleStratified(df: DataFrame, clsCol: String, keyCol: String,
-                       fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       hash: Column => Column = xxhash64(_)): DataFrame = {
     require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
       "fractions must be in [0, 1]")
     val denom = 1000000L
     val frac = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
       when(col(clsCol) === k, lit(f)).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(col(keyCol)), lit(denom)) < frac * denom)
+    df.filter(pmod(hash(col(keyCol)), lit(denom)) < frac * denom)
   }
 
   /** Skew-safe aggregation: explicit two-phase salted sum/count for
