@@ -101,6 +101,32 @@ class TextOpsSpec extends SparkSpec {
       (2L, 0L, "a b", 2L))       // doc shorter than one window
   }
 
+  test("X4 chunkTokens: invariants hold across a window/stride sweep") {
+    // reference model: chunk k starts at 1 + k*stride while start <= max(n,1)
+    for ((n, w, s) <- Seq((1, 4, 3), (3, 4, 3), (10, 4, 3), (10, 3, 3),
+                          (11, 4, 4), (12, 5, 2), (7, 7, 7), (2, 1, 1))) {
+      val toks = (1 to n).map(i => s"t$i")
+      val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = TextOps.chunkTokens(d, "doc_id", "text", w, s)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      val starts = Iterator.iterate(1)(_ + s).takeWhile(_ <= math.max(n, 1)).toSeq
+      withClue(s"n=$n w=$w s=$s: ") {
+        got.length shouldBe starts.length
+        for (((id, text, nt), start) <- got.zip(starts)) {
+          val exp = toks.slice(start - 1, math.min(start - 1 + w, n))
+          id shouldBe (start - 1) / s
+          text shouldBe exp.mkString(" ")
+          nt shouldBe exp.length
+        }
+        if (s <= w) { // full coverage guarantee
+          val covered = starts.flatMap(st => (st - 1) until math.min(st - 1 + w, n)).toSet
+          covered shouldBe (0 until n).toSet
+        }
+      }
+    }
+  }
+
   test("X4 packGreedy: boundary doc stays in the earlier pack, shards independent") {
     // shard 0 (ids 0,2,4): tokens 3,3,3 with budget 5 ->
     // cum_before 0,3,6 -> packs 0,0,1 (id 2 straddles: stays in pack 0)
