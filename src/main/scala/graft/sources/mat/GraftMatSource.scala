@@ -70,23 +70,60 @@ final class GraftMatTable(path: String, vars: Option[Set[String]])
 }
 
 final class GraftMatScanBuilder(path: String, vars: Option[Set[String]])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
   private var required: StructType = GraftMatTable.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** `var`/`cls` equality and IN filters prune whole (variable, class)
+    * cells at PLANNING time — their payloads are never even assigned
+    * to a partition, the .mat analogue of parquet partition pruning.
+    * Accepted filters are still re-applied by Spark (we return them as
+    * residuals), so correctness never depends on the pruning.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("var", _: String) => true
+      case In("var", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo("cls", _: Int) => true
+      case In("cls", vs) => vs.forall(_.isInstanceOf[Int])
+      case _ => false
+    }
+    filters // all residual: Spark re-evaluates everything
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def keepVar(name: String): Boolean =
+    vars.forall(_.contains(name)) && pushed.forall {
+      case EqualTo("var", v: String) => name == v
+      case In("var", vs) => vs.contains(name)
+      case _ => true
+    }
+
+  private def keepCls(cls: Int): Boolean = pushed.forall {
+    case EqualTo("cls", v: Int) => cls == v
+    case In("cls", vs) => vs.contains(cls)
+    case _ => true
+  }
+
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String =
-      s"graft-mat $path vars=${vars.map(_.mkString(",")).getOrElse("*")} cols=${required.fieldNames.mkString(",")}"
+      s"graft-mat $path vars=${vars.map(_.mkString(",")).getOrElse("*")} " +
+        s"cols=${required.fieldNames.mkString(",")} pushed=[${pushed.mkString(",")}]"
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] = {
-      val metas = MatV5.scanStructure(path)
-        .filter(v => vars.forall(_.contains(v.name)))
+      val metas = MatV5.scanStructure(path).filter(v => keepVar(v.name))
       metas.flatMap { v =>
-        v.cells.zipWithIndex.map { case (m, i) =>
+        v.cells.zipWithIndex.collect { case (m, i) if keepCls(i) =>
           MatInputPartition(path, v.name, i, m.rows, m.cols, m.dataType, m.dataOffset)
         }
       }.toArray

@@ -77,6 +77,21 @@ class MatSourceSpec extends SparkSpec {
     f shouldBe Seq(20.0, 21.0, 22.0) // sample 2 of class 0
   }
 
+  test("var/cls filters prune cells at planning time and results stay correct") {
+    val path = fixture
+    val all = spark.read.format("graft-mat").load(path)
+    val filtered = all.filter(col("var") === "x" && col("cls") === 1)
+    // pruning is visible in the scan description...
+    val scan = filtered.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    scan.description() should include("pushed=[")
+    scan.description() should include("EqualTo(var,x)")
+    // ...and in the partition count: 1 cell instead of 4
+    scan.toBatch.planInputPartitions().length shouldBe 1
+    // correctness identical to the unpruned read
+    filtered.select("row_idx").collect().map(_.getInt(0)).sorted shouldBe Array(0, 1, 2)
+  }
+
   test("Sinks.writeMat round-trips through the graft-mat source (read-write interop)") {
     import spark.implicits._
     val df = Seq(
