@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -36,6 +38,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  def install(ext: SparkSessionExtensions): Unit =
+  /** The custom expressions as SQL functions, so `spark.sql` users get
+    * the same codegen'd kernels as the Scala API:
+    * `quantize_vec(vec[, scale])`, `long_dot(a, b)`,
+    * `quantized_dot(a, b[, scale])`.
+    */
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions." + name, null, name, usage, ""),
+      (args: Seq[Expression]) => builder(args))
+
+  private val functions = Seq(
+    fn("quantize_vec", "quantize_vec(vec[, scale]) - float vector to ARRAY<BIGINT>") {
+      case Seq(v) => QuantizeVec(v, 1000.0)
+      case Seq(v, s) => QuantizeVec(v, s.eval().toString.toDouble)
+      case args => throw new IllegalArgumentException(
+        s"quantize_vec expects 1 or 2 arguments, got ${args.length}")
+    },
+    fn("long_dot", "long_dot(a, b) - integer dot product of ARRAY<BIGINT>") {
+      case Seq(a, b) => LongDot(a, b)
+      case args => throw new IllegalArgumentException(
+        s"long_dot expects 2 arguments, got ${args.length}")
+    },
+    fn("quantized_dot", "quantized_dot(a, b[, scale]) - fused quantize + integer dot") {
+      case Seq(a, b) => QuantizedDot(a, b, 1000.0)
+      case Seq(a, b, s) => QuantizedDot(a, b, s.eval().toString.toDouble)
+      case args => throw new IllegalArgumentException(
+        s"quantized_dot expects 2 or 3 arguments, got ${args.length}")
+    })
+
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => FuseQuantizedDot)
+    functions.foreach(ext.injectFunction)
+  }
 }

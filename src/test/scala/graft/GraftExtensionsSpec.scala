@@ -45,6 +45,19 @@ class GraftExtensionsSpec extends SparkSpec {
     df.as[Long].head() shouldBe (1000L * 3000L + 2000L * 4000L)
   }
 
+  test("custom expressions are callable from pure SQL in an extended session") {
+    val row = extSpark.sql(
+      """SELECT quantized_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS qd,
+        |       long_dot(quantize_vec(array(CAST(1.0 AS FLOAT))),
+        |                quantize_vec(array(CAST(2.0 AS FLOAT)))) AS ld,
+        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 10) AS scaled
+        |""".stripMargin).head()
+    row.getLong(0) shouldBe (1000L * 3000L + 2000L * 4000L)
+    row.getLong(1) shouldBe 1000L * 2000L
+    row.getLong(2) shouldBe 10L * 10L
+  }
+
   test("hoisted quantize columns are NOT un-hoisted (pattern must nest directly)") {
     import extSpark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
