@@ -248,7 +248,9 @@ object DedupOps {
         r
       }
       edges.collect().foreach { row =>
-        val (u, v) = (row.getLong(0), row.getLong(1))
+        // tolerate any integral id type (the distributed path does)
+        val (u, v) = (row.get(0).asInstanceOf[Number].longValue(),
+          row.get(1).asInstanceOf[Number].longValue())
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
       }
