@@ -108,6 +108,21 @@ class MatSourceSpec extends SparkSpec {
       (0, 0L, Seq(1.0, 2.0)), (0, 1L, Seq(3.0, 4.0)), (1, 0L, Seq(9.0, 8.0)))
   }
 
+  test("reads a foreign v5 file with packed small elements and integer payloads") {
+    // hand-crafted with python struct (tools history) — exercises the
+    // packed small-data-element tag format scipy emits for short names
+    // and tiny payloads, plus int32/int16 widening; our own writer
+    // never produces these, so round-trip tests alone would miss them
+    val url = getClass.getResource("/graft-mat/small_elements.mat")
+    url should not be null
+    val df = spark.read.format("graft-mat").load(url.getPath)
+    val r = df.filter(col("var") === "r").orderBy("row_idx")
+      .select("vals").collect().map(_.getSeq[Double](0))
+    r shouldBe Array(Seq(11.0, 21.0, 31.0), Seq(12.0, 22.0, 32.0)) // column-major payload
+    val tiny = df.filter(col("var") === "tiny").select("vals").head().getSeq[Double](0)
+    tiny shouldBe Seq(-7.0)
+  }
+
   test("matPermutations applies 1-based normalization per (class, trial)") {
     val perms = Tables.matPermutations(spark, fixture)
     perms.agg(min(col("sample_id")), max(col("sample_id"))).head() match {
