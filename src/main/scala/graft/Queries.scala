@@ -746,6 +746,26 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // ---- X6: event-time interval join (click -> views within 30 min;
+    // the stream-stream twin with watermark state expiry is
+    // StreamOps.intervalJoin on two readStreams, spec-tested equal) ----
+    ("x6_interval_join",
+      (s: SparkSession, dir: String) => {
+        val e = Tables.load(s, dir, "events")
+        StreamOps.intervalJoin(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "view"),
+            withinMinutes = 30)
+          .orderBy(col("left_id"), col("right_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events)
+             |SELECT a.event_id AS left_id, b.event_id AS right_id, a.user_id,
+             |  b.us - a.us AS gap_us
+             |FROM e a JOIN e b ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'view'
+             |  AND b.us >= a.us AND b.us - a.us <= CAST(30 * 60 AS BIGINT) * 1000000
+             |ORDER BY left_id, right_id""".stripMargin)),
+
     // ---- deterministic stratified sampling (engine-neutral md5 key
     // hash so DuckDB reproduces the exact sample membership) ----
     ("t_sample_stratified",

@@ -64,6 +64,28 @@ object StreamOps {
   def tumblingAggStream(events: DataFrame, windowDuration: String, watermark: String): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), windowDuration)
 
+  /** X6: event-time interval join — each left event paired with the
+    * right-side events of the same user whose timestamp falls in
+    * `[left.ts, left.ts + withinMinutes]` (click→view attribution,
+    * impression→conversion, etc.).
+    *
+    * The SAME function body serves the batch oracle twin and the
+    * stream-stream form: on two `withWatermark`ed streams the
+    * time-bound join condition is exactly what lets Spark expire
+    * buffered state once the watermark passes `withinMinutes` — an
+    * unbounded stream-stream join without the bound would grow state
+    * forever. State is keyed by user on both sides: per-partition
+    * state stores, no global structure.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, withinMinutes: Int): DataFrame =
+    left.alias("l").join(right.alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
+
   /** Streaming exact dedup (X1 on a stream): keep only the FIRST
     * arrival of each key, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` expires a key's state once the

@@ -56,6 +56,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin runs as a stream-stream join and matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val views = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    def named(m: MemoryStream[(Long, Long, String, Double, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val joined = StreamOps.intervalJoin(
+      named(clicks).withWatermark("ts", "2 hours"),
+      named(views).withWatermark("ts", "2 hours"),
+      withinMinutes = 10)
+    val q = joined.writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    try {
+      // user 7: click at :00 -> views at :05 (in) and :20 (out of window);
+      // user 8: view only (no click -> no pair); the second batch's view
+      // must still join the FIRST batch's click (buffered state)
+      clicks.addData((1L, 7L, "click", 0.0, ts(0)))
+      views.addData((2L, 7L, "view", 0.0, ts(5)), (3L, 8L, "view", 0.0, ts(1)))
+      q.processAllAvailable()
+      views.addData((4L, 7L, "view", 0.0, ts(9)), (5L, 7L, "view", 0.0, ts(20)))
+      q.processAllAvailable()
+      val got = spark.table("ivj_test")
+        .select("left_id", "right_id", "gap_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe Set((1L, 2L, 5L * 60 * 1000000), (1L, 4L, 9L * 60 * 1000000))
+      // batch twin on the union of everything fed
+      val all = Seq(
+        (1L, 7L, "click", 0.0, ts(0)), (2L, 7L, "view", 0.0, ts(5)),
+        (3L, 8L, "view", 0.0, ts(1)), (4L, 7L, "view", 0.0, ts(9)),
+        (5L, 7L, "view", 0.0, ts(20)))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val batch = StreamOps.intervalJoin(
+          all.filter(col("event_type") === "click"),
+          all.filter(col("event_type") === "view"), 10)
+        .select("left_id", "right_id", "gap_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      batch shouldBe got
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first arrivals only, across micro-batches, equal to batch dedup") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
