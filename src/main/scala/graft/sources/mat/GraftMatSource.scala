@@ -47,7 +47,10 @@ final class GraftMatSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-mat: .load(path) is required"))
     val vars = Option(properties.get("vars"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    new GraftMatTable(path, vars)
+    val maxRows = Option(properties.get("maxRowsPerPartition"))
+      .map(_.toInt).getOrElse(1 << 20)
+    require(maxRows > 0, "maxRowsPerPartition must be positive")
+    new GraftMatTable(path, vars, maxRows)
   }
 }
 
@@ -59,17 +62,17 @@ object GraftMatTable {
     StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
 }
 
-final class GraftMatTable(path: String, vars: Option[Set[String]])
+final class GraftMatTable(path: String, vars: Option[Set[String]], maxRows: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft-mat:$path"
   override def schema(): StructType = GraftMatTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftMatScanBuilder(path, vars)
+    new GraftMatScanBuilder(path, vars, maxRows)
 }
 
-final class GraftMatScanBuilder(path: String, vars: Option[Set[String]])
+final class GraftMatScanBuilder(path: String, vars: Option[Set[String]], maxRows: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -124,8 +127,17 @@ final class GraftMatScanBuilder(path: String, vars: Option[Set[String]])
       val metas = MatV5.scanStructure(path).filter(v => keepVar(v.name))
       metas.flatMap { v =>
         v.cells.zipWithIndex.collect { case (m, i) if keepCls(i) =>
-          MatInputPartition(path, v.name, i, m.rows, m.cols, m.dataType, m.dataOffset)
-        }
+          // a huge cell splits into row ranges so it parallelizes like
+          // any other table; readers do bounded strided reads of only
+          // their own rows (MatV5.readRows)
+          (0 until m.rows by maxRows).map { start =>
+            MatInputPartition(path, v.name, i, start,
+              math.min(maxRows, m.rows - start), m.rows, m.cols, m.dataType, m.dataOffset)
+          } match {
+            case Seq() => Seq(MatInputPartition(path, v.name, i, 0, 0, m.rows, m.cols, m.dataType, m.dataOffset))
+            case parts => parts
+          }
+        }.flatten
       }.toArray
     }
 
@@ -135,7 +147,8 @@ final class GraftMatScanBuilder(path: String, vars: Option[Set[String]])
 }
 
 final case class MatInputPartition(path: String, varName: String, cls: Int,
-                                   rows: Int, cols: Int, dataType: Int,
+                                   rowStart: Int, rowCount: Int, totalRows: Int,
+                                   cols: Int, dataType: Int,
                                    dataOffset: Long) extends InputPartition
 
 final class MatReaderFactory(required: StructType) extends PartitionReaderFactory {
@@ -146,21 +159,23 @@ final class MatReaderFactory(required: StructType) extends PartitionReaderFactor
       // entirely when `vals` is pruned away (dims came from the
       // planning-time tag scan)
       private lazy val data: Array[Double] =
-        MatV5.readData(p.path, MatV5.NumericMeta(p.rows, p.cols, p.dataType, p.dataOffset))
+        MatV5.readRows(p.path,
+          MatV5.NumericMeta(p.totalRows, p.cols, p.dataType, p.dataOffset),
+          p.rowStart, p.rowCount)
       private var r = -1
 
-      override def next(): Boolean = { r += 1; r < p.rows }
+      override def next(): Boolean = { r += 1; r < p.rowCount }
 
       override def get(): InternalRow = {
         val values = required.fieldNames.map {
           case "var" => UTF8String.fromString(p.varName)
           case "cls" => p.cls
-          case "row_idx" => r
+          case "row_idx" => p.rowStart + r
           case "vals" =>
-            // column-major payload -> this row's vector
+            // column-major slice -> this row's vector
             val row = new Array[Double](p.cols)
             var j = 0
-            while (j < p.cols) { row(j) = data(r + j * p.rows); j += 1 }
+            while (j < p.cols) { row(j) = data(j * p.rowCount + r); j += 1 }
             new GenericArrayData(row)
           case other => throw new IllegalStateException(s"unknown column $other")
         }

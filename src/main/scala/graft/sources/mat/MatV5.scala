@@ -186,27 +186,45 @@ object MatV5 {
   }
 
   /** Read one matrix payload as doubles in column-major order. */
-  def readData(path: String, m: NumericMeta): Array[Double] = {
+  def readData(path: String, m: NumericMeta): Array[Double] =
+    readRows(path, m, 0, m.rows)
+
+  /** Read rows `[rowStart, rowStart + nRows)` of a column-major
+    * payload as doubles, still column-major within the slice
+    * (`out(c * nRows + (r - rowStart))`). A row range of a
+    * column-major matrix is `cols` strided segments — one bounded
+    * `seek` + `readFully` per column, so a row-split partition reads
+    * ONLY its own bytes, never the whole cell.
+    */
+  def readRows(path: String, m: NumericMeta, rowStart: Int, nRows: Int): Array[Double] = {
+    require(rowStart >= 0 && nRows >= 0 && rowStart + nRows <= m.rows,
+      s"row range [$rowStart, ${rowStart + nRows}) outside 0..${m.rows}")
+    val es = elemSize(m.dataType)
     val raf = new RandomAccessFile(path, "r")
     try {
-      raf.seek(m.dataOffset)
-      val n = m.rows * m.cols
-      val bytes = new Array[Byte](n * elemSize(m.dataType))
-      raf.readFully(bytes)
-      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val n = nRows * m.cols
       val out = new Array[Double](n)
-      var i = 0
-      m.dataType match {
-        case MiDouble => while (i < n) { out(i) = bb.getDouble; i += 1 }
-        case MiSingle => while (i < n) { out(i) = bb.getFloat.toDouble; i += 1 }
-        case MiInt8   => while (i < n) { out(i) = bb.get.toDouble; i += 1 }
-        case MiUInt8  => while (i < n) { out(i) = (bb.get & 0xFF).toDouble; i += 1 }
-        case MiInt16  => while (i < n) { out(i) = bb.getShort.toDouble; i += 1 }
-        case MiUInt16 => while (i < n) { out(i) = (bb.getShort & 0xFFFF).toDouble; i += 1 }
-        case MiInt32  => while (i < n) { out(i) = bb.getInt.toDouble; i += 1 }
-        case MiUInt32 => while (i < n) { out(i) = (bb.getInt.toLong & 0xFFFFFFFFL).toDouble; i += 1 }
-        case MiInt64 | MiUInt64 => while (i < n) { out(i) = bb.getLong.toDouble; i += 1 }
-        case other => throw new IllegalArgumentException(s"unsupported numeric mat type $other")
+      val colBytes = new Array[Byte](nRows * es)
+      var c = 0
+      while (c < m.cols) {
+        raf.seek(m.dataOffset + (c.toLong * m.rows + rowStart) * es)
+        raf.readFully(colBytes)
+        val bb = ByteBuffer.wrap(colBytes).order(ByteOrder.LITTLE_ENDIAN)
+        var i = c * nRows
+        val end = i + nRows
+        m.dataType match {
+          case MiDouble => while (i < end) { out(i) = bb.getDouble; i += 1 }
+          case MiSingle => while (i < end) { out(i) = bb.getFloat.toDouble; i += 1 }
+          case MiInt8   => while (i < end) { out(i) = bb.get.toDouble; i += 1 }
+          case MiUInt8  => while (i < end) { out(i) = (bb.get & 0xFF).toDouble; i += 1 }
+          case MiInt16  => while (i < end) { out(i) = bb.getShort.toDouble; i += 1 }
+          case MiUInt16 => while (i < end) { out(i) = (bb.getShort & 0xFFFF).toDouble; i += 1 }
+          case MiInt32  => while (i < end) { out(i) = bb.getInt.toDouble; i += 1 }
+          case MiUInt32 => while (i < end) { out(i) = (bb.getInt.toLong & 0xFFFFFFFFL).toDouble; i += 1 }
+          case MiInt64 | MiUInt64 => while (i < end) { out(i) = bb.getLong.toDouble; i += 1 }
+          case other => throw new IllegalArgumentException(s"unsupported numeric mat type $other")
+        }
+        c += 1
       }
       out
     } finally raf.close()

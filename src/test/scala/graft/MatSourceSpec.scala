@@ -108,6 +108,20 @@ class MatSourceSpec extends SparkSpec {
       (0, 0L, Seq(1.0, 2.0)), (0, 1L, Seq(3.0, 4.0)), (1, 0L, Seq(9.0, 8.0)))
   }
 
+  test("maxRowsPerPartition splits cells into row ranges without changing results") {
+    val path = fixture
+    val whole = spark.read.format("graft-mat").load(path)
+      .select("var", "cls", "row_idx", "vals").collect().map(_.toString).sorted
+    val split = spark.read.format("graft-mat")
+      .option("maxRowsPerPartition", "2").load(path)
+    val scan = split.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b.scan }.get
+    // cells have 4,3 rows (x) and 2,2 rows (r): ceil-div by 2 = 2+2+1+1
+    scan.toBatch.planInputPartitions().length shouldBe 6
+    split.select("var", "cls", "row_idx", "vals").collect()
+      .map(_.toString).sorted shouldBe whole
+  }
+
   test("reads a foreign v5 file with packed small elements and integer payloads") {
     // hand-crafted with python struct (tools history) — exercises the
     // packed small-data-element tag format scipy emits for short names
