@@ -886,6 +886,30 @@ object Queries {
              |  CAST(len(list_slice(toks, s, s + 63)) AS BIGINT) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- X4: deterministic corpus shuffle for training order — W1's
+    // scalable rank machinery applied globally with an engine-neutral
+    // content hash: range-partition by hash, rank locally, add
+    // broadcast offsets. No single global sort, reproducible on any
+    // engine (the constant `corpus` key keeps the offset window
+    // partitioned) ----
+    ("x4_shuffle_order",
+      (s: SparkSession, dir: String) => {
+        val hashed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            DedupOps.md5TokenHash(col("doc_id").cast("string")).as("perm"))
+          .withColumn("corpus", lit(0))
+        SplitOps.rankByPermutationScalable(hashed, Seq("corpus"),
+            Seq(col("perm"), col("doc_id")), numParts = 32)
+          .select(col("doc_id"), col("perm"), col("pos").as("shuffle_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS perm
+             |  FROM documents)
+             |SELECT doc_id, perm,
+             |  row_number() OVER (ORDER BY perm, doc_id) - 1 AS shuffle_pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: within-doc repetition (Gopher-style duplicate-ngram rule) ----
     ("x4_rep_ngrams",
       (s: SparkSession, dir: String) => {
