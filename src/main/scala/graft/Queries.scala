@@ -1086,6 +1086,30 @@ object Queries {
              |FROM p WHERE dot >= 0 AND dot * dot * 400 >= na * nb * 81
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- X3: deterministic JL sign projection (dimension reduction
+    // before bucketed ANN) — engine-neutral md5 coordinate hash, so
+    // the all-integer projection is value-exact in DuckDB ----
+    ("x3_jl_project",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.signProject(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", outDim = 16,
+            signHash = (j, k) => pmod(DedupOps.md5TokenHash(
+              concat(j.cast("string"), lit(":"), k.cast("string"))), lit(2)))
+          .orderBy(col("vec_id"), col("k"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |e AS (SELECT vec_id, q, unnest(range(0, len(q))) AS j FROM v),
+             |x AS (SELECT vec_id, j, q[CAST(j AS INT) + 1] AS qv FROM e),
+             |d AS (SELECT unnest(range(0, 16)) AS k),
+             |sgn AS (SELECT x.vec_id, x.j, d.k, x.qv,
+             |    CASE WHEN CAST(('0x' || substr(md5(x.j || ':' || d.k), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1 ELSE -1 END AS s
+             |  FROM x, d)
+             |SELECT vec_id, k, CAST(sum(qv * s) AS BIGINT) AS rp_q
+             |FROM sgn GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin)),
+
     // ---- X3: exact brute-force top-k cosine (quantized, oracle-exact) ----
     ("x3_knn_cosine",
       (s: SparkSession, dir: String) => {

@@ -267,6 +267,36 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** X3: deterministic ±1 sign projection (Johnson-Lindenstrauss
+    * shape) — reduce an embedding to `outDim` components, each the
+    * signed sum of the quantized inputs: `rp_q[k] = Σ_j q[j]·s(j,k)`,
+    * `s(j,k) ∈ {±1}` derived from a hash of the coordinate pair. The
+    * standard cheap dimension reduction BEFORE bucketed ANN at scale:
+    * distances are approximately preserved (JL), the projection needs
+    * no training data, and, being all-integer from quantized inputs,
+    * the output is bit-exact on any engine for a given sign hash.
+    *
+    * Plan shape: posexplode + broadcast of the `outDim`-row dimension
+    * table + one hash aggregation keyed (id, k) — map-side combinable,
+    * no window, no driver state.
+    *
+    * @param signHash (j, k) => non-negative hash; parity picks the
+    *   sign. Default xxhash64 (fast); pass an md5-derived hash for an
+    *   external-SQL-reproducible projection (`x3_jl_project` does).
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String, outDim: Int,
+                  signHash: (Column, Column) => Column =
+                    (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val dims = broadcast(df.sparkSession.range(outDim).toDF("k"))
+    quantized(df, idCol, vecCol)
+      .select(col(idCol), posexplode(col("__qv")).as(Seq("j", "q")))
+      .join(dims)
+      .withColumn("__s", when(signHash(col("j"), col("k")) === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("k"))
+      .agg(sum(col("q") * col("__s")).as("rp_q"))
+  }
+
   /** Adds `__qv` (quantized ARRAY<BIGINT>) and `__n2` (integer squared
     * norm). Runs once per input row — keep this OUTSIDE pair joins.
     */

@@ -111,6 +111,35 @@ class SimilarityOpsSpec extends SparkSpec {
     again.exceptAll(seeds).count() shouldBe 0L
   }
 
+  test("signProject is linear, deterministic, and preserves cluster structure") {
+    // linearity in the input (signs fixed by coordinates): P(2x) = 2 P(x)
+    val two = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(2.0f, 4.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val p = SimilarityOps.signProject(two, "vec_id", "embedding", outDim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (k <- 0L until 4L) p((2L, k)) shouldBe 2L * p((1L, k))
+
+    // JL sanity on the 4-cluster fixture: projecting 8-d -> 6-d keeps
+    // within-cluster pairs more aligned than cross-cluster pairs
+    val corpus = clustered
+    val proj = SimilarityOps.signProject(corpus, "vec_id", "embedding", outDim = 6)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getLong(2).toDouble)
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = proj.keys.toSeq.sorted
+    val (within, cross) = (for {
+      i <- ids; jj <- ids if i < jj
+    } yield (i / 40 == jj / 40, cos(proj(i), proj(jj)))).partition(_._1)
+    val wAvg = within.map(_._2).sum / within.size
+    val cAvg = cross.map(_._2).sum / cross.size
+    withClue(s"within=$wAvg cross=$cAvg: ") { wAvg should be > cAvg + 0.3 }
+  }
+
   test("cosineNearDupPairsIvf: full probe equals all-pairs baseline, low probe is a subset") {
     val corpus = clustered
     // within-cluster cosine ≈ 1, cross-cluster ≈ 0 ⇒ threshold 0.9
