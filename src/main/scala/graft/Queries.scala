@@ -220,6 +220,53 @@ object Queries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- CUBE: every grouping-set combination in one pass (the full
+    // grouping-sets surface; Spark expands to an Expand + single hash
+    // aggregate — one shuffle regardless of set count) ----
+    ("q_cube",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            round(avg(col("l_discount")), 6).as("avg_disc"),
+            count(lit(1)).as("cnt"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- RANGE-frame window: 7-day moving revenue per priority
+    // segment — a VALUE range over epoch days (peers = all rows within
+    // 6 days), not a row count. Summed in exact integer cents so the
+    // frame sum is order-free on both engines. ----
+    ("q_window_range",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("prio")).orderBy(col("day")).rangeBetween(-6, 0)
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).cast("long").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("rev7_cents", sum(col("cents")).over(w))
+          .withColumn("n7", count(lit(1)).over(w).cast("long"))
+          .select("prio", "o_orderkey", "day", "rev7_cents", "n7")
+          .orderBy(col("prio"), col("day"), col("o_orderkey"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey,
+             |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT prio, o_orderkey, day,
+             |  sum(cents) OVER w AS rev7_cents,
+             |  CAST(count(*) OVER w AS BIGINT) AS n7
+             |FROM o
+             |WINDOW w AS (PARTITION BY prio ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY prio, day, o_orderkey""".stripMargin)),
+
     // ---- PIVOT: wide per-class aggregate matrix ----
     ("q_pivot",
       (s: SparkSession, dir: String) => {
@@ -785,6 +832,26 @@ object Queries {
              |WHERE hv < (CASE cls WHEN 'A' THEN 0.3 WHEN 'N' THEN 0.1 WHEN 'R' THEN 0.5 ELSE 0.0 END) * 1000000
              |ORDER BY cls, sample_id, l_quantity, l_extendedprice""".stripMargin)),
 
+    // ---- deterministic WEIGHTED sampling: acceptance ∝ document
+    // length (importance sampling for corpus curation), decided by the
+    // engine-neutral md5 key hash — exact sample membership reproduced
+    // by the oracle ----
+    ("t_weighted_sample",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleWeighted(
+            Tables.load(s, dir, "documents").select("doc_id", "n_chars", "source"),
+            "doc_id", "n_chars", scale = 0.5,
+            hash = k => DedupOps.md5TokenHash(k.cast("string")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars, source,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hv
+             |  FROM documents),
+             |m AS (SELECT max(n_chars) AS maxw FROM documents)
+             |SELECT doc_id, n_chars, source FROM h, m
+             |WHERE hv < CAST(n_chars AS DOUBLE) / CAST(maxw AS DOUBLE) * 0.5 * 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- X1/X6: exact dedup on the event stream's batch twin —
     // first arrival (lowest event_id) per (user_id, event_type); the
     // streaming variant is StreamOps.dedupStream
@@ -806,6 +873,27 @@ object Queries {
              |SELECT event_id, user_id, event_type, n_dups FROM r WHERE rn = 1
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- X6: stream-static enrichment — events broadcast-joined to
+    // the customer dimension, aggregated by market segment. The SAME
+    // StreamOps.enrichWithDim body runs as a streaming stream-static
+    // join (StreamOpsSpec); this batch twin is the oracle anchor. ----
+    ("x6_stream_static",
+      (s: SparkSession, dir: String) => {
+        val dim = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        StreamOps.enrichWithDim(
+            Tables.load(s, dir, "events").select(col("user_id"), col("event_type"), col("value")),
+            dim, "user_id", "c_custkey")
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+          .orderBy(col("c_mktsegment"), col("event_type"))
+      },
+      Some("""SELECT c.c_mktsegment, e.event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(e.value), 4) AS sum_value
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c.c_mktsegment, e.event_type
+             |ORDER BY c.c_mktsegment, e.event_type""".stripMargin)),
+
     // ---- X1: exact dedup (keep lowest id per normalized key) ----
     ("x1_dedup_exact",
       (s: SparkSession, dir: String) => {
@@ -819,6 +907,57 @@ object Queries {
              |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
              |        count(*) OVER (PARTITION BY key) AS cnt FROM k)
              |SELECT doc_id, CAST(cnt AS BIGINT) AS n_dups FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- X1: canonical-document selection — the keep-one half of
+    // exact dedup: every doc mapped to its group's canonical
+    // representative (best by quality order, here chars desc then id).
+    // Exact-dup groups share identical text, so the order degenerates
+    // to lowest-id — the op's quality ordering is exercised on unequal
+    // groups in DedupOpsSpec. ----
+    ("x1_canonical_keep",
+      (s: SparkSession, dir: String) => {
+        DedupOps.canonicalKeep(Tables.load(s, dir, "documents"), "doc_id",
+            md5(col("text")), Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("doc_id"), col("canonical_id"), col("group_n"),
+            col("is_canonical").cast("long").as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    row_number() OVER w AS rn,
+             |    count(*) OVER (PARTITION BY md5(text)) AS group_n,
+             |    first_value(doc_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_id
+             |  FROM documents
+             |  WINDOW w AS (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id))
+             |SELECT doc_id, canonical_id, CAST(group_n AS BIGINT) AS group_n,
+             |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- X2: substring-level duplication coverage (Lee et al. 2022
+    // shape): fraction of each document covered by 8-word spans that
+    // also occur in another document — catches partial copies that
+    // document-level Jaccard misses. Linear in corpus tokens (span →
+    // df → join back), never O(N²). ----
+    ("x2_span_dedup",
+      (s: SparkSession, dir: String) => {
+        DedupOps.crossDocSpanStats(Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |sp AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))) AS span
+             |       FROM t WHERE len(toks) >= 8),
+             |df AS (SELECT span, count(*) AS ndocs
+             |       FROM (SELECT DISTINCT doc_id, span FROM sp) GROUP BY span),
+             |pd AS (SELECT sp.doc_id, count(*) AS n_spans,
+             |         sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+             |       FROM sp JOIN df USING (span) GROUP BY sp.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+             |  CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+             |       ELSE CAST(pd.n_dup AS DOUBLE) / pd.n_spans END AS dup_frac
+             |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // ---- X2: exact n-gram Jaccard near-dup pairs (inverted-index join) ----
     ("x2_jaccard_pairs",
@@ -1175,6 +1314,49 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- X3: random-hyperplane LSH ANN (second ANN family beside
+    // IVF; no index to build — the hash IS the index). 8 sign bits =
+    // 256 buckets, multi-probe Hamming ≤ 2 scans ~37/256 of the
+    // corpus per query. Rows-only by itself; the full twin below is
+    // the value-exact anchor, and SimilarityOpsSpec checks recall. ----
+    ("x3_ann_rhp",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.rhpTopK(queries, emb, "vec_id", "embedding",
+            k = 5, nBits = 8, probeHamming = 2)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None),
+
+    // ---- X3: RHP at full probe — probeHamming = nBits probes every
+    // bucket, so the SAME bucketed plan degenerates to the brute-force
+    // result (validates bucketing, probe expansion and per-bucket
+    // scoring end to end against the exact oracle) ----
+    ("x3_ann_rhp_full",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.rhpTopK(queries, emb, "vec_id", "embedding",
+            k = 5, nBits = 4, probeHamming = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS qa, b.n2 AS qb
+             |      FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- X4: token statistics ----
     ("x4_text_stats",
       (s: SparkSession, dir: String) => {
@@ -1243,6 +1425,60 @@ object Queries {
              |  CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens >= CAST(0.05 AS DOUBLE) THEN 'high'
              |       WHEN n_tokens >= 10 THEN 'medium' ELSE 'low' END AS quality
              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: pattern redaction (PII-scrub shape): entity terms then
+    // digit runs, applied in order, with redaction counts. Patterns
+    // stay in the Java-regex/RE2 common subset so the oracle reproduces
+    // the rewrite byte-for-byte. ----
+    ("x4_redact",
+      (s: SparkSession, dir: String) => {
+        TextOps.redactPatterns(Tables.load(s, dir, "documents"), "doc_id", "text",
+            rules = Seq("customer|supplier" -> "<ENT>", "[0-9]+" -> "<NUM>"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s1 AS (SELECT doc_id,
+             |    len(regexp_extract_all(text, 'customer|supplier')) AS n1,
+             |    regexp_replace(text, 'customer|supplier', '<ENT>', 'g') AS t1
+             |  FROM documents),
+             |s2 AS (SELECT doc_id,
+             |    n1 + len(regexp_extract_all(t1, '[0-9]+')) AS n_redacted,
+             |    regexp_replace(t1, '[0-9]+', '<NUM>', 'g') AS red_text
+             |  FROM s1)
+             |SELECT doc_id, CAST(n_redacted AS BIGINT) AS n_redacted, red_text,
+             |  CAST(length(red_text) AS BIGINT) AS red_len
+             |FROM s2 ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: Gopher-style quality-rule gate — per-rule boolean flags
+    // (cast to 0/1 for the hash gate) plus the conjunction verdict ----
+    ("x4_gopher_rules",
+      (s: SparkSession, dir: String) => {
+        val flags = Seq("r_len", "r_mean", "r_short", "r_stop", "keep")
+        val out = TextOps.gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text",
+          stopwords = Seq("the", "a"), minWords = 30, maxWords = 90,
+          minMeanLen = 4.2, maxMeanLen = 5.0, maxShortFrac = 0.06, minStopHits = 2)
+        // mean_len/short_frac are single IEEE divisions of identical
+        // operands — bit-exact on both engines, no rounding needed
+        flags.foldLeft(out)((d, f) => d.withColumn(f, col(f).cast("long")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |q AS (SELECT doc_id,
+             |    CAST(len(toks) AS BIGINT) AS n_words,
+             |    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_len,
+             |    CAST(len(list_filter(toks, t -> length(t) <= 2)) AS DOUBLE) / len(toks) AS short_frac,
+             |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+             |  FROM t),
+             |f AS (SELECT doc_id, n_words, mean_len, short_frac, n_stop,
+             |    CASE WHEN n_words >= 30 AND n_words <= 90 THEN 1 ELSE 0 END AS r_len,
+             |    CASE WHEN mean_len >= 4.2 AND mean_len <= 5.0 THEN 1 ELSE 0 END AS r_mean,
+             |    CASE WHEN short_frac <= 0.06 THEN 1 ELSE 0 END AS r_short,
+             |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+             |  FROM q)
+             |SELECT doc_id, n_words, mean_len, short_frac, n_stop,
+             |  CAST(r_len AS BIGINT) AS r_len, CAST(r_mean AS BIGINT) AS r_mean,
+             |  CAST(r_short AS BIGINT) AS r_short, CAST(r_stop AS BIGINT) AS r_stop,
+             |  CAST(r_len * r_mean * r_short * r_stop AS BIGINT) AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
 
     // ---- X4: BPE-ish regex token counting ----
     ("x4_regex_tokens",

@@ -120,6 +120,31 @@ object TransformOps {
     df.filter(pmod(hash(col(keyCol)), lit(denom)) < frac * denom)
   }
 
+  /** Deterministic WEIGHTED sampling: keep each row with probability
+    * proportional to `weightCol` (acceptance = weight / max-weight,
+    * optionally scaled by `scale`), decided by a pure hash of
+    * `keyCol` — re-runs, retries, and other engines reproduce the
+    * exact sample (same discipline as [[sampleStratified]]; rand()
+    * would violate it under stage retry). The importance-sampling
+    * shape of corpus curation: up-weight long/high-quality documents
+    * without a quality-sorted global pass.
+    *
+    * The max weight is computed once and broadcast (one tiny
+    * aggregate); everything else is a scan-local filter — no shuffle
+    * of the data itself.
+    */
+  def sampleWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                     scale: Double = 1.0,
+                     hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(scale > 0 && scale <= 1.0, "scale must be in (0, 1]")
+    val denom = 1000000L
+    val maxW = df.agg(max(col(weightCol)).cast("double").as("__maxw"))
+    df.join(broadcast(maxW))
+      .filter(pmod(hash(col(keyCol)), lit(denom)) <
+        col(weightCol).cast("double") / col("__maxw") * scale * denom)
+      .drop("__maxw")
+  }
+
   /** Skew-safe aggregation: explicit two-phase salted sum/count for
     * keys whose groups are too hot even for map-side combine (billions
     * of rows under 3 keys leave the final reduce with 3 tasks; salting

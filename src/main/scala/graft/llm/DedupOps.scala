@@ -38,6 +38,76 @@ object DedupOps {
         explode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))")).as("sh"))
       .distinct()
 
+  /** X2: substring-level duplication stats (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * at word-span granularity): for every document, how much of it is
+    * covered by `w`-word spans that ALSO occur in some other document.
+    * Output per doc: `n_spans` (all positions), `n_dup` (positions
+    * whose span text appears in ≥2 distinct documents), and
+    * `dup_frac`. A doc shorter than `w` words has 0 spans and
+    * dup_frac 0.
+    *
+    * Unlike document-level Jaccard/MinHash this catches PARTIAL
+    * copies — a paragraph pasted into an otherwise-unique page — which
+    * is the dominant duplication mode in web corpora.
+    *
+    * Plan shape at scale: explode to (doc, pos, span), one hash
+    * aggregation keyed by span for cross-doc document frequency
+    * (map-side combined on the distinct (doc, span) projection), one
+    * shuffle join spans⋈span-df on span, one aggregation back to doc.
+    * Spans never pair up — cost is linear in corpus token count, never
+    * O(N²). At 100 TB the span strings would be 64-bit span hashes
+    * (xxhash64 over the window) to shrink the shuffle; the string form
+    * here keeps the oracle exact.
+    */
+  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w > 0, "span width must be positive")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
+          .as(Seq("pos", "span")))
+    // document frequency per span over DISTINCT (doc, span): the
+    // distinct is the map-side-combinable projection
+    val spanDf = spans.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("__ndocs"))
+    val perDoc = spans.join(spanDf, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_spans")))
+  }
+
+  /** X1: canonical-document selection — the keep-one half of exact
+    * dedup: group documents by content key, pick one canonical
+    * representative per group by `orderCols` (first wins), and map
+    * every document to its canonical id. Downstream consumers keep
+    * rows with `is_canonical` and use the mapping to re-point
+    * references. One shuffle on the content key; the rank window's
+    * partitions are dup groups (tiny — no skew concern beyond a
+    * pathological mega-duplicate, which exact dedup upstream caps).
+    */
+  def canonicalKeep(docs: DataFrame, idCol: String, keyCol: Column,
+                    orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("canonical_id", first(col(idCol)).over(
+        Window.partitionBy(keyCol).orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("is_canonical", col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** X2 (exact n-gram Jaccard): all pairs with
     * |A∩B| / |A∪B| >= `num/den`, computed over the shingle
     * inverted index — pairs sharing zero shingles are never

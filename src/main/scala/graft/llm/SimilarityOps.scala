@@ -313,6 +313,72 @@ object SimilarityOps {
       .agg(sum(col("q") * col("__sc")).as("rp_q"))
   }
 
+  /** X3: random-hyperplane (SimHash-for-vectors) LSH bucket id —
+    * `nBits` sign bits of the [[signProject]] projection packed into
+    * one long. Two vectors land in the same bucket iff they agree on
+    * every hyperplane side; P[bit agrees] = 1 − θ/π (Charikar 2002),
+    * so near-identical vectors collide with high probability. Like
+    * [[signProject]] this is all-integer from quantized inputs —
+    * deterministic on any engine for a given sign hash.
+    */
+  def rhpBucketIds(df: DataFrame, idCol: String, vecCol: String, nBits: Int,
+                   signHash: (Column, Column) => Column =
+                     (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame = {
+    require(nBits > 0 && nBits < 62, "nBits must be in [1, 61]")
+    signProject(df, idCol, vecCol, nBits, signHash)
+      // 2^k is exact in a double for k ≤ 61, so the pow round-trip is safe
+      .groupBy(col(idCol))
+      .agg(sum(when(col("rp_q") >= 0, expr("CAST(pow(2, k) AS BIGINT)")).otherwise(0L))
+        .as("bucket"))
+  }
+
+  /** X3: LSH ANN via random-hyperplane buckets — the second ANN family
+    * beside IVF ([[ivfTopK]]): corpus vectors hash to exactly ONE
+    * bucket each ([[rhpBucketIds]]); each query probes every bucket
+    * within Hamming distance `probeHamming` of its own (multi-probe
+    * LSH: flipping the least-confident hyperplane bits is approximated
+    * by flipping each subset). `probeHamming = nBits` probes all
+    * 2^nBits buckets, so the result degenerates to exactly
+    * [[bruteForceTopK]] — the value-exact oracle anchor.
+    *
+    * Cost model: E[pairs] ≈ Q·N·(Σ_{h≤probeHamming} C(nBits,h))/2^nBits
+    * vs Q·N brute-force; buckets are independent join partitions. vs
+    * IVF: no index to build or maintain (the hash IS the index), at
+    * the price of data-oblivious buckets (lower recall per probe).
+    * A (query, neighbor) pair can co-locate in at most one probed
+    * bucket (the neighbor's single home bucket), so no dedup step is
+    * needed.
+    */
+  def rhpTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nBits: Int, probeHamming: Int,
+              signHash: (Column, Column) => Column =
+                (jj, kk) => pmod(xxhash64(jj, kk), lit(2))): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nBits,
+      "probeHamming must be in [0, nBits]")
+    def withBuckets(df: DataFrame): DataFrame =
+      quantized(df, idCol, vecCol)
+        .join(rhpBucketIds(df, idCol, vecCol, nBits, signHash), idCol)
+    val c = withBuckets(corpus)
+      .select(col("bucket"), col(idCol).as("neighbor_id"),
+        col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    // probe set: home bucket XOR every mask with ≤ probeHamming bits
+    val q = withBuckets(queries)
+      .withColumn("__m", explode(expr(
+        s"filter(sequence(0L, ${(1L << nBits) - 1}L), m -> bit_count(m) <= $probeHamming)")))
+      .select((col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
+        col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
+    val scored = q.join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Adds `__qv` (quantized ARRAY<BIGINT>) and `__n2` (integer squared
     * norm). Runs once per input row — keep this OUTSIDE pair joins.
     */

@@ -255,6 +255,74 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("tok"), round(col("score"), 6).as("score"))
   }
 
+  /** X4: pattern redaction — replace every match of each (pattern →
+    * replacement) rule and count the matches that were redacted (the
+    * PII-scrub shape of a training-data pipeline: emails, phone
+    * numbers, ids). Patterns are applied in order over the running
+    * result, so later rules see earlier replacements. Counting uses
+    * `regexp_extract_all` on the text each rule actually sees; both it
+    * and `regexp_replace` are codegen'd scalar functions — no shuffle,
+    * no UDF.
+    *
+    * Portability: keep patterns in the common Java-regex/RE2 subset
+    * (char classes, alternation, bounded repeats; no backreferences or
+    * lookaround) and an external SQL oracle can reproduce the output
+    * exactly.
+    */
+  def redactPatterns(docs: DataFrame, idCol: String, textCol: String,
+                     rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "at least one redaction rule required")
+    val (redacted, counts) = rules.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((txt, cs), (pat, repl)) =>
+        val n = size(expr_extract_all(txt, pat)).cast("long")
+        (regexp_replace(txt, lit(pat), lit(repl)), cs :+ n)
+    }
+    docs.select(
+      col(idCol),
+      counts.reduce(_ + _).as("n_redacted"),
+      redacted.as("red_text"))
+      .withColumn("red_len", length(col("red_text")).cast("long"))
+  }
+
+  // regexp_extract_all as a Column helper (the functions._ variant
+  // takes a literal idx expression; group 0 = whole match)
+  private def expr_extract_all(c: Column, pat: String): Column =
+    regexp_extract_all(c, lit(pat), lit(0))
+
+  /** X4: Gopher-style quality-rule gate (Rae et al. 2021's repetition/
+    * length heuristics, the document-filter shape): per document,
+    * word count bounds, mean-word-length bounds, short-word fraction
+    * cap, and a minimum stopword-hit count — each as its own boolean
+    * flag plus the conjunction `keep`. Exposing per-rule flags (not
+    * just the verdict) is what pipeline debugging needs: "what rule
+    * kills how many documents".
+    *
+    * All counts are exact integers; the two ratios are single IEEE
+    * divisions — oracle-reproducible. Pure scalar pipeline, no shuffle.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String],
+                  minWords: Int, maxWords: Int,
+                  minMeanLen: Double, maxMeanLen: Double,
+                  maxShortFrac: Double, minStopHits: Int): DataFrame = {
+    docs.select(
+      col(idCol),
+      split(col(textCol), " ").as("__toks"))
+      .select(
+        col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        expr("CAST(aggregate(__toks, 0L, (a, t) -> a + length(t)) AS DOUBLE) / size(__toks)")
+          .as("mean_len"),
+        (size(filter(col("__toks"), t => length(t) <= 2)).cast("double") / size(col("__toks")))
+          .as("short_frac"),
+        size(filter(col("__toks"), t => t.isInCollection(stopwords))).cast("long").as("n_stop"))
+      .withColumn("r_len", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean", col("mean_len") >= minMeanLen && col("mean_len") <= maxMeanLen)
+      .withColumn("r_short", col("short_frac") <= maxShortFrac)
+      .withColumn("r_stop", col("n_stop") >= minStopHits)
+      .withColumn("keep", col("r_len") && col("r_mean") && col("r_short") && col("r_stop"))
+  }
+
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer

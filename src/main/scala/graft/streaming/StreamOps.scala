@@ -86,6 +86,22 @@ object StreamOps {
         col("l.user_id").as("user_id"),
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
 
+  /** X6: stream-static enrichment — join each event against a static
+    * (slowly-changing) dimension table, broadcast to every task. On a
+    * streaming `events` this is Spark's stream-static join: the dim
+    * side is re-resolved per micro-batch (picking up dim refreshes),
+    * needs no watermark, and holds NO join state — the broadcast is
+    * the whole cost, which is why the dim side must be the small one.
+    * The SAME body serves the batch oracle twin.
+    *
+    * Unmatched events keep their rows with null dim columns (left
+    * join): an enrichment must never drop or duplicate facts.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Streaming exact dedup (X1 on a stream): keep only the FIRST
     * arrival of each key, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` expires a key's state once the
