@@ -133,6 +133,46 @@ class DedupOpsSpec extends SparkSpec {
     exact.except(lsh16).count() shouldBe 0L
   }
 
+  test("X2 crossDocSpanStats counts spans shared across documents") {
+    val d = Seq(
+      (1L, "a b c d e"),      // spans(3): "a b c", "b c d", "c d e"
+      (2L, "x a b c d y"),    // spans(4): "x a b", "a b c", "b c d", "c d y"
+      (3L, "p q")             // < 3 words: no spans
+    ).toDF("doc_id", "text")
+    val got = DedupOps.crossDocSpanStats(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // cross-doc spans: "a b c" and "b c d" (in docs 1 and 2)
+    got(1L) shouldBe ((3L, 2L, 2.0 / 3))
+    got(2L) shouldBe ((4L, 2L, 0.5))
+    got(3L) shouldBe ((0L, 0L, 0.0))
+  }
+
+  test("X2 crossDocSpanStats counts a span repeated WITHIN one doc only once per dup check") {
+    // "a b a b a b": spans "a b a", "b a b", "a b a", "b a b" — each
+    // appears twice within doc 10 but in NO other doc, so none are
+    // cross-doc duplicates
+    val d = Seq((10L, "a b a b a b"), (11L, "z z z z")).toDF("doc_id", "text")
+    val got = DedupOps.crossDocSpanStats(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got(10L) shouldBe ((4L, 0L))
+    got(11L) shouldBe ((2L, 0L))
+  }
+
+  test("X1 canonicalKeep picks the best-by-order doc per group and maps every member") {
+    val d = Seq(
+      (1L, "k1", 5L),
+      (2L, "k1", 9L),   // higher quality: canonical for k1
+      (3L, "k2", 1L)
+    ).toDF("doc_id", "key", "quality")
+    val got = DedupOps.canonicalKeep(d, "doc_id", col("key"),
+        Seq(col("quality").desc, col("doc_id")))
+      .select("doc_id", "canonical_id", "group_n", "is_canonical")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    got(1L) shouldBe ((2L, 2L, false))
+    got(2L) shouldBe ((2L, 2L, true))
+    got(3L) shouldBe ((3L, 1L, true))
+  }
+
   test("X2 simHashPairs: chunk count derives from maxHamming (no pigeonhole false negatives)") {
     import graft.llm.DedupOps
     // two fingerprints at Hamming distance 7, crafted so every 16-bit

@@ -155,6 +155,50 @@ class SimilarityOpsSpec extends SparkSpec {
     low.exceptAll(base).count() shouldBe 0L
   }
 
+  // ---- random-hyperplane LSH ANN ----
+
+  test("rhpTopK at full probe (probeHamming = nBits) matches brute force") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val bf = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    val full = SimilarityOps.rhpTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nBits = 4, probeHamming = 4)
+      .select("query_id", "rank", "neighbor_id").collect().toSet
+    full shouldBe bf
+  }
+
+  test("rhpTopK low probe emits only truly-scored pairs, with useful recall") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    // every emitted (query, neighbor, cosine) must exist in the exact
+    // all-pairs scoring — bucketing can drop pairs, never invent them
+    val allScored = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding",
+        k = corpus.count().toInt)
+      .select("query_id", "neighbor_id", "cosine")
+    val approx = SimilarityOps.rhpTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nBits = 6, probeHamming = 1)
+    approx.select("query_id", "neighbor_id", "cosine").exceptAll(allScored)
+      .count() shouldBe 0L
+    // same-cluster vectors are near-parallel, so they agree on most
+    // hyperplane sides — Hamming-1 probing should recover a solid
+    // fraction of the true top-5
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    val r = recallAt5(approx, truth)
+    info(s"rhp recall@5 at nBits=6, hamming=1: $r")
+    r should be > 0.5
+  }
+
+  test("rhpBucketIds is deterministic and buckets near-parallel vectors together") {
+    val corpus = clustered
+    val b1 = SimilarityOps.rhpBucketIds(corpus, "vec_id", "embedding", nBits = 6)
+    val b2 = SimilarityOps.rhpBucketIds(corpus, "vec_id", "embedding", nBits = 6)
+    b1.exceptAll(b2).count() shouldBe 0L
+    b2.exceptAll(b1).count() shouldBe 0L
+    // buckets fit in nBits
+    b1.filter(col("bucket") < 0 || col("bucket") > 63).count() shouldBe 0L
+  }
+
   test("ivfTopK with kmeans refinement still matches brute force at full probe") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") % 10 === 0)

@@ -201,6 +201,28 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim runs as a stream-static join and equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("user_key", "tier")
+    val batch = StreamOps.enrichWithDim(events, dim, "user_id", "user_key")
+      .select("event_id", "user_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = StreamOps.enrichWithDim(streamDf, dim, "user_id", "user_key")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      got shouldBe batch
+      got.map(_._1) shouldBe eventRows.map(_._1).toSet // left join drops no facts
+    } finally q.stop()
+  }
+
   test("sessionizeStream (session_window) agrees with sessionizeBatch session sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]

@@ -175,4 +175,37 @@ class TextOpsSpec extends SparkSpec {
     // determinism: same input -> same fake decode
     MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect().head shouldBe m
   }
+
+  test("redactPatterns applies rules in order with per-rule-visible text and counts") {
+    val d = Seq((1L, "a1 b22 c"), (2L, "clean")).toDF("doc_id", "text")
+    val got = TextOps.redactPatterns(d, "doc_id", "text",
+        rules = Seq("[0-9]+" -> "<N>", "<N>" -> "#"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // rule 2 runs on rule 1's OUTPUT: the two digit runs become <N>,
+    // then both <N>s become # — 2 + 2 = 4 redactions
+    got(1L) shouldBe ((4L, "a# b# c", 7L))
+    got(2L) shouldBe ((0L, "clean", 5L))
+  }
+
+  test("gopherRules computes each flag and the conjunction on a hand fixture") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta the"),  // 5 words, 22 chars, mean 4.4, short 0, stop 1
+      (2L, "a b the")                      // 3 words, mean 5/3, short 2/3, stop 2
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(d, "doc_id", "text", stopwords = Seq("the", "a"),
+        minWords = 4, maxWords = 10, minMeanLen = 3.0, maxMeanLen = 5.0,
+        maxShortFrac = 0.1, minStopHits = 1)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+         r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    // doc 1: 22 chars over 5 words = 4.4 mean; every rule passes
+    got(1L) shouldBe ((5L, 4.4, 0.0, 1L, true, true, true, true, true))
+    // doc 2: fails length (3 < 4), mean (5/3 < 3.0) and short-frac (1.0)
+    val (n2, m2, s2, st2, rl, rm, rs, rst, keep) = got(2L)
+    n2 shouldBe 3L
+    m2 shouldBe 5.0 / 3 +- 1e-12
+    s2 shouldBe 2.0 / 3 +- 1e-12
+    st2 shouldBe 2L
+    (rl, rm, rs, rst, keep) shouldBe ((false, false, false, true, false))
+  }
 }

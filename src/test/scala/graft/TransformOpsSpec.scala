@@ -131,6 +131,29 @@ class TransformOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleWeighted is deterministic, keeps everything at weight=max/scale=1, drops weight 0") {
+    val df = (1L to 200L).map(i => (i, if (i % 7 == 0) 0L else 100L)).toDF("id", "w")
+    val s1 = TransformOps.sampleWeighted(df, "id", "w", scale = 1.0)
+    val s2 = TransformOps.sampleWeighted(df, "id", "w", scale = 1.0)
+    // deterministic: identical sample on every run
+    s1.exceptAll(s2).count() shouldBe 0L
+    s2.exceptAll(s1).count() shouldBe 0L
+    // weight == max and scale 1 => acceptance 1 => all kept
+    s1.count() shouldBe df.filter(col("w") > 0).count()
+    // weight 0 => acceptance 0 => never kept
+    s1.filter(col("w") === 0).count() shouldBe 0L
+  }
+
+  test("sampleWeighted acceptance scales with weight") {
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000) 25L else 100L)).toDF("id", "w")
+    val kept = TransformOps.sampleWeighted(df, "id", "w", scale = 1.0)
+    val light = kept.filter(col("w") === 25).count().toDouble / 1000
+    val heavy = kept.filter(col("w") === 100).count().toDouble / 1000
+    // acceptance ~ w/max: 0.25 vs 1.0 (hash uniformity gives slack on the light side)
+    heavy shouldBe 1.0
+    light shouldBe 0.25 +- 0.08
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
