@@ -77,4 +77,38 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
   }
+
+  test("x6_stream_static: dimension side broadcasts, no shuffle join") {
+    val plan = formatted("x6_stream_static")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_cube: all grouping sets from ONE Expand + hash aggregate pass") {
+    val plan = formatted("q_cube")
+    "\\(\\d+\\) Expand\\b".r.findAllIn(plan).size shouldBe 1
+    plan should include("HashAggregate")
+  }
+
+  test("x2_span_dedup: linear span pipeline — keyed joins only, no pair explosion") {
+    val plan = formatted("x2_span_dedup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
+  test("x3_ann_rhp: bucket join is keyed; the only Window is the final top-k rank") {
+    val plan = formatted("x3_ann_rhp")
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("t_weighted_sample: max-weight side broadcasts; sample filter needs no shuffle of the data") {
+    val plan = formatted("t_weighted_sample")
+    plan should not include "SortMergeJoin"
+    // the only exchanges are the tiny max() aggregate's and the final
+    // oracle orderBy's range partitioning — never a hash repartition
+    // of the sampled table
+    plan should not include "hashpartitioning"
+  }
 }
