@@ -652,6 +652,34 @@ object Queries {
              |SELECT 'supplier' AS tbl, count(DISTINCT s_nationkey) AS class_num FROM supplier
              |ORDER BY tbl""".stripMargin)),
 
+    // ---- T5 scale twin: HyperLogLog++ approximate distinct. The
+    // exact countDistinct expands to a two-key shuffle (Expand +
+    // distinct agg); the HLL sketch is one map-side-combinable pass
+    // with O(1/rsd²) memory per group — the 100 TB cardinality path.
+    // Sketch values have no cross-engine oracle (rows-only check);
+    // TransformOpsSpec bounds the relative error against exact. ----
+    ("t5_class_count_approx",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy(col("l_linestatus"))
+      },
+      None),
+
+    // ---- global top-N: per-partition heap + driver merge of N
+    // (TakeOrderedAndProject), never a cluster-wide sort — the only
+    // sane shape for "top 10 of 100 TB" (plan-asserted in PlanSpec) ----
+    ("q_topn_global",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
     // ---- T6: schema-aligned union ----
     ("t6_union",
       (s: SparkSession, dir: String) => {

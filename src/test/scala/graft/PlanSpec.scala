@@ -103,6 +103,18 @@ class PlanSpec extends SparkSpec {
     "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("q_topn_global: limit+sort fuses to TakeOrderedAndProject, no global sort") {
+    val plan = formatted("q_topn_global")
+    plan should include("TakeOrderedAndProject")
+    "\\(\\d+\\) Sort\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
+  test("t5_class_count_approx: HLL sketch aggregates partially (map-side combine)") {
+    val plan = formatted("t5_class_count_approx")
+    plan should include("partial_approx_count_distinct")
+    plan should not include "Expand" // the exact distinct's two-key expansion
+  }
+
   test("t_weighted_sample: max-weight side broadcasts; sample filter needs no shuffle of the data") {
     val plan = formatted("t_weighted_sample")
     plan should not include "SortMergeJoin"

@@ -144,6 +144,22 @@ class TransformOpsSpec extends SparkSpec {
     s1.filter(col("w") === 0).count() shouldBe 0L
   }
 
+  test("approx_count_distinct stays within the declared relative error of exact") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy("l_linestatus").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = li.groupBy("l_linestatus").agg(approx_count_distinct("l_partkey", 0.02).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.keySet shouldBe exact.keySet
+    for ((k, a) <- approx) {
+      val e = exact(k).toDouble
+      withClue(s"$k: approx=$a exact=$e: ") {
+        math.abs(a - e) / e should be <= 0.06 // 3x the 2% rsd
+      }
+    }
+  }
+
   test("sampleWeighted acceptance scales with weight") {
     val df = (1L to 2000L).map(i => (i, if (i <= 1000) 25L else 100L)).toDF("id", "w")
     val kept = TransformOps.sampleWeighted(df, "id", "w", scale = 1.0)
