@@ -323,13 +323,30 @@ object SimilarityOps {
     */
   def rhpBucketIds(df: DataFrame, idCol: String, vecCol: String, nBits: Int,
                    signHash: (Column, Column) => Column =
-                     (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame = {
+                     (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame =
+    rhpBucketIdsMulti(df, idCol, vecCol, nBits, nTables = 1, signHash)
+      .drop("table")
+
+  /** Multi-table RHP buckets: `nTables` independent `nBits`-bit hash
+    * tables from ONE `nBits·nTables`-dimension sign projection (table
+    * t owns bits [t·nBits, (t+1)·nBits)) — the classic LSH recall
+    * amplifier: a near pair is a candidate if it collides in ANY
+    * table, P = 1 − (1 − p^nBits)^nTables for per-bit agreement p.
+    * Output: one row per (id, table) with that table's bucket.
+    */
+  def rhpBucketIdsMulti(df: DataFrame, idCol: String, vecCol: String,
+                        nBits: Int, nTables: Int,
+                        signHash: (Column, Column) => Column =
+                          (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame = {
     require(nBits > 0 && nBits < 62, "nBits must be in [1, 61]")
-    signProject(df, idCol, vecCol, nBits, signHash)
-      // 2^k is exact in a double for k ≤ 61, so the pow round-trip is safe
-      .groupBy(col(idCol))
-      .agg(sum(when(col("rp_q") >= 0, expr("CAST(pow(2, k) AS BIGINT)")).otherwise(0L))
-        .as("bucket"))
+    require(nTables > 0, "nTables must be positive")
+    signProject(df, idCol, vecCol, nBits * nTables, signHash)
+      .withColumn("table", (col("k") / nBits).cast("int"))
+      // 2^bit is exact in a double for bit ≤ 61, so the pow round-trip is safe
+      .withColumn("__b",
+        when(col("rp_q") >= 0, expr(s"CAST(pow(2, k % $nBits) AS BIGINT)")).otherwise(0L))
+      .groupBy(col(idCol), col("table"))
+      .agg(sum(col("__b")).as("bucket"))
   }
 
   /** X3: LSH ANN via random-hyperplane buckets — the second ANN family
@@ -341,39 +358,44 @@ object SimilarityOps {
     * 2^nBits buckets, so the result degenerates to exactly
     * [[bruteForceTopK]] — the value-exact oracle anchor.
     *
-    * Cost model: E[pairs] ≈ Q·N·(Σ_{h≤probeHamming} C(nBits,h))/2^nBits
-    * vs Q·N brute-force; buckets are independent join partitions. vs
-    * IVF: no index to build or maintain (the hash IS the index), at
-    * the price of data-oblivious buckets (lower recall per probe).
-    * A (query, neighbor) pair can co-locate in at most one probed
-    * bucket (the neighbor's single home bucket), so no dedup step is
-    * needed.
+    * Cost model: E[pairs] ≈ Q·N·nTables·(Σ_{h≤probeHamming}
+    * C(nBits,h))/2^nBits vs Q·N brute-force; buckets are independent
+    * join partitions. vs IVF: no index to build or maintain (the hash
+    * IS the index), at the price of data-oblivious buckets (lower
+    * recall per probe). `nTables` > 1 amplifies recall the standard
+    * LSH way — L independent tables, candidate = collision in ANY
+    * table ([[rhpBucketIdsMulti]]); the corpus index grows L× (the
+    * classic space-for-recall trade).
     */
   def rhpTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nBits: Int, probeHamming: Int,
+              k: Int, nBits: Int, probeHamming: Int, nTables: Int = 1,
               signHash: (Column, Column) => Column =
                 (jj, kk) => pmod(xxhash64(jj, kk), lit(2))): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= nBits,
       "probeHamming must be in [0, nBits]")
     def withBuckets(df: DataFrame): DataFrame =
       quantized(df, idCol, vecCol)
-        .join(rhpBucketIds(df, idCol, vecCol, nBits, signHash), idCol)
+        .join(rhpBucketIdsMulti(df, idCol, vecCol, nBits, nTables, signHash), idCol)
     val c = withBuckets(corpus)
-      .select(col("bucket"), col(idCol).as("neighbor_id"),
+      .select(col("table"), col("bucket"), col(idCol).as("neighbor_id"),
         col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    // probe set: home bucket XOR every mask with ≤ probeHamming bits
+    // probe set per table: home bucket XOR every mask with ≤ probeHamming bits
     val q = withBuckets(queries)
       .withColumn("__m", explode(expr(
         s"filter(sequence(0L, ${(1L << nBits) - 1}L), m -> bit_count(m) <= $probeHamming)")))
-      .select((col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
+      .select(col("table"), (col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
         col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
-    val scored = q.join(c, "bucket")
+    val scored = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
           .as("cosine"))
+    // a pair can collide in several tables (never twice within one —
+    // the neighbor has exactly one home bucket per table); cosine is a
+    // pure function of the pair, so the duplicates are identical rows
+    val once = if (nTables == 1) scored else scored.distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+    once
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

@@ -66,6 +66,20 @@ object Probe {
         println(f"ivf recall@5 nProbe=$nProbe iters=$iters: $recall%.4f")
       }
 
+      // 4b) RHP LSH recall@5 on the real embeddings across
+      // (nBits, probeHamming); full probe must be exact (diff=0)
+      val rhpFull = SimilarityOps.rhpTopK(queries, emb, "vec_id", "embedding",
+        5, nBits = 4, probeHamming = 4)
+      val rhpDiff = bf.except(rhpFull).count() + rhpFull.except(bf).count()
+      println(s"rhpFullProbeVsBrute diff=$rhpDiff")
+      for (nBits <- Seq(6, 8); ham <- Seq(0, 1, 2); tables <- Seq(1, 4, 8)) {
+        val got = SimilarityOps.rhpTopK(queries, emb, "vec_id", "embedding",
+            5, nBits, ham, tables)
+          .select("query_id", "neighbor_id")
+        val recall = got.intersect(truth).count().toDouble / nTruth
+        println(f"rhp recall@5 nBits=$nBits hamming=$ham tables=$tables: $recall%.4f")
+      }
+
       // 5) IVF near-dup pair recall vs the all-pairs baseline at 0.45;
       // pair cost model is nProbe²/K of N², so (K, nProbe) must keep
       // nProbe² << K to beat the baseline

@@ -189,6 +189,48 @@ class SimilarityOpsSpec extends SparkSpec {
     r should be > 0.5
   }
 
+  /** 40 random base vectors (16-d, hash-mixed coordinates) each with a
+    * noisy twin at cosine ≈ 0.9-0.95. Unlike `clustered` — where one
+    * dominant axis per cluster makes every member hash to IDENTICAL
+    * sign bits, saturating any single table — twin pairs here sit at a
+    * real angle θ with θ/π ≈ 0.07-0.1 per hyperplane, so one 16-bit
+    * table catches a twin with only ≈ (1−θ/π)^16 ≈ 0.2-0.3
+    * probability. That makes single-table recall provably < 1 (the
+    * test asserts it) and leaves room for the multi-table OR to show
+    * its amplification.
+    */
+  private def twinned = {
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.tabulate(16)(j => (mix(i * 16 + j) - 4.5).toFloat)
+      val twin = Array.tabulate(16)(j => base(j) + 0.55f * (mix(i * 16 + j + 7919) - 4.5f).toFloat / 4.5f)
+      Seq((i.toLong, base.toSeq), ((100 + i).toLong, twin.toSeq))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("rhpTopK multi-table amplifies recall over one table at the same (nBits, hamming)") {
+    val corpus = twinned
+    val queries = corpus.filter(col("vec_id") < 40)
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 1)
+    val one = SimilarityOps.rhpTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, nBits = 16, probeHamming = 0, nTables = 1)
+    val eight = SimilarityOps.rhpTopK(queries, corpus, "vec_id", "embedding",
+      k = 1, nBits = 16, probeHamming = 0, nTables = 8)
+    val r1 = recallAt5(one, truth)
+    val r8 = recallAt5(eight, truth)
+    info(s"rhp recall@1 at nBits=16 ham=0: tables=1 $r1, tables=8 $r8")
+    withClue(s"tables=1 $r1 vs tables=8 $r8: ") {
+      r1 should be < 1.0 // non-saturated, or the strict > below is unsatisfiable
+      r8 should be > r1
+    }
+    // multi-table emits each candidate pair once, with true scores
+    val allScored = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding",
+        k = corpus.count().toInt)
+      .select("query_id", "neighbor_id", "cosine")
+    eight.select("query_id", "neighbor_id", "cosine").exceptAll(allScored)
+      .count() shouldBe 0L
+  }
+
   test("rhpBucketIds is deterministic and buckets near-parallel vectors together") {
     val corpus = clustered
     val b1 = SimilarityOps.rhpBucketIds(corpus, "vec_id", "embedding", nBits = 6)
