@@ -987,6 +987,36 @@ object Queries {
              |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // ---- X2: substring-level dedup, removal half — the cleaned
+    // corpus with every cross-doc duplicated 8-word span removed
+    // except its corpus-first occurrence. Linear in corpus tokens. ----
+    ("x2_span_removal",
+      (s: SparkSession, dir: String) => {
+        DedupOps.removeDuplicateSpans(Tables.load(s, dir, "documents"), "doc_id", "text", 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+             |       FROM t WHERE len(toks) >= 8),
+             |sp AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS span FROM s0),
+             |st AS (SELECT span, count(DISTINCT doc_id) AS ndocs,
+             |         min(doc_id * 1000000 + pos) AS firstk FROM sp GROUP BY span),
+             |dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN st USING (span)
+             |        WHERE st.ndocs >= 2 AND sp.doc_id * 1000000 + sp.pos <> st.firstk),
+             |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS tpos FROM dup),
+             |ti AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS tpos FROM t),
+             |tok AS (SELECT doc_id, tpos, toks[tpos] AS tok FROM ti),
+             |kept AS (SELECT tok.doc_id, tok.tpos, tok.tok FROM tok
+             |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+             |         WHERE cov.doc_id IS NULL),
+             |o AS (SELECT doc_id, count(*) AS n_kept,
+             |        string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+             |      FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
+             |  coalesce(o.clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // ---- X2: exact n-gram Jaccard near-dup pairs (inverted-index join) ----
     ("x2_jaccard_pairs",
       (s: SparkSession, dir: String) => {

@@ -86,6 +86,60 @@ object DedupOps {
           .otherwise(col("n_dup").cast("double") / col("n_spans")))
   }
 
+  /** X2: substring-level dedup, removal half — produce the CLEANED
+    * corpus: drop every token covered by a `w`-word span that occurs
+    * elsewhere in the corpus, keeping each duplicated span's first
+    * occurrence (minimum `(doc_id, pos)`, packed as
+    * `doc_id·1e6 + pos` — positions must stay below 1e6). Documents
+    * shorter than `w` words pass through unchanged. Output:
+    * `(doc_id, n_kept, clean_text)`.
+    *
+    * Plan shape at scale, all linear in corpus tokens: spans explode
+    * (×~1 rows per token), one span-keyed aggregation for (document
+    * frequency, first occurrence), one span-keyed join back, one
+    * explode to covered positions (×w), an anti join on (doc, pos),
+    * and a per-doc sorted re-assembly (array_sort of collected
+    * (pos, token) structs — no window, no global sort). Span strings
+    * would become 64-bit hashes at 100 TB to shrink the two span
+    * shuffles; strings here keep the oracle exact.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w > 0, "span width must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    val spans = toks
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
+          .as(Seq("pos0", "span")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("span"))
+    val stats = spans
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("__ndocs"),
+        min(col("doc_id") * 1000000L + col("pos")).as("__firstk"))
+    // every occurrence of a cross-doc span EXCEPT the corpus-first one
+    val dupOcc = spans.join(stats, "span")
+      .filter(col("__ndocs") >= 2 &&
+        col("doc_id") * 1000000L + col("pos") =!= col("__firstk"))
+    val covered = dupOcc
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("tpos"))
+      .distinct()
+    val allToks = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos0", "tok")))
+      .select(col("doc_id"), (col("tpos0") + 1).as("tpos"), col("tok"))
+    val kept = allToks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("tpos"), col("tok")))).as("__ts"))
+      .withColumn("clean_text", concat_ws(" ", expr("transform(__ts, x -> x.tok)")))
+      .select("doc_id", "n_kept", "clean_text")
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** X1: canonical-document selection — the keep-one half of exact
     * dedup: group documents by content key, pick one canonical
     * representative per group by `orderCols` (first wins), and map

@@ -158,6 +158,33 @@ class DedupOpsSpec extends SparkSpec {
     got(11L) shouldBe ((2L, 0L))
   }
 
+  test("X2 removeDuplicateSpans keeps the corpus-first occurrence, strips the rest") {
+    val d = Seq(
+      (1L, "a b c d e"),      // "a b c" at (1,1) is corpus-first: doc 1 unchanged
+      (2L, "x a b c y"),      // "a b c" at (2,2) is a later occurrence: a,b,c removed
+      (3L, "p q")             // < 3 words: passes through
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    got(1L) shouldBe ((5L, "a b c d e"))
+    got(2L) shouldBe ((2L, "x y"))
+    got(3L) shouldBe ((2L, "p q"))
+  }
+
+  test("X2 removeDuplicateSpans: overlapping dup spans merge their covered ranges") {
+    // docs 20 and 21 share the 4-token run "a b c d": in doc 21 it
+    // spans two overlapping 3-grams ("a b c", "b c d") whose covered
+    // ranges union to tokens 2..5
+    val d = Seq(
+      (20L, "a b c d x"),
+      (21L, "z a b c d")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeDuplicateSpans(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    got(20L) shouldBe ((5L, "a b c d x"))
+    got(21L) shouldBe ((1L, "z"))
+  }
+
   test("X1 canonicalKeep picks the best-by-order doc per group and maps every member") {
     val d = Seq(
       (1L, "k1", 5L),
