@@ -1419,6 +1419,24 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- X3: per-label embedding centroids (class prototypes) in
+    // exact quantized-integer means, flattened to tidy rows ----
+    ("x3_label_centroids",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.labelCentroids(Tables.load(s, dir, "embeddings"), "label", "embedding")
+          .orderBy(col("label"), col("p"))
+      },
+      Some("""WITH q AS (SELECT label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |e0 AS (SELECT label, qv, unnest(generate_series(1, len(qv))) AS p FROM q),
+             |e AS (SELECT label, CAST(p AS BIGINT) AS p, qv[p] AS v FROM e0)
+             |SELECT label, p,
+             |  CAST(CASE WHEN sum(v) < 0 THEN -((-sum(v)) // count(*))
+             |            ELSE sum(v) // count(*) END AS BIGINT) AS m,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM e GROUP BY label, p ORDER BY label, p""".stripMargin)),
+
     // ---- X4: token statistics ----
     ("x4_text_stats",
       (s: SparkSession, dir: String) => {
@@ -1589,6 +1607,26 @@ object Queries {
              |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
              |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, round(score, 6) AS score
              |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- X4: corpus-trained unigram LM surprisal (CCNet-style
+    // quality-filter shape). Token surprisal quantized to integers
+    // BEFORE the per-doc aggregation, so the sum is order-free and
+    // the mean a single IEEE division. ----
+    ("x4_lm_surprisal",
+      (s: SparkSession, dir: String) => {
+        TextOps.lmSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+             |tot AS (SELECT sum(tf) AS total FROM tf),
+             |sq AS (SELECT toks.doc_id,
+             |         CAST(round(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+             |       FROM toks JOIN tf USING (tok), tot)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  sum(sq) AS sum_surprisal_q,
+             |  CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
+             |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- X4: rolling-hash document fingerprint ----
     ("x4_fingerprint",

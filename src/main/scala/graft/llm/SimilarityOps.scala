@@ -401,6 +401,26 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** X3: per-label embedding centroids (class prototypes — the
+    * nearest-centroid-classifier / dataset-cartography shape): for
+    * each label, the element-wise mean of its members' QUANTIZED
+    * vectors, flattened to tidy `(label, p, m, n)` rows (coordinate p,
+    * integer mean m = sum div n truncated toward zero, member count
+    * n). Integer sums are exact in any execution order, so the output
+    * is bit-identical on any engine — same discipline as
+    * [[refineCentroids]], whose per-centroid mean this generalizes to
+    * arbitrary label columns.
+    *
+    * Plan: posexplode + one (label, p)-keyed hash aggregation,
+    * map-side combinable; no window, no join.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), VectorFunctions.quantizeVec(col(vecCol)).as("__qv"))
+      .select(col("label"), posexplode(col("__qv")).as(Seq("p0", "v")))
+      .select(col("label"), (col("p0") + 1).cast("long").as("p"), col("v"))
+      .groupBy("label", "p")
+      .agg(expr("sum(v) div count(1)").as("m"), count(lit(1)).as("n"))
+
   /** Adds `__qv` (quantized ARRAY<BIGINT>) and `__n2` (integer squared
     * norm). Runs once per input row — keep this OUTSIDE pair joins.
     */

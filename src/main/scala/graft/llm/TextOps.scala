@@ -323,6 +323,37 @@ object TextOps {
       .withColumn("keep", col("r_len") && col("r_mean") && col("r_short") && col("r_stop"))
   }
 
+  /** X4: corpus-trained unigram LM surprisal — the CCNet-style quality
+    * filter shape: train token frequencies on the corpus itself, score
+    * each document by its mean token surprisal −ln p(tok). Low mean =
+    * templated/common text, high mean = rare-token (often noisy) text;
+    * pipelines keep the middle band. With a real LM the per-token
+    * surprisal column is model output; the aggregation plan is
+    * identical.
+    *
+    * Determinism: each token's surprisal is quantized to an integer
+    * (round(−ln p · 1e6)) BEFORE the per-doc aggregation, so the sum
+    * is exact in any execution order and the mean is one IEEE division
+    * — same discipline as the quantized-vector similarity ops.
+    *
+    * Plan: one shuffle to corpus term frequencies, corpus total
+    * broadcast as a one-row join, one token-keyed join back, one
+    * per-doc hash aggregation — all map-side combinable.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("__tf"))
+    val total = tf.agg(sum(col("__tf")).as("__total"))
+    toks.join(tf, "tok")
+      .join(broadcast(total))
+      .withColumn("__sq",
+        expr("CAST(round(-ln(CAST(__tf AS DOUBLE) / __total) * 1000000) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__sq")).as("sum_surprisal_q"))
+      .withColumn("avg_surprisal",
+        col("sum_surprisal_q").cast("double") / lit(1000000.0) / col("n_tokens"))
+  }
+
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer

@@ -231,6 +231,22 @@ class SimilarityOpsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("labelCentroids: exact integer means per (label, coordinate), truncated toward zero") {
+    val d = Seq(
+      (0L, Seq(1.0f, -1.0f), 1),
+      (1L, Seq(2.0f, -1.0f), 1),
+      (2L, Seq(3.0f, -1.001f), 1),
+      (3L, Seq(5.0f, 5.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelCentroids(d, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    got((1, 1L)) shouldBe ((2000L, 3L))   // (1000+2000+3000) div 3
+    // sum = -3001: truncation toward zero gives -1000 (floor would be -1001)
+    got((1, 2L)) shouldBe ((-1000L, 3L))
+    got((2, 1L)) shouldBe ((5000L, 1L))
+    got((2, 2L)) shouldBe ((5000L, 1L))
+  }
+
   test("rhpBucketIds is deterministic and buckets near-parallel vectors together") {
     val corpus = clustered
     val b1 = SimilarityOps.rhpBucketIds(corpus, "vec_id", "embedding", nBits = 6)

@@ -176,6 +176,17 @@ class TextOpsSpec extends SparkSpec {
     MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect().head shouldBe m
   }
 
+  test("lmSurprisal scores docs by corpus-trained quantized token surprisal") {
+    val d = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
+    // corpus tf: a=3, b=1, total=4
+    val sqA = math.round(-math.log(3.0 / 4) * 1e6)
+    val sqB = math.round(-math.log(1.0 / 4) * 1e6)
+    val got = TextOps.lmSurprisal(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got(1L) shouldBe ((3L, 2 * sqA + sqB, (2 * sqA + sqB) / 1e6 / 3))
+    got(2L) shouldBe ((1L, sqA, sqA / 1e6))
+  }
+
   test("redactPatterns applies rules in order with per-rule-visible text and counts") {
     val d = Seq((1L, "a1 b22 c"), (2L, "clean")).toDF("doc_id", "text")
     val got = TextOps.redactPatterns(d, "doc_id", "text",
