@@ -1140,6 +1140,60 @@ object Queries {
              |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: end-to-end corpus curation in ONE lazy plan — the
+    // composition story: exact dedup (canonical keep) → Gopher quality
+    // gate → LM-surprisal band (statistics trained on the FULL corpus,
+    // the CCNet convention) → sequence packing of the survivors.
+    // Catalyst sees the whole pipeline at once, so column pruning and
+    // predicate pushdown cross operator boundaries that would be
+    // materialization barriers in an imperative pipeline. ----
+    ("x4_curation_pipeline",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val canonical = DedupOps.canonicalKeep(docs, "doc_id",
+            md5(col("text")), Seq(col("n_chars").desc, col("doc_id")))
+          .filter(col("is_canonical")).select("doc_id")
+        val quality = TextOps.gopherRules(docs.join(canonical, "doc_id"), "doc_id", "text",
+            stopwords = Seq("the", "a"), minWords = 30, maxWords = 90,
+            minMeanLen = 4.2, maxMeanLen = 5.0, maxShortFrac = 0.06, minStopHits = 2)
+          .filter(col("keep")).select("doc_id")
+        val band = TextOps.lmSurprisal(docs, "doc_id", "text")
+          .filter(col("avg_surprisal").between(3.39, 3.42)).select("doc_id")
+        val kept = docs.join(quality, "doc_id").join(band, "doc_id")
+        TextOps.packGreedy(kept, "doc_id", "text", budgetTokens = 2048, shards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH canon AS (SELECT doc_id FROM (
+             |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn
+             |    FROM documents) WHERE rn = 1),
+             |gq AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+             |       FROM documents d JOIN canon USING (doc_id)),
+             |g AS (SELECT doc_id FROM gq
+             |      WHERE len(toks) BETWEEN 30 AND 90
+             |        AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) BETWEEN 4.2 AND 5.0
+             |        AND CAST(len(list_filter(toks, t -> length(t) <= 2)) AS DOUBLE) / len(toks) <= 0.06
+             |        AND len(list_filter(toks, t -> t = 'the' OR t = 'a')) >= 2),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+             |tot AS (SELECT sum(tf) AS total FROM tf),
+             |sq AS (SELECT toks.doc_id,
+             |         CAST(round(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+             |       FROM toks JOIN tf USING (tok), tot),
+             |sb AS (SELECT doc_id FROM (
+             |    SELECT doc_id, CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_s
+             |    FROM sq GROUP BY doc_id)
+             |  WHERE avg_s BETWEEN 3.39 AND 3.42),
+             |kept AS (SELECT d.doc_id, d.text FROM documents d
+             |         JOIN g USING (doc_id) JOIN sb USING (doc_id)),
+             |t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM kept),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |      FROM t)
+             |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {

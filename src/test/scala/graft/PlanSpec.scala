@@ -115,6 +115,13 @@ class PlanSpec extends SparkSpec {
     plan should not include "Expand" // the exact distinct's two-key expansion
   }
 
+  test("x4_curation_pipeline: whole curation composes into one plan without cartesian joins") {
+    val plan = formatted("x4_curation_pipeline")
+    plan should not include "CartesianProduct"
+    // the doc-id survivor joins stay keyed (broadcast or shuffled hash)
+    plan should include("Join")
+  }
+
   test("t_weighted_sample: max-weight side broadcasts; sample filter needs no shuffle of the data") {
     val plan = formatted("t_weighted_sample")
     plan should not include "SortMergeJoin"
