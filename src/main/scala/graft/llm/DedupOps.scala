@@ -56,11 +56,17 @@ object DedupOps {
     * (map-side combined on the distinct (doc, span) projection), one
     * shuffle join spans⋈span-df on span, one aggregation back to doc.
     * Spans never pair up — cost is linear in corpus token count, never
-    * O(N²). At 100 TB the span strings would be 64-bit span hashes
-    * (xxhash64 over the window) to shrink the shuffle; the string form
-    * here keeps the oracle exact.
+    * O(N²).
+    *
+    * @param spanKey the grouping/join key derived from the span text.
+    *   Identity (default) keeps exact string semantics — the oracle
+    *   path. At 100 TB pass `xxhash64(_)`: the two span-keyed shuffles
+    *   carry 8 bytes instead of ~50-byte strings, trading exactness
+    *   for a ~2⁻⁶⁴-per-pair collision false positive (DedupOpsSpec
+    *   pins hashed == string output on real data).
     */
-  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                        spanKey: Column => Column = identity): DataFrame = {
     require(w > 0, "span width must be positive")
     val spans = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
@@ -68,6 +74,7 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
           .as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), spanKey(col("span")).as("span"))
     // document frequency per span over DISTINCT (doc, span): the
     // distinct is the map-side-combinable projection
     val spanDf = spans.select("doc_id", "span").distinct()
@@ -99,11 +106,13 @@ object DedupOps {
     * frequency, first occurrence), one span-keyed join back, one
     * explode to covered positions (×w), an anti join on (doc, pos),
     * and a per-doc sorted re-assembly (array_sort of collected
-    * (pos, token) structs — no window, no global sort). Span strings
-    * would become 64-bit hashes at 100 TB to shrink the two span
-    * shuffles; strings here keep the oracle exact.
+    * (pos, token) structs — no window, no global sort). `spanKey` as
+    * in [[crossDocSpanStats]]: identity = exact oracle path,
+    * `xxhash64(_)` = the 100 TB shuffle-shrinking path (spec-pinned
+    * equal on real data).
     */
-  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                           spanKey: Column => Column = identity): DataFrame = {
     require(w > 0, "span width must be positive")
     val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
     val spans = toks
@@ -111,7 +120,7 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
           .as(Seq("pos0", "span")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("span"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), spanKey(col("span")).as("span"))
     val stats = spans
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("__ndocs"),

@@ -185,6 +185,18 @@ class DedupOpsSpec extends SparkSpec {
     got(21L) shouldBe ((1L, "z"))
   }
 
+  test("X2 span ops: hashed span keys produce the same output as exact strings on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val statsS = DedupOps.crossDocSpanStats(real, "doc_id", "text", 8)
+    val statsH = DedupOps.crossDocSpanStats(real, "doc_id", "text", 8, spanKey = xxhash64(_))
+    statsS.exceptAll(statsH).count() shouldBe 0L
+    statsH.exceptAll(statsS).count() shouldBe 0L
+    val remS = DedupOps.removeDuplicateSpans(real, "doc_id", "text", 8)
+    val remH = DedupOps.removeDuplicateSpans(real, "doc_id", "text", 8, spanKey = xxhash64(_))
+    remS.exceptAll(remH).count() shouldBe 0L
+    remH.exceptAll(remS).count() shouldBe 0L
+  }
+
   test("X1 canonicalKeep picks the best-by-order doc per group and maps every member") {
     val d = Seq(
       (1L, "k1", 5L),
