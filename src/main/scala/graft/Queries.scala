@@ -809,6 +809,31 @@ object Queries {
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_v, CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- X5+X2: media near-dup — perceptual-hash (STUB codec, real
+    // plumbing) fingerprints paired by Hamming distance via the same
+    // chunk-banded machinery as SimHash. Exact text dups have
+    // identical blobs (hamming 0); the banding never cross-joins. ----
+    ("x5_phash_neardup",
+      (s: SparkSession, dir: String) => {
+        val fps = MultimodalOps.pHashStub(
+          MultimodalOps.documentsAsBlobs(Tables.load(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "blob")
+        DedupOps.simHashPairs(fps, maxHamming = 4)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+             |    list_transform(range(1, length(text) + 1), i -> ord(substr(text, CAST(i AS INT), 1))) AS bytes
+             |  FROM documents),
+             |f AS (SELECT doc_id, ${(0 until 8).map(b =>
+                  s"(len(list_filter(bytes, x -> x % 8 = $b)) % 128) * ${1L << (8 * b)}").mkString(" + ")} AS fp
+             |  FROM b),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             |        bit_count(xor(a.fp, b.fp)) AS hamming
+             |      FROM f a JOIN f b ON a.doc_id < b.doc_id)
+             |SELECT doc1, doc2, CAST(hamming AS BIGINT) AS hamming
+             |FROM p WHERE hamming <= 4 ORDER BY doc1, doc2""".stripMargin)),
+
     // ---- X6 (batch form): tumbling time-window aggregation ----
     ("x6_tumbling_window",
       (s: SparkSession, dir: String) => {

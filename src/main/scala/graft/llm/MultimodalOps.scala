@@ -66,6 +66,30 @@ object MultimodalOps {
   def documentsAsBlobs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol).cast("binary").as("blob"))
 
+  /** STUB perceptual hash (a real implementation is DCT-based pHash /
+    * chromaprint): a 64-bit fingerprint packing the blob's byte-value
+    * histogram — byte b of the fingerprint = (count of bytes ≡ b
+    * mod 8) mod 128, little-endian. Deterministic pure byte
+    * arithmetic, so an external SQL oracle recomputes it exactly; like
+    * a real perceptual hash, near-identical media differ in few bits,
+    * which is what Hamming-banded pairing
+    * ([[graft.llm.DedupOps.simHashPairs]]) needs. Counts stay below
+    * 128 so the packed value never sets bit 63.
+    *
+    * Pure codegen'd scalar pipeline (hex → byte array → 8 bucket
+    * counts), no UDF, no shuffle.
+    */
+  def pHashStub(blobs: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val fp = (0 until 8).map { b =>
+      s"(CAST(size(filter(__bytes, x -> x % 8 = $b)) % 128 AS BIGINT) * ${1L << (8 * b)}L"
+    }.mkString("", ") + ", ")")
+    blobs
+      .select(col(idCol).as("doc_id"), hex(col(blobCol)).as("__hx"))
+      .withColumn("__bytes",
+        expr("transform(sequence(1, length(__hx) div 2), i -> CAST(conv(substring(__hx, i * 2 - 1, 2), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr(fp).as("fp"))
+  }
+
   /** Fixed-size feature vector per media blob. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 

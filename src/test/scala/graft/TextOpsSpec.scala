@@ -176,6 +176,16 @@ class TextOpsSpec extends SparkSpec {
     MultimodalOps.decodeBlobs(blobs, "doc_id", "blob").collect().head shouldBe m
   }
 
+  test("pHashStub packs the byte-histogram fingerprint deterministically") {
+    // "aaab" = bytes 97,97,97,98: 97 % 8 = 1 (×3), 98 % 8 = 2 (×1)
+    // → fp = 3·256 + 1·65536
+    val blobs = MultimodalOps.documentsAsBlobs(
+      Seq((1L, "aaab")).toDF("doc_id", "text"), "doc_id", "text")
+    val fp = MultimodalOps.pHashStub(blobs, "doc_id", "blob").head().getLong(1)
+    fp shouldBe 3L * 256 + 1L * 65536
+    MultimodalOps.pHashStub(blobs, "doc_id", "blob").head().getLong(1) shouldBe fp
+  }
+
   test("lmSurprisal scores docs by corpus-trained quantized token surprisal") {
     val d = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
     // corpus tf: a=3, b=1, total=4
