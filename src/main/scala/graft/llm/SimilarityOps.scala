@@ -333,20 +333,55 @@ object SimilarityOps {
     * amplifier: a near pair is a candidate if it collides in ANY
     * table, P = 1 − (1 − p^nBits)^nTables for per-bit agreement p.
     * Output: one row per (id, table) with that table's bucket.
+    *
+    * MAP-ONLY: the ±1 sign matrix (outDim × maxInputDim, a few MB) is
+    * collapsed to one nested-array row and broadcast; each data row
+    * then computes every table's bucket with pure HOF expressions
+    * (zip_with dot + sign + bit packing) inside its own task. The
+    * previous formulation posexploded N·dim rows through a
+    * (id, table)-keyed hash aggregation and joined the buckets back on
+    * id — two shuffles of the whole corpus per query batch, which is
+    * exactly the cost a hash-is-the-index scheme must not pay. Bucket
+    * values are bit-identical to that formulation (same signHash, same
+    * Σ q_j·s(j,k) ≥ 0 rule).
     */
   def rhpBucketIdsMulti(df: DataFrame, idCol: String, vecCol: String,
                         nBits: Int, nTables: Int,
                         signHash: (Column, Column) => Column =
-                          (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame = {
+                          (j, k) => pmod(xxhash64(j, k), lit(2)),
+                        maxInputDim: Int = 4096): DataFrame = {
     require(nBits > 0 && nBits < 62, "nBits must be in [1, 61]")
     require(nTables > 0, "nTables must be positive")
-    signProject(df, idCol, vecCol, nBits * nTables, signHash)
-      .withColumn("table", (col("k") / nBits).cast("int"))
-      // 2^bit is exact in a double for bit ≤ 61, so the pow round-trip is safe
-      .withColumn("__b",
-        when(col("rp_q") >= 0, expr(s"CAST(pow(2, k % $nBits) AS BIGINT)")).otherwise(0L))
-      .groupBy(col(idCol), col("table"))
-      .agg(sum(col("__b")).as("bucket"))
+    val outDim = nBits * nTables
+    val spark = df.sparkSession
+    // __signs[k+1][j+1] ∈ {±1}: one row, nested arrays ordered by (k, j)
+    val signs = broadcast(
+      spark.range(outDim).toDF("k")
+        .crossJoin(spark.range(maxInputDim).toDF("__j"))
+        .withColumn("__s", when(signHash(col("__j"), col("k")) === 0, lit(1L)).otherwise(lit(-1L)))
+        .groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("__j"), col("__s")))).as("__r"))
+        .withColumn("__row", expr("transform(__r, x -> x.__s)"))
+        .agg(array_sort(collect_list(struct(col("k"), col("__row")))).as("__km"))
+        .select(expr("transform(__km, x -> x.__row)").as("__signs")))
+    // per table t: pack nBits sign bits of the projected coordinates
+    // k = t·nBits + b; 2^b is exact in a double for b ≤ 61
+    val buckets =
+      s"""transform(sequence(0, ${nTables - 1}), t ->
+         |  aggregate(sequence(0, ${nBits - 1}), 0L, (acc, b) ->
+         |    acc + IF(
+         |      aggregate(zip_with(__qv,
+         |          slice(element_at(__signs, CAST(t * $nBits + b + 1 AS INT)), 1, size(__qv)),
+         |          (x, y) -> x * y), 0L, (s, v) -> s + v) >= 0,
+         |      CAST(pow(2, b) AS BIGINT), 0L)))""".stripMargin
+    df.select(col(idCol), VectorFunctions.quantizeVec(col(vecCol)).as("__qv"))
+      .join(signs) // 1-row broadcast: nested-loop join, no shuffle
+      .withColumn("__bkts",
+        when(size(col("__qv")) <= maxInputDim, expr(buckets))
+          .otherwise(raise_error(
+            lit(s"rhpBucketIdsMulti: input vector dimension exceeds maxInputDim=$maxInputDim"))
+            .cast("array<bigint>")))
+      .select(col(idCol), posexplode(col("__bkts")).as(Seq("table", "bucket")))
   }
 
   /** X3: LSH ANN via random-hyperplane buckets — the second ANN family
