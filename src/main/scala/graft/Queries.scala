@@ -261,7 +261,7 @@ object Queries {
              |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
              |  FROM orders)
              |SELECT prio, o_orderkey, day,
-             |  sum(cents) OVER w AS rev7_cents,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS rev7_cents,
              |  CAST(count(*) OVER w AS BIGINT) AS n7
              |FROM o
              |WINDOW w AS (PARTITION BY prio ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1703,7 +1703,7 @@ object Queries {
              |         CAST(round(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
              |       FROM toks JOIN tf USING (tok), tot)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             |  sum(sq) AS sum_surprisal_q,
+             |  CAST(sum(sq) AS BIGINT) AS sum_surprisal_q,
              |  CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
              |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 

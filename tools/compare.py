@@ -20,6 +20,34 @@ def canon(df):
     df = df[sorted(df.columns)]
     return df.reset_index(drop=True)
 
+# Driver's hash gate operates on typed values: a DuckDB HUGEINT (int128)
+# lands in pandas as `object`, hashing differently from Spark's int64 even
+# when every value is equal. Group types into hash-equivalence classes and
+# fail on any cross-class skew so the local replica reproduces that gate.
+def type_class(t):
+    t = t.upper().split("(")[0].strip()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int64"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    return t  # HUGEINT, DECIMAL, DATE, TIMESTAMP, BOOLEAN, LIST, ... each its own class
+
+def described_types(con, query):
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+def type_skew(con, name, sql, spark_glob):
+    got_t = described_types(con, f"SELECT * FROM '{spark_glob}'")
+    exp_t = described_types(con, sql)
+    bad = []
+    for c in sorted(set(got_t) & set(exp_t)):
+        if type_class(got_t[c]) != type_class(exp_t[c]):
+            bad.append(f"col {c}: spark {got_t[c]} vs oracle {exp_t[c]}")
+    return bad
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -34,10 +62,14 @@ def main(sfdir, outdir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            skew = type_skew(con, name, sql, f"{outdir}/{name}/*.parquet")
             got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
             exp = canon(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if skew:
+            print(f"FAIL {name}: type skew (driver hash gate): {'; '.join(skew)}")
+            n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
