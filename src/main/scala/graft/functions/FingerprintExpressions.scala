@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** One-pass 64-bit byte-class fingerprint over a BINARY column.
+  *
+  * Byte `b` (little-endian) of the result packs `count(bytes ≡ b mod 8)
+  * mod 128` — the same stand-in-for-pHash fingerprint as
+  * [[graft.llm.MultimodalOps.pHashStub]]'s documented semantics, but
+  * computed in a single linear scan of the blob inside whole-stage
+  * codegen. The previous formulation hexed the blob and probed each
+  * byte with `substring(__hx, i*2-1, 2)`; UTF8String.substring walks
+  * from offset 0 every call, making the decode O(len²) per document —
+  * 72 s of a 153 s bench at sf0.1, and quadratically worse on longer
+  * documents. This expression is O(len) and allocation-free.
+  *
+  * Counts are taken mod 128 so the packed value never sets bit 63.
+  */
+case class ByteClassFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_class_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 7) += 1L; i += 1 }
+    var fp = 0L
+    var b = 0
+    while (b < 8) { fp |= (counts(b) % 128) << (8 * b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |long[] counts = new long[8];
+         |byte[] bytes = $c;
+         |for (int i = 0; i < bytes.length; i++) counts[bytes[i] & 7]++;
+         |long fp = 0L;
+         |for (int b = 0; b < 8; b++) fp |= (counts[b] % 128) << (8 * b);
+         |${ev.value} = fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level API for fingerprint expressions. */
+object FingerprintFunctions {
+  /** 64-bit byte-class histogram fingerprint of a BINARY column. */
+  def byteClassFingerprint(blob: Column): Column =
+    ColumnBridge.toColumn(ByteClassFingerprint(ColumnBridge.toExpr(blob)))
+}

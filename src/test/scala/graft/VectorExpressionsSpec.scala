@@ -63,4 +63,31 @@ class VectorExpressionsSpec extends SparkSpec {
     an[org.apache.spark.sql.AnalysisException] should be thrownBy
       v.select(VectorFunctions.quantizeVec(col("a"))).collect()
   }
+
+  test("byteClassFingerprint: one-pass histogram matches a reference fold") {
+    def ref(bytes: Array[Byte]): Long = {
+      val counts = new Array[Long](8)
+      bytes.foreach(b => counts((b & 0xff) % 8) += 1L)
+      (0 until 8).map(b => (counts(b) % 128) << (8 * b)).reduce(_ | _)
+    }
+    val cases = Seq(
+      Array.empty[Byte],
+      "aaab".getBytes("UTF-8"),                 // classes 1×3, 2×1
+      Array.fill(130)(8.toByte),                // class-0 count wraps: 130 % 128 = 2
+      Array(0xff.toByte, 0x80.toByte, 0x07.toByte), // negative JVM bytes → unsigned classes 7,0,7
+      Array.tabulate(1000)(i => (i * 31 + 7).toByte))
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "blob")
+    val got = df.select(col("id"),
+        graft.functions.FingerprintFunctions.byteClassFingerprint(col("blob")).as("fp"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    got shouldBe cases.map(ref).toArray
+    // bit 63 never set (counts are mod 128)
+    got.foreach(fp => (fp >>> 63) shouldBe 0L)
+  }
+
+  test("byteClassFingerprint requires BINARY input") {
+    val v = Seq(Tuple1("text")).toDF("a")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      v.select(graft.functions.FingerprintFunctions.byteClassFingerprint(col("a"))).collect()
+  }
 }
