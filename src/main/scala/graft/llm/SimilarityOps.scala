@@ -322,9 +322,9 @@ object SimilarityOps {
     * deterministic on any engine for a given sign hash.
     */
   def rhpBucketIds(df: DataFrame, idCol: String, vecCol: String, nBits: Int,
-                   signHash: (Column, Column) => Column =
-                     (j, k) => pmod(xxhash64(j, k), lit(2))): DataFrame =
-    rhpBucketIdsMulti(df, idCol, vecCol, nBits, nTables = 1, signHash)
+                   signParity: (Long, Long) => Long =
+                     graft.functions.RhpSign.xxhashParity): DataFrame =
+    rhpBucketIdsMulti(df, idCol, vecCol, nBits, nTables = 1, signParity)
       .drop("table")
 
   /** Multi-table RHP buckets: `nTables` independent `nBits`-bit hash
@@ -334,53 +334,38 @@ object SimilarityOps {
     * table, P = 1 − (1 − p^nBits)^nTables for per-bit agreement p.
     * Output: one row per (id, table) with that table's bucket.
     *
-    * MAP-ONLY: the ±1 sign matrix (outDim × maxInputDim, a few MB) is
-    * collapsed to one nested-array row and broadcast; each data row
-    * then computes every table's bucket with pure HOF expressions
-    * (zip_with dot + sign + bit packing) inside its own task. The
-    * previous formulation posexploded N·dim rows through a
-    * (id, table)-keyed hash aggregation and joined the buckets back on
-    * id — two shuffles of the whole corpus per query batch, which is
-    * exactly the cost a hash-is-the-index scheme must not pay. Bucket
-    * values are bit-identical to that formulation (same signHash, same
-    * Σ q_j·s(j,k) ≥ 0 rule).
+    * MAP-ONLY and codegen'd: the ±1 sign matrix (outDim × maxInputDim
+    * bytes) is precomputed driver-side — `signParity` is a plain
+    * (j, k) ⇒ {0, 1} Scala function, default the exact replica of
+    * `pmod(xxhash64(j, k), 2)` ([[graft.functions.RhpSign]]) so bucket
+    * values are bit-identical to the original SQL formulation — and
+    * every table's bucket is packed in one generated loop per row
+    * ([[graft.functions.RhpBuckets]]). Earlier formulations (a) hash-
+    * aggregated posexploded N·dim rows — two shuffles of the corpus —
+    * then (b) evaluated interpreted `zip_with`/`aggregate` lambdas
+    * against a broadcast sign row, per-element boxing that measured
+    * 4.4 s on x3_ann_rhp at sf0.1 vs 0.7 s for this expression.
     */
   def rhpBucketIdsMulti(df: DataFrame, idCol: String, vecCol: String,
                         nBits: Int, nTables: Int,
-                        signHash: (Column, Column) => Column =
-                          (j, k) => pmod(xxhash64(j, k), lit(2)),
+                        signParity: (Long, Long) => Long =
+                          graft.functions.RhpSign.xxhashParity,
                         maxInputDim: Int = 4096): DataFrame = {
     require(nBits > 0 && nBits < 62, "nBits must be in [1, 61]")
     require(nTables > 0, "nTables must be positive")
     val outDim = nBits * nTables
-    val spark = df.sparkSession
-    // __signs[k+1][j+1] ∈ {±1}: one row, nested arrays ordered by (k, j)
-    val signs = broadcast(
-      spark.range(outDim).toDF("k")
-        .crossJoin(spark.range(maxInputDim).toDF("__j"))
-        .withColumn("__s", when(signHash(col("__j"), col("k")) === 0, lit(1L)).otherwise(lit(-1L)))
-        .groupBy(col("k"))
-        .agg(array_sort(collect_list(struct(col("__j"), col("__s")))).as("__r"))
-        .withColumn("__row", expr("transform(__r, x -> x.__s)"))
-        .agg(array_sort(collect_list(struct(col("k"), col("__row")))).as("__km"))
-        .select(expr("transform(__km, x -> x.__row)").as("__signs")))
-    // per table t: pack nBits sign bits of the projected coordinates
-    // k = t·nBits + b; 2^b is exact in a double for b ≤ 61
-    val buckets =
-      s"""transform(sequence(0, ${nTables - 1}), t ->
-         |  aggregate(sequence(0, ${nBits - 1}), 0L, (acc, b) ->
-         |    acc + IF(
-         |      aggregate(zip_with(__qv,
-         |          slice(element_at(__signs, CAST(t * $nBits + b + 1 AS INT)), 1, size(__qv)),
-         |          (x, y) -> x * y), 0L, (s, v) -> s + v) >= 0,
-         |      CAST(pow(2, b) AS BIGINT), 0L)))""".stripMargin
-    df.select(col(idCol), VectorFunctions.quantizeVec(col(vecCol)).as("__qv"))
-      .join(signs) // 1-row broadcast: nested-loop join, no shuffle
-      .withColumn("__bkts",
-        when(size(col("__qv")) <= maxInputDim, expr(buckets))
-          .otherwise(raise_error(
-            lit(s"rhpBucketIdsMulti: input vector dimension exceeds maxInputDim=$maxInputDim"))
-            .cast("array<bigint>")))
+    val signs: Array[Array[Byte]] = Array.tabulate(outDim) { k =>
+      val row = new Array[Byte](maxInputDim)
+      var j = 0
+      while (j < maxInputDim) {
+        row(j) = if (signParity(j.toLong, k.toLong) == 0L) 1 else -1
+        j += 1
+      }
+      row
+    }
+    df.select(col(idCol),
+        graft.functions.ProjectionFunctions.rhpBuckets(
+          VectorFunctions.quantizeVec(col(vecCol)), signs, nBits, nTables).as("__bkts"))
       .select(col(idCol), posexplode(col("__bkts")).as(Seq("table", "bucket")))
   }
 
@@ -404,33 +389,42 @@ object SimilarityOps {
     */
   def rhpTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nBits: Int, probeHamming: Int, nTables: Int = 1,
-              signHash: (Column, Column) => Column =
-                (jj, kk) => pmod(xxhash64(jj, kk), lit(2))): DataFrame = {
+              signParity: (Long, Long) => Long =
+                graft.functions.RhpSign.xxhashParity): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= nBits,
       "probeHamming must be in [0, nBits]")
-    def withBuckets(df: DataFrame): DataFrame =
-      quantized(df, idCol, vecCol)
-        .join(rhpBucketIdsMulti(df, idCol, vecCol, nBits, nTables, signHash), idCol)
-    val c = withBuckets(corpus)
-      .select(col("table"), col("bucket"), col(idCol).as("neighbor_id"),
-        col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    // probe set per table: home bucket XOR every mask with ≤ probeHamming bits
-    val q = withBuckets(queries)
-      .withColumn("__m", explode(expr(
-        s"filter(sequence(0L, ${(1L << nBits) - 1}L), m -> bit_count(m) <= $probeHamming)")))
+    require(nBits <= 20,
+      s"rhpTopK: nBits=$nBits would enumerate 2^$nBits probe masks per query")
+    // probe-mask list built ONCE driver-side (≤ 2^20 longs), exploded as
+    // a literal — not a per-row sequence(0, 2^nBits)+filter evaluation
+    val masks = (0L until (1L << nBits)).filter(java.lang.Long.bitCount(_) <= probeHamming)
+    // the bucket-collision join carries ONLY ids: candidates are deduped
+    // across tables BEFORE any dot product, so each unique pair is
+    // scored exactly once (the first formulation scored every
+    // (pair × table-collision) and distinct()ed the wide scored rows —
+    // with 8 tables a near pair paid up to 8 longDots)
+    val cb = rhpBucketIdsMulti(corpus, idCol, vecCol, nBits, nTables, signParity)
+      .select(col("table"), col("bucket"), col(idCol).as("neighbor_id"))
+    val qb = rhpBucketIdsMulti(queries, idCol, vecCol, nBits, nTables, signParity)
+      .withColumn("__m", explode(typedLit(masks)))
       .select(col("table"), (col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
-        col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
-    val scored = q.join(c, Seq("table", "bucket"))
+        col(idCol).as("query_id"))
+    val pairs = qb.join(cb, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    // within one table a neighbor has exactly one home bucket and the
+    // probe masks are distinct, so duplicates only arise across tables
+    val cand = if (nTables == 1) pairs else pairs.distinct()
+    val qq = quantized(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
+    val cq = quantized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    val scored = cand.join(qq, "query_id").join(cq, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
           .as("cosine"))
-    // a pair can collide in several tables (never twice within one —
-    // the neighbor has exactly one home bucket per table); cosine is a
-    // pure function of the pair, so the duplicates are identical rows
-    val once = if (nTables == 1) scored else scored.distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    once
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
