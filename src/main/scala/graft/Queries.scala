@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, SliceOps}
-import graft.llm.{DedupOps, SimilarityOps, TextOps, MultimodalOps}
+import graft.llm.{DedupOps, IvfIndex, SimilarityOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
 /** The engine's named queries and their DuckDB oracle SQL.
@@ -32,29 +32,31 @@ object Queries {
 
   private val CV = 5
 
-  // IVF coarse index over the embeddings table, computed ONCE per
-  // (session, dir) and shared by every IVF query — the index-once /
-  // query-many shape an ANN index has at 100 TB (there, it would be a
-  // persisted table maintained beside the corpus). localCheckpoint
-  // materializes the 16-row index so repeated queries (and repeated
-  // Bench runs) skip the Lloyd refinement scans entirely. Full-probe
-  // queries are value-independent of the centroids, so the cache can
-  // never affect an oracle-checked result.
-  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def embCentroids(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
-    ivfCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$dir|$nCentroids",
-      SimilarityOps.ivfCentroids(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", nCentroids, kmeansIters = 2)
-        .localCheckpoint())
+  // IVF coarse index over the embeddings table, persisted as a parquet
+  // table beside the workload ([[graft.llm.IvfIndex]]) — the
+  // index-once / query-many lifecycle an ANN index has at 100 TB: every
+  // query loads the stored index; a build happens only when the index
+  // is absent, its parameters changed, or the corpus row count drifted.
+  // GRAFT_INDEX_DIR overrides where indexes live (object storage on a
+  // real cluster). Full-probe queries are value-independent of the
+  // centroids, so index reuse can never affect an oracle-checked
+  // result.
+  private def indexRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-indexes")
+  private def embCentroids(s: SparkSession, dir: String, nCentroids: Int): DataFrame = {
+    val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    IvfIndex.loadOrBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids, kmeansIters = 2, s"$indexRoot/emb_${corpusKey}_c$nCentroids")
+  }
 
   /** Materialize the shared IVF indexes for `dir` (idempotent). Index
     * construction is out-of-band in the index-once/query-many model;
-    * Bench calls this before timing so the first query touching a
-    * cache key is not charged for building the index every other
-    * query reuses.
+    * Bench calls this before timing so the first query touching an
+    * index is not charged for the build every other query reuses.
     */
   def prepareIndexes(s: SparkSession, dir: String): Unit =
-    Seq(16, 64).foreach(n => embCentroids(s, dir, n).count())
+    Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
 
   private def featureTable(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem").select(

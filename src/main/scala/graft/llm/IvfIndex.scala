@@ -1,0 +1,86 @@
+package graft.llm
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Persisted lifecycle for the IVF coarse index (SURVEY.md §2.8 X3).
+  *
+  * At 100 TB an ANN index is a *table* maintained beside the corpus —
+  * built once, loaded by every query batch, rebuilt only when the
+  * corpus drifts — not a per-session in-memory cache. This object
+  * round-trips [[SimilarityOps.ivfCentroids]] output
+  * (`centroid_id, __centq, __centn2`) through parquet at `indexPath`
+  * with a `_graft_meta.json` sidecar recording the build parameters
+  * and the corpus row count (the `_`-prefixed name keeps it invisible
+  * to parquet data discovery). [[loadOrBuild]] reuses the stored index
+  * only when the parameters match and the corpus count is unchanged;
+  * anything else — missing index, parameter change, corpus drift, or
+  * an explicit `rebuild = true` — rebuilds and overwrites.
+  *
+  * All file I/O goes through the Hadoop FileSystem API, so
+  * `indexPath` can be local, HDFS, or object storage.
+  */
+object IvfIndex {
+
+  final case class Meta(nCentroids: Int, kmeansIters: Int, corpusCount: Long)
+
+  private def metaPath(indexPath: String) = new Path(indexPath, "_graft_meta.json")
+
+  private def fsFor(df: DataFrame, p: Path) =
+    p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def renderMeta(m: Meta): String =
+    s"""{"nCentroids":${m.nCentroids},"kmeansIters":${m.kmeansIters},"corpusCount":${m.corpusCount}}"""
+
+  private val MetaRe =
+    """\{"nCentroids":(\d+),"kmeansIters":(\d+),"corpusCount":(\d+)\}""".r
+
+  /** The stored index's metadata, if a readable sidecar exists. */
+  def readMeta(corpus: DataFrame, indexPath: String): Option[Meta] = {
+    val p = metaPath(indexPath)
+    val fs = fsFor(corpus, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      raw.trim match {
+        case MetaRe(n, it, cnt) => Some(Meta(n.toInt, it.toInt, cnt.toLong))
+        case _ => None
+      }
+    }
+  }
+
+  /** Load the persisted index at `indexPath`, or (re)build it from
+    * `corpus` when absent, stale, or forced. Returns the index
+    * DataFrame read back from parquet, so every caller runs against
+    * the same persisted artifact.
+    *
+    * Staleness rule: stored (nCentroids, kmeansIters) must equal the
+    * requested ones and the stored corpus row count must equal the
+    * current one. Row count is a deliberately cheap drift detector
+    * (parquet metadata scan) — an append or delete triggers a rebuild,
+    * an in-place row edit does not; callers that mutate in place
+    * should pass `rebuild = true`.
+    */
+  def loadOrBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCentroids: Int, kmeansIters: Int, indexPath: String,
+                  rebuild: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val count = corpus.count()
+    val fresh = Meta(nCentroids, kmeansIters, count)
+    val reuse = !rebuild && readMeta(corpus, indexPath).contains(fresh)
+    if (!reuse) {
+      SimilarityOps.ivfCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
+        .write.mode("overwrite").parquet(indexPath)
+      val p = metaPath(indexPath)
+      val fs = fsFor(corpus, p)
+      val out = fs.create(p, true)
+      try out.write(renderMeta(fresh).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    spark.read.parquet(indexPath)
+  }
+}

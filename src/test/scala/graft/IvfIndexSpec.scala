@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{IvfIndex, SimilarityOps}
+
+/** The persisted IVF index lifecycle: build-on-miss, reuse-on-hit,
+  * rebuild on corpus drift / parameter change / explicit force.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 100)))
+      .toDF("vec_id", "embedding")
+
+  private def partMTimes(dir: String): Map[String, Long] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  private def freshDir(): String =
+    Files.createTempDirectory("ivf-index-spec").resolve("idx").toString
+
+  test("loadOrBuild round-trips ivfCentroids exactly and writes a meta sidecar") {
+    val dir = freshDir()
+    val c = corpus(40)
+    val loaded = IvfIndex.loadOrBuild(c, "vec_id", "embedding", 4, 1, dir)
+    val direct = SimilarityOps.ivfCentroids(c, "vec_id", "embedding", 4, 1)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("centroid_id"), col("__centq"), col("__centn2"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    key(loaded) shouldBe key(direct)
+    IvfIndex.readMeta(c, dir) shouldBe Some(IvfIndex.Meta(4, 1, 40L))
+  }
+
+  test("unchanged corpus and params reuse the stored index; drift or force rebuilds") {
+    val dir = freshDir()
+    val c = corpus(40)
+    IvfIndex.loadOrBuild(c, "vec_id", "embedding", 4, 1, dir).count()
+    val built = partMTimes(dir)
+
+    // same corpus, same params: stored files untouched
+    IvfIndex.loadOrBuild(c, "vec_id", "embedding", 4, 1, dir).count()
+    partMTimes(dir) shouldBe built
+
+    // rebuild = true forces a rewrite even with nothing changed
+    Thread.sleep(5)
+    IvfIndex.loadOrBuild(c, "vec_id", "embedding", 4, 1, dir, rebuild = true).count()
+    val forced = partMTimes(dir)
+    forced should not be built
+
+    // corpus drift (row count change) rebuilds and refreshes the meta
+    val grown = c.union(Seq((1000L, Seq.tabulate(8)(_.toFloat))).toDF("vec_id", "embedding"))
+    Thread.sleep(5)
+    IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 4, 1, dir).count()
+    partMTimes(dir) should not be forced
+    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(4, 1, 41L))
+
+    // parameter change rebuilds under its own meta
+    IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, 1, dir).count()
+    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(8, 1, 41L))
+  }
+}
