@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, SliceOps}
+import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, SliceOps, WindowOps}
 import graft.llm.{DedupOps, IvfIndex, SimilarityOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
@@ -194,6 +194,36 @@ object Queries {
             dense_rank().over(w).cast("long").as("drnk"),
             ntile(4).over(w).cast("long").as("quartile"),
             round(cume_dist().over(w), 6).as("cd"))
+          .orderBy(col("prio"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority AS prio, o_orderkey, o_totalprice,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  CAST(rank() OVER w AS BIGINT) AS rnk,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY prio, o_orderkey""".stripMargin)),
+
+    // ---- analytic menu, scalable twin: o_orderpriority has 5 values,
+    // so the direct window above is ONE task per priority at any data
+    // size. This plan range-partitions each priority across 32 tasks
+    // and fixes ranks/edges with a broadcast (WindowOps) — same oracle.
+    ("q_analytics_scalable",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"), col("o_totalprice"))
+        WindowOps.orderedAnalyticsScalable(base, Seq("prio"),
+            Seq(col("o_totalprice"), col("o_orderkey")), "o_totalprice",
+            nTiles = 4, numParts = 32)
+          .select(col("prio"), col("o_orderkey"), col("o_totalprice"),
+            col("prev").as("prev_price"), col("next").as("next_price"),
+            // ORDER BY (o_totalprice, o_orderkey) is a total order, so
+            // rank and dense_rank equal the global row number
+            col("rn").as("rnk"), col("rn").as("drnk"),
+            col("tile").as("quartile"), round(col("cd"), 6).as("cd"))
           .orderBy(col("prio"), col("o_orderkey"))
       },
       Some("""SELECT o_orderpriority AS prio, o_orderkey, o_totalprice,

@@ -1,0 +1,82 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable analytic-window evaluation for LOW-CARDINALITY partition
+  * keys (the `q_analytics` shape: 5 `o_orderpriority` values means a
+  * `Window.partitionBy(prio)` plan is ONE task per priority at any
+  * data size — at 100× each task holds 20% of the table).
+  *
+  * [[orderedAnalyticsScalable]] evaluates lag / lead / rank /
+  * dense_rank / ntile / cume_dist with the same two-phase scheme as
+  * [[SplitOps.rankByPermutationScalable]]: range-partition each class
+  * across `numParts` tasks, rank and lag/lead locally per partition,
+  * then fix up with a broadcast of one tiny row per (class, partition)
+  * — global rank = local rank + preceding partitions' count;
+  * boundary rows take their missing lag/lead value from the
+  * neighboring partition's edge row carried on the same broadcast.
+  *
+  * Requires `orderCols` to be a TOTAL order (the same requirement
+  * oracle determinism already imposes). Under a total order the window
+  * functions degenerate helpfully: `rank = dense_rank = row_number`
+  * and `cume_dist = rn / n` (no peer groups), and `ntile`'s fill rule
+  * ("first n mod t tiles get one extra row") has the closed form
+  * computed here — so one ranked pass yields the whole analytic menu.
+  */
+object WindowOps {
+
+  /** Adds `rn`, `n`, `prev`, `next`, `tile`, `cd` to `df`.
+    *
+    * @param clsCols   low-cardinality partition key
+    * @param orderCols total order within each class
+    * @param valCol    column whose lag/lead is emitted as prev/next
+    * @param nTiles    ntile bucket count
+    * @param numParts  range partitions to spread each class across
+    */
+  def orderedAnalyticsScalable(df: DataFrame, clsCols: Seq[String],
+                               orderCols: Seq[Column], valCol: String,
+                               nTiles: Int, numParts: Int): DataFrame = {
+    require(nTiles > 0, "nTiles must be positive")
+    require(numParts > 1, "numParts must spread classes over >1 partition")
+    val parted = df
+      .repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val keyP = (clsCols :+ "__pid").map(col)
+    val localW = Window.partitionBy(keyP: _*).orderBy(orderCols: _*)
+    val local = parted
+      .withColumn("__lrn", row_number().over(localW).cast("long"))
+      .withColumn("__lprev", lag(col(valCol), 1).over(localW))
+      .withColumn("__lnext", lead(col(valCol), 1).over(localW))
+    // one row per (class, partition): count + first/last value. min/max
+    // over (rank, value) structs pick the edge rows' values.
+    val counts = local.groupBy(keyP: _*).agg(
+      count(lit(1)).as("__c"),
+      min(struct(col("__lrn"), col(valCol).as("__v"))).as("__first"),
+      max(struct(col("__lrn"), col(valCol).as("__v"))).as("__last"))
+    val seqW = Window.partitionBy(clsCols.map(col): _*).orderBy(col("__pid"))
+    val offW = seqW.rowsBetween(Window.unboundedPreceding, -1)
+    val nW = Window.partitionBy(clsCols.map(col): _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+      .withColumn("n", sum(col("__c")).over(nW))
+      .withColumn("__edgePrev", lag(col("__last"), 1).over(seqW).getField("__v"))
+      .withColumn("__edgeNext", lead(col("__first"), 1).over(seqW).getField("__v"))
+      .drop("__first", "__last")
+    local.join(broadcast(offsets), clsCols :+ "__pid")
+      .withColumn("rn", col("__lrn") + col("__off"))
+      // partition-boundary rows take lag/lead from the neighboring
+      // partition's edge row; interior rows keep their local value
+      .withColumn("prev", when(col("__lrn") === 1, col("__edgePrev")).otherwise(col("__lprev")))
+      .withColumn("next", when(col("__lrn") === col("__c"), col("__edgeNext")).otherwise(col("__lnext")))
+      .withColumn("__tb", expr(s"n div $nTiles"))
+      .withColumn("__tr", expr(s"n % $nTiles"))
+      .withColumn("tile", expr(
+        "IF(rn <= __tr * (__tb + 1), (rn + __tb) div (__tb + 1)," +
+        " __tr + (rn - __tr * (__tb + 1) + __tb - 1) div __tb)"))
+      .withColumn("cd", col("rn").cast("double") / col("n").cast("double"))
+      .drop("__pid", "__lrn", "__lprev", "__lnext", "__c", "__off", "__edgePrev", "__edgeNext",
+        "__tb", "__tr")
+  }
+}

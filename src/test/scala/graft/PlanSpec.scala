@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
     code should include("WholeStageCodegen")
   }
 
+  test("q_analytics_scalable: no window partitioned by the 5-value key on the data side") {
+    val plan = formatted("q_analytics_scalable")
+    plan should include("rangepartitioning")
+    plan should include("BroadcastHashJoin")
+    // the full-table window partitions by (prio, __pid) — many tasks
+    // per priority; per-class windows exist only on the tiny offsets
+    // side that feeds the broadcast
+    "windowspecdefinition\\(prio#\\d+, __pid".r.findAllIn(plan).nonEmpty shouldBe true
+  }
+
   test("w1_split_scalable: rank comes from range partitioning + broadcast offsets") {
     val plan = formatted("w1_split_scalable")
     plan should include("rangepartitioning")

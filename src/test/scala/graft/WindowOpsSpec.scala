@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dfw.WindowOps
+
+/** The two-phase analytic evaluation must equal the direct
+  * per-class window exactly — including partition-boundary lag/lead
+  * rows, ntile's fill rule, and cume_dist — on fixtures that span
+  * several range partitions per class.
+  */
+class WindowOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("orderedAnalyticsScalable equals the direct window on every function") {
+    // 2 classes × 37/23 rows (not divisible by 4 → uneven ntile fill),
+    // spread over 8 range partitions so classes cross boundaries
+    val rows =
+      (0 until 37).map(i => ("A", i.toLong, (i * 7919 % 100).toDouble)) ++
+      (0 until 23).map(i => ("B", 100L + i, (i * 104729 % 50).toDouble))
+    val df = rows.toDF("cls", "id", "v").repartition(5)
+
+    val w = Window.partitionBy(col("cls")).orderBy(col("v"), col("id"))
+    val direct = df.select(col("cls"), col("id"),
+        lag(col("v"), 1).over(w).as("prev"),
+        lead(col("v"), 1).over(w).as("next"),
+        rank().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("tile"),
+        round(cume_dist().over(w), 9).as("cd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    val scalable = WindowOps.orderedAnalyticsScalable(
+        df, Seq("cls"), Seq(col("v"), col("id")), "v", nTiles = 4, numParts = 8)
+      .select(col("cls"), col("id"), col("prev"), col("next"), col("rn"),
+        col("tile"), round(col("cd"), 9).as("cd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+
+    scalable.keySet shouldBe direct.keySet
+    for ((k, v) <- direct) withClue(s"row $k: ") { scalable(k) shouldBe v }
+  }
+
+  test("orderedAnalyticsScalable handles classes smaller than the tile count") {
+    val df = Seq(("A", 1L, 5.0), ("A", 2L, 3.0), ("B", 3L, 1.0))
+      .toDF("cls", "id", "v")
+    val got = WindowOps.orderedAnalyticsScalable(
+        df, Seq("cls"), Seq(col("v"), col("id")), "v", nTiles = 4, numParts = 4)
+      .select("cls", "id", "rn", "n", "tile")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got(("A", 2L)) shouldBe ((1L, 2L, 1L)) // v=3 ranks first
+    got(("A", 1L)) shouldBe ((2L, 2L, 2L))
+    got(("B", 3L)) shouldBe ((1L, 1L, 1L))
+  }
+}
