@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.8 X5).
   *
-  * Media are opaque `BINARY` columns plus typed metadata. The decode
-  * step is STUBBED (no image/audio codecs in this environment) with a
-  * deterministic fake that parses a pseudo-header from the bytes — the
-  * Spark-side plumbing (schema, partition-parallel batch iteration,
-  * typed output) is real: swap [[FakeDecoder.decode]] for a JNI/codec
-  * call and nothing else changes.
+  * Media are opaque `BINARY` columns plus typed metadata. Container
+  * metadata (dimensions, channels) is parsed for REAL from PNG / JPEG /
+  * GIF headers ([[ImageHeader]], pure JVM); pixel-level decode /
+  * resize / feature extraction are STUBBED (no codec libraries in this
+  * environment) with deterministic fakes — the Spark-side plumbing
+  * (schema, partition-parallel batch iteration, typed output) is real:
+  * swap [[FakeDecoder.decode]] for a JNI/codec call and nothing else
+  * changes.
   */
 object MultimodalOps {
 
@@ -47,6 +49,13 @@ object MultimodalOps {
   /** Decode a binary column partition-parallel. `mapPartitions` keeps
     * per-partition batching (one decoder init per partition, not per
     * row) — the Scala analogue of arrow-batched UDF iteration.
+    *
+    * Real PNG / JPEG / GIF blobs get their dimensions and channel
+    * count parsed from the actual container header
+    * ([[ImageHeader.parse]] — pure JVM, O(header) per blob);
+    * unrecognized bytes (the text-as-blob fixtures the oracle checks)
+    * fall back to the deterministic [[FakeDecoder]]. Pixel-level
+    * decoding still needs a codec library and stays stubbed.
     */
   def decodeBlobs(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -55,7 +64,18 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder init would go here (real codecs are stateful)
-        it.map { case (id, bytes) => FakeDecoder.decode(id, Option(bytes).getOrElse(Array.empty)) }
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          ImageHeader.parse(b) match {
+            case Some((w, h, c)) =>
+              var s = 0L
+              var i = 0
+              while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+              MediaMeta(id, b.length.toLong, w, h, c,
+                if (b.isEmpty) 0.0 else s.toDouble / b.length)
+            case None => FakeDecoder.decode(id, b)
+          }
+        }
       }
   }
 
