@@ -1685,6 +1685,37 @@ object Queries {
              |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_bpe_uniq
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: BPE-apply — greedy longest-match subword encode under a
+    // broadcast vocabulary (codegen expression Spark-side; the oracle
+    // replays the same maximal-munch rule with a recursive CTE) ----
+    ("x4_bpe_encode",
+      (s: SparkSession, dir: String) => {
+        TextOps.bpeEncode(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE bv(v) AS (VALUES ${TextOps.DemoBpeVocab.map(v => s"('$v')").mkString(", ")}),
+             |bws AS (SELECT doc_id, string_split(lower(text), ' ') AS sw FROM documents),
+             |bw AS (SELECT doc_id, wpos, sw[wpos] AS w
+             |       FROM (SELECT doc_id, sw, unnest(generate_series(1, len(sw))) AS wpos FROM bws)
+             |       WHERE sw[wpos] <> ''),
+             |benc AS (
+             |  SELECT doc_id, wpos, w AS rem, CAST([] AS VARCHAR[]) AS toks FROM bw
+             |  UNION ALL
+             |  SELECT doc_id, wpos, substr(rem, 1 + len(tok)), list_append(toks, tok)
+             |  FROM (SELECT doc_id, wpos, rem, toks,
+             |          coalesce((SELECT v FROM bv WHERE starts_with(rem, v) ORDER BY len(v) DESC, v LIMIT 1),
+             |                   substr(rem, 1, 1)) AS tok
+             |        FROM benc WHERE rem <> '')),
+             |bdone AS (SELECT doc_id, wpos, toks FROM benc WHERE rem = ''),
+             |bflat AS (SELECT doc_id, unnest(toks) AS tok FROM bdone),
+             |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |           CAST(sum(CASE WHEN tok NOT IN (SELECT v FROM bv) THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+             |         FROM bflat GROUP BY doc_id),
+             |bstr AS (SELECT doc_id, string_agg(array_to_string(toks, '|'), '|' ORDER BY wpos) AS toks
+             |         FROM bdone GROUP BY doc_id)
+             |SELECT bagg.doc_id, n_tokens, n_unk, toks
+             |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: normalized corpus vocabulary statistics ----
     ("x4_corpus_terms",
       (s: SparkSession, dir: String) => {

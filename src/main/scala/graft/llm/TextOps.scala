@@ -366,4 +366,52 @@ object TextOps {
       expr(s"""aggregate(split($textCol, ' '), CAST(0 AS BIGINT),
               |  (h, t) -> (h * 1000003 + ascii(substring(t, 1, 1)) * 256 + length(t)) % 2147483647)"""
         .stripMargin).as("fp"))
+
+  /** A small trained-merge stand-in vocabulary for [[bpeEncode]]:
+    * every lowercase letter (so alphabetic text never falls back to
+    * unknowns) plus frequent English 2–4-gram merges, longest-match
+    * ordering. A real tokenizer drops in by replacing this list with
+    * its learned vocab — the apply operator is vocabulary-agnostic.
+    */
+  val DemoBpeVocab: Seq[String] =
+    "abcdefghijklmnopqrstuvwxyz".map(_.toString) ++ Seq(
+      "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+      "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+      "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+      "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+      "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+      "the", "ing", "and", "ion", "tio", "ent", "ati", "for", "her", "ter",
+      "hat", "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons",
+      "nce", "men", "ith", "ted", "ers", "pro", "thi", "wit", "are", "ess",
+      "not", "ive", "was", "ect", "rea", "com", "eve", "per", "int", "est",
+      "sta",
+      "tion", "atio", "that", "ther", "with", "ment", "ions", "this", "here",
+      "from", "ould", "ting", "hich", "ence", "have")
+
+  /** X4: BPE-apply — encode each document with a trained subword
+    * vocabulary via greedy longest match
+    * ([[graft.functions.GreedyMatchTokens]]): the broadcast-vocab
+    * tokenization step of a training-data pipeline. Text is
+    * lowercased, split on spaces; characters outside the vocabulary
+    * become single-character unknown tokens (counted in `n_unk`).
+    * Map-only and codegen'd — the vocabulary rides the plan, the scan
+    * never shuffles; per-doc output is the token count, unknown count,
+    * and the full '|'-joined token stream (value-exact cross-engine).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                vocab: Seq[String] = DemoBpeVocab): DataFrame = {
+    val toks = graft.functions.TokenizeFunctions.greedyMatchTokens(
+      lower(col(textCol)), vocab)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        // only single-char tokens can be unknown (longer ones matched
+        // the vocab by construction) — guard the array probe with the
+        // length test so multi-char tokens skip it
+        size(filter(col("__toks"),
+          t => length(t) === 1 && !array_contains(typedLit(vocab), t)))
+          .cast("long").as("n_unk"),
+        array_join(col("__toks"), "|").as("toks"))
+  }
 }

@@ -186,6 +186,23 @@ class TextOpsSpec extends SparkSpec {
     MultimodalOps.pHashStub(blobs, "doc_id", "blob").head().getLong(1) shouldBe fp
   }
 
+  test("bpeEncode applies greedy longest match with single-char unknown fallback") {
+    // "The cat!" lowercased: "the" is a vocab 3-gram; "cat!" has no
+    // "ca" merge, so c + at + fallback '!' (not in vocab -> unk)
+    val d = Seq((1L, "The cat!"), (2L, "with with")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    got(1L) shouldBe ((4L, 1L, "the|c|at|!"))
+    got(2L) shouldBe ((2L, 0L, "with|with"))
+  }
+
+  test("bpeEncode round-trips: concatenated tokens rebuild the spaceless text") {
+    val d = Seq((1L, "some document text 123 with punctuation, and digits"))
+      .toDF("doc_id", "text")
+    val toks = TextOps.bpeEncode(d, "doc_id", "text").head().getString(3)
+    toks.replace("|", "") shouldBe "somedocumenttext123withpunctuation,anddigits"
+  }
+
   test("lmSurprisal scores docs by corpus-trained quantized token surprisal") {
     val d = Seq((1L, "a a b"), (2L, "a")).toDF("doc_id", "text")
     // corpus tf: a=3, b=1, total=4
