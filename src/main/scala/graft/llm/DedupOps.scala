@@ -96,8 +96,8 @@ object DedupOps {
   /** X2: substring-level dedup, removal half — produce the CLEANED
     * corpus: drop every token covered by a `w`-word span that occurs
     * elsewhere in the corpus, keeping each duplicated span's first
-    * occurrence (minimum `(doc_id, pos)`, packed as
-    * `doc_id·1e6 + pos` — positions must stay below 1e6). Documents
+    * occurrence (lexicographic minimum `(doc_id, pos)` struct — no
+    * bound on position or doc id). Documents
     * shorter than `w` words pass through unchanged. Output:
     * `(doc_id, n_kept, clean_text)`.
     *
@@ -121,14 +121,18 @@ object DedupOps {
         posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
           .as(Seq("pos0", "span")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), spanKey(col("span")).as("span"))
+    // corpus-first occurrence = lexicographic min over (doc_id, pos)
+    // structs — no arithmetic key packing, so no bound on position or
+    // doc id (the earlier doc_id*1e6+pos encoding silently corrupted
+    // selection past 1e6 tokens or on negative ids)
     val stats = spans
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("__ndocs"),
-        min(col("doc_id") * 1000000L + col("pos")).as("__firstk"))
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
     // every occurrence of a cross-doc span EXCEPT the corpus-first one
     val dupOcc = spans.join(stats, "span")
       .filter(col("__ndocs") >= 2 &&
-        col("doc_id") * 1000000L + col("pos") =!= col("__firstk"))
+        !(col("doc_id") === col("__first.doc_id") && col("pos") === col("__first.pos")))
     val covered = dupOcc
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("tpos"))
       .distinct()
