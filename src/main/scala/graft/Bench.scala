@@ -65,6 +65,20 @@ object Bench {
       val median = runs.map(_._1).sorted.apply((runs.length - 1) / 2)
       (name, median, runs.flatMap(_._2).headOption)
     }
+    // Unmeasured-cost guard: loudly flag any query whose time exceeds
+    // 10x the per-query median across the suite. x5_phash_neardup
+    // landed at 72 s against a 0.8 s median AFTER the last recorded
+    // bench — this is the mechanism that would have caught it at
+    // commit time. Flagged queries still count; the flag rides the
+    // JSON so the round artifact carries the warning.
+    val sortedTimes = results.map(_._2).sorted
+    val medianQ = if (sortedTimes.isEmpty) 0.0 else sortedTimes((sortedTimes.length - 1) / 2)
+    val outliers = results.filter { case (_, v, _) => medianQ > 0 && v > 10 * medianQ }
+    outliers.foreach { case (k, v, _) =>
+      System.err.println(f"BENCH OUTLIER $k: $v%.2f s > 10x suite median ($medianQ%.3f s)")
+    }
+    val outJson = outliers.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val oks = results.map { case (k, _, e) => "\"" + k + "\":" + e.isEmpty }
@@ -73,7 +87,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._3.nonEmpty)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"failed":$failed,"outliers":$outJson,"sf":"$sfDir"}""")
     spark.stop()
     // exit 0 even on query failures: the JSON's ok/errors/failed fields
     // are the failure channel — a nonzero exit could make a harness
