@@ -993,6 +993,22 @@ object Queries {
              |        count(*) OVER (PARTITION BY key) AS cnt FROM k)
              |SELECT doc_id, CAST(cnt AS BIGINT) AS n_dups FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    // ---- X1 scalable twin: window-free exact dedup — two-phase hash
+    // agg (map-side combine absorbs key skew) + join-back on the
+    // unique winning id; same oracle semantics ----
+    ("x1_dedup_exact_scalable",
+      (s: SparkSession, dir: String) => {
+        DedupOps.exactDedupScalable(Tables.load(s, dir, "documents"),
+            substring(col("text"), 1, 50), "doc_id")
+          .select(col("doc_id"), col("n_dups"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH xk AS (SELECT doc_id, substr(text, 1, 50) AS key FROM documents),
+             |xr AS (SELECT doc_id,
+             |        row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY key) AS cnt FROM xk)
+             |SELECT doc_id, CAST(cnt AS BIGINT) AS n_dups FROM xr WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // ---- X1: canonical-document selection — the keep-one half of
     // exact dedup: every doc mapped to its group's canonical
     // representative (best by quality order, here chars desc then id).

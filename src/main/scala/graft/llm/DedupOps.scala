@@ -26,6 +26,26 @@ object DedupOps {
       .drop("__rn")
   }
 
+  /** X1 scalable twin of [[exactDedup]] for SKEWED keys. The window
+    * formulation puts every row of a key in one task — fine on
+    * high-cardinality keys, degenerate when one key dominates (a
+    * boilerplate page duplicated a billion times). This variant is
+    * window-free: a two-phase hash aggregation finds each key's
+    * winning id and group size (partial min/count collapses a mapper's
+    * rows per key to ONE before the shuffle, so a dominant key costs
+    * one row per task, not one task), then a join back on
+    * (key, winning id) — and since the join key includes the unique
+    * id, the join itself cannot skew. Same output contract as
+    * [[exactDedup]], null keys included (null-safe key equality).
+    */
+  def exactDedupScalable(df: DataFrame, keyCol: Column, idCol: String): DataFrame = {
+    val agg = df.select(keyCol.as("__k"), col(idCol).as("__id"))
+      .groupBy(col("__k"))
+      .agg(min(col("__id")).as("__minid"), count(lit(1)).as("n_dups"))
+    df.join(agg, keyCol <=> col("__k") && col(idCol) === col("__minid"))
+      .drop("__k", "__minid")
+  }
+
   /** Distinct word `w`-gram shingles per document:
     * `(doc_id, sh STRING)`. Documents shorter than `w` tokens yield
     * no shingles.

@@ -23,6 +23,22 @@ class DedupOpsSpec extends SparkSpec {
     got shouldBe Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
   }
 
+  test("X1 exactDedupScalable equals the window form on skewed and null keys") {
+    // one dominant key (80%), one singleton, and null keys — the
+    // window form puts the dominant key in one task; outputs must
+    // still be identical
+    val skewed = ((1L to 40L).map(i => (i, "dominant")) ++
+      Seq((100L, "rare"), (200L, null), (201L, null)))
+      .toDF("doc_id", "text")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_dups").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val win = shape(DedupOps.exactDedup(skewed, col("text"), "doc_id"))
+    val agg = shape(DedupOps.exactDedupScalable(skewed, col("text"), "doc_id"))
+    agg shouldBe win
+    agg shouldBe Map(1L -> 40L, 100L -> 1L, 200L -> 2L)
+  }
+
   test("wordShingles yields distinct w-grams, none for short docs") {
     val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
     sh.filter(col("doc_id") === 5L).count() shouldBe 0

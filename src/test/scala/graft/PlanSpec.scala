@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
     "windowspecdefinition\\(prio#\\d+, __pid".r.findAllIn(plan).nonEmpty shouldBe true
   }
 
+  test("x1_dedup_exact_scalable: window-free — skew absorbed by partial aggregation") {
+    val plan = formatted("x1_dedup_exact_scalable")
+    plan should not include "Window"
+    plan should include("partial_min")
+    plan should include("partial_count")
+  }
+
   test("w1_split_scalable: rank comes from range partitioning + broadcast offsets") {
     val plan = formatted("w1_split_scalable")
     plan should include("rangepartitioning")
