@@ -21,6 +21,21 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *
   * Counts are taken mod 128 so the packed value never sets bit 63.
   */
+object ByteClassFingerprint {
+  /** The fingerprint as a plain function (shared with callers that
+    * compute it outside an expression tree, e.g. mapPartitions).
+    */
+  def compute(bytes: Array[Byte]): Long = {
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 7) += 1L; i += 1 }
+    var fp = 0L
+    var b = 0
+    while (b < 8) { fp |= (counts(b) % 128) << (8 * b); b += 1 }
+    fp
+  }
+}
+
 case class ByteClassFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -32,16 +47,8 @@ case class ByteClassFingerprint(child: Expression) extends UnaryExpression {
       s"$prettyName requires BINARY input, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val counts = new Array[Long](8)
-    var i = 0
-    while (i < bytes.length) { counts(bytes(i) & 7) += 1L; i += 1 }
-    var fp = 0L
-    var b = 0
-    while (b < 8) { fp |= (counts(b) % 128) << (8 * b); b += 1 }
-    fp
-  }
+  override def nullSafeEval(input: Any): Any =
+    ByteClassFingerprint.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {

@@ -107,6 +107,70 @@ object MultimodalOps {
       col(idCol).as("doc_id"),
       graft.functions.FingerprintFunctions.byteClassFingerprint(col(blobCol)).as("fp"))
 
+  /** FULL pixel-decode tier — REAL codecs via the JDK's own
+    * `javax.imageio` ([[ImageCodec]]): image blobs decode to actual
+    * dimensions, channel count, and mean luma; non-image blobs fall
+    * back to the deterministic [[FakeDecoder]]. Same `mapPartitions`
+    * batching as [[decodeBlobs]] — this IS the "swap the stub for a
+    * codec call" the plumbing was designed for, with no plan change.
+    */
+  def decodeImages(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          ImageCodec.decode(b) match {
+            case Some((w, h, c, mean)) => MediaMeta(id, b.length.toLong, w, h, c, mean)
+            case None => FakeDecoder.decode(id, b)
+          }
+        }
+      }
+  }
+
+  /** REAL perceptual hash for image blobs — DCT pHash over decoded
+    * pixels ([[ImageCodec.pHash]]); non-image blobs keep the
+    * byte-class stub fingerprint so mixed corpora still fingerprint
+    * every row. Output matches [[pHashStub]]'s `(doc_id, fp)` contract
+    * and feeds the same Hamming banding.
+    */
+  def pHashImages(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          id -> ImageCodec.pHash(b).getOrElse(
+            graft.functions.ByteClassFingerprint.compute(b))
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** REAL resize for image blobs (bilinear, re-encoded PNG); the
+    * deterministic byte-subsample stub for anything else.
+    */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+                   w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val b = Option(bytes).getOrElse(Array.empty[Byte])
+          ImageCodec.resizePng(b, w, h) match {
+            case Some(png) => ResizedMedia(id, w, h, png)
+            case None => stubResize(id, b, w, h)
+          }
+        }
+      }
+  }
+
   /** Fixed-size feature vector per media blob. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 
@@ -151,16 +215,19 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val b = Option(bytes).getOrElse(Array.empty[Byte])
-          val target = w * h
-          val out = new Array[Byte](target)
-          if (b.nonEmpty) {
-            var i = 0
-            while (i < target) { out(i) = b((i.toLong * b.length / target).toInt); i += 1 }
-          }
-          ResizedMedia(id, w, h, out)
+          stubResize(id, Option(bytes).getOrElse(Array.empty[Byte]), w, h)
         }
       }
+  }
+
+  private def stubResize(id: Long, b: Array[Byte], w: Int, h: Int): ResizedMedia = {
+    val target = w * h
+    val out = new Array[Byte](target)
+    if (b.nonEmpty) {
+      var i = 0
+      while (i < target) { out(i) = b((i.toLong * b.length / target).toInt); i += 1 }
+    }
+    ResizedMedia(id, w, h, out)
   }
 
   /** One sampled frame of a (pretend) video blob. */
