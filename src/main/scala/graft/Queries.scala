@@ -1732,6 +1732,38 @@ object Queries {
              |SELECT bagg.doc_id, n_tokens, n_unk, toks
              |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: hashed-n-gram linear classifier (fastText serving
+    // shape) — model-based quality filtering. The weight table is the
+    // deterministic md5 pseudo-model so the oracle replays scoring
+    // bit-for-bit; a trained table plugs into the same plan. ----
+    ("x4_classifier_score",
+      (s: SparkSession, dir: String) => {
+        TextOps.classifierScore(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            weights = TextOps.pseudoWeights(s, 4096), nBuckets = 4096,
+            tokenHash = DedupOps.md5TokenHash)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |f0 AS (SELECT doc_id, list_concat(toks,
+             |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS feats
+             |       FROM t),
+             |f AS (SELECT doc_id, unnest(feats) AS feat FROM f0),
+             |b AS (SELECT doc_id,
+             |        CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 4096 AS bucket FROM f),
+             |w AS (SELECT CAST(r.i AS BIGINT) AS bucket,
+             |        CAST(('0x' || substr(md5('w:' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+             |      FROM range(4096) r(i)),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             |        CAST(sum(w.w) AS BIGINT) AS sum_w
+             |      FROM b JOIN w USING (bucket) GROUP BY doc_id),
+             |sc AS (SELECT doc_id, n_feat, sum_w,
+             |         CAST(CASE WHEN sum_w < 0 THEN -((-sum_w * 1000) // n_feat)
+             |                   ELSE (sum_w * 1000) // n_feat END AS BIGINT) AS score_q
+             |       FROM a)
+             |SELECT doc_id, n_feat, sum_w, score_q, score_q > 0 AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: normalized corpus vocabulary statistics ----
     ("x4_corpus_terms",
       (s: SparkSession, dir: String) => {

@@ -214,6 +214,48 @@ class TextOpsSpec extends SparkSpec {
     got(2L) shouldBe ((1L, sqA, sqA / 1e6))
   }
 
+  test("classifierScore: hashed unigram+bigram features, broadcast weights, truncated mean") {
+    // tiny explicit model: every bucket gets weight 0 except the
+    // buckets of the features we plant — verify the feature set and
+    // the integer score arithmetic by hand
+    val nB = 64
+    val d = Seq((1L, "x y"), (2L, "z")).toDF("doc_id", "text")
+    // doc 1 features: "x", "y", "x y" ; doc 2: "z" (no bigram)
+    def bucket(f: String): Long = {
+      val h = Seq(f).toDF("f")
+        .select(graft.llm.DedupOps.md5TokenHash(col("f"))).head().getLong(0)
+      ((h % nB) + nB) % nB
+    }
+    val w = Seq(bucket("x") -> 10L, bucket("y") -> -3L, bucket("x y") -> 5L,
+        bucket("z") -> -7L)
+      .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+      .toDF("bucket", "w")
+    val got = TextOps.classifierScore(d, "doc_id", "text", w, nB,
+        tokenHash = graft.llm.DedupOps.md5TokenHash)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1: 3 features, sum 12, score trunc(12000/3)=4000, keep
+    got(1L) shouldBe ((3L, 12L, 4000L, true))
+    // doc 2: 1 feature, sum -7, score trunc(-7000/1)=-7000 (toward zero)
+    got(2L) shouldBe ((1L, -7L, -7000L, false))
+  }
+
+  test("classifierScore: unweighted buckets score 0; negative mean truncates toward zero") {
+    val d = Seq((1L, "only unknown tokens here")).toDF("doc_id", "text")
+    val empty = spark.emptyDataFrame
+      .withColumn("bucket", lit(0L)).withColumn("w", lit(0L)).limit(0)
+    val r = TextOps.classifierScore(d, "doc_id", "text", empty, 16).head()
+    // 4 unigrams + 3 bigrams, all weightless
+    r.getLong(1) shouldBe 7L
+    r.getLong(2) shouldBe 0L
+    r.getLong(3) shouldBe 0L
+    r.getBoolean(4) shouldBe false
+    // -5 * 1000 div 2 must be -2500 either way; -5000 div 3 must be
+    // -1666 (toward zero), not -1667 (floor) — pin Spark's div
+    import spark.implicits._
+    Seq((-5000L, 3L)).toDF("a", "b").selectExpr("a div b").head().getLong(0) shouldBe -1666L
+  }
+
   test("redactPatterns applies rules in order with per-rule-visible text and counts") {
     val d = Seq((1L, "a1 b22 c"), (2L, "clean")).toDF("doc_id", "text")
     val got = TextOps.redactPatterns(d, "doc_id", "text",
