@@ -841,6 +841,31 @@ object Queries {
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_v, CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- skew-safe JOIN twin of agg_salted: enrich every lineitem
+    // row with its class's group size, but the join key has only 3
+    // values — a plain shuffle join puts a third of the corpus on one
+    // task. saltedJoin spreads each class over 16 salt buckets;
+    // result is exactly the plain join (the oracle). ----
+    ("j_skew_salted",
+      (s: SparkSession, dir: String) => {
+        val fact = featureTable(s, dir)
+          .select("cls", "sample_id", "l_quantity", "l_extendedprice")
+        val dim = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("cls"))
+          .agg(count(lit(1)).as("cls_n"))
+        TransformOps.saltedJoin(fact, dim, Seq("cls"), salt = 16,
+            saltFrom = Seq(col("sample_id"), col("l_quantity"), col("l_extendedprice")))
+          .orderBy(col("cls"), col("sample_id"), col("l_quantity"), col("l_extendedprice"))
+      },
+      Some("""WITH f AS (SELECT l_returnflag AS cls,
+             |    l_orderkey * 10 + l_linenumber AS sample_id, l_quantity, l_extendedprice
+             |  FROM lineitem),
+             |d AS (SELECT l_returnflag AS cls, CAST(count(*) AS BIGINT) AS cls_n
+             |      FROM lineitem GROUP BY 1)
+             |SELECT cls, sample_id, l_quantity, l_extendedprice, cls_n
+             |FROM f JOIN d USING (cls)
+             |ORDER BY cls, sample_id, l_quantity, l_extendedprice""".stripMargin)),
+
     // ---- X5+X2: media near-dup — perceptual-hash (STUB codec, real
     // plumbing) fingerprints paired by Hamming distance via the same
     // chunk-banded machinery as SimHash. Exact text dups have

@@ -178,4 +178,33 @@ object TransformOps {
     */
   def stringJoinAgg(c: Column, delimiter: String): Column =
     array_join(array_sort(collect_list(c)), delimiter)
+
+  /** Skew-safe equi-join — the join-side counterpart of [[saltedAgg]].
+    * A shuffle join partitions both sides by the key, so ONE hot key
+    * (half the internet under `lang='en'`) lands on ONE task no matter
+    * how many executors exist. Salting spreads it: `left` rows pick a
+    * salt bucket by hashing stable row CONTENT (never placement — see
+    * [[saltedAgg]] on SPARK-23207), `right` rows replicate across all
+    * `salt` buckets, and the join runs on (keys, salt) over salt× more
+    * tasks. Result is exactly the plain inner join on `keys`.
+    *
+    * Use when BOTH sides are too big to broadcast and the key is
+    * skewed (AQE's skew-join split handles moderate skew post-shuffle;
+    * explicit salting is the guarantee when one key dominates
+    * outright). `right` is the side that replicates — pass the
+    * smaller-but-unbroadcastable side there; for hot-key-only
+    * replication, split `right` by key temperature and union the
+    * salted hot slice with a plain join of the cold rest.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int, saltFrom: Seq[Column]): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    require(saltFrom.nonEmpty, "saltFrom needs at least one stable row-content column")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom: _*), lit(salt)))
+    val r = right.withColumn("__salt",
+      explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${salt - 1} AS BIGINT))")))
+    // merge hint: the whole point is the large-large shuffle-join case,
+    // so keep Spark from broadcasting the replicated side in demos
+    l.join(r.hint("merge"), keys :+ "__salt", "inner").drop("__salt")
+  }
 }

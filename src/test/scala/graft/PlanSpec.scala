@@ -147,4 +147,13 @@ class PlanSpec extends SparkSpec {
     // of the sampled table
     plan should not include "hashpartitioning"
   }
+
+  test("j_skew_salted: shuffle join keyed on (cls, __salt) — hot keys spread, no broadcast") {
+    val plan = formatted("j_skew_salted")
+    plan should include("SortMergeJoin")
+    plan should not include "BroadcastHashJoin"
+    // the join's partitioning includes the salt, so one class never
+    // collapses onto one task
+    "hashpartitioning\\(cls#\\d+, __salt".r.findAllIn(plan).nonEmpty shouldBe true
+  }
 }

@@ -170,6 +170,30 @@ class TransformOpsSpec extends SparkSpec {
     light shouldBe 0.25 +- 0.08
   }
 
+  test("saltedJoin equals the plain inner join on a skewed key") {
+    // 900 of 1000 rows under ONE key — the shape salting exists for
+    val fact = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
+      .toDF("k", "id")
+    val dim = Seq(("hot", 1L), ("k1", 2L), ("k2", 3L), ("k3", 4L), ("absent", 9L))
+      .toDF("k", "v")
+    val got = TransformOps.saltedJoin(fact, dim, Seq("k"), salt = 8,
+      saltFrom = Seq(col("id")))
+    val want = fact.join(dim, Seq("k"), "inner")
+    got.count() shouldBe want.count()
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val fact = (1L to 1000L).map(i => ("hot", i)).toDF("k", "id")
+    val dim = Seq(("hot", 1L)).toDF("k", "v")
+    // count distinct salt buckets actually used by the hot key
+    val l = fact.withColumn("__salt", pmod(xxhash64(col("id")), lit(8)))
+    l.select(countDistinct(col("__salt"))).head().getLong(0) shouldBe 8L
+    // and the public API result stays correct
+    TransformOps.saltedJoin(fact, dim, Seq("k"), 8, Seq(col("id"))).count() shouldBe 1000L
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
