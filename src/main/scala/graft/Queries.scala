@@ -1167,6 +1167,40 @@ object Queries {
              |SELECT eval_doc, train_doc, inter, uni, jaccard FROM rk WHERE rn = 1
              |ORDER BY eval_doc""".stripMargin)),
 
+    // ---- X2 at scale: Bloom-filter decontamination — eval shingles
+    // fold into ONE broadcast bitmap (128 KiB), train probes it
+    // scan-locally; train is never shuffled. Deterministic md5 probe
+    // positions make even the Bloom bitmap oracle-exact: DuckDB
+    // rebuilds the SET of set positions and replays every probe. ----
+    ("x2_bloom_decontam",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.bloomDecontaminate(
+            train = docs.filter(col("doc_id") % 20 =!= 0),
+            eval = docs.filter(col("doc_id") % 20 === 0),
+            w = 5, mBits = 1 << 20, k = 3,
+            probeHash = (sh, i) =>
+              DedupOps.md5TokenHash(concat_ws(":", sh, i.cast("string"))))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh FROM s0),
+             |bits AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 = 0),
+             |tp AS (SELECT doc_id, sh,
+             |    CAST(('0x' || substr(md5(sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 <> 0),
+             |pr AS (SELECT tp.doc_id, tp.sh,
+             |    CAST(count(*) AS BIGINT) AS n_probe, CAST(count(b.pos) AS BIGINT) AS n_set
+             |  FROM tp LEFT JOIN bits b ON tp.pos = b.pos GROUP BY tp.doc_id, tp.sh)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) > 0 AS flagged
+             |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: context-window chunking (training-sequence cutting) ----
     ("x4_chunk_windows",
       (s: SparkSession, dir: String) => {

@@ -88,6 +88,38 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
   }
 
+  /** Fixed-size bitmap OR: inputs are bit POSITIONS in [0, mBits);
+    * the buffer is the bitmap itself (mBits/64 longs) and merge is
+    * word-wise OR — fully associative/commutative, so map-side combine
+    * reduces a whole corpus to ONE bitmap-sized partial per task with
+    * no shuffle of the data. The Bloom-filter build aggregate: callers
+    * derive the k probe positions per element up front (e.g.
+    * [[graft.llm.DedupOps.bloomDecontaminate]]) and this op just sets
+    * bits. Out-of-range positions throw rather than alias silently.
+    */
+  class BitmapOrAgg(mBits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+
+    override def zero: Array[Long] = new Array[Long](mBits / 64)
+
+    override def reduce(buf: Array[Long], pos: Long): Array[Long] = {
+      require(pos >= 0 && pos < mBits, s"bit position $pos outside [0, $mBits)")
+      buf((pos >> 6).toInt) |= 1L << (pos & 63)
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+  }
+
   private object ExpressionEncoderHelper {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

@@ -275,6 +275,88 @@ object DedupOps {
       .select("eval_doc", "train_doc", "inter", "uni", "jaccard")
   }
 
+  /** X2 contamination at 100 TB: Bloom-filter decontamination.
+    * [[contamination]] shuffle-joins EVERY train shingle against the
+    * eval set — exact, but it moves the whole train corpus. When the
+    * eval benchmarks are small and the answer is flag-then-audit, the
+    * scale path never shuffles train at all: hash each eval shingle's
+    * `k` probe positions into ONE fixed-size bitmap (a
+    * map-side-combinable aggregate, [[graft.functions.Aggregators.BitmapOrAgg]]),
+    * broadcast the bitmap (mBits/8 bytes — 128 KiB here for 2^20),
+    * and test train shingles with a scan-local HOF probe. The only
+    * train-side shuffle is the per-doc verdict aggregation.
+    *
+    * One-sided error: a shingle present in eval ALWAYS probes true
+    * (no false negatives — nothing contaminated slips through); a
+    * false-positive probe needs all `k` positions set by accident
+    * (rate ~ fill^k; size mBits >= ~1.5 * k * distinct eval shingles
+    * for low fill). Probe positions are a pure hash of
+    * (shingle, probe-index), so the bitmap AND every verdict is
+    * deterministic — approximate only in its one-sided false
+    * positives, never in its execution. `probeHash` defaults to
+    * xxhash64 (fastest); pass the [[md5TokenHash]]-based form for a
+    * filter an external SQL engine reproduces bit-for-bit (the
+    * `x2_bloom_decontam` oracle does — md5 is ~3× slower and is that
+    * query's dominant cost, the same oracle tax as
+    * `t_sample_stratified`).
+    *
+    * Output per train doc: `n_shingles`, `n_hit` (shingles whose k
+    * positions are all set), `flagged` (n_hit > 0). Train docs with
+    * fewer than `w` tokens have no shingles and are absent (same
+    * contract as [[wordShingles]]).
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+                         w: Int, mBits: Int, k: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         probeHash: (Column, Column) => Column = (sh, i) => xxhash64(sh, i))
+      : DataFrame = {
+    require(k > 0, "k must be positive")
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    def positions(sh: Column): Column =
+      transform(sequence(lit(0), lit(k - 1)),
+        i => pmod(probeHash(sh, i), lit(mBits.toLong)))
+    val bitmapUdaf = udaf(new graft.functions.Aggregators.BitmapOrAgg(mBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bm = wordShingles(eval, idCol, textCol, w)
+      .select(explode(positions(col("sh"))).as("__pos"))
+      .agg(bitmapUdaf(col("__pos")).as("__bm"))
+    // Train-side distinct stays ARRAY-LOCAL (array_distinct inside the
+    // scan projection), so the only train shuffle is the map-side-
+    // combinable per-doc verdict agg — never the shingle text
+    // (wordShingles' row-wise distinct() would shuffle it all). The k
+    // probes are UNROLLED columns, not a HOF lambda: higher-order
+    // functions fall back to interpreted eval, which made ~1.5M md5
+    // calls ~4× slower than this whole-stage-codegen'd form.
+    def bitSet(p: String): String =
+      s"""(shiftright(element_at(__bm, CAST($p div 64 AS INT) + 1),
+         |            CAST($p % 64 AS INT)) & 1) = 1""".stripMargin
+    val hit = (0 until k).map(i => bitSet(s"__p$i")).mkString("(", ") AND (", ")")
+    (0 until k).foldLeft(
+      train
+        .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+        .filter(size(col("__toks")) >= w)
+        // CASE keeps the expression total: the filter above already
+        // dropped short docs, but an eagerly-evaluated projection
+        // (local relations, reordered plans) must not hit
+        // sequence(1, <0), which turns DESCENDING and feeds slice(0)
+        .select(col("doc_id"), expr(
+          s"""CASE WHEN size(__toks) >= $w
+             |     THEN array_distinct(transform(sequence(1, size(__toks) - ${w - 1}),
+             |            i -> concat_ws(' ', slice(__toks, i, $w))))
+             |     ELSE slice(__toks, 1, 0) END""".stripMargin).as("__shs"))
+        .select(col("doc_id"), size(col("__shs")).cast("long").as("n_shingles"),
+          explode(col("__shs")).as("sh"))
+        .join(broadcast(bm))) { (df, i) =>
+        df.withColumn(s"__p$i",
+          pmod(probeHash(col("sh"), lit(i)), lit(mBits.toLong)))
+      }
+      .withColumn("__hit", expr(hit))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(col("__hit").cast("long")).as("n_hit"))
+      .withColumn("flagged", col("n_hit") > 0)
+  }
+
   /** MinHash signature per document: `sig[i] = min over shingles of
     * xxhash64(i, shingle)`. `numHashes` independent hash functions come
     * from seeding xxhash64 with the function index.

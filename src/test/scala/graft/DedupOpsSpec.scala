@@ -228,6 +228,39 @@ class DedupOpsSpec extends SparkSpec {
     got(3L) shouldBe ((3L, 1L, true))
   }
 
+  test("bloomDecontaminate never misses a contaminated doc (one-sided error)") {
+    // exact truth: train docs sharing >=1 shingle with eval
+    val train = docs.filter(col("doc_id") =!= 2L)
+    val eval = docs.filter(col("doc_id") === 2L)
+    val exact = DedupOps
+      .wordShingles(train, "doc_id", "text", 5)
+      .join(DedupOps.wordShingles(eval, "doc_id", "text", 5)
+        .select(col("sh")).distinct(), Seq("sh"))
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    exact should contain(1L)  // doc 1 is an exact dup of eval doc 2
+    exact should contain(3L)  // doc 3 shares its prefix shingles
+    val got = DedupOps.bloomDecontaminate(train, eval, w = 5, mBits = 1 << 16, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // every exactly-contaminated doc must be flagged
+    exact.foreach { id => got(id)._3 shouldBe true }
+    // the exact dup hits on EVERY shingle
+    got(1L)._1 shouldBe got(1L)._2
+    // disjoint-vocabulary doc 4: unflagged at this fill (deterministic)
+    got(4L)._3 shouldBe false
+    // doc 5 (< w tokens) has no shingles: absent by contract
+    got.contains(5L) shouldBe false
+  }
+
+  test("bloomDecontaminate is deterministic across partitionings (bitmap merges associatively)") {
+    val train = docs.filter(col("doc_id") =!= 2L)
+    val eval = docs.filter(col("doc_id") === 2L)
+    def run(t: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      DedupOps.bloomDecontaminate(t, e, w = 5, mBits = 1 << 16, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    run(train.repartition(7), eval.repartition(5)) shouldBe run(train.coalesce(1), eval.coalesce(1))
+  }
+
   test("X2 simHashPairs: chunk count derives from maxHamming (no pigeonhole false negatives)") {
     import graft.llm.DedupOps
     // two fingerprints at Hamming distance 7, crafted so every 16-bit
