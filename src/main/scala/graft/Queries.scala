@@ -1605,6 +1605,57 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- X3: product-quantization ANN (ADC) — the MEMORY side of
+    // 100 TB vector search: 64 floats -> 8 byte-codes per vector, a
+    // query scores a candidate in 8 table lookups. Seed-only
+    // codebooks (kmeansIters = 0) are SQL-derivable, so unlike the
+    // rows-only IVF/RHP entries this oracle replays the ENTIRE PQ
+    // pipeline — codebooks, encoding, ADC scoring, ranking —
+    // value-exact. Lloyd refinement + the exact re-rank stage are
+    // spec-pinned (SimilarityOpsSpec), incl. the nCodes >= N
+    // degeneration to brute force. ----
+    ("x3_ann_pq",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.pqTopK(queries, emb, "vec_id", "embedding",
+            k = 5,
+            codebooks = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+              nSubspaces = 8, nCodes = 16, kmeansIters = 0),
+            nSubspaces = 8)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |sv AS (SELECT vec_id, n2, CAST(r.m AS BIGINT) AS m,
+             |         list_slice(q, r.m * 8 + 1, r.m * 8 + 8) AS sq
+             |       FROM n, range(8) r(m)),
+             |cb AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code, sq AS cw,
+             |         CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS cwn2
+             |       FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+             |asg AS (SELECT sv.vec_id, sv.m, cb.code,
+             |          cb.cwn2 - 2 * CAST(list_sum(list_transform(list_zip(sv.sq, cb.cw), x -> x[1] * x[2])) AS BIGINT) AS d
+             |        FROM sv JOIN cb USING (m)),
+             |enc AS (SELECT vec_id, m, code FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM asg)
+             |        WHERE rn = 1),
+             |qd AS (SELECT sv.vec_id AS query_id, sv.m, cb.code,
+             |         CAST(list_sum(list_transform(list_zip(sv.sq, cb.cw), x -> x[1] * x[2])) AS BIGINT) AS pdot
+             |       FROM sv JOIN cb USING (m) WHERE sv.vec_id % 10 = 0),
+             |p AS (SELECT qd.query_id, e.vec_id AS neighbor_id, CAST(sum(qd.pdot) AS BIGINT) AS dot
+             |      FROM enc e JOIN qd ON qd.m = e.m AND qd.code = e.code
+             |      WHERE qd.query_id <> e.vec_id GROUP BY 1, 2),
+             |r AS (SELECT p.query_id, p.neighbor_id,
+             |        CAST(p.dot AS DOUBLE) / sqrt(CAST(qn.n2 * cn.n2 AS DOUBLE)) AS cosine
+             |      FROM p JOIN n qn ON qn.vec_id = p.query_id
+             |             JOIN n cn ON cn.vec_id = p.neighbor_id),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- X3: per-label embedding centroids (class prototypes) in
     // exact quantized-integer means, flattened to tidy rows ----
     ("x3_label_centroids",

@@ -254,6 +254,59 @@ case class TrigramProfileCount(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Asymmetric-distance (ADC) dot product for product quantization:
+  * given a corpus row's PQ codes (`ARRAY<BIGINT>`, one code per
+  * subspace) and a query's per-subspace lookup tables
+  * (`ARRAY<ARRAY<BIGINT>>`, `tbl[m][c]` = dot of the query's m-th
+  * subvector with codeword c), returns Σ_m tbl[m][codes[m]] — the
+  * approximate dot in M array reads instead of a D-element
+  * multiply-add. This is the PQ hot loop (it runs per candidate
+  * PAIR); as a HOF chain (zip_with + aggregate) it falls back to
+  * interpreted eval, here it stays in whole-stage codegen.
+  * Out-of-range codes contribute 0 (dropped codewords cannot be
+  * referenced by a consistent encode, so this only pads ragged input).
+  */
+case class PqAdcDot(codes: Expression, tables: Expression) extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = tables
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cs = a.asInstanceOf[ArrayData]
+    val tbl = b.asInstanceOf[ArrayData]
+    val m = math.min(cs.numElements(), tbl.numElements())
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val row = tbl.getArray(i)
+      val c = cs.getLong(i).toInt
+      if (c >= 0 && c < row.numElements()) s += row.getLong(c)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val arrData = classOf[ArrayData].getName
+      s"""
+         |int m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long s = 0L;
+         |for (int i = 0; i < m; i++) {
+         |  $arrData row = $b.getArray(i);
+         |  int c = (int) $a.getLong(i);
+         |  if (c >= 0 && c < row.numElements()) s += row.getLong(c);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, tables = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -277,4 +330,8 @@ object VectorFunctions {
   /** One-pass trigram-profile hit counts (ARRAY<BIGINT>, one per profile). */
   def trigramProfileCount(text: Column, profiles: Seq[Seq[String]]): Column =
     ColumnBridge.toColumn(TrigramProfileCount(ColumnBridge.toExpr(text), profiles))
+
+  /** PQ asymmetric-distance dot: Σ_m tables[m][codes[m]]. */
+  def pqAdcDot(codes: Column, tables: Column): Column =
+    ColumnBridge.toColumn(PqAdcDot(ColumnBridge.toExpr(codes), ColumnBridge.toExpr(tables)))
 }

@@ -458,4 +458,165 @@ object SimilarityOps {
       // norm via the fused float-path expression: CollapseProject would
       // otherwise inline quantizeVec into longDot and evaluate it 3x/row
       .withColumn("__n2", VectorFunctions.quantizedDot(col(vecCol), col(vecCol)))
+
+  // -----------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization
+  // for Nearest Neighbor Search") — the memory side of 100 TB ANN:
+  // each vector compresses to one small code per subspace (here 8
+  // codes for a 64-dim float vector, a 32× reduction), and query
+  // scoring becomes M table lookups per candidate (ADC) instead of a
+  // D-element dot. Composes with IVF (bucket first, PQ-score inside
+  // the bucket); [[pqTopK]] is the flat-scan form.
+  // -----------------------------------------------------------------
+
+  /** Per-(row, subspace) quantized subvectors: (idCol, m, __sq).
+    * Vector dim must be divisible by `nSubspaces` (raised per-row).
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         nSubspaces: Int): DataFrame =
+    quantized(df, idCol, vecCol)
+      .withColumn("m", explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${nSubspaces - 1} AS BIGINT))")))
+      .withColumn("__sq", expr(
+        s"""CASE WHEN size(__qv) % $nSubspaces = 0
+           |     THEN slice(__qv, CAST(m * (size(__qv) div $nSubspaces) + 1 AS INT),
+           |                CAST(size(__qv) div $nSubspaces AS INT))
+           |     ELSE raise_error(concat('pq: vector dim ', CAST(size(__qv) AS STRING),
+           |                             ' not divisible by $nSubspaces subspaces')) END""".stripMargin))
+
+  /** One broadcastable row per subspace:
+    * (m, __cws ARRAY<STRUCT<code, __cw, __cwn2>> sorted by code).
+    */
+  private def collapsedCodebooks(codebooks: DataFrame): DataFrame =
+    broadcast(codebooks.groupBy("m")
+      .agg(array_sort(collect_list(struct(col("code"), col("__cw"), col("__cwn2"))))
+        .as("__cws")))
+
+  /** Nearest codeword per (row, subspace) by squared L2 distance in
+    * the quantized space (`||x-c||² - ||x||² = c·c - 2 x·c`, exact
+    * integers; code-id tiebreak): adds `code`. Broadcast + in-row
+    * argmin — map-only, same discipline as the IVF assignment.
+    */
+  private def assignCodes(sv: DataFrame, codebooks: DataFrame): DataFrame = {
+    val scored = transform(col("__cws"), c => struct(
+      (c.getField("__cwn2") - lit(2L) * VectorFunctions.longDot(col("__sq"), c.getField("__cw")))
+        .as("d"),
+      c.getField("code").as("code")))
+    sv.join(collapsedCodebooks(codebooks), "m")
+      .withColumn("code", element_at(array_sort(scored), 1).getField("code"))
+      .drop("__cws")
+  }
+
+  /** X3: PQ codebooks — `(m, code, __cw ARRAY<BIGINT>, __cwn2)` with
+    * codes dense in [0, nCodes) per subspace. Seeding is reproducible
+    * and engine-neutral (the `nCodes` lowest-id vectors' subvectors —
+    * with `kmeansIters = 0` an external SQL engine can rebuild the
+    * codebooks exactly, which is how the `x3_ann_pq` oracle replays
+    * the whole pipeline); optional deterministic Lloyd iterations
+    * refine them in integer space like [[refineCentroids]] (empty
+    * codes drop out and the survivors re-densify, so ADC tables stay
+    * positional).
+    *
+    * This is the corpus-wide index build: compute once per corpus,
+    * persist like [[IvfIndex]], reuse across query batches.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  nSubspaces: Int, nCodes: Int, kmeansIters: Int = 0): DataFrame = {
+    require(nSubspaces > 0 && nCodes > 0, "nSubspaces and nCodes must be positive")
+    val sv = subvectors(corpus, idCol, vecCol, nSubspaces)
+      .select(col(idCol), col("m"), col("__sq"))
+    val seeds = subvectors(corpus.orderBy(col(idCol)).limit(nCodes), idCol, vecCol, nSubspaces)
+      .withColumn("code",
+        row_number().over(Window.partitionBy(col("m")).orderBy(col(idCol))).cast("long") - 1L)
+      .select(col("m"), col("code"), col("__sq").as("__cw"))
+    var cb = seeds
+    for (_ <- 1 to kmeansIters) {
+      val assigned = assignCodes(sv,
+        cb.withColumn("__cwn2", VectorFunctions.longDot(col("__cw"), col("__cw"))))
+      cb = assigned
+        .select(col("m"), col("code"), posexplode(col("__sq")).as(Seq("p", "v")))
+        .groupBy("m", "code", "p").agg(expr("sum(v) div count(1)").as("mv"))
+        .groupBy("m", "code")
+        .agg(array_sort(collect_list(struct(col("p"), col("mv")))).as("__ms"))
+        .withColumn("__cw", expr("transform(__ms, x -> x.mv)"))
+        // survivors re-densify so codes stay positional for ADC
+        .withColumn("code",
+          row_number().over(Window.partitionBy(col("m")).orderBy(col("code"))).cast("long") - 1L)
+        .select(col("m"), col("code"), col("__cw"))
+        .localCheckpoint() // tiny table; truncates per-iter lineage
+    }
+    cb.withColumn("__cwn2", VectorFunctions.longDot(col("__cw"), col("__cw")))
+  }
+
+  /** X3: PQ encoding — each vector compressed to
+    * `(idCol, __codes ARRAY<BIGINT> positional by subspace, __n2)`.
+    * `__n2` is the EXACT stored norm (standard for inner-product /
+    * cosine PQ: only the dot is approximated). Map-only per row after
+    * the codebook broadcast.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, nSubspaces: Int): DataFrame =
+    assignCodes(subvectors(corpus, idCol, vecCol, nSubspaces), codebooks)
+      .groupBy(col(idCol), col("__n2"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("__mc"))
+      .withColumn("__codes", expr("transform(__mc, x -> x.code)"))
+      .select(col(idCol), col("__codes"), col("__n2"))
+
+  /** X3: PQ ANN by asymmetric distance (flat scan): corpus rows are
+    * scored from their M codes via per-query lookup tables
+    * ([[graft.functions.PqAdcDot]], codegen'd — M array reads per
+    * candidate instead of a D-element dot), cosine uses the exact
+    * stored norms, then the usual top-k rank. Query side computes
+    * M·nCodes exact sub-dots per query (tiny) — the asymmetric half:
+    * queries stay unquantized-by-PQ, only the corpus is compressed.
+    *
+    * `refine > 0` is the standard second stage: shortlist the top
+    * `refine` candidates by ADC, then re-score ONLY those with the
+    * exact dot and emit the top `k` — coarse codebooks collapse
+    * same-cluster candidates into score ties, and the cheap exact
+    * re-rank of a constant-size shortlist restores the ordering
+    * (an id-keyed join back to the vectors; never the full corpus).
+    *
+    * With `nCodes >= |corpus|` and `kmeansIters = 0` every subvector
+    * is its own codeword, ADC is the exact dot, and this degenerates
+    * to [[bruteForceTopK]] bit-for-bit (spec-pinned) — the same
+    * full-probe-twin discipline as IVF/RHP.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, codebooks: DataFrame, nSubspaces: Int, refine: Int = 0): DataFrame = {
+    val enc = pqEncode(corpus, idCol, vecCol, codebooks, nSubspaces)
+      .select(col(idCol).as("neighbor_id"), col("__codes"), col("__n2").as("__cn2"))
+    val qtbl = subvectors(queries, idCol, vecCol, nSubspaces)
+      .join(collapsedCodebooks(codebooks), "m")
+      .withColumn("__dots", transform(col("__cws"),
+        c => VectorFunctions.longDot(col("__sq"), c.getField("__cw"))))
+      .groupBy(col(idCol).as("query_id"), col("__n2").as("__qn2"))
+      .agg(array_sort(collect_list(struct(col("m"), col("__dots")))).as("__md"))
+      .withColumn("__tbl", expr("transform(__md, x -> x.__dots)"))
+      .select(col("query_id"), col("__qn2"), col("__tbl"))
+    val scored = qtbl.join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.pqAdcDot(col("__codes"), col("__tbl")),
+          col("__qn2"), col("__cn2")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val adcTopK = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= math.max(k, refine))
+      .select("query_id", "rank", "neighbor_id", "cosine")
+    if (refine <= 0) adcTopK
+    else {
+      val q = quantized(queries, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
+      val c = quantized(corpus, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+      val exact = adcTopK.select("query_id", "neighbor_id")
+        .join(q, "query_id").join(c, "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")),
+            col("__qn2"), col("__cn2")).as("cosine"))
+      exact
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    }
+  }
 }

@@ -267,4 +267,61 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").collect().toSet
     full shouldBe bf
   }
+
+  test("pqTopK with per-point codebooks degenerates to brute force bit-for-bit") {
+    // nCodes >= |corpus|, iters = 0: every subvector is its own
+    // codeword, ADC is the exact dot — the PQ full-probe twin
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val cb = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding",
+      nSubspaces = 2, nCodes = 160, kmeansIters = 0)
+    val pq = SimilarityOps.pqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, codebooks = cb, nSubspaces = 2)
+    val bf = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    pq.exceptAll(bf).count() shouldBe 0L
+    bf.exceptAll(pq).count() shouldBe 0L
+  }
+
+  test("pqEncode compresses to one dense code per subspace with the exact stored norm") {
+    val corpus = clustered
+    val cb = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding",
+      nSubspaces = 4, nCodes = 8, kmeansIters = 1)
+    cb.groupBy("m").count().collect().foreach(_.getLong(1) should be <= 8L)
+    // codes dense in [0, nCodes)
+    cb.select(min(col("code")), max(col("code"))).head() match {
+      case r => r.getLong(0) shouldBe 0L; r.getLong(1) should be < 8L
+    }
+    val enc = SimilarityOps.pqEncode(corpus, "vec_id", "embedding", cb, 4)
+    enc.count() shouldBe 160L
+    enc.filter(expr("size(__codes) != 4")).count() shouldBe 0L
+    enc.filter(expr("exists(__codes, c -> c < 0 OR c >= 8)")).count() shouldBe 0L
+    // stored norm is the exact quantized self-dot (not reconstructed)
+    val n2 = enc.filter(col("vec_id") === 0L).head().getLong(2)
+    val want = corpus.filter(col("vec_id") === 0L)
+      .select(graft.functions.VectorFunctions.quantizedDot(col("embedding"), col("embedding")))
+      .head().getLong(0)
+    n2 shouldBe want
+  }
+
+  test("pqTopK exact re-rank of the ADC shortlist recovers recall coarse codebooks lose") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    val cb = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding",
+      nSubspaces = 2, nCodes = 16, kmeansIters = 2)
+    def run(refine: Int) = SimilarityOps.pqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, codebooks = cb, nSubspaces = 2, refine = refine)
+    // deterministic (integer codebooks, id tiebreaks)
+    val a = run(0); val b = run(0)
+    a.exceptAll(b).count() shouldBe 0L
+    b.exceptAll(a).count() shouldBe 0L
+    // pure ADC with 16 codewords collapses same-cluster candidates to
+    // ties — cluster-level quality only; exact re-rank of a 40-wide
+    // shortlist restores neighbor-level recall
+    val rAdc = recallAt5(a, truth)
+    val rRefined = recallAt5(run(40), truth)
+    info(s"pq recall@5: adc=$rAdc rerank40=$rRefined (M=2, 16 codes, 2 Lloyd iters)")
+    rRefined should be > rAdc
+    rRefined should be >= 0.9
+  }
 }
