@@ -55,6 +55,19 @@ object Sinks {
       .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** JSON-Lines sink (corpus interchange, pairs with
+    * [[Tables.loadJsonl]]): one JSON object per line, `numFiles`
+    * bounded like [[writeSized]], optional gzip (splittable per FILE,
+    * not within a file — keep files modest). Parquet stays the
+    * canonical analytical format; JSONL is the handoff edge to
+    * tokenizers/trainers that stream text.
+    */
+  def writeJsonl(df: DataFrame, path: String, numFiles: Int,
+                 gzip: Boolean = false, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.repartition(numFiles).write.mode(mode)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   /** Export `(cls, features ARRAY<DOUBLE>)` rows back to the
     * reference's native `.mat` layout: variable `x` = one cell matrix
     * per class, rows ordered by `idCol` (graft.sources.mat.MatV5,

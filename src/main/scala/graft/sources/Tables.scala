@@ -76,6 +76,30 @@ object Tables {
     load(spark, dir, name).select(cols.map(col): _*)
   }
 
+  /** S1 (corpus interchange): JSON-Lines reader — the de-facto wire
+    * format of LLM corpus pipelines (one JSON document per line,
+    * gzip-splittable into per-file tasks). Schema is REQUIRED: schema
+    * inference reads the whole corpus TWICE at 100 TB; with an
+    * explicit schema the scan is single-pass and malformed lines land
+    * in `_corrupt_record` (PERMISSIVE) instead of failing the job —
+    * count that column to monitor feed health, filter it to quarantine
+    * bad lines (Spark refuses corrupt-column-ONLY queries over raw
+    * JSON — select data columns alongside it, or cache() first).
+    * Multiline JSON is deliberately NOT enabled: a multiline file is
+    * one unsplittable task.
+    */
+  def loadJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   // ---------------------------------------------------------------
   // S1 (.mat fidelity): the reference's native input — per-class `x`
   // feature cells and `r` permutation cells in a MATLAB v5 file, read

@@ -60,4 +60,38 @@ class SinksSpec extends SparkSpec {
     spark.read.parquet(dir).select(sum("v")).as[Double].head() shouldBe 6.0
   }
 
+  test("writeJsonl/loadJsonl round-trip a corpus, bounded file count, gzip variant") {
+    import org.apache.spark.sql.types._
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    for (gz <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"sink-jsonl-$gz").toString + "/out"
+      Sinks.writeJsonl(docs, dir, numFiles = 2, gzip = gz)
+      val back = graft.sources.Tables.loadJsonl(spark, dir, schema).cache()
+      back.filter(col("_corrupt_record").isNotNull).count() shouldBe 0L
+      back.select("doc_id", "text", "lang").exceptAll(docs).count() shouldBe 0L
+      docs.exceptAll(back.select("doc_id", "text", "lang")).count() shouldBe 0L
+      back.unpersist()
+    }
+  }
+
+  test("loadJsonl quarantines malformed lines in _corrupt_record instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl-corrupt")
+    Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "text": "good line"}
+        |this is not json at all
+        |{"doc_id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val got = graft.sources.Tables.loadJsonl(spark, dir.toString, schema).cache()
+    got.count() shouldBe 3L
+    got.filter(col("_corrupt_record").isNotNull).count() shouldBe 1L
+    got.filter(col("_corrupt_record").isNull)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    got.unpersist()
+  }
 }
