@@ -310,16 +310,7 @@ object DedupOps {
                          idCol: String = "doc_id", textCol: String = "text",
                          probeHash: (Column, Column) => Column = (sh, i) => xxhash64(sh, i))
       : DataFrame = {
-    require(k > 0, "k must be positive")
-    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
-    def positions(sh: Column): Column =
-      transform(sequence(lit(0), lit(k - 1)),
-        i => pmod(probeHash(sh, i), lit(mBits.toLong)))
-    val bitmapUdaf = udaf(new graft.functions.Aggregators.BitmapOrAgg(mBits),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val bm = wordShingles(eval, idCol, textCol, w)
-      .select(explode(positions(col("sh"))).as("__pos"))
-      .agg(bitmapUdaf(col("__pos")).as("__bm"))
+    val bm = bloomBitmap(eval, w, mBits, k, idCol, textCol, probeHash)
     // Train-side distinct stays ARRAY-LOCAL (array_distinct inside the
     // scan projection), so the only train shuffle is the map-side-
     // combinable per-doc verdict agg — never the shingle text
@@ -335,15 +326,7 @@ object DedupOps {
       train
         .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
         .filter(size(col("__toks")) >= w)
-        // CASE keeps the expression total: the filter above already
-        // dropped short docs, but an eagerly-evaluated projection
-        // (local relations, reordered plans) must not hit
-        // sequence(1, <0), which turns DESCENDING and feeds slice(0)
-        .select(col("doc_id"), expr(
-          s"""CASE WHEN size(__toks) >= $w
-             |     THEN array_distinct(transform(sequence(1, size(__toks) - ${w - 1}),
-             |            i -> concat_ws(' ', slice(__toks, i, $w))))
-             |     ELSE slice(__toks, 1, 0) END""".stripMargin).as("__shs"))
+        .select(col("doc_id"), shingleArray(w).as("__shs"))
         .select(col("doc_id"), size(col("__shs")).cast("long").as("n_shingles"),
           explode(col("__shs")).as("sh"))
         .join(broadcast(bm))) { (df, i) =>
@@ -355,6 +338,71 @@ object DedupOps {
       .agg(max(col("n_shingles")).as("n_shingles"),
         sum(col("__hit").cast("long")).as("n_hit"))
       .withColumn("flagged", col("n_hit") > 0)
+  }
+
+  /** The broadcastable Bloom bitmap over `eval`'s shingles: ONE row,
+    * `__bm ARRAY<BIGINT>` of mBits/64 words. Build it once per eval
+    * set (persist like any index); both decontamination variants and
+    * the streaming filter probe the same artifact.
+    */
+  def bloomBitmap(eval: DataFrame, w: Int, mBits: Int, k: Int,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  probeHash: (Column, Column) => Column = (sh, i) => xxhash64(sh, i))
+      : DataFrame = {
+    require(k > 0, "k must be positive")
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    val bitmapUdaf = udaf(new graft.functions.Aggregators.BitmapOrAgg(mBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    wordShingles(eval, idCol, textCol, w)
+      .select(explode(transform(sequence(lit(0), lit(k - 1)),
+        i => pmod(probeHash(col("sh"), i), lit(mBits.toLong)))).as("__pos"))
+      .agg(bitmapUdaf(col("__pos")).as("__bm"))
+  }
+
+  // distinct w-token shingles as an in-row ARRAY. The CASE keeps the
+  // expression total: callers filter short docs, but an eagerly-
+  // evaluated projection (local relations, reordered plans) must not
+  // hit sequence(1, <0), which turns DESCENDING and feeds slice(0)
+  private def shingleArray(w: Int): Column = expr(
+    s"""CASE WHEN size(__toks) >= $w
+       |     THEN array_distinct(transform(sequence(1, size(__toks) - ${w - 1}),
+       |            i -> concat_ws(' ', slice(__toks, i, $w))))
+       |     ELSE slice(__toks, 1, 0) END""".stripMargin)
+
+  /** STATELESS per-row variant of [[bloomDecontaminate]] against a
+    * prebuilt [[bloomBitmap]]: the whole verdict (shingle → k probes →
+    * all-bits-set) evaluates inside the document's own row via HOFs —
+    * no explode, no aggregation, no shuffle, no state. Identical
+    * output (spec-pinned). This is the STREAMING form: an unbounded
+    * document stream joins the one-row static bitmap (stream-static
+    * broadcast) and filters micro-batch by micro-batch with zero state
+    * store ([[graft.streaming.StreamOps.decontaminateStream]]).
+    * Batch callers at full-corpus scale prefer [[bloomDecontaminate]]:
+    * the HOF probe is interpreted per element, ~4× slower per shingle
+    * than its codegen'd unrolled probes.
+    */
+  def bloomDecontaminateStateless(docs: DataFrame, bloomBm: DataFrame,
+                                  w: Int, mBits: Int, k: Int,
+                                  idCol: String = "doc_id", textCol: String = "text",
+                                  probeHashSql: (String, String) => String =
+                                    (sh, i) => s"xxhash64($sh, $i)")
+      : DataFrame = {
+    require(k > 0, "k must be positive")
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= w)
+      .select(col("doc_id"), shingleArray(w).as("__shs"))
+      .join(broadcast(bloomBm))
+      .withColumn("n_shingles", size(col("__shs")).cast("long"))
+      .withColumn("n_hit", expr(
+        s"""CAST(size(filter(__shs, sh -> forall(
+           |  transform(sequence(0, ${k - 1}),
+           |    i -> pmod(${probeHashSql("sh", "i")}, CAST($mBits AS BIGINT))),
+           |  p -> (shiftright(element_at(__bm, CAST(p div 64 AS INT) + 1),
+           |                   CAST(p % 64 AS INT)) & 1) = 1))) AS BIGINT)""".stripMargin))
+      .withColumn("flagged", col("n_hit") > 0)
+      .select("doc_id", "n_shingles", "n_hit", "flagged")
   }
 
   /** MinHash signature per document: `sig[i] = min over shingles of

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{LongDot, QuantizeVec, QuantizedDot}
+import graft.functions.{LongDot, PqAdcDot, QuantizeVec, QuantizedDot}
 
 /** Algebraic rewrite: `long_dot(quantize_vec(x, s), quantize_vec(y, s))`
   * ≡ `quantized_dot(x, y, s)` — when the quantized arrays feed ONLY a
@@ -65,6 +65,11 @@ object GraftExtensions {
       case Seq(a, b, s) => QuantizedDot(a, b, s.eval().toString.toDouble)
       case args => throw new IllegalArgumentException(
         s"quantized_dot expects 2 or 3 arguments, got ${args.length}")
+    },
+    fn("pq_adc_dot", "pq_adc_dot(codes, tables) - PQ asymmetric-distance dot: sum of tables[m][codes[m]]") {
+      case Seq(c, t) => PqAdcDot(c, t)
+      case args => throw new IllegalArgumentException(
+        s"pq_adc_dot expects 2 arguments, got ${args.length}")
     })
 
   def install(ext: SparkSessionExtensions): Unit = {

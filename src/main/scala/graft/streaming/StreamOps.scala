@@ -117,6 +117,21 @@ object StreamOps {
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** X2/X6: streaming decontamination — an unbounded DOCUMENT stream
+    * probes a static eval-set Bloom bitmap
+    * ([[graft.llm.DedupOps.bloomBitmap]], built once batch-side,
+    * persisted like any index). Every verdict evaluates inside the
+    * incoming row (stateless per-row HOF probe + a one-row
+    * stream-static broadcast join): no watermark, no state store,
+    * nothing grows with stream length — the shape an ingest-time
+    * contamination gate must have. Same output as the batch op on the
+    * same rows (spec-pinned; one-sided error as documented on
+    * [[graft.llm.DedupOps.bloomDecontaminate]]).
+    */
+  def decontaminateStream(docs: DataFrame, bloomBm: DataFrame,
+                          w: Int, mBits: Int, k: Int): DataFrame =
+    graft.llm.DedupOps.bloomDecontaminateStateless(docs, bloomBm, w, mBits, k)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

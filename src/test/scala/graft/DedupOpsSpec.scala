@@ -261,6 +261,16 @@ class DedupOpsSpec extends SparkSpec {
     run(train.repartition(7), eval.repartition(5)) shouldBe run(train.coalesce(1), eval.coalesce(1))
   }
 
+  test("bloomDecontaminateStateless (per-row HOF form) equals the aggregated batch op") {
+    val train = docs.filter(col("doc_id") =!= 2L)
+    val eval = docs.filter(col("doc_id") === 2L)
+    val bm = DedupOps.bloomBitmap(eval, w = 5, mBits = 1 << 16, k = 3)
+    val agg = DedupOps.bloomDecontaminate(train, eval, w = 5, mBits = 1 << 16, k = 3)
+    val row = DedupOps.bloomDecontaminateStateless(train, bm, w = 5, mBits = 1 << 16, k = 3)
+    row.exceptAll(agg).count() shouldBe 0L
+    agg.exceptAll(row).count() shouldBe 0L
+  }
+
   test("X2 simHashPairs: chunk count derives from maxHamming (no pigeonhole false negatives)") {
     import graft.llm.DedupOps
     // two fingerprints at Hamming distance 7, crafted so every 16-bit

@@ -51,11 +51,15 @@ class GraftExtensionsSpec extends SparkSpec {
         |                     array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS qd,
         |       long_dot(quantize_vec(array(CAST(1.0 AS FLOAT))),
         |                quantize_vec(array(CAST(2.0 AS FLOAT)))) AS ld,
-        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 10) AS scaled
+        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)), 10) AS scaled,
+        |       pq_adc_dot(array(CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |                  array(array(CAST(10 AS BIGINT), CAST(20 AS BIGINT)),
+        |                        array(CAST(30 AS BIGINT), CAST(40 AS BIGINT)))) AS adc
         |""".stripMargin).head()
     row.getLong(0) shouldBe (1000L * 3000L + 2000L * 4000L)
     row.getLong(1) shouldBe 1000L * 2000L
     row.getLong(2) shouldBe 10L * 10L
+    row.getLong(3) shouldBe 20L + 30L // tbl[0][1] + tbl[1][0]
   }
 
   test("hoisted quantize columns are NOT un-hoisted (pattern must nest directly)") {

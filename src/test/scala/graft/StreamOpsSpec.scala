@@ -239,4 +239,36 @@ class StreamOpsSpec extends SparkSpec {
       got shouldBe Map("u1" -> Seq(1L, 2L), "u2" -> Seq(1L))
     } finally q.stop()
   }
+
+  test("decontaminateStream: stateless Bloom gate on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated document about query engines today"),
+      (3L, "short one"), // < w tokens: absent by contract
+      (4L, "the quick brown fox jumps over nothing else entirely"))
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val bm = graft.llm.DedupOps.bloomBitmap(eval, w = 5, mBits = 1 << 16, k = 3)
+      .localCheckpoint() // static side: compute the bitmap once
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val q = StreamOps.decontaminateStream(streamDf, bm, w = 5, mBits = 1 << 16, k = 3)
+      .writeStream.format("memory").queryName("decontam_test").outputMode("append").start()
+    try {
+      mem.addData(docRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docRows.drop(2): _*) // second micro-batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("decontam_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      val want = graft.llm.DedupOps.bloomDecontaminateStateless(
+          docRows.toDF("doc_id", "text"), bm, w = 5, mBits = 1 << 16, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      got shouldBe want
+      // the exact-dup doc is flagged on every shingle; doc 3 absent
+      got.find(_._1 == 1L).get._4 shouldBe true
+      got.map(_._1) shouldBe Set(1L, 2L, 4L)
+    } finally q.stop()
+  }
 }
