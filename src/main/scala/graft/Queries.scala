@@ -1326,6 +1326,80 @@ object Queries {
              |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: curation pipeline v2 — the round-5 operators composed
+    // in ONE lazy plan: exact-dedup canonical keep → model-based
+    // quality gate (hashed-ngram classifier) → Bloom decontamination
+    // against the eval split → sequence packing. Catalyst plans all
+    // four stages together (shared scans, pruned columns); the oracle
+    // replays every stage including the Bloom bitmap. ----
+    ("x4_curation_pipeline_v2",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.filter(col("doc_id") % 20 =!= 0)
+        val eval = docs.filter(col("doc_id") % 20 === 0)
+        val contaminated = DedupOps.bloomDecontaminate(train, eval,
+            w = 5, mBits = 1 << 20, k = 3,
+            probeHash = (sh, i) =>
+              DedupOps.md5TokenHash(concat_ws(":", sh, i.cast("string"))))
+          .filter(col("flagged")).select("doc_id")
+        val canonical = DedupOps.canonicalKeep(train, "doc_id",
+            md5(col("text")), Seq(col("n_chars").desc, col("doc_id")))
+          .filter(col("is_canonical")).select("doc_id")
+        val quality = TextOps.classifierScore(train, "doc_id", "text",
+            weights = TextOps.pseudoWeights(s, 4096), nBuckets = 4096,
+            tokenHash = DedupOps.md5TokenHash)
+          .filter(col("keep")).select("doc_id")
+        val kept = train.join(canonical, "doc_id").join(quality, "doc_id")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        TextOps.packGreedy(kept, "doc_id", "text", budgetTokens = 2048, shards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh FROM s0),
+             |bits AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(sh.sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 = 0),
+             |tp AS (SELECT doc_id, sh.sh,
+             |    CAST(('0x' || substr(md5(sh.sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 <> 0),
+             |pr AS (SELECT tp.doc_id, tp.sh,
+             |    CAST(count(*) AS BIGINT) AS n_probe, CAST(count(b.pos) AS BIGINT) AS n_set
+             |  FROM tp LEFT JOIN bits b ON tp.pos = b.pos GROUP BY tp.doc_id, tp.sh),
+             |flg AS (SELECT doc_id FROM pr GROUP BY doc_id
+             |        HAVING sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) > 0),
+             |canon AS (SELECT doc_id FROM (
+             |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn
+             |    FROM tr) WHERE rn = 1),
+             |f0 AS (SELECT doc_id, list_concat(toks,
+             |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS feats
+             |       FROM t WHERE doc_id % 20 <> 0),
+             |f AS (SELECT doc_id, unnest(feats) AS feat FROM f0),
+             |bk AS (SELECT doc_id,
+             |        CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % 4096 AS bucket FROM f),
+             |wt AS (SELECT CAST(r.i AS BIGINT) AS bucket,
+             |        CAST(('0x' || substr(md5('w:' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+             |      FROM range(4096) r(i)),
+             |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+             |        CAST(sum(wt.w) AS BIGINT) AS sum_w
+             |      FROM bk JOIN wt USING (bucket) GROUP BY doc_id),
+             |cls AS (SELECT doc_id FROM ag
+             |        WHERE CAST(CASE WHEN sum_w < 0 THEN -((-sum_w * 1000) // n_feat)
+             |                        ELSE (sum_w * 1000) // n_feat END AS BIGINT) > 0),
+             |kept AS (SELECT d.doc_id, d.text FROM tr d
+             |         JOIN canon USING (doc_id) JOIN cls USING (doc_id)
+             |         WHERE d.doc_id NOT IN (SELECT doc_id FROM flg)),
+             |pt AS (SELECT doc_id, doc_id % 8 AS shard,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM kept),
+             |pc AS (SELECT doc_id, shard, n_tokens,
+             |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |      FROM pt)
+             |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
+             |FROM pc ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {
@@ -1655,6 +1729,26 @@ object Queries {
              |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X3: IVF-PQ composition (the FAISS IVFPQ shape): coarse
+    // buckets prune WHICH candidates are scored, PQ codes compress HOW
+    // (rows-only by itself — x3_ann_pq oracle-checks the PQ pipeline,
+    // x3_ann_ivf_full the IVF pipeline, and SimilarityOpsSpec pins the
+    // composition's degeneration to brute force at full probe with
+    // per-point codebooks) ----
+    ("x3_ann_ivfpq",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfPqTopK(queries, emb, "vec_id", "embedding",
+            k = 5, centroids = embCentroids(s, dir, 16), nProbe = 4,
+            codebooks = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+              nSubspaces = 8, nCodes = 16, kmeansIters = 0),
+            nSubspaces = 8, refine = 20)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      None),
 
     // ---- X3: per-label embedding centroids (class prototypes) in
     // exact quantized-integer means, flattened to tidy rows ----

@@ -585,7 +585,55 @@ object SimilarityOps {
              k: Int, codebooks: DataFrame, nSubspaces: Int, refine: Int = 0): DataFrame = {
     val enc = pqEncode(corpus, idCol, vecCol, codebooks, nSubspaces)
       .select(col(idCol).as("neighbor_id"), col("__codes"), col("__n2").as("__cn2"))
-    val qtbl = subvectors(queries, idCol, vecCol, nSubspaces)
+    val scored = adcTables(queries, idCol, vecCol, codebooks, nSubspaces)
+      .join(enc, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.pqAdcDot(col("__codes"), col("__tbl")),
+          col("__qn2"), col("__cn2")).as("cosine"))
+    rankAndRerank(scored, queries, corpus, idCol, vecCol, k, refine)
+  }
+
+  /** X3: IVF-PQ (the FAISS IVFPQ composition) — the coarse index
+    * prunes WHICH candidates a query scores (only its `nProbe`
+    * buckets), PQ compresses HOW each survivor is scored (M table
+    * reads on byte codes instead of a D-element dot on raw floats).
+    * At 100 TB both halves matter: IVF bounds compute, PQ bounds the
+    * memory/IO of the candidate scan. Corpus codes+buckets are
+    * index-build artifacts — persist both (`PqIndex`, [[IvfIndex]])
+    * and reuse across query batches.
+    *
+    * With `nProbe = nCentroids`, per-point codebooks
+    * (`nCodes >= |corpus|`, iters 0) and no refine this degenerates
+    * to [[bruteForceTopK]] bit-for-bit (spec-pinned).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, centroids: DataFrame, nProbe: Int,
+                codebooks: DataFrame, nSubspaces: Int, refine: Int = 0): DataFrame = {
+    val bucketed = assignBuckets(corpus, idCol, vecCol, centroids, 1)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"))
+      .join(pqEncode(corpus, idCol, vecCol, codebooks, nSubspaces)
+        .select(col(idCol).as("neighbor_id"), col("__codes"), col("__n2").as("__cn2")),
+        "neighbor_id")
+    val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"))
+      .join(adcTables(queries, idCol, vecCol, codebooks, nSubspaces), "query_id")
+    val scored = probes.join(bucketed, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.pqAdcDot(col("__codes"), col("__tbl")),
+          col("__qn2"), col("__cn2")).as("cosine"))
+    rankAndRerank(scored, queries, corpus, idCol, vecCol, k, refine)
+  }
+
+  /** Per-query ADC lookup tables:
+    * `(query_id, __qn2, __tbl ARRAY<ARRAY<BIGINT>>)` with
+    * `__tbl[m][c]` = dot(query subvector m, codeword c) — the
+    * asymmetric half of PQ: queries stay exact, only the corpus is
+    * compressed. M·nCodes exact sub-dots per query (tiny).
+    */
+  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+                        codebooks: DataFrame, nSubspaces: Int): DataFrame =
+    subvectors(queries, idCol, vecCol, nSubspaces)
       .join(collapsedCodebooks(codebooks), "m")
       .withColumn("__dots", transform(col("__cws"),
         c => VectorFunctions.longDot(col("__sq"), c.getField("__cw"))))
@@ -593,10 +641,13 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("m"), col("__dots")))).as("__md"))
       .withColumn("__tbl", expr("transform(__md, x -> x.__dots)"))
       .select(col("query_id"), col("__qn2"), col("__tbl"))
-    val scored = qtbl.join(enc, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        quantizedCosine(VectorFunctions.pqAdcDot(col("__codes"), col("__tbl")),
-          col("__qn2"), col("__cn2")).as("cosine"))
+
+  /** Top-`max(k, refine)` by approximate score; when `refine > 0`,
+    * re-score the shortlist with the exact dot (id-keyed joins back to
+    * the vectors — never the full corpus) and emit the exact top-`k`.
+    */
+  private def rankAndRerank(scored: DataFrame, queries: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, k: Int, refine: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     val adcTopK = scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -608,12 +659,11 @@ object SimilarityOps {
         .select(col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
       val c = quantized(corpus, idCol, vecCol)
         .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
-      val exact = adcTopK.select("query_id", "neighbor_id")
+      adcTopK.select("query_id", "neighbor_id")
         .join(q, "query_id").join(c, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
           quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")),
             col("__qn2"), col("__cn2")).as("cosine"))
-      exact
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")

@@ -139,6 +139,14 @@ class PlanSpec extends SparkSpec {
     plan should include("Join")
   }
 
+  test("x4_curation_pipeline_v2: dedup + classifier + Bloom decontam + packing in one plan") {
+    val plan = formatted("x4_curation_pipeline_v2")
+    plan should not include "CartesianProduct"
+    // the decontamination gate rides the plan as a broadcast anti join
+    // of flagged ids, and the bitmap itself broadcasts (one row)
+    plan should include("LeftAnti")
+  }
+
   test("t_weighted_sample: max-weight side broadcasts; sample filter needs no shuffle of the data") {
     val plan = formatted("t_weighted_sample")
     plan should not include "SortMergeJoin"

@@ -303,6 +303,31 @@ class SimilarityOpsSpec extends SparkSpec {
     n2 shouldBe want
   }
 
+  test("ivfPqTopK at full probe with per-point codebooks degenerates to brute force") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 8, kmeansIters = 1)
+    val cb = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding", 2, 160, 0)
+    val got = SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, centroids = cents, nProbe = 8, codebooks = cb, nSubspaces = 2)
+    val bf = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    got.exceptAll(bf).count() shouldBe 0L
+    bf.exceptAll(got).count() shouldBe 0L
+  }
+
+  test("ivfPqTopK with coarse codebooks + low probe + exact re-rank keeps useful recall") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val truth = SimilarityOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 4, kmeansIters = 3)
+    val cb = SimilarityOps.pqCodebooks(corpus, "vec_id", "embedding", 2, 16, 2)
+    val got = SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, centroids = cents, nProbe = 2, codebooks = cb, nSubspaces = 2, refine = 40)
+    val r = recallAt5(got, truth)
+    info(s"ivfpq recall@5 = $r (4 cents, probe 2, M=2, 16 codes, rerank 40)")
+    r should be >= 0.9 // clusters are separable: probing 2 of 4 buckets suffices
+  }
+
   test("pqTopK exact re-rank of the ADC shortlist recovers recall coarse codebooks lose") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") % 10 === 0)
