@@ -80,6 +80,28 @@ object Probe {
         println(f"rhp recall@5 nBits=$nBits hamming=$ham tables=$tables: $recall%.4f")
       }
 
+      // 4c) PQ / IVF-PQ recall@5 on the real embeddings; the exact
+      // case (per-point codebooks) must match brute force (diff=0)
+      val cbExact = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 2, 1 << 20, 0)
+      val pqExact = SimilarityOps.pqTopK(queries, emb, "vec_id", "embedding", 5, cbExact, 2)
+      val pqDiff = bf.except(pqExact).count() + pqExact.except(bf).count()
+      println(s"pqExactCaseVsBrute diff=$pqDiff")
+      for (m <- Seq(4, 8); nCodes <- Seq(16, 64); refine <- Seq(0, 20)) {
+        val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", m, nCodes, 1)
+        val got = SimilarityOps.pqTopK(queries, emb, "vec_id", "embedding",
+            5, cb, m, refine).select("query_id", "neighbor_id")
+        val recall = got.intersect(truth).count().toDouble / nTruth
+        println(f"pq recall@5 M=$m codes=$nCodes refine=$refine: $recall%.4f")
+      }
+      for ((np, refine) <- Seq((2, 20), (4, 20))) {
+        val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding", 16, 2)
+        val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 64, 1)
+        val got = SimilarityOps.ivfPqTopK(queries, emb, "vec_id", "embedding",
+            5, cents, np, cb, 8, refine).select("query_id", "neighbor_id")
+        val recall = got.intersect(truth).count().toDouble / nTruth
+        println(f"ivfpq recall@5 nProbe=$np refine=$refine: $recall%.4f")
+      }
+
       // 5) IVF near-dup pair recall vs the all-pairs baseline at 0.45;
       // pair cost model is nProbe²/K of N², so (K, nProbe) must keep
       // nProbe² << K to beat the baseline

@@ -139,6 +139,15 @@ class PlanSpec extends SparkSpec {
     plan should include("Join")
   }
 
+  test("x2_bloom_decontam: train is never join-shuffled — bitmap broadcasts, probes are scan-local") {
+    val plan = formatted("x2_bloom_decontam")
+    plan should not include "SortMergeJoin"
+    // the one-row bitmap reaches the probe side as a broadcast
+    plan should include("Broadcast")
+    // partial verdict agg combines map-side before the per-doc shuffle
+    plan should include("partial_sum")
+  }
+
   test("x4_curation_pipeline_v2: dedup + classifier + Bloom decontam + packing in one plan") {
     val plan = formatted("x4_curation_pipeline_v2")
     plan should not include "CartesianProduct"
