@@ -962,6 +962,31 @@ object Queries {
              |WHERE hv < CAST(n_chars AS DOUBLE) / CAST(maxw AS DOUBLE) * 0.5 * 1000000
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: domain-mixture sampling — down-sample each source to a
+    // target share of a char budget (the data-mixing stage between
+    // curation and training). Engine-neutral md5 key hash; the group
+    // totals, rates, and every keep decision replay exactly in SQL. ----
+    ("x4_domain_mix",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleToMixture(
+            Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+            groupCol = "source", weightCol = "n_chars", keyCol = "doc_id",
+            budget = 60000L,
+            fractions = Map("src0" -> 0.2, "src1" -> 0.1), default = 0.03,
+            hash = k => DedupOps.md5TokenHash(k.cast("string")))
+          .select("doc_id", "source", "n_chars")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS wsum
+             |           FROM documents GROUP BY source),
+             |r AS (SELECT d.doc_id, d.source, d.n_chars,
+             |        least(1.0, (CASE d.source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.1
+             |                    ELSE 0.03 END) * CAST(60000 AS DOUBLE) / s.wsum) AS rate
+             |      FROM documents d JOIN s USING (source))
+             |SELECT doc_id, source, n_chars FROM r
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < rate * 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- X1/X6: exact dedup on the event stream's batch twin —
     // first arrival (lowest event_id) per (user_id, event_type); the
     // streaming variant is StreamOps.dedupStream

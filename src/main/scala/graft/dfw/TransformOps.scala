@@ -145,6 +145,39 @@ object TransformOps {
       .drop("__maxw")
   }
 
+  /** Domain-mixture sampling — the "data mixing" stage of corpus
+    * curation: down-sample each group (domain/source/language) so its
+    * expected share of a total `budget` (in `weightCol` units — tokens,
+    * chars, bytes) matches a target fraction. Per group:
+    * `rate = min(1, fraction * budget / group_weight)`; rows keep
+    * deterministically by hashing `keyCol` (same discipline as
+    * [[sampleStratified]] — reproducible across runs, partitionings,
+    * engines; never `rand()`).
+    *
+    * One tiny group-totals aggregate broadcast back; the sample itself
+    * is a scan-local filter — no shuffle of the data. Groups without
+    * an explicit fraction use `default`; a group whose target exceeds
+    * its actual weight keeps everything (rate clamps at 1 — this op
+    * only down-samples; up-weighting is the trainer's epoch logic).
+    */
+  def sampleToMixture(df: DataFrame, groupCol: String, weightCol: String,
+                      keyCol: String, budget: Long,
+                      fractions: Map[String, Double], default: Double = 0.0,
+                      hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(groupCol) === k, lit(f)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("double").as("__wsum"))
+    df.join(broadcast(totals), groupCol)
+      .withColumn("__rate", least(lit(1.0), frac * lit(budget.toDouble) / col("__wsum")))
+      .filter(pmod(hash(col(keyCol)), lit(1000000L)) < col("__rate") * 1000000L)
+      .drop("__wsum", "__rate")
+  }
+
   /** Skew-safe aggregation: explicit two-phase salted sum/count for
     * keys whose groups are too hot even for map-side combine (billions
     * of rows under 3 keys leave the final reduce with 3 tasks; salting

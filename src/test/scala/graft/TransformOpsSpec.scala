@@ -170,6 +170,30 @@ class TransformOpsSpec extends SparkSpec {
     light shouldBe 0.25 +- 0.08
   }
 
+  test("sampleToMixture clamps over-budgeted groups at 1 and honors per-group shares") {
+    // two domains, 1000 docs of weight 10 each (group weight 10000)
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000) "a" else "b", 10L))
+      .toDF("id", "dom", "w")
+    // budget 20000: a -> 0.5*20000/10000 = 1.0 (keep all), b -> 0.1*20000/10000 = 0.2
+    val kept = TransformOps.sampleToMixture(df, "dom", "w", "id", budget = 20000L,
+      fractions = Map("a" -> 0.5, "b" -> 0.1))
+    kept.filter(col("dom") === "a").count() shouldBe 1000L
+    val bFrac = kept.filter(col("dom") === "b").count().toDouble / 1000
+    bFrac shouldBe 0.2 +- 0.06
+    // unlisted group under default 0.0 vanishes entirely
+    val df3 = df.union(Seq((9999L, "c", 10L)).toDF("id", "dom", "w"))
+    TransformOps.sampleToMixture(df3, "dom", "w", "id", 20000L, Map("a" -> 0.5))
+      .filter(col("dom") === "c").count() shouldBe 0L
+  }
+
+  test("sampleToMixture is deterministic across partitionings") {
+    val df = (1L to 500L).map(i => (i, s"d${i % 3}", i % 7 + 1)).toDF("id", "dom", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TransformOps.sampleToMixture(d, "dom", "w", "id", 300L, Map("d0" -> 0.4), default = 0.2)
+        .collect().map(_.getAs[Long]("id")).toSet
+    run(df.repartition(11)) shouldBe run(df.coalesce(1))
+  }
+
   test("saltedJoin equals the plain inner join on a skewed key") {
     // 900 of 1000 rows under ONE key — the shape salting exists for
     val fact = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
