@@ -446,8 +446,11 @@ object TextOps {
           |     THEN transform(sequence(1, size(toks) - 1),
           |                    i -> concat_ws(' ', slice(toks, i, 2)))
           |     ELSE slice(toks, 1, 0) END""".stripMargin))).as("feat"))
-    val w = broadcast(weights.select(
-      col("bucket").cast("long").as("__bucket"), col("w").cast("long").as("__w")))
+    // duplicate bucket rows SUM (linear-model semantics) instead of
+    // fanning out the feature join and silently inflating n_feat
+    val w = broadcast(weights
+      .groupBy(col("bucket").cast("long").as("__bucket"))
+      .agg(sum(col("w").cast("long")).as("__w")))
     feats
       .withColumn("__bucket", pmod(tokenHash(col("feat")), lit(nBuckets.toLong)))
       .join(w, Seq("__bucket"), "left")

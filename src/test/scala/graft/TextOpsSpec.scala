@@ -226,9 +226,11 @@ class TextOpsSpec extends SparkSpec {
         .select(graft.llm.DedupOps.md5TokenHash(col("f"))).head().getLong(0)
       ((h % nB) + nB) % nB
     }
-    val w = Seq(bucket("x") -> 10L, bucket("y") -> -3L, bucket("x y") -> 5L,
-        bucket("z") -> -7L)
-      .groupBy(_._1).map { case (b, ws) => b -> ws.map(_._2).sum }.toSeq
+    // deliberately NOT pre-aggregated: the duplicate bucket("x") row
+    // must SUM inside the op (10 + 0), never fan out the feature join
+    // and inflate n_feat
+    val w = Seq(bucket("x") -> 10L, bucket("x") -> 0L, bucket("y") -> -3L,
+        bucket("x y") -> 5L, bucket("z") -> -7L)
       .toDF("bucket", "w")
     val got = TextOps.classifierScore(d, "doc_id", "text", w, nB,
         tokenHash = graft.llm.DedupOps.md5TokenHash)
