@@ -44,11 +44,21 @@ object Queries {
   private def indexRoot: String =
     sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-indexes")
-  private def embCentroids(s: SparkSession, dir: String, nCentroids: Int): DataFrame = {
+
+  /** Where the persisted IVF index for `dir`'s embeddings table lives.
+    * Verify resolves the `__GRAFT_IVF_C<n>__` oracle-SQL placeholders
+    * to this path at dump time, so the DuckDB oracle replays
+    * probe→score→rank against the SAME parquet index table the engine
+    * queries load — the approximate ANN queries become oracle-exact
+    * instead of rows-only.
+    */
+  private[graft] def ivfIndexPath(dir: String, nCentroids: Int): String = {
     val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    IvfIndex.loadOrBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-      nCentroids, kmeansIters = 2, s"$indexRoot/emb_${corpusKey}_c$nCentroids")
+    s"$indexRoot/emb_${corpusKey}_c$nCentroids"
   }
+  private def embCentroids(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
+    IvfIndex.loadOrBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids, kmeansIters = 2, ivfIndexPath(dir, nCentroids))
 
   /** Materialize the shared IVF indexes for `dir` (idempotent). Index
     * construction is out-of-band in the index-once/query-many model;
@@ -1524,14 +1534,14 @@ object Queries {
              |FROM p WHERE dot >= 0 AND dot * dot * 100 >= na * nb * 81
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ---- X2: embedding near-dup, IVF-bucketed (scale path; rows-only
-    // by itself — candidate pairs must share one of their probed
-    // buckets, so qualifying pairs can be missed like LSH banding; the
-    // _full twin below pins the same operator value-exact). Pair cost
-    // is ~nProbe²/K of N², so K=64/nProbe=4 runs at ~N²/4 (Probe
+    // ---- X2: embedding near-dup, IVF-bucketed (scale path). Pair
+    // cost is ~nProbe²/K of N², so K=64/nProbe=4 runs at ~N²/4 (Probe
     // measures 117/141 pair recall at sf0.1 on these near-orthogonal
     // embeddings; clustered real-world embeddings bucket far better,
-    // and at production K≈4096 the same nProbe costs ~N²/256) ----
+    // and at production K≈4096 the same nProbe costs ~N²/256). The
+    // _full twin pins the operator against a centroid-independent
+    // exact oracle; this low-probe row is ALSO oracle-exact — see the
+    // SQL below. ----
     ("x2_embed_neardup_ivf",
       (s: SparkSession, dir: String) => {
         SimilarityOps.cosineNearDupPairsIvf(Tables.load(s, dir, "embeddings"),
@@ -1539,7 +1549,31 @@ object Queries {
             centroids = embCentroids(s, dir, 64), nProbe = 4)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      // ORACLE-EXACT: replays bucket assignment (top-4 centroids from
+      // the persisted c64 index), bucket-co-location pairing, the
+      // all-integer threshold test and the cross-bucket dedup against
+      // the same parquet index table the engine loaded.
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C64__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |a AS (SELECT vec_id, q, n2, centroid_id
+             |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |      WHERE rn <= 4),
+             |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+             |        CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
+             |        x.n2 AS na, y.n2 AS nb
+             |      FROM a x JOIN a y USING (centroid_id) WHERE x.vec_id < y.vec_id)
+             |SELECT id_a, id_b, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+             |FROM p WHERE dot >= 0 AND dot * dot * 400 >= na * nb * 81
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- X2: IVF near-dup at full probe — every pair co-locates, so
     // the SAME bucketed plan degenerates to the all-pairs baseline and
@@ -1615,10 +1649,14 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
-    // ---- X3: IVF-bucketed approximate NN (scale path; rows-only check
-    // by itself — x3_ann_ivf_full below pins the same plan against the
-    // exact oracle, and SimilarityOpsSpec + tools/Probe check this
-    // query's recall against it) ----
+    // ---- X3: IVF-bucketed approximate NN (scale path). ORACLE-EXACT:
+    // the oracle reads the SAME persisted parquet index table the
+    // engine loads (__GRAFT_IVF_C16__ → IvfIndex path, resolved by
+    // Verify at dump time) and replays assignment→probe→score→rank —
+    // the low-probe approximate query is hash-checked end to end, not
+    // just its full-probe twin. x3_ann_ivf_full additionally pins the
+    // plan against a centroid-independent exact oracle, and
+    // SimilarityOpsSpec + tools/Probe check recall. ----
     ("x3_ann_ivf",
       (s: SparkSession, dir: String) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1628,7 +1666,33 @@ object Queries {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |ca AS (SELECT vec_id AS neighbor_id, q AS qb, n2 AS nb, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn = 1),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+             |             FROM sc WHERE vec_id % 10 = 0)
+             |       WHERE rn <= 4),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- X3: IVF at full probe — nProbe = nCentroids degenerates to an
     // exhaustive search, so the SAME bucketed plan is value-exact
@@ -1660,22 +1724,58 @@ object Queries {
     // ---- X3: random-hyperplane LSH ANN (second ANN family beside
     // IVF; no index to build — the hash IS the index). 8 tables × 8
     // sign bits, multi-probe Hamming ≤ 1: ≤ 8·9/256 ≈ 28% of the
-    // corpus scanned per query; Probe measures recall@5 = 0.66 on the
-    // sf0.01 embeddings vs IVF's 0.61 at the same budget (nProbe=4 of
-    // K=16) — the data-oblivious hash holds its own here because the
-    // corpus has no strong cluster structure for IVF to exploit.
-    // Rows-only by itself; the full twin below is the value-exact
-    // anchor, and SimilarityOpsSpec checks recall. ----
+    // corpus scanned per query; the data-oblivious hash holds its own
+    // vs IVF at the same budget because the corpus has no strong
+    // cluster structure for IVF to exploit (tools/Probe measures both).
+    // ORACLE-EXACT: the registered query uses the md5-derived sign
+    // parity (RhpSign.md5Parity — same scheme as x3_jl_project), so
+    // the oracle rebuilds the identical ±1 sign matrix, packs the same
+    // 8-bit bucket per table, expands the same Hamming≤1 probe set,
+    // and replays candidate→score→rank exactly. The md5 cost is
+    // driver-side only (64×64 hashes at matrix build); per-row work is
+    // identical to the xxhash64 default. ----
     ("x3_ann_rhp",
       (s: SparkSession, dir: String) => {
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") % 10 === 0)
         SimilarityOps.rhpTopK(queries, emb, "vec_id", "embedding",
-            k = 5, nBits = 8, probeHamming = 1, nTables = 8)
+            k = 5, nBits = 8, probeHamming = 1, nTables = 8,
+            signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64)
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |e0 AS (SELECT vec_id, q, unnest(range(0, len(q))) AS j FROM v),
+             |x AS (SELECT vec_id, j, q[CAST(j AS INT) + 1] AS qv FROM e0),
+             |d AS (SELECT unnest(range(0, 64)) AS k),
+             |sgn AS (SELECT x.vec_id, x.j, d.k, x.qv,
+             |    CASE WHEN CAST(('0x' || substr(md5(x.j || ':' || d.k), 1, 15)) AS BIGINT) % 2 = 0
+             |         THEN 1 ELSE -1 END AS s
+             |  FROM x, d),
+             |proj AS (SELECT vec_id, k, CAST(sum(qv * s) AS BIGINT) AS rp
+             |         FROM sgn GROUP BY vec_id, k),
+             |bkt AS (SELECT vec_id, k // 8 AS tbl,
+             |          CAST(sum(CASE WHEN rp >= 0 THEN (CAST(1 AS BIGINT) << CAST(k % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+             |        FROM proj GROUP BY vec_id, k // 8),
+             |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
+             |qp AS (SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, CAST(m.m AS BIGINT)) AS pb
+             |       FROM bkt b, masks m WHERE b.vec_id % 10 = 0),
+             |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+             |         FROM qp JOIN bkt cb ON cb.tbl = qp.tbl AND cb.bucket = qp.pb
+             |         WHERE qp.query_id <> cb.vec_id),
+             |sc AS (SELECT cand.query_id, cand.neighbor_id,
+             |         CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |         a.n2 AS na, b.n2 AS nb
+             |       FROM cand JOIN n a ON a.vec_id = cand.query_id
+             |                 JOIN n b ON b.vec_id = cand.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM sc),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- X3: RHP at full probe — probeHamming = nBits probes every
     // bucket, so the SAME bucketed plan degenerates to the brute-force
@@ -1756,11 +1856,13 @@ object Queries {
              |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- X3: IVF-PQ composition (the FAISS IVFPQ shape): coarse
-    // buckets prune WHICH candidates are scored, PQ codes compress HOW
-    // (rows-only by itself — x3_ann_pq oracle-checks the PQ pipeline,
-    // x3_ann_ivf_full the IVF pipeline, and SimilarityOpsSpec pins the
-    // composition's degeneration to brute force at full probe with
-    // per-point codebooks) ----
+    // buckets prune WHICH candidates are scored, PQ codes compress HOW.
+    // ORACLE-EXACT: the oracle reads the persisted c16 coarse index
+    // (__GRAFT_IVF_C16__), rebuilds the seed-derivable PQ codebooks
+    // from the corpus (kmeansIters = 0, as proven by x3_ann_pq), and
+    // replays the ENTIRE composition — bucket assignment, probing,
+    // PQ encoding, ADC scoring, the top-20 shortlist, and the exact
+    // re-rank to top-5. ----
     ("x3_ann_ivfpq",
       (s: SparkSession, dir: String) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1773,7 +1875,62 @@ object Queries {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },
-      None),
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |csc AS (SELECT n.vec_id, n.n2, c.centroid_id,
+             |          CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |               ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                    / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |        FROM n, c),
+             |ca AS (SELECT vec_id AS neighbor_id, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM csc)
+             |       WHERE rn = 1),
+             |qpr AS (SELECT vec_id AS query_id, centroid_id
+             |        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
+             |              FROM csc WHERE vec_id % 10 = 0)
+             |        WHERE rn <= 4),
+             |cand AS (SELECT qpr.query_id, ca.neighbor_id
+             |         FROM qpr JOIN ca USING (centroid_id) WHERE qpr.query_id <> ca.neighbor_id),
+             |sv AS (SELECT vec_id, n2, CAST(r.m AS BIGINT) AS m,
+             |         list_slice(q, r.m * 8 + 1, r.m * 8 + 8) AS sq
+             |       FROM n, range(8) r(m)),
+             |cb AS (SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code, sq AS cw,
+             |         CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS cwn2
+             |       FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+             |asg AS (SELECT sv.vec_id, sv.m, cb.code,
+             |          cb.cwn2 - 2 * CAST(list_sum(list_transform(list_zip(sv.sq, cb.cw), x -> x[1] * x[2])) AS BIGINT) AS d
+             |        FROM sv JOIN cb USING (m)),
+             |enc AS (SELECT vec_id, m, code FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn FROM asg)
+             |        WHERE rn = 1),
+             |qd AS (SELECT sv.vec_id AS query_id, sv.m, cb.code,
+             |         CAST(list_sum(list_transform(list_zip(sv.sq, cb.cw), x -> x[1] * x[2])) AS BIGINT) AS pdot
+             |       FROM sv JOIN cb USING (m) WHERE sv.vec_id % 10 = 0),
+             |adc AS (SELECT cand.query_id, cand.neighbor_id, CAST(sum(qd.pdot) AS BIGINT) AS dot
+             |        FROM cand JOIN enc e ON e.vec_id = cand.neighbor_id
+             |                  JOIN qd ON qd.query_id = cand.query_id AND qd.m = e.m AND qd.code = e.code
+             |        GROUP BY 1, 2),
+             |r20 AS (SELECT adc.query_id, adc.neighbor_id,
+             |          CAST(adc.dot AS DOUBLE) / sqrt(CAST(qn.n2 * cn.n2 AS DOUBLE)) AS cosine
+             |        FROM adc JOIN n qn ON qn.vec_id = adc.query_id
+             |                 JOIN n cn ON cn.vec_id = adc.neighbor_id),
+             |s20 AS (SELECT query_id, neighbor_id FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM r20)
+             |        WHERE rn <= 20),
+             |ex AS (SELECT s20.query_id, s20.neighbor_id,
+             |         CAST(list_sum(list_transform(list_zip(a.q, b.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
+             |         a.n2 AS na, b.n2 AS nb
+             |       FROM s20 JOIN n a ON a.vec_id = s20.query_id
+             |                JOIN n b ON b.vec_id = s20.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM ex),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- X3: per-label embedding centroids (class prototypes) in
     // exact quantized-integer means, flattened to tidy rows ----

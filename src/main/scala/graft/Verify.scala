@@ -40,8 +40,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Resolve index-table placeholders: the ANN oracles replay the
+    // SAME persisted parquet index the engine queries loaded (built
+    // above during the query run), so the path must be the one THIS
+    // process resolved (GRAFT_INDEX_DIR / java.io.tmpdir aware).
+    def resolve(sql: String): String =
+      "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(sql,
+        m => Queries.ivfIndexPath(sfDir, m.group(1).toInt))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

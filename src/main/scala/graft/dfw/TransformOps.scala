@@ -159,6 +159,13 @@ object TransformOps {
     * an explicit fraction use `default`; a group whose target exceeds
     * its actual weight keeps everything (rate clamps at 1 — this op
     * only down-samples; up-weighting is the trainer's epoch logic).
+    *
+    * Degenerate weights are handled explicitly, mirroring
+    * [[sampleWeighted]]'s weight-0 row rule: a group whose TOTAL
+    * weight is NULL (all-NULL weights) or <= 0 contributes nothing to
+    * the budget and keeps nothing (rate 0) — without the guard a
+    * zero-weight group's rate would be `frac·budget/0 = Inf`, clamp to
+    * 1, and keep every row despite contributing no budget share.
     */
   def sampleToMixture(df: DataFrame, groupCol: String, weightCol: String,
                       keyCol: String, budget: Long,
@@ -173,7 +180,9 @@ object TransformOps {
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast("double").as("__wsum"))
     df.join(broadcast(totals), groupCol)
-      .withColumn("__rate", least(lit(1.0), frac * lit(budget.toDouble) / col("__wsum")))
+      .withColumn("__rate",
+        when(col("__wsum").isNull || col("__wsum") <= 0.0, lit(0.0))
+          .otherwise(least(lit(1.0), frac * lit(budget.toDouble) / col("__wsum"))))
       .filter(pmod(hash(col(keyCol)), lit(1000000L)) < col("__rate") * 1000000L)
       .drop("__wsum", "__rate")
   }

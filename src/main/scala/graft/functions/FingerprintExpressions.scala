@@ -52,13 +52,15 @@ case class ByteClassFingerprint(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts"); val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i"); val fp = ctx.freshName("fp"); val b = ctx.freshName("b")
       s"""
-         |long[] counts = new long[8];
-         |byte[] bytes = $c;
-         |for (int i = 0; i < bytes.length; i++) counts[bytes[i] & 7]++;
-         |long fp = 0L;
-         |for (int b = 0; b < 8; b++) fp |= (counts[b] % 128) << (8 * b);
-         |${ev.value} = fp;
+         |long[] $counts = new long[8];
+         |byte[] $bytes = $c;
+         |for (int $i = 0; $i < $bytes.length; $i++) $counts[$bytes[$i] & 7]++;
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 8; $b++) $fp |= ($counts[$b] % 128) << (8 * $b);
+         |${ev.value} = $fp;
        """.stripMargin
     })
 

@@ -17,6 +17,21 @@ object RhpSign {
     val h = XXH64.hashLong(k, XXH64.hashLong(j, 42L))
     ((h % 2) + 2) % 2
   }
+
+  /** Engine-neutral parity: first 15 hex digits of md5("j:k") mod 2 —
+    * the driver-side replica of [[graft.llm.DedupOps.md5TokenHash]]'s
+    * scheme, reproducible in external SQL as
+    * `CAST(('0x' || substr(md5(j || ':' || k), 1, 15)) AS BIGINT) % 2`.
+    * Only the sign-matrix build pays the md5 cost (driver-side,
+    * dim × outDim hashes); per-row bucketing work is identical.
+    */
+  def md5Parity(j: Long, k: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$k".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = high 60 bits = bytes 0..6 plus the high
+    // nibble of byte 7; parity is the low bit of hex digit 15
+    (d(7) >> 4) & 1L
+  }
 }
 
 /** All `nTables` random-hyperplane bucket ids of a quantized vector in
@@ -81,22 +96,26 @@ case class RhpBuckets(child: Expression, signs: Array[Array[Byte]],
     nullSafeCodeGen(ctx, ev, c => {
       val signsRef = ctx.addReferenceObj("rhpSigns", signs, "byte[][]")
       val arrData = classOf[ArrayData].getName
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val bucket = ctx.freshName("bucket")
+      val b = ctx.freshName("b"); val row = ctx.freshName("row")
+      val dot = ctx.freshName("dot"); val j = ctx.freshName("j")
       s"""
-         |int n = $c.numElements();
-         |if (n > $maxDim) throw new IllegalArgumentException(
-         |  "rhp_buckets: input vector dimension " + n + " exceeds maxInputDim=$maxDim");
-         |long[] out = new long[$nTables];
-         |for (int t = 0; t < $nTables; t++) {
-         |  long bucket = 0L;
-         |  for (int b = 0; b < $nBits; b++) {
-         |    byte[] row = $signsRef[t * $nBits + b];
-         |    long dot = 0L;
-         |    for (int j = 0; j < n; j++) dot += $c.getLong(j) * row[j];
-         |    if (dot >= 0) bucket |= 1L << b;
+         |int $n = $c.numElements();
+         |if ($n > $maxDim) throw new IllegalArgumentException(
+         |  "rhp_buckets: input vector dimension " + $n + " exceeds maxInputDim=$maxDim");
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    byte[] $row = $signsRef[$t * $nBits + $b];
+         |    long $dot = 0L;
+         |    for (int $j = 0; $j < $n; $j++) $dot += $c.getLong($j) * $row[$j];
+         |    if ($dot >= 0) $bucket |= 1L << $b;
          |  }
-         |  out[t] = bucket;
+         |  $out[$t] = $bucket;
          |}
-         |${ev.value} = $arrData.toArrayData(out);
+         |${ev.value} = $arrData.toArrayData($out);
        """.stripMargin
     })
 

@@ -32,9 +32,9 @@ private[functions] object VecType {
     case _ => false
   }
 
-  /** Java source for reading element i of `arr` as a double. */
-  def getJava(arr: String, isDouble: Boolean): String =
-    if (isDouble) s"$arr.getDouble(i)" else s"(double)$arr.getFloat(i)"
+  /** Java source for reading element `idx` of `arr` as a double. */
+  def getJava(arr: String, isDouble: Boolean, idx: String = "i"): String =
+    if (isDouble) s"$arr.getDouble($idx)" else s"(double)$arr.getFloat($idx)"
 }
 
 /** Native Catalyst expressions for embedding similarity (SURVEY.md §2.8 X3).
@@ -82,13 +82,17 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val qFn = QuantizedDot.getClass.getName.stripSuffix("$") + ".q"
+      // freshName on every local: two instances of this expression in
+      // one projection would otherwise redeclare the same Java locals,
+      // fail Janino, and silently fall back to interpreted eval
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  s += $qFn(${VecType.getJava(a, leftIsDouble)} * $scale) * $qFn(${VecType.getJava(b, rightIsDouble)} * $scale);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $qFn(${VecType.getJava(a, leftIsDouble, i)} * $scale) * $qFn(${VecType.getJava(b, rightIsDouble, i)} * $scale);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -137,13 +141,14 @@ case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a => {
       val qFn = QuantizedDot.getClass.getName.stripSuffix("$") + ".q"
       val arrData = classOf[ArrayData].getName
+      val n = ctx.freshName("n"); val out = ctx.freshName("out"); val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |long[] out = new long[n];
-         |for (int i = 0; i < n; i++) {
-         |  out[i] = $qFn(${VecType.getJava(a, childIsDouble)} * $scale);
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $qFn(${VecType.getJava(a, childIsDouble, i)} * $scale);
          |}
-         |${ev.value} = $arrData.toArrayData(out);
+         |${ev.value} = $arrData.toArrayData($out);
        """.stripMargin
     })
 
@@ -172,13 +177,14 @@ case class LongDot(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  s += $a.getLong(i) * $b.getLong(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -236,17 +242,20 @@ case class TrigramProfileCount(child: Expression, profiles: Seq[Seq[String]])
     nullSafeCodeGen(ctx, ev, c => {
       val setsRef = ctx.addReferenceObj("trigramSets", sets, "java.util.HashSet[]")
       val arrData = classOf[ArrayData].getName
+      val s = ctx.freshName("s"); val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val tri = ctx.freshName("tri"); val p = ctx.freshName("p")
       s"""
-         |String s = $c.toString().toLowerCase(java.util.Locale.ROOT);
-         |long[] counts = new long[${profiles.length}];
-         |int n = s.length();
-         |for (int i = 0; i + 3 <= n; i++) {
-         |  String tri = s.substring(i, i + 3);
-         |  for (int p = 0; p < ${profiles.length}; p++) {
-         |    if ($setsRef[p].contains(tri)) counts[p]++;
+         |String $s = $c.toString().toLowerCase(java.util.Locale.ROOT);
+         |long[] $counts = new long[${profiles.length}];
+         |int $n = $s.length();
+         |for (int $i = 0; $i + 3 <= $n; $i++) {
+         |  String $tri = $s.substring($i, $i + 3);
+         |  for (int $p = 0; $p < ${profiles.length}; $p++) {
+         |    if ($setsRef[$p].contains($tri)) $counts[$p]++;
          |  }
          |}
-         |${ev.value} = $arrData.toArrayData(counts);
+         |${ev.value} = $arrData.toArrayData($counts);
        """.stripMargin
     })
 
@@ -291,15 +300,17 @@ case class PqAdcDot(codes: Expression, tables: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val arrData = classOf[ArrayData].getName
+      val m = ctx.freshName("m"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val row = ctx.freshName("row"); val c = ctx.freshName("c")
       s"""
-         |int m = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long s = 0L;
-         |for (int i = 0; i < m; i++) {
-         |  $arrData row = $b.getArray(i);
-         |  int c = (int) $a.getLong(i);
-         |  if (c >= 0 && c < row.numElements()) s += row.getLong(c);
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $arrData $row = $b.getArray($i);
+         |  int $c = (int) $a.getLong($i);
+         |  if ($c >= 0 && $c < $row.numElements()) $s += $row.getLong($c);
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
 

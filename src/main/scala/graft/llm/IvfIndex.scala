@@ -76,10 +76,9 @@ object IvfIndex {
       SimilarityOps.ivfCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)
         .write.mode("overwrite").parquet(indexPath)
       val p = metaPath(indexPath)
-      val fs = fsFor(corpus, p)
-      val out = fs.create(p, true)
-      try out.write(renderMeta(fresh).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // atomic commit (temp + rename, single-writer contract): a
+      // racing reader can see a MISSING sidecar, never a torn one
+      IndexStore.writeAtomic(fsFor(corpus, p), p, renderMeta(fresh))
     }
     spark.read.parquet(indexPath)
   }

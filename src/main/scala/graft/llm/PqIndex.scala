@@ -15,6 +15,14 @@ import org.apache.spark.sql.DataFrame
   *
   * All file I/O goes through the Hadoop FileSystem API, so `indexPath`
   * can be local, HDFS, or object storage.
+  *
+  * Concurrency contract: SINGLE WRITER. Index builds are out-of-band
+  * maintenance jobs; two concurrent builders of the same `indexPath`,
+  * or a reader racing a builder's parquet overwrite, see torn state —
+  * same as any un-transactional table overwrite. The sidecar itself is
+  * committed atomically (temp file + rename), so the worst a racing
+  * reader observes is a MISSING sidecar (→ treated as stale →
+  * rebuild), never a half-written one.
   */
 private[llm] object IndexStore {
 
@@ -22,6 +30,23 @@ private[llm] object IndexStore {
 
   private def fsFor(df: DataFrame, p: Path) =
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Commit `content` to `p` atomically: write a unique temp sibling,
+    * delete any previous `p`, rename temp → `p`. Rename is atomic on
+    * HDFS and POSIX; the delete+rename pair can only expose "no
+    * sidecar" (→ rebuild), never partial bytes.
+    */
+  private[llm] def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                               content: String): Unit = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"IndexStore: failed to commit sidecar $p")
+  }
 
   private def render(params: String, corpusCount: Long): String =
     s"""{"params":${quote(params)},"corpusCount":$corpusCount}"""
@@ -64,10 +89,7 @@ private[llm] object IndexStore {
     if (!reuse) {
       build.write.mode("overwrite").parquet(indexPath)
       val p = metaPath(indexPath)
-      val fs = fsFor(corpus, p)
-      val out = fs.create(p, true)
-      try out.write(fresh.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      writeAtomic(fsFor(corpus, p), p, fresh)
     }
     spark.read.parquet(indexPath)
   }

@@ -390,7 +390,8 @@ object SimilarityOps {
   def rhpTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, nBits: Int, probeHamming: Int, nTables: Int = 1,
               signParity: (Long, Long) => Long =
-                graft.functions.RhpSign.xxhashParity): DataFrame = {
+                graft.functions.RhpSign.xxhashParity,
+              maxInputDim: Int = 4096): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= nBits,
       "probeHamming must be in [0, nBits]")
     require(nBits <= 20,
@@ -403,9 +404,9 @@ object SimilarityOps {
     // scored exactly once (the first formulation scored every
     // (pair × table-collision) and distinct()ed the wide scored rows —
     // with 8 tables a near pair paid up to 8 longDots)
-    val cb = rhpBucketIdsMulti(corpus, idCol, vecCol, nBits, nTables, signParity)
+    val cb = rhpBucketIdsMulti(corpus, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
       .select(col("table"), col("bucket"), col(idCol).as("neighbor_id"))
-    val qb = rhpBucketIdsMulti(queries, idCol, vecCol, nBits, nTables, signParity)
+    val qb = rhpBucketIdsMulti(queries, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
       .withColumn("__m", explode(typedLit(masks)))
       .select(col("table"), (col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
         col(idCol).as("query_id"))
