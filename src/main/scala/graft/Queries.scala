@@ -1154,7 +1154,8 @@ object Queries {
     ("x2_jaccard_pairs",
       (s: SparkSession, dir: String) => {
         val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
-        // uncapped: the DuckDB oracle has no document-frequency cap
+        // uncapped quadratic anchor (x2_jaccard_pairs_capped below is
+        // the registered scale shape with the df cap replayed)
         DedupOps.jaccardPairs(sh, 1, 2, maxDocFreq = Int.MaxValue)
           .orderBy(col("doc1"), col("doc2"))
       },
@@ -1171,6 +1172,35 @@ object Queries {
              |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
              |ORDER BY doc1, doc2""".stripMargin)),
 
+    // ---- X2: n-gram Jaccard with the hot-shingle document-frequency
+    // cap — the 100 TB shape of x2_jaccard_pairs: shingles shared by
+    // more than maxDocFreq docs are dropped from the inverted index
+    // BEFORE the pair join (a boilerplate shingle in M docs costs M²
+    // pair rows; the cap bounds it at maxDocFreq²). The oracle replays
+    // the cap exactly (df CTE + join), so the registered scale shape
+    // is hash-green, not just the quadratic anchor. maxDocFreq=2
+    // genuinely bites at sf0.01 (74 shingles have df=3). ----
+    ("x2_jaccard_pairs_capped",
+      (s: SparkSession, dir: String) => {
+        val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+        DedupOps.jaccardPairs(sh, 1, 2, maxDocFreq = 2)
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |df AS (SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) <= 2),
+             |rare AS (SELECT s.* FROM s JOIN df USING (sh)),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+             |  CAST(z1.n_sh + z2.n_sh - inter AS BIGINT) AS uni
+             |FROM p JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
+             |ORDER BY doc1, doc2""".stripMargin)),
+
     // ---- X2: cross-corpus contamination (benchmark-leakage check):
     // best-matching train doc per eval doc by shingle Jaccard ----
     ("x2_contamination",
@@ -1180,7 +1210,8 @@ object Queries {
           docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", 5)
         val evalSh = DedupOps.wordShingles(
           docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 5)
-        // uncapped: the DuckDB oracle has no document-frequency cap
+        // uncapped quadratic anchor (x2_contamination_capped below is
+        // the registered scale shape with the df cap replayed)
         DedupOps.contamination(trainSh, evalSh, maxDocFreq = Int.MaxValue)
           .orderBy(col("eval_doc"))
       },
@@ -1195,6 +1226,43 @@ object Queries {
              |it AS (SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
              |         CAST(count(*) AS BIGINT) AS inter
              |       FROM ev JOIN tr ON ev.sh = tr.sh GROUP BY 1, 2),
+             |sc AS (SELECT eval_doc, train_doc, inter, n_e + n_t - inter AS uni,
+             |         CAST(inter AS DOUBLE) / (n_e + n_t - inter) AS jaccard
+             |       FROM it JOIN ne ON ne.doc_id = eval_doc JOIN nt ON nt.doc_id = train_doc),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY eval_doc ORDER BY jaccard DESC, train_doc) AS rn FROM sc)
+             |SELECT eval_doc, train_doc, inter, uni, jaccard FROM rk WHERE rn = 1
+             |ORDER BY eval_doc""".stripMargin)),
+
+    // ---- X2: contamination with the train-side hot-shingle cap —
+    // the 100 TB shape of x2_contamination: train shingles with
+    // document frequency > maxDocFreq never enter the inverted-index
+    // join (it is the TRAIN side that is web-scale and boilerplate-
+    // heavy; eval benchmarks are small and stay uncapped). The oracle
+    // replays the cap (HAVING count(DISTINCT doc_id) <= 2 on the
+    // train inverted index). ----
+    ("x2_contamination_capped",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val trainSh = DedupOps.wordShingles(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", 5)
+        val evalSh = DedupOps.wordShingles(
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 5)
+        DedupOps.contamination(trainSh, evalSh, maxDocFreq = 2)
+          .orderBy(col("eval_doc"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh FROM s0),
+             |tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+             |ev AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+             |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_t FROM tr GROUP BY 1),
+             |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_e FROM ev GROUP BY 1),
+             |tdf AS (SELECT sh FROM tr GROUP BY sh HAVING count(DISTINCT doc_id) <= 2),
+             |rt AS (SELECT tr.* FROM tr JOIN tdf USING (sh)),
+             |it AS (SELECT ev.doc_id AS eval_doc, rt.doc_id AS train_doc,
+             |         CAST(count(*) AS BIGINT) AS inter
+             |       FROM ev JOIN rt ON ev.sh = rt.sh GROUP BY 1, 2),
              |sc AS (SELECT eval_doc, train_doc, inter, n_e + n_t - inter AS uni,
              |         CAST(inter AS DOUBLE) / (n_e + n_t - inter) AS jaccard
              |       FROM it JOIN ne ON ne.doc_id = eval_doc JOIN nt ON nt.doc_id = train_doc),
@@ -2371,7 +2439,63 @@ object Queries {
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM x)
              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              |  CAST(count(*) AS BIGINT) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
-             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- X6: converged state of the flatMapGroupsWithState running
+    // per-user stats — StreamOpsSpec pins that feeding ALL events
+    // through StreamOps.runningUserStats (Update mode, MemoryStream
+    // micro-batches) leaves exactly this per-user state; the batch
+    // twin gives that converged state a driver-checkable oracle row.
+    // Float discipline: value sums in arbitrary order, rounded on
+    // both sides. ----
+    ("x6_user_stats",
+      (s: SparkSession, dir: String) => {
+        StreamOps.userStatsBatch(Tables.load(s, dir, "events"))
+          .withColumn("sum_value", round(col("sum_value"), 4))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- X6: the streaming decontamination gate itself
+    // (StreamOps.decontaminateStream = stateless per-row Bloom probe +
+    // stream-static broadcast of the bitmap) run over the batch rows —
+    // StreamOpsSpec pins stream == this on a real MemoryStream; the
+    // md5 probe hash makes every probe position oracle-replayable
+    // (same oracle as x2_bloom_decontam, which computes the identical
+    // verdicts via the aggregated batch op — the two rows together pin
+    // aggregated == stateless == oracle). ----
+    ("x6_decontam_gate",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bm = DedupOps.bloomBitmap(docs.filter(col("doc_id") % 20 === 0),
+          w = 5, mBits = 1 << 20, k = 3,
+          probeHash = (sh, i) =>
+            DedupOps.md5TokenHash(concat_ws(":", sh, i.cast("string"))))
+        StreamOps.decontaminateStream(docs.filter(col("doc_id") % 20 =!= 0), bm,
+            w = 5, mBits = 1 << 20, k = 3,
+            probeHashSql = (sh, i) =>
+              s"CAST(conv(substring(md5(concat_ws(':', $sh, CAST($i AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS sh FROM s0),
+             |bits AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 = 0),
+             |tp AS (SELECT doc_id, sh,
+             |    CAST(('0x' || substr(md5(sh || ':' || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 AS pos
+             |  FROM sh, range(3) r(i) WHERE doc_id % 20 <> 0),
+             |pr AS (SELECT tp.doc_id, tp.sh,
+             |    CAST(count(*) AS BIGINT) AS n_probe, CAST(count(b.pos) AS BIGINT) AS n_set
+             |  FROM tp LEFT JOIN bits b ON tp.pos = b.pos GROUP BY tp.doc_id, tp.sh)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) > 0 AS flagged
+             |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

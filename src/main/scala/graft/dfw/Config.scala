@@ -42,6 +42,28 @@ object Config {
   def setDefaults[V](defaults: Map[String, V], user: Map[String, V]): Map[String, V] =
     defaults ++ user
 
+  /** `name_map` indirection (`preprocess.py:333-341`): when a
+    * `name_map` dict is configured, every entry of the `name` list is
+    * looked up through it (`operator.itemgetter(*name)(name_map)`) and
+    * the MAPPED names become the database list; a missing key is fatal
+    * with the reference's message (KeyError → `err_exit_mesg`, here an
+    * IllegalArgumentException — T12 discipline, no sys.exit).
+    * `nameMap = None` (here: empty map) passes names through unchanged.
+    *
+    * Documented divergence (SURVEY.md §5.4 discipline): for a
+    * SINGLE-element `name` list the reference's
+    * `list(itemgetter(n)(m))` iterates the looked-up VALUE — a string
+    * value explodes into its characters, an int value raises
+    * TypeError. That is an accident of `itemgetter`'s scalar return,
+    * not a semantic; we map one name to one value in every arity.
+    */
+  def mapNames(names: Seq[String], nameMap: Map[String, String]): Seq[String] =
+    if (nameMap.isEmpty) names
+    else names.map { n =>
+      nameMap.getOrElse(n, throw new IllegalArgumentException(
+        s"""could not find "'$n'" key in name_map, please recheck it!"""))
+    }
+
   /** T10: scalar→per-database broadcast-fill with `'default'` fallback
     * (`preprocess.py:435-466`). `item` may be:
     *  - `Left(scalar)` — replicated to every database;

@@ -129,8 +129,11 @@ object StreamOps {
     * [[graft.llm.DedupOps.bloomDecontaminate]]).
     */
   def decontaminateStream(docs: DataFrame, bloomBm: DataFrame,
-                          w: Int, mBits: Int, k: Int): DataFrame =
-    graft.llm.DedupOps.bloomDecontaminateStateless(docs, bloomBm, w, mBits, k)
+                          w: Int, mBits: Int, k: Int,
+                          probeHashSql: (String, String) => String =
+                            (sh, i) => s"xxhash64($sh, $i)"): DataFrame =
+    graft.llm.DedupOps.bloomDecontaminateStateless(docs, bloomBm, w, mBits, k,
+      probeHashSql = probeHashSql)
 
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,

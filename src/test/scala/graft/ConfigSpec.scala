@@ -56,4 +56,21 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Config.ProcessConfig(cv = 0)
     an[IllegalArgumentException] should be thrownBy Config.ProcessConfig(train = Nil)
   }
+
+  // name_map indirection, reference preprocess.py:333-341
+  test("mapNames: names indirect through name_map") {
+    Config.mapNames(Seq("a", "b"), Map("a" -> "db_a", "b" -> "db_b")) shouldBe
+      Seq("db_a", "db_b")
+  }
+
+  test("mapNames: empty name_map (reference None) passes names through") {
+    Config.mapNames(Seq("a", "b"), Map.empty) shouldBe Seq("a", "b")
+  }
+
+  test("mapNames: missing key is fatal with the reference's message") {
+    val e = the[IllegalArgumentException] thrownBy
+      Config.mapNames(Seq("a", "missing"), Map("a" -> "db_a"))
+    e.getMessage should include("name_map")
+    e.getMessage should include("missing")
+  }
 }
