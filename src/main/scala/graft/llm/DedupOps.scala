@@ -51,11 +51,15 @@ object DedupOps {
     * no shingles.
     */
   def wordShingles(docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    // start positions exploded first, shingles built post-Generate in
+    // codegen (slice + concat_ws) — the in-array `transform` lambda was
+    // CodegenFallback, interpreted once per shingle (VERDICT r5 item 4)
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))")).as("sh"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${w - 1})")).as("i"))
+      .select(col("doc_id"), expr(s"concat_ws(' ', slice(toks, i, $w))").as("sh"))
       .distinct()
 
   /** X2: substring-level duplication stats (the Lee et al. 2022
@@ -88,13 +92,17 @@ object DedupOps {
   def crossDocSpanStats(docs: DataFrame, idCol: String, textCol: String, w: Int,
                         spanKey: Column => Column = identity): DataFrame = {
     require(w > 0, "span width must be positive")
+    // explode the start positions, build each span post-Generate in
+    // codegen (slice + concat_ws): the previous `transform` lambda was
+    // CodegenFallback — interpreted per span, dominating this operator's
+    // runtime (VERDICT r5 item 4; TimeQ 3.1 s at sf0.1 pre-rewrite)
     val spans = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${w - 1})")).as("i"))
       .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
-          .as(Seq("pos", "span")))
-      .select(col("doc_id"), col("pos"), spanKey(col("span")).as("span"))
+        spanKey(expr(s"concat_ws(' ', slice(toks, i, $w))")).as("span"))
     // document frequency per span over DISTINCT (doc, span): the
     // distinct is the map-side-combinable projection
     val spanDf = spans.select("doc_id", "span").distinct()
@@ -123,10 +131,11 @@ object DedupOps {
     *
     * Plan shape at scale, all linear in corpus tokens: spans explode
     * (×~1 rows per token), one span-keyed aggregation for (document
-    * frequency, first occurrence), one span-keyed join back, one
-    * explode to covered positions (×w), an anti join on (doc, pos),
-    * and a per-doc sorted re-assembly (array_sort of collected
-    * (pos, token) structs — no window, no global sort). `spanKey` as
+    * frequency, first occurrence), one span-keyed join back, covered
+    * positions aggregated to one sorted array per affected doc, a
+    * doc-keyed join at one row per document, and an in-row codegen
+    * merge scan that drops covered tokens — token rows themselves are
+    * never shuffled (no window, no global sort). `spanKey` as
     * in [[crossDocSpanStats]]: identity = exact oracle path,
     * `xxhash64(_)` = the 100 TB shuffle-shrinking path (spec-pinned
     * equal on real data).
@@ -135,12 +144,15 @@ object DedupOps {
                            spanKey: Column => Column = identity): DataFrame = {
     require(w > 0, "span width must be positive")
     val toks = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+    // start positions exploded first, spans built post-Generate in
+    // codegen — same interpreted-`transform` removal as
+    // [[crossDocSpanStats]]; `i` is already the 1-based position
     val spans = toks
       .filter(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat_ws(' ', slice(toks, i, $w)))"))
-          .as(Seq("pos0", "span")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), spanKey(col("span")).as("span"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${w - 1})")).as("i"))
+      .select(col("doc_id"), col("i").as("pos"),
+        spanKey(expr(s"concat_ws(' ', slice(toks, i, $w))")).as("span"))
     // corpus-first occurrence = lexicographic min over (doc_id, pos)
     // structs — no arithmetic key packing, so no bound on position or
     // doc id (the earlier doc_id*1e6+pos encoding silently corrupted
@@ -153,24 +165,29 @@ object DedupOps {
     val dupOcc = spans.join(stats, "span")
       .filter(col("__ndocs") >= 2 &&
         !(col("doc_id") === col("__first.doc_id") && col("pos") === col("__first.pos")))
+    // Rebuild in-row, not by shuffling tokens: covered positions
+    // aggregate to ONE sorted array per affected document (shuffle
+    // volume = duplicated positions only), join back to the tokenized
+    // docs at one row per document, and a codegen merge scan
+    // ([[graft.functions.RemoveCoveredTokens]], O(|toks| + |cov|))
+    // drops the covered tokens. The previous reassembly exploded every
+    // token in the corpus through an anti join and a collect_list +
+    // array_sort aggregation — two full-corpus shuffles of (doc, pos,
+    // token) rows that this plan never materializes. n_kept is
+    // arithmetic: cov is distinct and within [1, size(toks)].
     val covered = dupOcc
       .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${w - 1})")).as("tpos"))
-      .distinct()
-    val allToks = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos0", "tok")))
-      .select(col("doc_id"), (col("tpos0") + 1).as("tpos"), col("tok"))
-    val kept = allToks.join(covered, Seq("doc_id", "tpos"), "left_anti")
-    val rebuilt = kept
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_sort(collect_list(struct(col("tpos"), col("tok")))).as("__ts"))
-      .withColumn("clean_text", concat_ws(" ", expr("transform(__ts, x -> x.tok)")))
-      .select("doc_id", "n_kept", "clean_text")
-    docs.select(col(idCol).as("doc_id"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .agg(sort_array(collect_set(col("tpos"))).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        coalesce((size(col("toks")) - coalesce(size(col("cov")), lit(0))).cast("long"),
+          lit(0L)).as("n_kept"),
+        coalesce(
+          when(col("cov").isNull, concat_ws(" ", col("toks")))
+            .otherwise(graft.functions.TextScanFunctions.removeCoveredTokens(
+              col("toks"), col("cov"))),
+          lit("")).as("clean_text"))
   }
 
   /** X1: canonical-document selection — the keep-one half of exact
@@ -353,9 +370,11 @@ object DedupOps {
     require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
     val bitmapUdaf = udaf(new graft.functions.Aggregators.BitmapOrAgg(mBits),
       org.apache.spark.sql.Encoders.scalaLong)
+    // probe index exploded first, the hash computed post-Generate in
+    // codegen — not an interpreted per-element `transform` lambda
     wordShingles(eval, idCol, textCol, w)
-      .select(explode(transform(sequence(lit(0), lit(k - 1)),
-        i => pmod(probeHash(col("sh"), i), lit(mBits.toLong)))).as("__pos"))
+      .select(col("sh"), explode(expr(s"sequence(0, ${k - 1})")).as("__i"))
+      .select(pmod(probeHash(col("sh"), col("__i")), lit(mBits.toLong)).as("__pos"))
       .agg(bitmapUdaf(col("__pos")).as("__bm"))
   }
 
@@ -429,9 +448,13 @@ object DedupOps {
     // re-derivation; re-measured r3: localCheckpoint
     val sh = wordShingles(docs, idCol, textCol, shingleW).localCheckpoint()
     val sig = minHashSignatures(sh, numHashes)
-    val banded = sig.select(col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $r + 1, $r), b))"))
-        .as(Seq("band", "bhash")))
+    // band index exploded first, the band hash computed post-Generate
+    // in codegen (hash + slice) — no interpreted `transform` lambda
+    val banded = sig
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("doc_id"), col("band"),
+        expr(s"hash(slice(sig, band * $r + 1, $r), band)").as("bhash"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -23,7 +23,9 @@ object TextOps {
         size(array_distinct(col("__toks"))).cast("long").as("n_uniq"),
         (size(array_distinct(col("__toks"))).cast("double") / size(col("__toks"))).as("ttr"),
         (length(regexp_replace(col("__t"), " ", "")).cast("double") / size(col("__toks"))).as("avg_tok_len"),
-        expr("CAST(array_max(transform(__toks, t -> length(t))) AS BIGINT)").as("longest"))
+        // one-pass codegen scan == array_max(transform(__toks, t -> length(t)))
+        // (interpreted HOF, VERDICT r5 item 4); TextOpsSpec pins equality
+        graft.functions.TextScanFunctions.maxTokenLen(col("__t")).as("longest"))
 
   /** Marker-token language scoring — the n-gram-heuristic shape of a
     * language identifier: count tokens from a marker set, threshold to
@@ -54,15 +56,22 @@ object TextOps {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // Generate over the (tiny, integer) start-position sequence, then
+    // slice/concat_ws AFTER the explode — every operator codegen'd. The
+    // previous shape built ALL chunks per document inside an interpreted
+    // `transform` lambda (CodegenFallback: one closure call + one array
+    // copy per chunk, materialized as one jumbo array value per row).
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, greatest(size(toks), 1), $stride), i -> slice(toks, i, $window))"))
-          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(1, greatest(size(toks), 1), $stride)"))
+          .as(Seq("chunk_id", "i")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        concat_ws(" ", col("chunk")).as("chunk_text"),
-        size(col("chunk")).cast("long").as("n_tokens"))
+        concat_ws(" ", expr(s"slice(toks, i, $window)")).as("chunk_text"),
+        // size(slice(toks, i, window)) arithmetically — avoids a second
+        // slice when project collapse inlines the alias
+        least(lit(window.toLong), size(col("toks")) - col("i") + 1L)
+          .cast("long").as("n_tokens"))
   }
 
   /** X4: within-document repetition stats — the Gopher-style quality
@@ -80,12 +89,14 @@ object TextOps {
     */
   def repeatedNgramStats(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")
+    // explode the start positions, build each n-gram post-Generate in
+    // codegen (slice + concat_ws) — no interpreted `transform` lambda
     val grams = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
-          .as("g"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), expr(s"concat_ws(' ', slice(toks, i, $n))").as("g"))
     grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_grams"),
@@ -307,11 +318,16 @@ object TextOps {
                   maxShortFrac: Double, minStopHits: Int): DataFrame = {
     docs.select(
       col(idCol),
+      length(col(textCol)).as("__tlen"),
       split(col(textCol), " ").as("__toks"))
       .select(
         col(idCol),
         size(col("__toks")).cast("long").as("n_words"),
-        expr("CAST(aggregate(__toks, 0L, (a, t) -> a + length(t)) AS DOUBLE) / size(__toks)")
+        // sum of token lengths == total chars minus the size-1 single-space
+        // separators — replaces the interpreted `aggregate` fold (VERDICT
+        // r5 item 4) with pure arithmetic; exact for split-on-' ' because
+        // every token boundary is exactly one space
+        ((col("__tlen") - size(col("__toks")) + 1).cast("double") / size(col("__toks")))
           .as("mean_len"),
         (size(filter(col("__toks"), t => length(t) <= 2)).cast("double") / size(col("__toks")))
           .as("short_frac"),
@@ -357,15 +373,17 @@ object TextOps {
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer
-    * arithmetic (`aggregate` HOF = strict left fold, same as the
-    * oracle's `list_reduce`).
+    * arithmetic. Computed by the one-pass codegen scan
+    * [[graft.functions.RollingFingerprint]]; semantics are exactly the
+    * strict left fold `aggregate(split(text, ' '), 0L, (h, t) ->
+    * (h*1000003 + ascii(substring(t,1,1))*256 + length(t)) % 2147483647)`
+    * (= the oracle's `list_reduce`), which TextOpsSpec pins against the
+    * interpreted HOF on real data.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),
-      expr(s"""aggregate(split($textCol, ' '), CAST(0 AS BIGINT),
-              |  (h, t) -> (h * 1000003 + ascii(substring(t, 1, 1)) * 256 + length(t)) % 2147483647)"""
-        .stripMargin).as("fp"))
+      graft.functions.TextScanFunctions.rollingFingerprint(col(textCol)).as("fp"))
 
   /** A small trained-merge stand-in vocabulary for [[bpeEncode]]:
     * every lowercase letter (so alphabetic text never falls back to
@@ -437,15 +455,21 @@ object TextOps {
                       weights: DataFrame, nBuckets: Int,
                       tokenHash: Column => Column = DedupOps.xxTokenHash): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // ONE Generate enumerates unigrams and bigrams: feature index
+    // j ∈ [1, 2·size−1] maps to token j for j ≤ size, else to the
+    // bigram starting at j − size. Same feature multiset as
+    // concat(unigrams, bigrams) — order is irrelevant to the
+    // aggregation — with the interpreted `transform` bigram lambda
+    // (CodegenFallback) replaced by post-Generate codegen'd
+    // element_at/slice/concat_ws, and no second corpus scan.
     val feats = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      // slice(toks, 1, 0) is the typed empty array — sequence(1, 0)
-      // would yield a DESCENDING [1, 0] for one-token documents
-      .select(col("doc_id"), explode(concat(col("toks"), expr(
-        """CASE WHEN size(toks) >= 2
-          |     THEN transform(sequence(1, size(toks) - 1),
-          |                    i -> concat_ws(' ', slice(toks, i, 2)))
-          |     ELSE slice(toks, 1, 0) END""".stripMargin))).as("feat"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(1, 2 * size(toks) - 1)")).as("j"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN j <= size(toks) THEN element_at(toks, j)
+          |     ELSE concat_ws(' ', slice(toks, j - size(toks), 2)) END"""
+          .stripMargin).as("feat"))
     // duplicate bucket rows SUM (linear-model semantics) instead of
     // fanning out the feature join and silently inflating n_feat
     val w = broadcast(weights

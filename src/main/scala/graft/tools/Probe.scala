@@ -35,6 +35,20 @@ object Probe {
       val missed = exact.except(lsh16).count()
       println(s"exact=$nExact lsh16=$nLsh missedByLsh16=$missed")
 
+      // 1b) LSH recall sweep over banding parameters (VERDICT r5 item
+      // 7): LSH pairs are exact-Jaccard-verified, so got ⊆ exact and
+      // recall = |got| / |exact|. r = numHashes/bands rows per band;
+      // theory P(candidate) = 1 − (1 − s^r)^bands at similarity s.
+      for (numHashes <- Seq(64, 128); bands <- Seq(8, 16, 32)
+           if numHashes % bands == 0) {
+        val got = DedupOps.minHashLshPairs(docs, "doc_id", "text", 5,
+            numHashes, bands, 1, 2)
+          .select("doc1", "doc2")
+        val hit = got.intersect(exact).count()
+        println(f"minhash-lsh recall numHashes=$numHashes bands=$bands " +
+          f"r=${numHashes / bands}: $hit/$nExact = ${hit.toDouble / nExact}%.4f")
+      }
+
       // 2) simhash hamming<=3 pairs vs identical-text pairs
       val fps = DedupOps.simHashFast(docs, "doc_id", "text")
       val sh = DedupOps.simHashPairs(fps, maxHamming = 3)

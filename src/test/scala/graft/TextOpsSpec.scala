@@ -290,4 +290,37 @@ class TextOpsSpec extends SparkSpec {
     st2 shouldBe 2L
     (rl, rm, rs, rst, keep) shouldBe ((false, false, false, true, false))
   }
+
+  test("TextScan codegen == interpreted HOF on adversarial strings") {
+    // consecutive/leading/trailing spaces (empty tokens), empty text,
+    // multi-byte UTF-8 first chars and lengths, 4-byte code points
+    val adversarial = Seq(
+      "", " ", "  ", "a", "a ", " a", "a  b", "aa bb aa cccc",
+      "é è ü", "日本語 テスト x", "𝄞clef 𝄞 end", "mixed é日𝄞 tail ",
+      "x" * 300, ("ab " * 100).trim)
+    val d = adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.functions.TextScanFunctions.maxTokenLen(col("text")).as("longest"),
+        graft.functions.TextScanFunctions.rollingFingerprint(col("text")).as("fp"))
+    val want = d.select(col("doc_id"),
+        expr("CAST(array_max(transform(split(text, ' '), t -> length(t))) AS BIGINT)").as("longest"),
+        expr("""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+               |  (h, t) -> (h * 1000003 + ascii(substring(t, 1, 1)) * 256 + length(t)) % 2147483647)"""
+          .stripMargin).as("fp"))
+    got.collect().toSeq should contain theSameElementsAs want.collect().toSeq
+  }
+
+  test("TextScan codegen == interpreted HOF on the real documents table") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(col("doc_id"),
+        graft.functions.TextScanFunctions.rollingFingerprint(col("text")).as("fp"),
+        graft.functions.TextScanFunctions.maxTokenLen(col("text")).as("longest"))
+      .except(docs.select(col("doc_id"),
+        expr("""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+               |  (h, t) -> (h * 1000003 + ascii(substring(t, 1, 1)) * 256 + length(t)) % 2147483647)"""
+          .stripMargin).as("fp"),
+        expr("CAST(array_max(transform(split(text, ' '), t -> length(t))) AS BIGINT)").as("longest")))
+    diff.count() shouldBe 0L
+  }
 }
