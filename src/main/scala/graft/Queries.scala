@@ -1670,6 +1670,50 @@ object Queries {
              |FROM p WHERE dot >= 0 AND dot * dot * 400 >= na * nb * 81
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- X2: SemDeDup (Abbas et al. 2023) — cluster-scoped semantic
+    // dedup: one nearest centroid per vector (persisted c64 index),
+    // within-cluster duplicate pairs at cosine >= 0.45, keep the item
+    // LEAST similar to its centroid (id tiebreak). ORACLE-EXACT: the
+    // SQL replays assignment (top-1 centroid from the same parquet
+    // index), the all-integer duplicate test, and the all-integer
+    // precedence comparator (HUGEINT there, decimal(38,0) here) —
+    // the kept/dropped verdict is never a float-ordering coin flip. ----
+    ("x2_semdedup",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.semDedup(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", num = 9, den = 20,
+            centroids = embCentroids(s, dir, 64))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C64__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS BIGINT) AS cd,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |a AS (SELECT vec_id, q, n2, cd, centroid_id
+             |      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |      WHERE rn = 1),
+             |e AS (SELECT x.vec_id, x.cd AS xcd, y.cd AS ycd, x.n2 AS xn2, y.n2 AS yn2, y.vec_id AS yid,
+             |        CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot
+             |      FROM a x JOIN a y USING (centroid_id) WHERE x.vec_id <> y.vec_id),
+             |dropped AS (SELECT DISTINCT vec_id FROM e
+             |  WHERE dot >= 0 AND dot * dot * 400 >= xn2 * yn2 * 81
+             |    AND ((ycd < 0 AND xcd >= 0)
+             |      OR (xcd >= 0 AND ycd >= 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 < CAST(xcd AS HUGEINT) * xcd * yn2)
+             |      OR (xcd < 0 AND ycd < 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 > CAST(xcd AS HUGEINT) * xcd * yn2)
+             |      OR ((xcd < 0) = (ycd < 0) AND CAST(ycd AS HUGEINT) * ycd * xn2 = CAST(xcd AS HUGEINT) * xcd * yn2
+             |          AND yid < vec_id)))
+             |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+             |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // ---- X3: deterministic JL sign projection (dimension reduction
     // before bucketed ANN) — engine-neutral md5 coordinate hash, so
     // the all-integer projection is value-exact in DuckDB ----

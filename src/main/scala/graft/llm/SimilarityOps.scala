@@ -267,6 +267,81 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** X2 (SemDeDup shape — Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): semantic
+    * dedup of an embedding corpus via cluster-scoped near-dup pruning.
+    * Each vector is assigned to its ONE nearest coarse centroid
+    * (`nProbe = 1`, map-only broadcast — the paper's k-means
+    * partition); within each cluster, pairs with cosine >= `num/den`
+    * are semantic duplicates, and exactly one per duplicate
+    * relationship is kept — the paper keeps the item LEAST similar to
+    * the cluster centroid (low centroid similarity = more diversity
+    * retained), so an item is dropped iff some same-cluster neighbor
+    * above the threshold precedes it in (centroid-similarity asc, id
+    * asc) order.
+    *
+    * Determinism discipline: both the duplicate test and the
+    * precedence comparison are ALL-INTEGER on the quantized vectors —
+    * cos(a,b) >= num/den as `den²·dot² >= num²·na·nb` (guarded dot >=
+    * 0), and s_cent(b) < s_cent(a) as a sign case split plus
+    * `cb²·na <?> ca²·nb` in 38-digit decimal (the common centroid-norm
+    * factor cancels inside a cluster) — so the kept/dropped verdict is
+    * bit-exact on any engine with exact wide arithmetic, never a
+    * float-ordering coin flip.
+    *
+    * Plan shape at scale: assignment is map-only (broadcast centroid
+    * array, no shuffle); the pair join keys on `centroid_id`, so work
+    * is Σ cluster² — the published SemDeDup cost model — with each
+    * cluster an independent shuffle partition; the drop verdict is a
+    * left-semi-style aggregation, no window, no driver state. Output:
+    * one row per input id — (idCol, centroid_id, kept).
+    *
+    * @param centroids [[ivfCentroids]] output (persistable via
+    *   IvfIndex — the oracle replays the same parquet table)
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               num: Long, den: Long, centroids: DataFrame): DataFrame = {
+    require(num >= 0 && den > 0, "threshold num/den must be non-negative")
+    val assigned = assignBuckets(df, idCol, vecCol, centroids, 1)
+      .join(broadcast(centroids.select(col("centroid_id"), col("__centq"))), Seq("centroid_id"))
+      .withColumn("__cdot", VectorFunctions.longDot(col("__qv"), col("__centq")))
+      .select(col("centroid_id"), col(idCol), col("__qv"), col("__n2"), col("__cdot"))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("__qv").as("__qa"), col("__n2").as("__na"), col("__cdot").as("__ca"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("__qv").as("__qb"), col("__n2").as("__nb"), col("__cdot").as("__cb"))
+
+    // b precedes a in the canonical keep order: s_cent(b) < s_cent(a),
+    // id tiebreak. With a common centroid, s_i orders like
+    // c_i/sqrt(n_i): for same-sign dots compare cb²·na vs ca²·nb
+    // (direction flips when both negative); a negative dot sorts below
+    // any non-negative one. Zero-norm rows have c = 0, so they compare
+    // "equal" to each other and resolve by id — deterministic.
+    val dec = "decimal(38,0)"
+    val wa = col("__ca").cast(dec) * col("__ca").cast(dec) * col("__nb").cast(dec)
+    val wb = col("__cb").cast(dec) * col("__cb").cast(dec) * col("__na").cast(dec)
+    val aNeg = col("__ca") < 0
+    val bNeg = col("__cb") < 0
+    val bStrictlyBefore = (bNeg && !aNeg) ||
+      (!aNeg && !bNeg && wb < wa) || (aNeg && bNeg && wb > wa)
+    val sameS = (aNeg === bNeg) && (wa === wb)
+    val precedes = bStrictlyBefore || (sameS && col("id_b") < col("id_a"))
+
+    val dup = col("__dot") >= 0 &&
+      col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num)
+
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("__dot", VectorFunctions.longDot(col("__qa"), col("__qb")))
+      .filter(dup && precedes)
+      .select(col("id_a").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
+
   /** X3: deterministic ±1 sign projection (Johnson-Lindenstrauss
     * shape) — reduce an embedding to `outDim` components, each the
     * signed sum of the quantized inputs: `rp_q[k] = Σ_j q[j]·s(j,k)`,

@@ -349,4 +349,49 @@ class SimilarityOpsSpec extends SparkSpec {
     rRefined should be > rAdc
     rRefined should be >= 0.9
   }
+
+  // SemDeDup fixture: two seed centroids (ids 0, 1); cluster A holds a
+  // chain of near-duplicates at descending centroid similarity plus an
+  // orthogonal identical pair (6, 7); cluster B a near-identical pair.
+  private val semCorpus = Seq(
+    (0L, Seq(1.0f, 0.0f)),      // seed centroid A; s_cent = 1.0
+    (1L, Seq(0.0f, 1.0f)),      // seed centroid B; s_cent = 1.0
+    (2L, Seq(0.999f, 0.01f)),   // A, s ≈ 0.99995
+    (3L, Seq(0.99f, 0.05f)),    // A, s ≈ 0.9987
+    (4L, Seq(0.97f, 0.24f)),    // A, s ≈ 0.9707 — least central dup
+    (5L, Seq(0.01f, 0.999f)),   // B, s ≈ 0.99995
+    (6L, Seq(0.0f, -1.0f)),     // A (cos 0 beats B's −1); dup only of 7
+    (7L, Seq(0.0f, -1.0f))).toDF("vec_id", "embedding")
+  private def semCents =
+    SimilarityOps.ivfCentroids(semCorpus, "vec_id", "embedding", 2)
+
+  test("semDedup keeps the least-centroid-similar item of each duplicate group") {
+    val got = SimilarityOps.semDedup(semCorpus, "vec_id", "embedding",
+        num = 9, den = 10, centroids = semCents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    got.keySet shouldBe (0L to 7L).toSet // one verdict per input row
+    // cluster A: {0,2,3,4} mutually ≥0.9; only the least-central (4)
+    // has no preceding dup-neighbor. 6/7 are identical, s_cent ties at
+    // 0 → id tiebreak keeps 6. Cluster B: {1,5}, 5 is less central.
+    got.filter(_._2._2).keySet shouldBe Set(4L, 5L, 6L)
+    got(6L)._1 shouldBe got(0L)._1 // the orthogonal pair sits in cluster A
+    got(1L)._1 should not be got(0L)._1
+  }
+
+  test("semDedup at a near-1 threshold only collapses the true duplicate pairs") {
+    val got = SimilarityOps.semDedup(semCorpus, "vec_id", "embedding",
+        num = 999, den = 1000, centroids = semCents)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // dup pairs at ≥0.999: (0,2) 0.99995, (2,3) 0.99918, (1,5)
+    // 0.99995, (6,7) 1.0 — each relation drops its MORE-central side
+    // (0 and 2 by the chain through 3; 1 by 5; 7 by 6's id tie), and
+    // 3 survives because its only sub-threshold neighbor is 4
+    got.filter(!_._2).keySet shouldBe Set(0L, 1L, 2L, 7L)
+  }
+
+  test("semDedup is deterministic") {
+    def run() = SimilarityOps.semDedup(semCorpus, "vec_id", "embedding",
+      num = 9, den = 20, centroids = semCents)
+    run().exceptAll(run()).count() shouldBe 0L
+  }
 }
