@@ -173,4 +173,14 @@ class PlanSpec extends SparkSpec {
     // collapses onto one task
     "hashpartitioning\\(cls#\\d+, __salt".r.findAllIn(plan).nonEmpty shouldBe true
   }
+
+  test("x2_semdedup: pair work keyed per cluster, centroids broadcast, no window") {
+    val plan = formatted("x2_semdedup")
+    // the only unkeyed join is the 1-row broadcast of the collapsed
+    // centroid array (assignment); pairs join on centroid_id
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastNestedLoopJoin")
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+    "hashpartitioning\\(centroid_id".r.findAllIn(plan).nonEmpty shouldBe true
+  }
 }
