@@ -2316,6 +2316,38 @@ object Queries {
              |  CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
              |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: DSIR importance weights (Xie et al. 2023) — hashed
+    // unigram target/source log-likelihood ratio per source doc
+    // (target slice = doc_id%20=0, the same exemplar split the
+    // decontamination queries use). Bucket λ quantized to integer
+    // micro-units once in the 256-row model table, so the per-doc sum
+    // is order-free and the md5 bucket hash makes the whole model
+    // SQL-recomputable — oracle-exact like x4_lm_surprisal. ----
+    ("x4_dsir_weights",
+      (s: SparkSession, dir: String) => {
+        TextOps.dsirWeights(Tables.load(s, dir, "documents"), "doc_id", "text",
+            isTarget = col("doc_id") % 20 === 0, nBuckets = 256,
+            tokenHash = DedupOps.md5TokenHash)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |b AS (SELECT doc_id,
+             |        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 256 AS bkt
+             |      FROM toks),
+             |cnt AS (SELECT bkt,
+             |    sum(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS ct,
+             |    sum(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS cs
+             |  FROM b GROUP BY bkt),
+             |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM cnt),
+             |lam AS (SELECT bkt,
+             |    CAST(round((ln((ct + 1.0) / (tt + 256)) - ln((cs + 1.0) / (ts + 256))) * 1000000) AS BIGINT) AS lam
+             |  FROM cnt, tot)
+             |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(lam.lam) AS BIGINT) AS logw_q,
+             |  CAST(sum(lam.lam) AS DOUBLE) / 1000000.0 / count(*) AS avg_logw
+             |FROM b JOIN lam USING (bkt) WHERE b.doc_id % 20 <> 0
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
     // ---- X4: rolling-hash document fingerprint ----
     ("x4_fingerprint",
       (s: SparkSession, dir: String) => {
@@ -2539,7 +2571,45 @@ object Queries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
              |  CAST(sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              |  sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) > 0 AS flagged
-             |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- X6: streaming ANN near-dup gate run over the batch rows —
+    // incoming embeddings (vec_id%10=0) probe 4 buckets of the static
+    // IVF-bucketed corpus (the rest); each emitted row is an
+    // exact-verified near-dup hit. StreamOpsSpec pins MemoryStream ==
+    // this batch twin. ORACLE-EXACT: the SQL replays both sides'
+    // assignment from the persisted c64 index, the bucket join, and
+    // the all-integer threshold — same pattern as x3_ann_ivf. ----
+    ("x6_ann_gate",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        StreamOps.annGateStream(emb.filter(col("vec_id") % 10 === 0),
+            emb.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", num = 7, den = 20,
+            centroids = embCentroids(s, dir, 64), nProbe = 4)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C64__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc),
+             |corp AS (SELECT vec_id, q, n2, centroid_id FROM r WHERE rn = 1 AND vec_id % 10 <> 0),
+             |pr AS (SELECT vec_id, q, n2, centroid_id FROM r WHERE rn <= 4 AND vec_id % 10 = 0),
+             |e AS (SELECT pr.vec_id AS query_id, corp.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(pr.q, corp.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
+             |        pr.n2 AS na, corp.n2 AS nb
+             |      FROM pr JOIN corp USING (centroid_id) WHERE pr.vec_id <> corp.vec_id)
+             |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+             |FROM e WHERE dot >= 0 AND dot * dot * 400 >= na * nb * 49
+             |ORDER BY query_id, neighbor_id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

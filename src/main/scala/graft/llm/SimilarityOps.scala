@@ -342,6 +342,41 @@ object SimilarityOps {
         coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
 
+  /** X2/X6: near-dup GATE against a static corpus — for each incoming
+    * vector, emit every corpus vector with cosine >= `num/den` among
+    * the `nProbe` probed IVF buckets: the ingest-time "is this new
+    * document a near-duplicate of anything we already hold?" primitive.
+    *
+    * STATELESS by construction, so the same body runs batch or
+    * streaming (stream-static joins only — [[graft.streaming.StreamOps
+    * .annGateStream]] wraps it): the corpus is bucketed at its ONE
+    * nearest centroid while incoming rows probe `nProbe` buckets, so a
+    * (query, match) pair materializes exactly once — no distinct, no
+    * aggregation, no watermark, nothing grows with stream length.
+    * Matches are emitted per-candidate (a silent row = clean document);
+    * recall follows IVF probe semantics (a true near-dup in an
+    * unprobed bucket is missed — Probe measures the trade-off), and
+    * every emitted match is exact-verified with the all-integer
+    * threshold test, so false positives are impossible.
+    */
+  def ivfNearDupGate(incoming: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, num: Long, den: Long,
+                     centroids: DataFrame, nProbe: Int): DataFrame = {
+    val bucketed = assignBuckets(corpus, idCol, vecCol, centroids, 1)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"),
+        col("__qv").as("__qb"), col("__n2").as("__nb"))
+    val probes = assignBuckets(incoming, idCol, vecCol, centroids, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"),
+        col("__qv").as("__qa"), col("__n2").as("__na"))
+    probes.join(bucketed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dot", VectorFunctions.longDot(col("__qa"), col("__qb")))
+      .filter(col("__dot") >= 0 &&
+        col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))
+  }
+
   /** X3: deterministic ±1 sign projection (Johnson-Lindenstrauss
     * shape) — reduce an embedding to `outDim` components, each the
     * signed sum of the quantized inputs: `rp_q[k] = Σ_j q[j]·s(j,k)`,

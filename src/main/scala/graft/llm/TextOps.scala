@@ -370,6 +370,57 @@ object TextOps {
         col("sum_surprisal_q").cast("double") / lit(1000000.0) / col("n_tokens"))
   }
 
+  /** X4 (DSIR shape — Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): per-document importance
+    * weights `log(p_target(x) / p_source(x))` under hashed
+    * bag-of-words unigram models — the published cheap way to select
+    * pretraining data that "looks like" a target domain. Token
+    * features hash into `nBuckets` buckets; target and source bucket
+    * distributions are Laplace-smoothed `(c_b + 1) / (total + B)`;
+    * each SOURCE document (the selection pool) scores
+    * `Σ_tokens λ[bucket]` with `λ = log γ_target − log γ_source`.
+    *
+    * Float discipline (same as [[lmSurprisal]]): each bucket's λ is
+    * quantized to integer micro-units ONCE in the B-row table, so the
+    * per-document sum is an order-free integer — engine-exact.
+    *
+    * Plan shape at scale: two linear hash aggregations (token → B
+    * buckets, map-side combinable), a B-row broadcast, and one
+    * per-doc aggregation — no token-keyed shuffle join (contrast
+    * [[lmSurprisal]]'s per-term join: here the model is B buckets, not
+    * |vocab| terms, so it always broadcasts).
+    *
+    * @param isTarget row predicate over `docs` marking the target
+    *   (domain-exemplar) slice; the rest is the source pool scored
+    * @param tokenHash default xxhash64; pass
+    *   [[DedupOps.md5TokenHash]] for an external-SQL-reproducible
+    *   model (`x4_dsir_weights` does)
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 256,
+                  tokenHash: Column => Column = t => xxhash64(t)): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs.select(col(idCol), isTarget.as("__tgt"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("__bkt", pmod(tokenHash(col("tok")), lit(nBuckets.toLong)))
+      .drop("tok")
+    val cnt = toks.groupBy("__bkt").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cs"))
+    val tot = cnt.agg(sum("__ct").as("__tt"), sum("__cs").as("__ts"))
+    val lam = broadcast(cnt.join(tot) // 1-row broadcast: no shuffle
+      .withColumn("__lam", expr(
+        s"CAST(round((ln((__ct + 1.0) / (__tt + $nBuckets)) - " +
+          s"ln((__cs + 1.0) / (__ts + $nBuckets))) * 1000000) AS BIGINT)"))
+      .select(col("__bkt"), col("__lam")))
+    toks.filter(!col("__tgt"))
+      .join(lam, "__bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lam")).as("logw_q"))
+      .withColumn("avg_logw",
+        col("logw_q").cast("double") / lit(1000000.0) / col("n_tokens"))
+  }
+
   /** Document fingerprint: a polynomial rolling hash over per-token
     * surrogates (first-char code and length), mod 2^31-1 — the rolling
     * structure of Rabin-Karp content fingerprints, in portable integer

@@ -135,6 +135,22 @@ object StreamOps {
     graft.llm.DedupOps.bloomDecontaminateStateless(docs, bloomBm, w, mBits, k,
       probeHashSql = probeHashSql)
 
+  /** X2/X6: streaming ANN near-dup gate — an unbounded stream of
+    * embedded documents probes a STATIC IVF-bucketed corpus
+    * ([[graft.llm.SimilarityOps.ivfNearDupGate]]); every emitted row
+    * is an exact-verified (query, corpus-match, cosine) hit. The
+    * centroid index and the bucketed corpus are built once batch-side
+    * (persisted like any index); the stream side is stateless —
+    * stream-static joins only, no watermark, no state store — the
+    * shape an ingest-time "have we already got this?" gate must have.
+    * Same output as the batch op on the same rows (spec-pinned).
+    */
+  def annGateStream(incoming: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, num: Long, den: Long,
+                    centroids: DataFrame, nProbe: Int): DataFrame =
+    graft.llm.SimilarityOps.ivfNearDupGate(incoming, corpus, idCol, vecCol,
+      num, den, centroids, nProbe)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

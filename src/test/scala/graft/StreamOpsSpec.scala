@@ -271,4 +271,38 @@ class StreamOpsSpec extends SparkSpec {
       got.map(_._1) shouldBe Set(1L, 2L, 4L)
     } finally q.stop()
   }
+
+  test("annGateStream: stateless ANN gate on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: two clusters; incoming rows: one near-dup of the
+    // x-cluster, one orthogonal (silent), one near-dup of the y-cluster
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.05f)), (3L, Seq(0.05f, 0.99f))).toDF("vec_id", "embedding")
+    val cents = graft.llm.SimilarityOps
+      .ivfCentroids(corpus, "vec_id", "embedding", 2).localCheckpoint()
+    val incoming = Seq(
+      (10L, Seq(0.98f, 0.1f)),  // hits 0 and 2
+      (11L, Seq(-0.7f, 0.7f)),  // hits nothing at 0.9
+      (12L, Seq(0.02f, 1.0f)))  // hits 1 and 3
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val streamDf = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.annGateStream(streamDf, corpus, "vec_id", "embedding",
+        num = 9, den = 10, centroids = cents, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_gate_test").outputMode("append").start()
+    try {
+      mem.addData(incoming.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(1): _*) // second micro-batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("ann_gate_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = StreamOps.annGateStream(incoming.toDF("vec_id", "embedding"),
+          corpus, "vec_id", "embedding", num = 9, den = 10,
+          centroids = cents, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe want
+      got shouldBe Set((10L, 0L), (10L, 2L), (12L, 1L), (12L, 3L)) // 11 stays silent
+    } finally q.stop()
+  }
 }

@@ -323,4 +323,35 @@ class TextOpsSpec extends SparkSpec {
         expr("CAST(array_max(transform(split(text, ' '), t -> length(t))) AS BIGINT)").as("longest")))
     diff.count() shouldBe 0L
   }
+
+  test("dsirWeights: source docs resembling the target score higher; target docs excluded") {
+    // target slice establishes a vocabulary; source docs range from
+    // pure-target-vocab to pure-source-vocab
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),   // target
+      (1L, "alpha alpha beta beta gamma gamma"),  // target
+      (10L, "alpha beta alpha beta"),             // source, target-like
+      (11L, "alpha beta zeta zeta"),              // source, mixed
+      (12L, "zeta eta theta zeta eta theta")).toDF("doc_id", "text") // source, disjoint
+    val got = graft.llm.TextOps.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("doc_id") < 10, nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    got.keySet shouldBe Set(10L, 11L, 12L) // the selection pool only
+    got(10L)._1 shouldBe 4L
+    // importance ordering: target-like > mixed > disjoint-vocab
+    got(10L)._2 should be > got(11L)._2
+    got(11L)._2 should be > got(12L)._2
+    // a doc sharing no vocabulary with the target scores negative
+    got(12L)._2 should be < 0.0
+  }
+
+  test("dsirWeights is deterministic and independent of row order") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "c d e"), (2L, "a a a"), (3L, "e f g"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextOps.dsirWeights(d, "doc_id", "text",
+        isTarget = col("doc_id") % 2 === 0, nBuckets = 32)
+    run(docs).exceptAll(run(docs.orderBy(col("doc_id").desc))).count() shouldBe 0L
+  }
 }
