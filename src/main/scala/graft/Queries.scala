@@ -68,6 +68,27 @@ object Queries {
   def prepareIndexes(s: SparkSession, dir: String): Unit =
     Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
 
+  /** One bpeTrain merge round replayed in DuckDB SQL: pair counts from
+    * `w{r-1}`, single-row argmax `b{r}`, and the left-to-right
+    * non-overlapping merge via the run-parity formulation (candidates
+    * can only be adjacent when left = right; odd-ranked candidates in
+    * each maximal run are exactly the greedy picks).
+    */
+  private def bpeTrainRoundSql(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p${r}a AS (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev),
+       |p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(freq) AS cnt FROM p${r}a GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |s${r}a AS (SELECT w, freq, syms, unnest(range(1, len(syms) + 1)) AS i FROM $prev),
+       |s$r AS (SELECT w, freq, i, syms[i] AS s, b.a AS x, b.b AS y FROM s${r}a, b$r b),
+       |c$r AS (SELECT *, coalesce(s = x AND lead(s) OVER (PARTITION BY w ORDER BY i) = y, false) AS cand FROM s$r),
+       |i$r AS (SELECT *, CASE WHEN cand THEN i - sum(CASE WHEN cand THEN 1 ELSE 0 END) OVER (PARTITION BY w ORDER BY i) END AS isl FROM c$r),
+       |m$r AS (SELECT *, cand AND row_number() OVER (PARTITION BY w, isl ORDER BY i) % 2 = 1 AS ms FROM i$r),
+       |d$r AS (SELECT *, coalesce(lag(ms) OVER (PARTITION BY w ORDER BY i), false) AS dropped FROM m$r),
+       |w$r AS (SELECT w, freq, list(CASE WHEN ms THEN x || y ELSE s END ORDER BY i) AS syms
+       |  FROM d$r WHERE NOT dropped GROUP BY w, freq)""".stripMargin
+  }
+
   private def featureTable(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem").select(
       col("l_returnflag").as("cls"),
@@ -2198,6 +2219,30 @@ object Queries {
              |  CAST(len(rt) AS BIGINT) AS n_bpe_tokens,
              |  CAST(len(list_distinct(rt)) AS BIGINT) AS n_bpe_uniq
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: BPE vocabulary TRAINING — learn the first 4 merges from
+    // the corpus (Sennrich et al. 2016). The oracle replays all 4
+    // rounds in SQL: word-frequency reduction, pair counts, the
+    // argmax, and the left-to-right non-overlapping merge via the
+    // run-parity formulation (see TextOps.bpeTrain scaladoc) — the
+    // whole trainer is hash-checked, not just its output shape. ----
+    ("x4_bpe_train",
+      (s: SparkSession, dir: String) => {
+        TextOps.bpeTrain(Tables.load(s, dir, "documents"), "doc_id", "text", nMerges = 4)
+          .orderBy(col("round"))
+      },
+      Some {
+        val rounds = (1 to 4).map(bpeTrainRoundSql).mkString(",\n")
+        val unions = (1 to 4).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, a AS "left", b AS "right", CAST(cnt AS BIGINT) AS pair_freq FROM b$r""")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+           |$rounds
+           |$unions
+           |ORDER BY round""".stripMargin
+      }),
 
     // ---- X4: BPE-apply — greedy longest-match subword encode under a
     // broadcast vocabulary (codegen expression Spark-side; the oracle

@@ -436,6 +436,85 @@ object TextOps {
       col(idCol),
       graft.functions.TextScanFunctions.rollingFingerprint(col(textCol)).as("fp"))
 
+  /** X4: BPE vocabulary TRAINING (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") — learn
+    * the first `nMerges` byte-pair merges from a corpus. The classic
+    * tokenizer-training reduction: ONE linear corpus scan collapses to
+    * a word-frequency table (|distinct words| rows), and every merge
+    * round then runs on that small table — pair counts are a hash
+    * aggregation weighted by word frequency, the winning pair is a
+    * single-row argmax (count desc, pair lexicographic — the one
+    * inherently driver-visible value per round, as in any BPE
+    * trainer), and the merge rewrite applies left-to-right
+    * non-overlapping within each word.
+    *
+    * The non-overlap rule is implemented by position arithmetic, not a
+    * sequential fold: a merge candidate position is one where
+    * (sym[i], sym[i+1]) = (x, y); two candidates can only be adjacent
+    * when x = y (runs like "a a a a"), so taking the odd-ranked
+    * candidates inside each maximal run of consecutive candidates is
+    * EXACTLY the left-to-right greedy — expressible with windows over
+    * the vocab table on any engine (the oracle replays it in SQL).
+    * Per-word windows are fine HERE because rounds operate on the
+    * word-frequency table, never the corpus; at 100 TB the linear
+    * scan is the only corpus-sized stage (and production tokenizers
+    * train on a corpus sample anyway — feed a sampled `docs`).
+    *
+    * @return one row per learned merge: (round, left, right,
+    *   pair_freq), round 1-based in merge order
+    */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               nMerges: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint() // rounds iterate: cut lineage once up front
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("p.0").as("a"), col("p.1").as("b"), col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // the argmax: one row per round by design
+      if (top.isEmpty) exhausted = true
+      else {
+        val x: String = top(0).getString(0)
+        val y: String = top(0).getString(1)
+        val cnt: Long = top(0).getLong(2)
+        merges += ((round, x, y, cnt))
+        val byW = Window.partitionBy("w").orderBy("i")
+        val pos = words
+          .select(col("w"), col("freq"), posexplode(col("syms")).as(Seq("i", "s")))
+          .withColumn("cand", coalesce(
+            col("s") === lit(x) && lead(col("s"), 1).over(byW) === lit(y), lit(false)))
+          .withColumn("isl", when(col("cand"),
+            col("i") - sum(col("cand").cast("long")).over(byW)))
+          .withColumn("rn_isl",
+            row_number().over(Window.partitionBy(col("w"), col("isl")).orderBy(col("i"))))
+          .withColumn("ms", col("cand") && col("rn_isl") % 2 === 1)
+          .withColumn("dropped", lag(col("ms"), 1, false).over(byW))
+        words = pos.filter(!col("dropped"))
+          .withColumn("out", when(col("ms"), lit(x + y)).otherwise(col("s")))
+          .groupBy("w", "freq")
+          .agg(expr("transform(array_sort(collect_list(struct(i, out))), p -> p.out)").as("syms"))
+          .localCheckpoint() // bounded plan per round
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left", "right", "pair_freq")
+      .select(col("round").cast("long"), col("left"), col("right"), col("pair_freq"))
+  }
+
   /** A small trained-merge stand-in vocabulary for [[bpeEncode]]:
     * every lowercase letter (so alphabetic text never falls back to
     * unknowns) plus frequent English 2–4-gram merges, longest-match

@@ -345,6 +345,28 @@ class TextOpsSpec extends SparkSpec {
     got(12L)._2 should be < 0.0
   }
 
+  test("bpeTrain learns merges in frequency order, handles equal-symbol runs, stops when exhausted") {
+    // "aaaa": the (a,a) run must merge left-to-right non-overlapping
+    // ("aa","aa"), never the overlapping count-3 reading
+    val docs = Seq((0L, "aaaa aaaa cb cb cb")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    got shouldBe Array(
+      (1L, "a", "a", 6L),   // 3 pairs per "aaaa" word, freq 2
+      (2L, "c", "b", 3L),   // after merge, (aa,aa)=2 < (c,b)=3
+      (3L, "aa", "aa", 2L)) // then the merged symbols pair up
+    // only 3 learnable merges exist: round 4 must not fabricate one
+    got.length shouldBe 3
+  }
+
+  test("bpeTrain breaks count ties lexicographically") {
+    val docs = Seq((0L, "dc dc ba ba")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 2)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    got shouldBe Array(("b", "a"), ("d", "c")) // both count 2: (b,a) < (d,c)
+  }
+
   test("dsirWeights is deterministic and independent of row order") {
     val docs = Seq(
       (0L, "a b c"), (1L, "c d e"), (2L, "a a a"), (3L, "e f g"))
