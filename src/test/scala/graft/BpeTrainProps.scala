@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.llm.TextOps
+
+/** ScalaCheck properties for [[TextOps.bpeTrain]] against the classic
+  * sequential-greedy BPE reference (the dictionary implementation from
+  * Sennrich et al. 2016): per round, count pairs weighted by word
+  * frequency, take the (count desc, pair asc) argmax, and rewrite each
+  * word with an explicit left-to-right scan. Words drawn from a 3-char
+  * alphabet make equal-symbol runs ("aaaa"), count ties, and early
+  * exhaustion routine — exactly the cases where the engine's
+  * run-parity window formulation could diverge from the greedy scan.
+  */
+object BpeTrainProps extends Properties("bpeTrain") {
+
+  // each case runs nMerges+1 Spark plans; keep the count bounded
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxSize(40)
+
+  private lazy val spark = SparkSpec.spark
+
+  private val genCase: Gen[(List[String], Int)] = for {
+    nDocs   <- Gen.choose(1, 3)
+    nMerges <- Gen.choose(1, 5)
+    docs    <- Gen.listOfN(nDocs, for {
+                 n  <- Gen.choose(1, 8)
+                 ws <- Gen.listOfN(n, for {
+                         len <- Gen.choose(1, 6)
+                         cs  <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+                       } yield cs.mkString)
+               } yield ws.mkString(" "))
+  } yield (docs, nMerges)
+
+  /** One greedy left-to-right merge pass — the reference rewrite. */
+  private def mergeWord(syms: List[String], x: String, y: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) { out += x + y; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def model(texts: Seq[String], nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Seq[(List[String], Long)] = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, f) => (w.split("").toList, f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val pairs = words.flatMap { case (s, f) => s.sliding(2).collect {
+        case List(a, b) => ((a, b), f) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairs.isEmpty) done = true
+      else {
+        val ((x, y), cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((round.toLong, x, y, cnt))
+        words = words.map { case (s, f) => (mergeWord(s, x, y), f) }
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  property("matches the sequential-greedy reference") = Prop.forAll(genCase) {
+    case (docs, nMerges) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.bpeTrain(df, "doc_id", "text", nMerges)
+        .orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = model(docs, nMerges)
+      Prop(got == want) :| s"got=$got want=$want"
+  }
+}
