@@ -174,6 +174,25 @@ class PlanSpec extends SparkSpec {
     "hashpartitioning\\(cls#\\d+, __salt".r.findAllIn(plan).nonEmpty shouldBe true
   }
 
+  test("x4_dsir_weights: the model rides a broadcast — no token-keyed shuffle join, no window") {
+    val plan = formatted("x4_dsir_weights")
+    // the 256-row λ table must broadcast (contrast lmSurprisal's
+    // per-term join: the DSIR model is B buckets, never |vocab|)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
+  test("x6_ann_gate: keyed bucket join, no cartesian, no window, no stream-side state shape") {
+    val plan = formatted("x6_ann_gate")
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+    // the only nested-loop joins are the two 1-row broadcast centroid
+    // arrays (incoming + corpus assignment)
+    "\\(\\d+\\) BroadcastNestedLoopJoin\\b".r.findAllIn(plan).size shouldBe 2
+  }
+
   test("x2_semdedup: pair work keyed per cluster, centroids broadcast, no window") {
     val plan = formatted("x2_semdedup")
     // the only unkeyed join is the 1-row broadcast of the collapsed
