@@ -2244,6 +2244,59 @@ object Queries {
            |ORDER BY round""".stripMargin
       }),
 
+    // ---- X4: BPE train→apply pipeline — learn 4 merges from the
+    // lowered corpus, then encode that same corpus with base chars +
+    // the learned pieces (greedy longest match). The oracle derives
+    // the vocabulary from the 4-round train replay — b1..b4's merge
+    // products feed the recursive encoder — so the learned pieces are
+    // never interpolated as literals: the full train→apply dataflow is
+    // hash-checked. Driver surface = the 4 learned merges (the same
+    // bounded argmax rows training itself produces). ----
+    ("x4_bpe_pipeline",
+      (s: SparkSession, dir: String) => {
+        val lowered = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val merges = TextOps.bpeTrain(lowered, "doc_id", "text", nMerges = 4)
+          .orderBy("round").collect()
+        val vocab = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
+          merges.map(r => r.getString(1) + r.getString(2)).toSeq
+        TextOps.bpeEncode(lowered, "doc_id", "text", vocab).orderBy(col("doc_id"))
+      },
+      Some {
+        val rounds = (1 to 4).map(bpeTrainRoundSql).mkString(",\n")
+        val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+          .map(c => s"('$c')").mkString(", ")
+        s"""WITH RECURSIVE w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY w),
+           |$rounds,
+           |bv0(v) AS (VALUES $chars),
+           |bv AS (SELECT v FROM bv0
+           |  UNION ALL SELECT a || b FROM b1 UNION ALL SELECT a || b FROM b2
+           |  UNION ALL SELECT a || b FROM b3 UNION ALL SELECT a || b FROM b4),
+           |bws AS (SELECT doc_id, string_split(lower(text), ' ') AS sw FROM documents),
+           |bw AS (SELECT doc_id, wpos, sw[wpos] AS w
+           |       FROM (SELECT doc_id, sw, unnest(generate_series(1, len(sw))) AS wpos FROM bws)
+           |       WHERE sw[wpos] <> ''),
+           |benc AS (
+           |  SELECT doc_id, wpos, w AS rem, CAST([] AS VARCHAR[]) AS toks FROM bw
+           |  UNION ALL
+           |  SELECT doc_id, wpos, substr(rem, 1 + len(tok)), list_append(toks, tok)
+           |  FROM (SELECT doc_id, wpos, rem, toks,
+           |          coalesce((SELECT v FROM bv WHERE starts_with(rem, v) ORDER BY len(v) DESC, v LIMIT 1),
+           |                   substr(rem, 1, 1)) AS tok
+           |        FROM benc WHERE rem <> '')),
+           |bdone AS (SELECT doc_id, wpos, toks FROM benc WHERE rem = ''),
+           |bflat AS (SELECT doc_id, unnest(toks) AS tok FROM bdone),
+           |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |           CAST(sum(CASE WHEN tok NOT IN (SELECT v FROM bv) THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+           |         FROM bflat GROUP BY doc_id),
+           |bstr AS (SELECT doc_id, string_agg(array_to_string(toks, '|'), '|' ORDER BY wpos) AS toks
+           |         FROM bdone GROUP BY doc_id)
+           |SELECT bagg.doc_id, n_tokens, n_unk, toks
+           |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- X4: BPE-apply — greedy longest-match subword encode under a
     // broadcast vocabulary (codegen expression Spark-side; the oracle
     // replays the same maximal-munch rule with a recursive CTE) ----
