@@ -2446,6 +2446,36 @@ object Queries {
              |FROM b JOIN lam USING (bkt) WHERE b.doc_id % 20 <> 0
              |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
 
+    // ---- X4: interpolated bigram-LM surprisal — λ·p(w|prev) +
+    // (1−λ)·p(w), first token unigram-only; per-token −ln p quantized
+    // to integer micro-units before the per-doc sum (order-free,
+    // engine-exact). λ enters as an integer-percent division evaluated
+    // by each engine, never a pre-computed double literal. ----
+    ("x4_bigram_surprisal",
+      (s: SparkSession, dir: String) => {
+        TextOps.bigramSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |tk AS (SELECT doc_id, i, a[i] AS w, CASE WHEN i > 1 THEN a[i - 1] END AS v
+             |       FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM t)),
+             |uni AS (SELECT w, count(*) AS uw FROM tk GROUP BY w),
+             |tot AS (SELECT sum(uw) AS utot FROM uni),
+             |bi AS (SELECT v, w, count(*) AS bvw FROM tk WHERE v IS NOT NULL GROUP BY v, w),
+             |pref AS (SELECT v, sum(bvw) AS bv FROM bi GROUP BY v),
+             |sq AS (SELECT tk.doc_id,
+             |    CAST(round(-ln(CASE WHEN tk.v IS NULL
+             |      THEN CAST(uni.uw AS DOUBLE) / tot.utot
+             |      ELSE (70 / 100.0) * (CAST(bi.bvw AS DOUBLE) / pref.bv) +
+             |           (30 / 100.0) * (CAST(uni.uw AS DOUBLE) / tot.utot) END) * 1000000) AS BIGINT) AS q
+             |  FROM tk JOIN uni USING (w) CROSS JOIN tot
+             |  LEFT JOIN bi ON tk.v = bi.v AND tk.w = bi.w
+             |  LEFT JOIN pref ON tk.v = pref.v)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(q) AS BIGINT) AS sum_surprisal_q,
+             |  CAST(sum(q) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
+             |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X4: rolling-hash document fingerprint ----
     ("x4_fingerprint",
       (s: SparkSession, dir: String) => {

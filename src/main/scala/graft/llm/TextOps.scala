@@ -370,6 +370,57 @@ object TextOps {
         col("sum_surprisal_q").cast("double") / lit(1000000.0) / col("n_tokens"))
   }
 
+  /** X4: interpolated bigram-LM surprisal — the standard step past
+    * [[lmSurprisal]]'s unigram model for perplexity-style quality
+    * filtering: per token, `p = λ·p(w|prev) + (1−λ)·p(w)` with
+    * maximum-likelihood corpus estimates (`p(w|prev) =
+    * c(prev,w) / Σ_u c(prev,u)`), the document's first token scored
+    * by its unigram alone. Same float discipline as [[lmSurprisal]]:
+    * each token's −ln p is quantized to integer micro-units before the
+    * per-doc sum, so the aggregate is order-free and engine-exact.
+    *
+    * Plan shape: the (token, prev) pairing is in-row array arithmetic
+    * (shift-and-zip — NO per-document window, no extra shuffle); model
+    * lookups are the same token-keyed aggregations/joins the unigram
+    * op uses, all linear.
+    *
+    * @param lambdaPct interpolation weight λ for the bigram term, in
+    *   integer percent (engine-exact literal; default 70)
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      lambdaPct: Int = 70): DataFrame = {
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0, 100]")
+    val a = split(col(textCol), " ")
+    // prev[i] = toks[i-1]; the first slot is NULL (document start)
+    val prevArr = concat(array(lit(null).cast("string")), slice(a, lit(1), size(a) - 1))
+    val toks = docs
+      .select(col(idCol), explode(arrays_zip(a.as("w"), prevArr.as("v"))).as("p"))
+      .select(col(idCol), col("p.w").as("w"), col("p.v").as("v"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("__uw"))
+    val total = uni.agg(sum(col("__uw")).as("__utot"))
+    val bi = toks.filter(col("v").isNotNull)
+      .groupBy("v", "w").agg(count(lit(1)).as("__bvw"))
+    val pref = bi.groupBy("v").agg(sum(col("__bvw")).as("__bv"))
+    toks
+      .join(uni, "w")
+      .join(broadcast(total))
+      .join(bi, Seq("v", "w"), "left")
+      .join(pref, Seq("v"), "left")
+      // λ as an integer-percent division evaluated by the engine:
+      // interpolating a Scala double literal (e.g. 1.0 − 0.7 =
+      // 0.30000000000000004) could diverge from the oracle's literal
+      .withColumn("__q", expr(
+        s"""CAST(round(-ln(CASE WHEN v IS NULL
+           |  THEN CAST(__uw AS DOUBLE) / __utot
+           |  ELSE ($lambdaPct / 100.0) * (CAST(__bvw AS DOUBLE) / __bv) +
+           |       (${100 - lambdaPct} / 100.0) * (CAST(__uw AS DOUBLE) / __utot) END) * 1000000) AS BIGINT)"""
+          .stripMargin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("sum_surprisal_q"))
+      .withColumn("avg_surprisal",
+        col("sum_surprisal_q").cast("double") / lit(1000000.0) / col("n_tokens"))
+  }
+
   /** X4 (DSIR shape — Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): per-document importance
     * weights `log(p_target(x) / p_source(x))` under hashed

@@ -367,6 +367,30 @@ class TextOpsSpec extends SparkSpec {
     got shouldBe Array(("b", "a"), ("d", "c")) // both count 2: (b,a) < (d,c)
   }
 
+  test("bigramSurprisal interpolates bigram and unigram exactly; first token is unigram-only") {
+    // corpus "a b a": uni a:2 b:1 (total 3); bi (a,b):1 (b,a):1,
+    // prefix totals a:1 b:1 — every probability hand-derivable
+    val docs = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bigramSurprisal(docs, "doc_id", "text").head()
+    def q(p: Double) = math.round(-math.log(p) * 1e6)
+    val want = q(2.0 / 3) +                    // 'a' at doc start: unigram only
+      q(0.7 * (1.0 / 1) + 0.3 * (1.0 / 3)) +  // 'b' | 'a'
+      q(0.7 * (1.0 / 1) + 0.3 * (2.0 / 3))    // 'a' | 'b'
+    got.getLong(1) shouldBe 3L
+    got.getLong(2) shouldBe want
+  }
+
+  test("bigramSurprisal: predictable bigrams score below the unigram model") {
+    // "a b" repeated: bigram (a,b) is deterministic, unigram p = 1/2
+    val docs = Seq((0L, ("a b " * 20).trim), (1L, ("b a " * 20).trim))
+      .toDF("doc_id", "text")
+    val bi = graft.llm.TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .agg(avg(col("avg_surprisal"))).head().getDouble(0)
+    val uni = graft.llm.TextOps.lmSurprisal(docs, "doc_id", "text")
+      .agg(avg(col("avg_surprisal"))).head().getDouble(0)
+    bi should be < uni
+  }
+
   test("dsirWeights is deterministic and independent of row order") {
     val docs = Seq(
       (0L, "a b c"), (1L, "c d e"), (2L, "a a a"), (3L, "e f g"))
