@@ -129,6 +129,23 @@ object Probe {
         val hit = got.intersect(basePairs).count()
         println(s"neardup ivf K=$k nProbe=$np: $hit/$nBase pairs")
       }
+
+      // 6) SemDeDup pair coverage: fraction of the true cosine>=0.45
+      // pairs co-located in one k-means cell (the drop rule only sees
+      // intra-cluster pairs — the paper's known recall limit of
+      // cluster-scoped dedup), plus the resulting drop rate
+      for (k <- Seq(16, 64)) {
+        val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding", k, 2)
+        val sd = SimilarityOps.semDedup(emb, "vec_id", "embedding", 9, 20, cents)
+        val asg = sd.select(col("vec_id"), col("centroid_id"))
+        val co = basePairs
+          .join(asg.toDF("id_a", "ca"), "id_a")
+          .join(asg.toDF("id_b", "cb"), "id_b")
+          .filter(col("ca") === col("cb")).count()
+        val dropped = sd.filter(!col("kept")).count()
+        println(f"semdedup K=$k: pairCoverage $co/$nBase = " +
+          f"${co.toDouble / math.max(nBase, 1)}%.4f dropped=$dropped/${sd.count()}")
+      }
     }
     spark.stop()
   }

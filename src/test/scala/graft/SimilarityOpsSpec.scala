@@ -389,6 +389,21 @@ class SimilarityOpsSpec extends SparkSpec {
     got.filter(!_._2).keySet shouldBe Set(0L, 1L, 2L, 7L)
   }
 
+  test("ivfNearDupGate at full probe equals the threshold-filtered brute-force pairs") {
+    val incoming = semCorpus.filter(col("vec_id") >= 4)
+    val corpus = semCorpus.filter(col("vec_id") < 4)
+    val gate = SimilarityOps.ivfNearDupGate(incoming, corpus, "vec_id", "embedding",
+        num = 9, den = 20, centroids = semCents, nProbe = 2) // 2 = all centroids
+      .select("query_id", "neighbor_id")
+    val brute = SimilarityOps.bruteForceTopK(incoming, corpus,
+        "vec_id", "embedding", 100)
+      .filter(col("cosine") >= 0.45)
+      .select("query_id", "neighbor_id")
+    gate.exceptAll(brute).count() shouldBe 0L
+    brute.exceptAll(gate).count() shouldBe 0L
+    gate.count() should be > 0L // non-vacuous: the fixture has real hits
+  }
+
   test("semDedup is deterministic") {
     def run() = SimilarityOps.semDedup(semCorpus, "vec_id", "embedding",
       num = 9, den = 20, centroids = semCents)
