@@ -1018,6 +1018,34 @@ object Queries {
              |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < rate * 1000000
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: 2-D domain mixture — the SAME op on a composite
+    // (lang × source) cell via a concat key; per-cell shares over a
+    // char budget. Pins that mixtures generalize beyond one grouping
+    // dimension without any operator change. ----
+    ("x4_domain_mix_2d",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleToMixture(
+            Tables.load(s, dir, "documents")
+              .select(col("doc_id"), col("n_chars"),
+                concat_ws("|", col("lang"), col("source")).as("cell")),
+            groupCol = "cell", weightCol = "n_chars", keyCol = "doc_id",
+            budget = 60000L,
+            fractions = Map("en|src0" -> 0.3, "en|src1" -> 0.1, "de|src0" -> 0.2),
+            default = 0.05,
+            hash = k => DedupOps.md5TokenHash(k.cast("string")))
+          .select("doc_id", "cell", "n_chars")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d0 AS (SELECT doc_id, n_chars, lang || '|' || source AS cell FROM documents),
+             |s AS (SELECT cell, CAST(sum(n_chars) AS DOUBLE) AS wsum FROM d0 GROUP BY cell),
+             |r AS (SELECT d.doc_id, d.cell, d.n_chars,
+             |        least(1.0, (CASE d.cell WHEN 'en|src0' THEN 0.3 WHEN 'en|src1' THEN 0.1
+             |                    WHEN 'de|src0' THEN 0.2 ELSE 0.05 END) * CAST(60000 AS DOUBLE) / s.wsum) AS rate
+             |      FROM d0 d JOIN s USING (cell))
+             |SELECT doc_id, cell, n_chars FROM r
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < rate * 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- X1/X6: exact dedup on the event stream's batch twin —
     // first arrival (lowest event_id) per (user_id, event_type); the
     // streaming variant is StreamOps.dedupStream
