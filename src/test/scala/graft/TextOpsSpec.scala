@@ -360,6 +360,25 @@ class TextOpsSpec extends SparkSpec {
     got.length shouldBe 3
   }
 
+  test("bpeTrain edge cases: single-char-word corpus learns nothing; single word trains fine") {
+    // every word is one symbol: no pairs exist, zero merges
+    val singles = Seq((0L, "a b c a b")).toDF("doc_id", "text")
+    graft.llm.TextOps.bpeTrain(singles, "doc_id", "text", nMerges = 3)
+      .count() shouldBe 0L
+    // one multi-char word: merges walk the word bottom-up
+    val one = Seq((0L, "abab")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bpeTrain(one, "doc_id", "text", nMerges = 2)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs: (a,b)=2, (b,a)=1 → merge (a,b); then (ab,ab)=1
+    got shouldBe Array(("a", "b", 2L), ("ab", "ab", 1L))
+  }
+
+  test("dsirWeights with an empty selection pool returns no rows") {
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    graft.llm.TextOps.dsirWeights(docs, "doc_id", "text",
+      isTarget = lit(true), nBuckets = 16).count() shouldBe 0L
+  }
+
   test("bpeTrain breaks count ties lexicographically") {
     val docs = Seq((0L, "dc dc ba ba")).toDF("doc_id", "text")
     val got = graft.llm.TextOps.bpeTrain(docs, "doc_id", "text", nMerges = 2)
