@@ -1855,7 +1855,7 @@ object Queries {
              |        CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot
              |      FROM a x JOIN a y USING (centroid_id) WHERE x.vec_id <> y.vec_id),
              |dropped AS (SELECT DISTINCT vec_id FROM e
-             |  WHERE dot >= 0 AND dot * dot * 400 >= xn2 * yn2 * 81
+             |  WHERE xn2 > 0 AND yn2 > 0 AND dot >= 0 AND dot * dot * 400 >= xn2 * yn2 * 81
              |    AND ((ycd < 0 AND xcd >= 0)
              |      OR (xcd >= 0 AND ycd >= 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 < CAST(xcd AS HUGEINT) * xcd * yn2)
              |      OR (xcd < 0 AND ycd < 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 > CAST(xcd AS HUGEINT) * xcd * yn2)
@@ -2866,7 +2866,7 @@ object Queries {
              |        pr.n2 AS na, corp.n2 AS nb
              |      FROM pr JOIN corp USING (centroid_id) WHERE pr.vec_id <> corp.vec_id)
              |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
-             |FROM e WHERE dot >= 0 AND dot * dot * 400 >= na * nb * 49
+             |FROM e WHERE na > 0 AND nb > 0 AND dot >= 0 AND dot * dot * 400 >= na * nb * 49
              |ORDER BY query_id, neighbor_id""".stripMargin))
   )
 

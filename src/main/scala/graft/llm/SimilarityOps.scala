@@ -327,7 +327,12 @@ object SimilarityOps {
     val sameS = (aNeg === bNeg) && (wa === wb)
     val precedes = bStrictlyBefore || (sameS && col("id_b") < col("id_a"))
 
-    val dup = col("__dot") >= 0 &&
+    // Zero-norm guard: a vector that quantizes to all zeros has
+    // n2 = 0, which would make the squared-cosine inequality
+    // vacuously true (0 >= 0) against EVERY cluster member at any
+    // threshold. Cosine is undefined for a zero vector, so such rows
+    // are never duplicates of anything — they are always kept.
+    val dup = col("__na") > 0 && col("__nb") > 0 && col("__dot") >= 0 &&
       col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num)
 
     val dropped = a.join(b, Seq("centroid_id"))
@@ -371,7 +376,10 @@ object SimilarityOps {
     probes.join(bucketed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__dot", VectorFunctions.longDot(col("__qa"), col("__qb")))
-      .filter(col("__dot") >= 0 &&
+      // Zero-norm guard (mirrors semDedup): n2 = 0 would satisfy the
+      // inequality vacuously AND emit a NaN cosine (0/sqrt(0)); a
+      // zero-quantized vector matches nothing, silently.
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("__dot") >= 0 &&
         col("__dot") * col("__dot") * lit(den * den) >= col("__na") * col("__nb") * lit(num * num))
       .select(col("query_id"), col("neighbor_id"),
         quantizedCosine(col("__dot"), col("__na"), col("__nb")).as("cosine"))

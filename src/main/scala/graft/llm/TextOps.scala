@@ -553,14 +553,20 @@ object TextOps {
             row_number().over(Window.partitionBy(col("w"), col("isl")).orderBy(col("i"))))
           .withColumn("ms", col("cand") && col("rn_isl") % 2 === 1)
           .withColumn("dropped", lag(col("ms"), 1, false).over(byW))
-        words = pos.filter(!col("dropped"))
+        val next = pos.filter(!col("dropped"))
           .withColumn("out", when(col("ms"), lit(x + y)).otherwise(col("s")))
           .groupBy("w", "freq")
           .agg(expr("transform(array_sort(collect_list(struct(i, out))), p -> p.out)").as("syms"))
           .localCheckpoint() // bounded plan per round
+        // localCheckpoint is eager, so `next` is materialized — the
+        // previous round's cached blocks are now dead; release them or
+        // retained checkpoints grow linearly in nMerges
+        words.unpersist()
+        words = next
         round += 1
       }
     }
+    words.unpersist() // last round's table: merges are already driver-side
     import spark.implicits._
     merges.toSeq.toDF("round", "left", "right", "pair_freq")
       .select(col("round").cast("long"), col("left"), col("right"), col("pair_freq"))

@@ -36,7 +36,9 @@ object ScaleUp {
   private def replicate(df: DataFrame, n: Int, spark: SparkSession,
                         keys: Seq[String]): DataFrame = {
     val offsets = keys.map { k =>
-      k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+      // getAs[Number]: key columns are long in current testdata but an
+      // int-typed key must not throw here
+      k -> (df.agg(max(col(k))).head().getAs[Number](0).longValue() + 1L)
     }
     val crossed = df.crossJoin(broadcast(copies(spark, n)))
     offsets.foldLeft(crossed) { case (d, (k, off)) =>
@@ -75,7 +77,9 @@ object ScaleUp {
 
     save(replicate(load("lineitem"), n, spark, Seq("l_orderkey")), "lineitem")
     save(replicate(load("orders"), n, spark, Seq("o_orderkey")), "orders")
-    save(replicate(load("events"), n, spark, Seq("user_id")), "events")
+    // event_id offsets alongside user_id so events stay globally
+    // unique by event_id across copies
+    save(replicate(load("events"), n, spark, Seq("user_id", "event_id")), "events")
 
     // small dims pass through unscaled
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))

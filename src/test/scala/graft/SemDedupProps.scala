@@ -33,7 +33,11 @@ object SemDedupProps extends Properties("semDedup") {
     nVecs <- Gen.choose(4, 10)
     nCent <- Gen.choose(2, 3)
     ids   <- Gen.pick(nVecs, 0L until 30L)
-    vecs  <- Gen.listOfN(nVecs, Gen.listOfN(3, Gen.oneOf(comps)).map(_.toSeq))
+    // 1-in-5 vectors are all-zero so the zero-norm guard (never a
+    // duplicate, always kept) is exercised routinely, not by luck
+    vecs  <- Gen.listOfN(nVecs, Gen.frequency(
+               4 -> Gen.listOfN(3, Gen.oneOf(comps)).map(_.toSeq),
+               1 -> Gen.const(Seq(0.0f, 0.0f, 0.0f))))
     nd    <- Gen.oneOf((9L, 10L), (9L, 20L), (1L, 2L))
   } yield (ids.toList.zip(vecs), nCent, nd._1, nd._2)
 
@@ -62,9 +66,12 @@ object SemDedupProps extends Properties("semDedup") {
     }.toMap
     val cdot = docs.map { case (id, _) => id -> dot(qv(id), qv(assign(id))) }.toMap
 
+    // zero-norm guard mirrors the operator: a zero-quantized vector is
+    // never a duplicate of anything (cosine undefined), always kept
     def isDup(a: Long, b: Long): Boolean = {
       val d = dot(qv(a), qv(b))
-      d >= 0 && BigInt(d) * d * den * den >= BigInt(n2(a)) * n2(b) * num * num
+      n2(a) > 0 && n2(b) > 0 &&
+        d >= 0 && BigInt(d) * d * den * den >= BigInt(n2(a)) * n2(b) * num * num
     }
     // b precedes a: s_cent(b) < s_cent(a) via sign split + cross square
     def precedes(b: Long, a: Long): Boolean = {
