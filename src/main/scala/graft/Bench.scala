@@ -9,11 +9,19 @@ import org.apache.spark.sql.SparkSession
   * count() lets Catalyst prune every projection, which would time the
   * scan instead of the query.
   *
-  * Before timing, every query runs once at sf0.001: one cold pass
-  * compiles all whole-stage-codegen classes and JITs the hot loops, so
-  * the timed numbers measure the query, not JVM warmup (first-run
-  * penalty is ~5s/query otherwise). A GC between queries keeps one
-  * query's garbage from being charged to the next.
+  * Before its timed reps, every query runs ONE untimed pass at the
+  * SAME sfDir. Warming at a smaller scale is not enough: AQE and the
+  * broadcast threshold pick different physical plans at different
+  * scales, so the generated whole-stage-codegen classes differ and the
+  * first timed run at sfDir still paid plan-compile + javac + JIT —
+  * ~6.5 s on the largest plan in the suite (x4_curation_pipeline_v2,
+  * the round-6 driver-bench outlier: 13.7 s first-run vs 3.5 s steady
+  * state). Warming at the target dir pre-registers exactly the classes
+  * the timed run needs, so the numbers measure the query, not the JVM.
+  * A GC between runs keeps one query's garbage from being charged to
+  * the next.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=name,name restricts the suite (dev loops).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,21 +34,23 @@ object Bench {
         cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val warmDir = "/root/testdata/sf0.001"
-    // warmup failures are reported too: a query that can't even warm up
-    // would otherwise show up only as a suspiciously fast timed run
-    names.foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"BENCH WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-      }
-    }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // shared ANN index construction happens once, outside the timed
     // windows (Queries.prepareIndexes scaladoc has the rationale)
     try Queries.prepareIndexes(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"BENCH INDEX PREP FAILED: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    // warmup failures are reported too: a query that can't even warm up
+    // would otherwise show up only as a suspiciously fast timed run
+    names.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
     // (name, seconds, error) — error None on success; a failed query's
     // time is still recorded but flagged ok:false so a crash can never
