@@ -13,18 +13,18 @@ import org.apache.spark.sql.DataFrame
   * round-trips [[SimilarityOps.ivfCentroids]] output
   * (`centroid_id, __centq, __centn2`) through parquet at `indexPath`
   * with a `_graft_meta.json` sidecar recording the build parameters
-  * and the corpus row count (the `_`-prefixed name keeps it invisible
-  * to parquet data discovery). [[loadOrBuild]] reuses the stored index
-  * only when the parameters match and the corpus count is unchanged;
-  * anything else — missing index, parameter change, corpus drift, or
-  * an explicit `rebuild = true` — rebuilds and overwrites.
+  * and a corpus drift signature (the `_`-prefixed name keeps it
+  * invisible to parquet data discovery). [[loadOrBuild]] reuses the
+  * stored index only when the parameters match and the signature is
+  * unchanged; anything else — missing index, parameter change, corpus
+  * drift, or an explicit `rebuild = true` — rebuilds and overwrites.
   *
   * All file I/O goes through the Hadoop FileSystem API, so
   * `indexPath` can be local, HDFS, or object storage.
   */
 object IvfIndex {
 
-  final case class Meta(nCentroids: Int, kmeansIters: Int, corpusCount: Long)
+  final case class Meta(nCentroids: Int, kmeansIters: Int, corpusSig: String)
 
   private def metaPath(indexPath: String) = new Path(indexPath, "_graft_meta.json")
 
@@ -32,10 +32,10 @@ object IvfIndex {
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
 
   private def renderMeta(m: Meta): String =
-    s"""{"nCentroids":${m.nCentroids},"kmeansIters":${m.kmeansIters},"corpusCount":${m.corpusCount}}"""
+    s"""{"nCentroids":${m.nCentroids},"kmeansIters":${m.kmeansIters},"corpus":"${m.corpusSig}"}"""
 
   private val MetaRe =
-    """\{"nCentroids":(\d+),"kmeansIters":(\d+),"corpusCount":(\d+)\}""".r
+    """\{"nCentroids":(\d+),"kmeansIters":(\d+),"corpus":"([^"]*)"\}""".r
 
   /** The stored index's metadata, if a readable sidecar exists. */
   def readMeta(corpus: DataFrame, indexPath: String): Option[Meta] = {
@@ -47,7 +47,7 @@ object IvfIndex {
       val raw = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       raw.trim match {
-        case MetaRe(n, it, cnt) => Some(Meta(n.toInt, it.toInt, cnt.toLong))
+        case MetaRe(n, it, sig) => Some(Meta(n.toInt, it.toInt, sig))
         case _ => None
       }
     }
@@ -59,18 +59,18 @@ object IvfIndex {
     * the same persisted artifact.
     *
     * Staleness rule: stored (nCentroids, kmeansIters) must equal the
-    * requested ones and the stored corpus row count must equal the
-    * current one. Row count is a deliberately cheap drift detector
-    * (parquet metadata scan) — an append or delete triggers a rebuild,
-    * an in-place row edit does not; callers that mutate in place
-    * should pass `rebuild = true`.
+    * requested ones and the stored corpus signature must equal the
+    * current one ([[IndexStore.corpusSignature]]: input-file metadata
+    * for file-backed corpora — zero Spark jobs on a warm load — row
+    * count otherwise). Appends, deletes, and overwrites trigger a
+    * rebuild; an in-place mutation invisible to both detectors
+    * requires `rebuild = true`.
     */
   def loadOrBuild(corpus: DataFrame, idCol: String, vecCol: String,
                   nCentroids: Int, kmeansIters: Int, indexPath: String,
                   rebuild: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
-    val count = corpus.count()
-    val fresh = Meta(nCentroids, kmeansIters, count)
+    val fresh = Meta(nCentroids, kmeansIters, IndexStore.corpusSignature(corpus))
     val reuse = !rebuild && readMeta(corpus, indexPath).contains(fresh)
     if (!reuse) {
       SimilarityOps.ivfCentroids(corpus, idCol, vecCol, nCentroids, kmeansIters)

@@ -48,8 +48,40 @@ private[llm] object IndexStore {
       throw new java.io.IOException(s"IndexStore: failed to commit sidecar $p")
   }
 
-  private def render(params: String, corpusCount: Long): String =
-    s"""{"params":${quote(params)},"corpusCount":$corpusCount}"""
+  private def render(params: String, corpusSig: String): String =
+    s"""{"params":${quote(params)},"corpus":${quote(corpusSig)}}"""
+
+  /** Cheap corpus-drift signature, NO Spark job on the production
+    * path. A file-backed corpus (parquet et al.) hashes its input file
+    * statuses — (path, length, mtime) per file, fetched with one
+    * `listStatus` per parent directory — pure filesystem metadata, so
+    * a warm index load never scans the corpus (at 100 TB a per-call
+    * `count()` is a full scan for non-parquet sources). Appends,
+    * deletes, and overwrites all change the file set or mtimes and
+    * trigger a rebuild. A non-file-backed corpus (in-memory test
+    * frames) falls back to a row count; in-place mutations invisible
+    * to both detectors require `rebuild = true`, as documented on the
+    * callers.
+    */
+  private[llm] def corpusSignature(corpus: DataFrame): String = {
+    val files = corpus.inputFiles
+    if (files.isEmpty) s"count:${corpus.count()}"
+    else {
+      val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.map(new Path(_)).groupBy(_.getParent).toSeq
+        .flatMap { case (parent, ps) =>
+          val fs = parent.getFileSystem(conf)
+          val names = ps.map(_.getName).toSet
+          fs.listStatus(parent)
+            .filter(st => names.contains(st.getPath.getName))
+            .map(st => s"$parent/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        }
+        .sorted
+        .foreach(e => md.update(e.getBytes(StandardCharsets.UTF_8)))
+      s"files:${files.length}:" + md.digest().map("%02x".format(_)).mkString
+    }
+  }
 
   private def quote(s: String): String =
     "\"" + s.flatMap {
@@ -72,19 +104,19 @@ private[llm] object IndexStore {
   }
 
   /** Load the persisted index at `indexPath`, or (re)build via
-    * `build` when absent, stale (params or corpus count changed), or
-    * forced. Returns the index read back from parquet, so every
+    * `build` when absent, stale (params or corpus signature changed),
+    * or forced. Returns the index read back from parquet, so every
     * caller runs against the same persisted artifact.
     *
-    * Corpus row count is a deliberately cheap drift detector (parquet
-    * metadata scan): appends/deletes trigger a rebuild, in-place row
-    * edits do not — callers that mutate in place pass
-    * `rebuild = true`.
+    * Drift detection is [[corpusSignature]]: file metadata for
+    * file-backed corpora (zero Spark jobs on a warm load), row count
+    * otherwise. In-place mutations invisible to both detectors
+    * require `rebuild = true`.
     */
   def loadOrBuild(corpus: DataFrame, params: String, indexPath: String,
                   rebuild: Boolean)(build: => DataFrame): DataFrame = {
     val spark = corpus.sparkSession
-    val fresh = render(params, corpus.count())
+    val fresh = render(params, corpusSignature(corpus))
     val reuse = !rebuild && readMetaRaw(corpus, indexPath).contains(fresh)
     if (!reuse) {
       build.write.mode("overwrite").parquet(indexPath)

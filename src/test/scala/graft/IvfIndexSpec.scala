@@ -36,7 +36,8 @@ class IvfIndexSpec extends SparkSpec {
       df.select(col("centroid_id"), col("__centq"), col("__centn2"))
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
     key(loaded) shouldBe key(direct)
-    IvfIndex.readMeta(c, dir) shouldBe Some(IvfIndex.Meta(4, 1, 40L))
+    // in-memory corpus (no input files): signature falls back to count
+    IvfIndex.readMeta(c, dir) shouldBe Some(IvfIndex.Meta(4, 1, "count:40"))
   }
 
   test("unchanged corpus and params reuse the stored index; drift or force rebuilds") {
@@ -60,10 +61,32 @@ class IvfIndexSpec extends SparkSpec {
     Thread.sleep(5)
     IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 4, 1, dir).count()
     partMTimes(dir) should not be forced
-    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(4, 1, 41L))
+    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(4, 1, "count:41"))
 
     // parameter change rebuilds under its own meta
     IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, 1, dir).count()
-    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(8, 1, 41L))
+    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(8, 1, "count:41"))
+  }
+
+  test("file-backed corpus: metadata signature on warm load; file drift still rebuilds") {
+    val base = Files.createTempDirectory("ivf-index-spec")
+    val corpusDir = base.resolve("corpus").toString
+    val dir = base.resolve("idx").toString
+    corpus(40).write.parquet(corpusDir)
+    IvfIndex.loadOrBuild(spark.read.parquet(corpusDir), "vec_id", "embedding", 4, 1, dir).count()
+    val built = partMTimes(dir)
+    // production path: signature is file metadata, never a count scan
+    // (CorpusSignatureSpec pins the zero-jobs claim on the check itself)
+    IvfIndex.readMeta(spark.read.parquet(corpusDir), dir).get.corpusSig should startWith("files:")
+
+    // warm load: same files, same signature — stored index reused
+    IvfIndex.loadOrBuild(spark.read.parquet(corpusDir), "vec_id", "embedding", 4, 1, dir)
+    partMTimes(dir) shouldBe built
+
+    // appending a file changes the signature and triggers a rebuild
+    Thread.sleep(5)
+    corpus(1).write.mode("append").parquet(corpusDir)
+    IvfIndex.loadOrBuild(spark.read.parquet(corpusDir), "vec_id", "embedding", 4, 1, dir).count()
+    partMTimes(dir) should not be built
   }
 }

@@ -1,0 +1,51 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins VERDICT r6 item 5: the index staleness check never scans the
+  * corpus. [[IndexStore.corpusSignature]] on a file-backed DataFrame
+  * is pure filesystem metadata — ZERO Spark jobs — so a warm
+  * IVF/PQ index load costs a listStatus, not a count() (a full scan
+  * on a 100 TB non-parquet source). In-memory frames keep the count
+  * fallback, and the signature moves when files are appended.
+  */
+class CorpusSignatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (0 until n).map(i => (i.toLong, Seq.tabulate(4)(j => (i * 4 + j).toFloat / 10)))
+      .toDF("vec_id", "embedding")
+
+  test("file-backed signature launches zero Spark jobs and changes on append") {
+    val dir = Files.createTempDirectory("corpus-sig-spec").resolve("c").toString
+    corpus(20).write.parquet(dir)
+    val df = spark.read.parquet(dir) // schema inference outside the window
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val sig = try {
+      val s = IndexStore.corpusSignature(df)
+      // listener events post asynchronously; bounded drain so a late
+      // job event cannot sneak past the assertion
+      var waited = 0
+      while (jobs == 0 && waited < 1000) { Thread.sleep(50); waited += 50 }
+      s
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs shouldBe 0
+    sig should startWith("files:")
+
+    // append → file set changes → signature changes (drift detected)
+    corpus(1).write.mode("append").parquet(dir)
+    IndexStore.corpusSignature(spark.read.parquet(dir)) should not be sig
+  }
+
+  test("non-file-backed frames fall back to a row count") {
+    IndexStore.corpusSignature(corpus(7)) shouldBe "count:7"
+  }
+}
