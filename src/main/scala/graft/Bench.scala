@@ -1,5 +1,10 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round throughput benchmark: runs every SparkEntry query against
@@ -22,8 +27,48 @@ import org.apache.spark.sql.SparkSession
   * the next.
   *
   * SPARK_GRAFT_BENCH_ONLY=name,name restricts the suite (dev loops).
+  * Tokens are trimmed; names matching no registered query are warned
+  * about loudly instead of silently shrinking the suite.
+  *
+  * Outlier forensics: the per-round driver artifact twice flagged one
+  * query ~4× its steady-state cost while local repros show no outlier
+  * — so each query's JSON row now carries the evidence needed to
+  * attribute a spike without a repro: wall-clock start offset, GC-time
+  * delta, peak heap, stage retries and failed tasks during the
+  * measured rep. A genuine GC/compaction stall, a stage retry, or a
+  * scheduling gap each leave a distinct signature in those fields.
   */
 object Bench {
+
+  /** Suite-wide counters for stage retries / task failures; snapshotted
+    * around each timed rep so spikes attribute to a specific query.
+    */
+  private final class Forensics extends SparkListener {
+    val stageRetries = new java.util.concurrent.atomic.AtomicLong
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+      if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
+  }
+
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+
+  private def resetHeapPeaks(): Unit =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .foreach(_.resetPeakUsage())
+
+  private def heapPeakMb(): Long =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+
+  /** One timed rep's measurements (seconds + attribution fields). */
+  private final case class Rep(sec: Double, err: Option[String], startMs: Long,
+                               gcMs: Long, heapPeakMb: Long,
+                               stageRetries: Long, failedTasks: Long)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,9 +80,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"BENCH WARNING: SPARK_GRAFT_BENCH_ONLY names match no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val forensics = new Forensics
+    spark.sparkContext.addSparkListener(forensics)
+    val suiteStartMs = System.currentTimeMillis()
     // shared ANN index construction happens once, outside the timed
     // windows (Queries.prepareIndexes scaladoc has the rationale)
     try Queries.prepareIndexes(spark, sfDir)
@@ -63,6 +117,11 @@ object Bench {
     val results = names.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         System.gc()
+        resetHeapPeaks()
+        val gc0 = gcMillis()
+        val retries0 = forensics.stageRetries.get()
+        val failed0 = forensics.failedTasks.get()
+        val startMs = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -70,10 +129,15 @@ object Bench {
             System.err.println(s"BENCH FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
             Some(e.getClass.getName)
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        Rep((System.nanoTime() - t0) / 1e9, err, startMs,
+          gcMillis() - gc0, heapPeakMb(),
+          forensics.stageRetries.get() - retries0,
+          forensics.failedTasks.get() - failed0)
       }
-      val median = runs.map(_._1).sorted.apply((runs.length - 1) / 2)
-      (name, median, runs.flatMap(_._2).headOption)
+      // report the rep whose time IS the reported median, so the
+      // attribution fields describe the measurement, not a sibling run
+      val medianRep = runs.sortBy(_.sec).apply((runs.length - 1) / 2)
+      (name, medianRep.sec, runs.flatMap(_.err).headOption, medianRep)
     }
     // Unmeasured-cost guard: loudly flag any query whose time exceeds
     // 10x the per-query median across the suite. x5_phash_neardup
@@ -83,21 +147,36 @@ object Bench {
     // JSON so the round artifact carries the warning.
     val sortedTimes = results.map(_._2).sorted
     val medianQ = if (sortedTimes.isEmpty) 0.0 else sortedTimes((sortedTimes.length - 1) / 2)
-    val outliers = results.filter { case (_, v, _) => medianQ > 0 && v > 10 * medianQ }
-    outliers.foreach { case (k, v, _) =>
-      System.err.println(f"BENCH OUTLIER $k: $v%.2f s > 10x suite median ($medianQ%.3f s)")
+    val outliers = results.filter { case (_, v, _, _) => medianQ > 0 && v > 10 * medianQ }
+    outliers.foreach { case (k, v, _, m) =>
+      System.err.println(
+        f"BENCH OUTLIER $k: $v%.2f s > 10x suite median ($medianQ%.3f s) " +
+          f"[start +${(m.startMs - suiteStartMs) / 1000.0}%.1f s, gc ${m.gcMs} ms, " +
+          f"heap peak ${m.heapPeakMb} MB, stage retries ${m.stageRetries}, failed tasks ${m.failedTasks}]")
     }
-    val outJson = outliers.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val outJson = outliers.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, e) => "\"" + k + "\":" + e.isEmpty }
+    val oks = results.map { case (k, _, e, _) => "\"" + k + "\":" + e.isEmpty }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // per-query attribution record for the median rep: wall-clock start
+    // offset within the suite (sec), GC-time delta (ms), peak heap (MB),
+    // stage retries and failed tasks — enough to tell a GC stall from a
+    // stage retry from an external scheduling gap after the fact
+    val meta = results.map { case (k, _, _, m) =>
+      "\"" + k + "\":{" +
+        "\"start_s\":" + ((m.startMs - suiteStartMs) / 1000.0) +
+        ",\"gc_ms\":" + m.gcMs +
+        ",\"heap_peak_mb\":" + m.heapPeakMb +
+        ",\"stage_retries\":" + m.stageRetries +
+        ",\"failed_tasks\":" + m.failedTasks + "}"
+    }.mkString("{", ",", "}")
     val failed = results.count(_._3.nonEmpty)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"failed":$failed,"outliers":$outJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"errors":$errs,"failed":$failed,"outliers":$outJson,"meta":$meta,"reps":$reps,"suite_start_ms":$suiteStartMs,"sf":"$sfDir"}""")
     spark.stop()
     // exit 0 even on query failures: the JSON's ok/errors/failed fields
     // are the failure channel — a nonzero exit could make a harness

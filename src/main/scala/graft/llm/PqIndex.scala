@@ -57,15 +57,38 @@ private[llm] object IndexStore {
     * `listStatus` per parent directory — pure filesystem metadata, so
     * a warm index load never scans the corpus (at 100 TB a per-call
     * `count()` is a full scan for non-parquet sources). Appends,
-    * deletes, and overwrites all change the file set or mtimes and
-    * trigger a rebuild. A non-file-backed corpus (in-memory test
-    * frames) falls back to a row count; in-place mutations invisible
-    * to both detectors require `rebuild = true`, as documented on the
-    * callers.
+    * deletes, and overwrites change the file set, lengths, or mtimes
+    * and trigger a rebuild — up to the store's mtime resolution: an
+    * in-place same-length overwrite within one mtime tick (1 s on some
+    * local filesystems; coarser or rename-preserving on some object
+    * stores) is undetected, as is any mutation that preserves all
+    * three fields — callers needing content-level drift detection must
+    * pass `rebuild = true` (or version their corpus paths, the usual
+    * immutable-data-lake discipline).
+    *
+    * The signature covers the QUERY as well as the files: a corpus
+    * that is a transformation over file scans (filter / projection /
+    * union — anything beyond a bare, possibly aliased, relation) mixes
+    * the canonicalized logical plan into the hash, so changing the
+    * corpus-defining query invalidates the index even when the
+    * underlying files did not move. Bare scans omit the plan term
+    * (their identity IS the file set), keeping the signature stable
+    * across sessions for the common corpus-as-table case.
+    *
+    * A non-file-backed corpus (in-memory test frames) falls back to a
+    * row count plus the plan hash.
     */
   private[llm] def corpusSignature(corpus: DataFrame): String = {
     val files = corpus.inputFiles
-    if (files.isEmpty) s"count:${corpus.count()}"
+    val planTerm =
+      if (isBareScan(corpus.queryExecution.analyzed)) ""
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(corpus.queryExecution.analyzed.canonicalized.toString()
+          .getBytes(StandardCharsets.UTF_8))
+        ":plan:" + md.digest().map("%02x".format(_)).mkString
+      }
+    if (files.isEmpty) s"count:${corpus.count()}$planTerm"
     else {
       val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -79,9 +102,22 @@ private[llm] object IndexStore {
         }
         .sorted
         .foreach(e => md.update(e.getBytes(StandardCharsets.UTF_8)))
-      s"files:${files.length}:" + md.digest().map("%02x".format(_)).mkString
+      s"files:${files.length}:" + md.digest().map("%02x".format(_)).mkString + planTerm
     }
   }
+
+  /** True when the analyzed plan is a bare (possibly aliased) source
+    * relation — the case where the file set alone identifies the
+    * corpus and the signature can stay plan-free (and therefore
+    * byte-stable across sessions).
+    */
+  private def isBareScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    plan match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => isBareScan(a.child)
+      case _ => false
+    }
 
   private def quote(s: String): String =
     "\"" + s.flatMap {

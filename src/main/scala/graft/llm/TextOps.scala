@@ -559,18 +559,33 @@ object TextOps {
           .agg(expr("transform(array_sort(collect_list(struct(i, out))), p -> p.out)").as("syms"))
           .localCheckpoint() // bounded plan per round
         // localCheckpoint is eager, so `next` is materialized — the
-        // previous round's cached blocks are now dead; release them or
-        // retained checkpoints grow linearly in nMerges
-        words.unpersist()
+        // previous round's checkpointed blocks are now dead. Note
+        // Dataset.unpersist would be a NO-OP here: localCheckpoint
+        // persists its internal RDD directly, never registering with
+        // the CacheManager that unpersist consults — so free the RDD
+        // itself, or retained blocks sit until the ContextCleaner GCs
+        // them (linear growth in nMerges meanwhile)
+        freeLocalCheckpoint(words)
         words = next
         round += 1
       }
     }
-    words.unpersist() // last round's table: merges are already driver-side
+    freeLocalCheckpoint(words) // last round's table: merges are already driver-side
     import spark.implicits._
     merges.toSeq.toDF("round", "left", "right", "pair_freq")
       .select(col("round").cast("long"), col("left"), col("right"), col("pair_freq"))
   }
+
+  /** Eagerly release the block-manager storage behind a
+    * `localCheckpoint()`ed DataFrame. The checkpointed RDD lives in
+    * the plan as a `LogicalRDD` leaf; unpersisting THAT RDD frees its
+    * blocks now instead of whenever the ContextCleaner gets around to
+    * the GC'd reference. No-op for plans with no LogicalRDD leaf.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** A small trained-merge stand-in vocabulary for [[bpeEncode]]:
     * every lowercase letter (so alphabetic text never falls back to

@@ -46,6 +46,27 @@ class CorpusSignatureSpec extends SparkSpec {
   }
 
   test("non-file-backed frames fall back to a row count") {
-    IndexStore.corpusSignature(corpus(7)) shouldBe "count:7"
+    IndexStore.corpusSignature(corpus(7)) should startWith("count:7")
+  }
+
+  test("transformed corpus over the same files gets its own signature (ADVICE r7)") {
+    val dir = Files.createTempDirectory("corpus-sig-plan").resolve("c").toString
+    corpus(20).write.parquet(dir)
+    val bare = IndexStore.corpusSignature(spark.read.parquet(dir))
+    val filtered = IndexStore.corpusSignature(
+      spark.read.parquet(dir).filter($"vec_id" < 10))
+    val projected = IndexStore.corpusSignature(
+      spark.read.parquet(dir).select($"vec_id"))
+    // a filter or projection changes the corpus-defining query even
+    // though the files are identical — the index must NOT be reused
+    bare should not be filtered
+    bare should not be projected
+    filtered should not be projected
+    // deterministic: re-deriving the same query yields the same
+    // signature (reuse still works for an unchanged transformed corpus)
+    IndexStore.corpusSignature(
+      spark.read.parquet(dir).filter($"vec_id" < 10)) shouldBe filtered
+    // aliasing alone is still a bare scan — plan-free, equal to bare
+    IndexStore.corpusSignature(spark.read.parquet(dir).alias("c")) shouldBe bare
   }
 }
