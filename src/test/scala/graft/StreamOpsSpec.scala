@@ -305,4 +305,41 @@ class StreamOpsSpec extends SparkSpec {
       got shouldBe Set((10L, 0L), (10L, 2L), (12L, 1L), (12L, 3L)) // 11 stays silent
     } finally q.stop()
   }
+
+  test("annGateStream: zero-norm vectors pass un-flagged, no NaN cosine, stream == batch (VERDICT r7 item 8)") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus includes a zero-norm member too: neither side of the pair
+    // test may go vacuous (the 0 >= 0 bug dropped whole dup groups)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.05f))).toDF("vec_id", "embedding")
+    val cents = graft.llm.SimilarityOps
+      .ivfCentroids(corpus, "vec_id", "embedding", 2).localCheckpoint()
+    val incoming = Seq(
+      (20L, Seq(0.0f, 0.0f)),   // zero-norm probe: must match NOTHING
+      (21L, Seq(0.98f, 0.1f)))  // sanity row: still hits 0 and 2
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val streamDf = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.annGateStream(streamDf, corpus, "vec_id", "embedding",
+        num = 9, den = 10, centroids = cents, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_gate_zero").outputMode("append").start()
+    try {
+      mem.addData(incoming.head)
+      q.processAllAvailable()
+      mem.addData(incoming(1))
+      q.processAllAvailable()
+      val rows = spark.table("ann_gate_zero").collect()
+      // the gate never emits a NaN cosine (0/sqrt(0) would)
+      rows.foreach(r => r.getDouble(2).isNaN shouldBe false)
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = StreamOps.annGateStream(incoming.toDF("vec_id", "embedding"),
+          corpus, "vec_id", "embedding", num = 9, den = 10,
+          centroids = cents, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe want
+      // zero-norm query matches nothing; zero-norm corpus member is
+      // never a reported neighbor; the real near-dup still fires
+      got shouldBe Set((21L, 0L), (21L, 2L))
+    } finally q.stop()
+  }
 }
