@@ -2374,6 +2374,31 @@ object Queries {
            |ORDER BY round""".stripMargin
       }),
 
+    // ---- X4: BPE training, sampled/bounded path (VERDICT r6 item 4)
+    // — the same trainer with the merge loop running driver-side on
+    // the collected top-maxWords word-frequency table (zero Spark jobs
+    // per round; the distributed loop schedules 2 per merge). At full
+    // coverage it is value-identical to bpeTrain, so the SAME 4-round
+    // SQL replay hash-checks it. ----
+    ("x4_bpe_train_sampled",
+      (s: SparkSession, dir: String) => {
+        TextOps.bpeTrainSampled(Tables.load(s, dir, "documents"), "doc_id", "text",
+            nMerges = 4, maxWords = Int.MaxValue)
+          .orderBy(col("round"))
+      },
+      Some {
+        val rounds = (1 to 4).map(bpeTrainRoundSql).mkString(",\n")
+        val unions = (1 to 4).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, a AS "left", b AS "right", CAST(cnt AS BIGINT) AS pair_freq FROM b$r""")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+           |$rounds
+           |$unions
+           |ORDER BY round""".stripMargin
+      }),
+
     // ---- X4: BPE train→apply pipeline — learn 4 merges from the
     // lowered corpus, then encode that same corpus with base chars +
     // the learned pieces (greedy longest match). The oracle derives

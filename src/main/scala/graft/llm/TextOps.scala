@@ -576,6 +576,113 @@ object TextOps {
       .select(col("round").cast("long"), col("left"), col("right"), col("pair_freq"))
   }
 
+  /** X4: BPE vocabulary training, SAMPLED/BOUNDED variant — the
+    * production-scale path for large merge counts (VERDICT r6 item 4:
+    * [[bpeTrain]]'s one-merge-per-round driver loop schedules 2 Spark
+    * jobs per round, a scheduler wall at nMerges=30k even though each
+    * job is tiny).
+    *
+    * The key observation (Sennrich et al. 2016's own reference
+    * implementation, and every production trainer since): after the
+    * ONE corpus-sized linear scan collapses the corpus to a
+    * word-frequency table, the merge loop's working set is bounded by
+    * the VOCABULARY, not the corpus — at 100 TB the distinct-word
+    * table is millions of rows, and capping it to the top `maxWords`
+    * by frequency (the standard trainer sampling knob) bounds it
+    * further. So: run the word count distributed, collect the bounded
+    * table once, and train all `nMerges` rounds driver-side with
+    * incremental pair-count maintenance — zero Spark jobs per round.
+    * nMerges=256 then costs milliseconds of CPU where the distributed
+    * loop costs 512 scheduled jobs.
+    *
+    * Semantics: identical to [[bpeTrain]] — same word split, same
+    * (count desc, pair lexicographic) argmax, same left-to-right
+    * non-overlapping rewrite — whenever `maxWords` covers every
+    * distinct word (BpeTrainProps pins the equivalence on random
+    * corpora). A tighter cap trains on the head of the frequency
+    * table: the trade every sampled tokenizer run makes, here
+    * deterministic (ties broken by word) instead of by corpus shard
+    * order.
+    *
+    * @param maxWords cap on distinct words trained on, top-frequency
+    *   first (ties: lexicographic); `Int.MaxValue` = exact
+    * @return one row per learned merge: (round, left, right,
+    *   pair_freq), round 1-based in merge order
+    */
+  def bpeTrainSampled(docs: DataFrame, idCol: String, textCol: String,
+                      nMerges: Int, maxWords: Int = Int.MaxValue): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    require(maxWords > 0, "maxWords must be positive")
+    val spark = docs.sparkSession
+    // the one corpus-sized stage: distributed word count, deterministic
+    // top-maxWords cap — the ONLY driver-visible data is this bounded
+    // table (same contract as any trained-model collect)
+    val wordRows = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+    // driver-side classic trainer with incremental pair maintenance:
+    // pair counts update only through the words that contained the
+    // merged pair (subword-nmt's optimization), so each round costs
+    // O(argmax scan + touched words), not a full recount
+    val syms = wordRows.map(_.getString(0).split(""))
+    val freq = wordRows.map(_.getLong(1))
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.BitSet]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * freq(wi)
+        if (c == 0L) pairCount.remove(p) else pairCount.update(p, c)
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty).add(wi)
+        i += 1
+      }
+    }
+    syms.indices.foreach(addPairs(_, 1L))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      if (pairCount.isEmpty) exhausted = true
+      else {
+        // argmax: count desc, then pair lexicographic — bpeTrain's order
+        val ((x, y), cnt) = pairCount.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((round.toLong, x, y, cnt))
+        // rewrite only words that (may) contain the pair; stale indices
+        // (pair merged away earlier) fail the contains check and skip
+        val touched = pairWords.remove((x, y)).getOrElse(scala.collection.mutable.BitSet.empty)
+        touched.foreach { wi =>
+          val s = syms(wi)
+          var contains = false
+          var i = 0
+          while (!contains && i + 1 < s.length) {
+            if (s(i) == x && s(i + 1) == y) contains = true
+            i += 1
+          }
+          if (contains) {
+            addPairs(wi, -1L) // retract the word's old pairs
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            i = 0
+            while (i < s.length) { // left-to-right non-overlapping greedy
+              if (i + 1 < s.length && s(i) == x && s(i + 1) == y) { out += x + y; i += 2 }
+              else { out += s(i); i += 1 }
+            }
+            syms(wi) = out.toArray
+            addPairs(wi, 1L)
+          }
+        }
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left", "right", "pair_freq")
+  }
+
   /** Eagerly release the block-manager storage behind a
     * `localCheckpoint()`ed DataFrame. The checkpointed RDD lives in
     * the plan as a `LogicalRDD` leaf; unpersisting THAT RDD frees its

@@ -77,4 +77,46 @@ object BpeTrainProps extends Properties("bpeTrain") {
       val want = model(docs, nMerges)
       Prop(got == want) :| s"got=$got want=$want"
   }
+
+  /** VERDICT r7 item 4: the driver-side sampled trainer is the SAME
+    * trainer when maxWords covers the vocabulary — pin it against the
+    * reference at full coverage, and at a deeper merge count than the
+    * distributed loop can afford per test case (the sampled path runs
+    * zero Spark jobs per round, so nMerges is free here).
+    */
+  property("bpeTrainSampled at full coverage matches the sequential-greedy reference") =
+    Prop.forAll(genCase) { case (docs, nMerges) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val deep = nMerges * 8 // exercise long merge chains cheaply
+      val got = TextOps.bpeTrainSampled(df, "doc_id", "text", deep, maxWords = Int.MaxValue)
+        .orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = model(docs, deep)
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  /** The cap keeps only the top-frequency words: training on the
+    * capped table equals training the reference on the same subset.
+    */
+  property("bpeTrainSampled honors the deterministic top-frequency cap") =
+    Prop.forAll(genCase) { case (docs, nMerges) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val allWords = docs.flatMap(_.split(" ", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val cap = (allWords.size / 2).max(1)
+      val kept = allWords.sortBy { case (w, f) => (-f, w) }.take(cap).map(_._1)
+      val got = TextOps.bpeTrainSampled(df, "doc_id", "text", nMerges, maxWords = cap)
+        .orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      // reference trained on a synthetic corpus holding exactly the
+      // kept words at their original frequencies
+      val keptCorpus = allWords.filter(kv => kept.contains(kv._1))
+        .flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      val want = model(Seq(keptCorpus.mkString(" ")), nMerges)
+      Prop(got == want) :| s"cap=$cap got=$got want=$want"
+    }
 }
