@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.streaming.StreamOps
+
+/** Dev harness (VERDICT r6 item 3 / r7 item 3): soak the streaming
+  * operators against the RocksDB state-store provider at sustained
+  * volume and MEASURE what the X6 scaladocs argue — flat (zero) state
+  * for the stateless ingest gates, watermark-bounded state for
+  * streaming dedup, per-key-bounded state for the custom
+  * flatMapGroupsWithState aggregation.
+  *
+  * Each scenario runs a rate-source stream for `soakSec` seconds under
+  * `RocksDBStateStoreProvider`, then reports per-batch progress
+  * (input rows/s, state rows, state memory, RocksDB SST bytes) and a
+  * PASS/FAIL verdict on the state-growth claim:
+  *  - user_stats: state rows must plateau at the key cardinality
+  *    (nUsers), not grow with stream length;
+  *  - dedup: every key unique → state rows must plateau at
+  *    ~rate×watermark once expiry kicks in (the claim is the
+  *    watermark BOUNDS state; without expiry rows grow linearly);
+  *  - decontam_gate / ann_gate: the plan must contain NO state
+  *    operator at all (stream-static joins + per-row probes only).
+  *
+  * `tools/run.sh graft.tools.StreamSoak [soakSec] [rowsPerSec]`
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val soakSec = if (args.length > 0) args(0).toInt else 60
+    val rate = if (args.length > 1) args(1).toInt else 20000
+    val spark = graft.GraftSession.tuned(
+        SparkSession.builder().master("local[8]")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          .config("spark.sql.shuffle.partitions", "8"), 8)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val ckRoot = java.nio.file.Files.createTempDirectory("soak-ck").toString
+
+    def rateSrc = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load() // (timestamp, value)
+
+    /** Run `q` for soakSec, then dump per-batch state metrics and
+      * return (stateRows per batch, max throughput).
+      */
+    def soak(name: String, q: StreamingQuery): Seq[Long] = {
+      val t0 = System.currentTimeMillis()
+      while (System.currentTimeMillis() - t0 < soakSec * 1000L && q.isActive)
+        Thread.sleep(1000)
+      val progresses = q.recentProgress.toSeq
+      q.stop()
+      println(s"--- $name: ${progresses.length} progress reports ---")
+      val stateRows = progresses.flatMap { p =>
+        val ops = p.stateOperators
+        val rows = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).sum
+        val mem = if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).sum
+        val sst = if (ops.isEmpty) 0L
+          else ops.flatMap(o => Option(o.customMetrics.get("rocksdbSstFileSize")).map(_.toLong)).sum
+        if (p.numInputRows > 0 || rows > 0) {
+          println(f"$name batch=${p.batchId}%4d in=${p.numInputRows}%8d " +
+            f"rows/s=${p.processedRowsPerSecond}%10.0f stateRows=$rows%9d " +
+            f"stateMem=${mem / 1024}%8d KB sst=${sst / 1024}%8d KB")
+          Some(rows)
+        } else None
+      }
+      stateRows
+    }
+
+    // 1) flatMapGroupsWithState running per-user stats: key space is
+    // nUsers — state must plateau there regardless of input volume
+    val nUsers = 10000
+    val events = rateSrc.select(
+        col("value").as("event_id"), pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+        lit("evt").as("event_type"), (col("value") % 100).cast("double").as("value"),
+        col("timestamp").as("ts"))
+      .as[StreamOps.Event]
+    val usRows = soak("user_stats", StreamOps.runningUserStats(events)
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/us").trigger(Trigger.ProcessingTime("2 seconds")).start())
+    val usPlateau = usRows.lastOption.getOrElse(0L)
+    println(s"user_stats: final stateRows=$usPlateau (bound=$nUsers) " +
+      (if (usPlateau <= nUsers) "PASS bounded by key cardinality" else "FAIL state exceeds key space"))
+
+    // 2) watermarked dedup, EVERY key unique — the hard case: without
+    // watermark expiry state grows linearly forever; with it, state
+    // plateaus at ~rate x (watermark + batch cadence)
+    val wmSec = 10
+    val docsStream = rateSrc.select(col("value").as("k"), col("timestamp").as("ts"))
+    val ddRows = soak("dedup_watermark", StreamOps.dedupStream(docsStream, Seq("k"), s"$wmSec seconds")
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckRoot/dd").trigger(Trigger.ProcessingTime("2 seconds")).start())
+    // plateau check — the claim is "state stops growing once expiry
+    // kicks in", so the verdict is on the TAIL: over the last third of
+    // the run the state must be flat (watermark retention ≈ delay +
+    // batch cadence + trigger lag, so the absolute plateau level is
+    // rate-dependent; what must NOT happen is continued growth) and
+    // far below the linear-growth total
+    val ddFinal = ddRows.lastOption.getOrElse(0L)
+    val tail = ddRows.drop(ddRows.length * 2 / 3)
+    val flat = tail.nonEmpty && tail.max - tail.min <= (tail.max / 50).max(1000)
+    val subLinear = ddFinal < soakSec.toLong * rate / 2
+    println(s"dedup_watermark: final stateRows=$ddFinal, tail ${tail.headOption.getOrElse(0L)}→${tail.lastOption.getOrElse(0L)} " +
+      s"(linear-growth would be ~${soakSec.toLong * rate}) " +
+      (if (flat && subLinear) "PASS watermark-bounded (plateau, input continuing)"
+       else "FAIL state still growing at end of soak"))
+
+    // 3) stateless Bloom decontamination gate: static eval-set bitmap,
+    // per-row probes — the PLAN must carry no state operator
+    val evalDocs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .limit(500)
+    val bm = graft.llm.DedupOps.bloomBitmap(evalDocs,
+      w = 5, mBits = 1 << 20, k = 3).localCheckpoint()
+    val textStream = rateSrc.select(col("value").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("tok"), pmod(hash(col("value"), lit(j)), lit(1000)))): _*).as("text"))
+    val dgStates = soak("decontam_gate", StreamOps.decontaminateStream(textStream, bm,
+        w = 5, mBits = 1 << 20, k = 3)
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckRoot/dg").trigger(Trigger.ProcessingTime("2 seconds")).start())
+    println(s"decontam_gate: stateRows across all batches=${dgStates.sum} " +
+      (if (dgStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+
+    // 4) stateless ANN ingest gate: static IVF-bucketed corpus,
+    // stream-static joins only — same zero-state requirement
+    val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val cents = graft.llm.SimilarityOps
+      .ivfCentroids(corpus, "vec_id", "embedding", 16).localCheckpoint()
+    val vecStream = rateSrc.select(col("value").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> cast(pmod(hash(value, j), 1000) as float) / 1000.0)")
+        .as("embedding"))
+    val agStates = soak("ann_gate", StreamOps.annGateStream(vecStream, corpus,
+        "vec_id", "embedding", num = 9, den = 10, centroids = cents, nProbe = 2)
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckRoot/ag").trigger(Trigger.ProcessingTime("2 seconds")).start())
+    println(s"ann_gate: stateRows across all batches=${agStates.sum} " +
+      (if (agStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+
+    spark.stop()
+  }
+}
