@@ -37,7 +37,10 @@ class IvfIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
     key(loaded) shouldBe key(direct)
     // in-memory corpus (no input files): signature falls back to count
-    IvfIndex.readMeta(c, dir) shouldBe Some(IvfIndex.Meta(4, 1, "count:40"))
+    // (+ the ADVICE-r7 plan hash — non-bare plans carry query identity)
+    val meta = IvfIndex.readMeta(c, dir)
+    meta.map(m => (m.nCentroids, m.kmeansIters)) shouldBe Some((4, 1))
+    meta.get.corpusSig should startWith("count:40")
   }
 
   test("unchanged corpus and params reuse the stored index; drift or force rebuilds") {
@@ -61,11 +64,15 @@ class IvfIndexSpec extends SparkSpec {
     Thread.sleep(5)
     IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 4, 1, dir).count()
     partMTimes(dir) should not be forced
-    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(4, 1, "count:41"))
+    val m1 = IvfIndex.readMeta(grown, dir)
+    m1.map(m => (m.nCentroids, m.kmeansIters)) shouldBe Some((4, 1))
+    m1.get.corpusSig should startWith("count:41")
 
     // parameter change rebuilds under its own meta
     IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, 1, dir).count()
-    IvfIndex.readMeta(grown, dir) shouldBe Some(IvfIndex.Meta(8, 1, "count:41"))
+    val m2 = IvfIndex.readMeta(grown, dir)
+    m2.map(m => (m.nCentroids, m.kmeansIters)) shouldBe Some((8, 1))
+    m2.get.corpusSig should startWith("count:41")
   }
 
   test("file-backed corpus: metadata signature on warm load; file drift still rebuilds") {
