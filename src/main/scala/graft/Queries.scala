@@ -60,13 +60,26 @@ object Queries {
     IvfIndex.loadOrBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids, kmeansIters = 2, ivfIndexPath(dir, nCentroids))
 
+  /** Where the persisted IVF inverted lists for `dir` live; the
+    * `__GRAFT_IVF_B<n>__` oracle placeholders resolve here.
+    */
+  private[graft] def ivfListsPath(dir: String, nCentroids: Int): String =
+    ivfIndexPath(dir, nCentroids) + "_lists"
+
+  private def embLists(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
+    IvfIndex.loadOrBuildLists(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids, kmeansIters = 2, embCentroids(s, dir, nCentroids),
+      ivfListsPath(dir, nCentroids))
+
   /** Materialize the shared IVF indexes for `dir` (idempotent). Index
     * construction is out-of-band in the index-once/query-many model;
     * Bench calls this before timing so the first query touching an
     * index is not charged for the build every other query reuses.
     */
-  def prepareIndexes(s: SparkSession, dir: String): Unit =
+  def prepareIndexes(s: SparkSession, dir: String): Unit = {
     Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
+    embLists(s, dir, 16).count()
+  }
 
   /** One bpeTrain merge round replayed in DuckDB SQL: pair counts from
     * `w{r-1}`, single-row argmax `b{r}`, and the left-to-right
@@ -2005,6 +2018,50 @@ object Queries {
              |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn
              |             FROM sc WHERE vec_id % 10 = 0)
              |       WHERE rn <= 4),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X3: IVF against PERSISTED inverted lists — the complete
+    // index-once/query-many shape: centroids AND the bucketed corpus
+    // (FAISS's inverted lists) are stored tables; only the queries are
+    // assigned per call, so the per-batch cost no longer scans the
+    // corpus (x3_ann_ivf above re-derives the lists every run — kept
+    // as the self-contained anchor). The oracle replays probe→score→
+    // rank reading BOTH persisted parquet tables, so the whole indexed
+    // path is hash-exact, and its output equals x3_ann_ivf's by
+    // construction (same assignment rule, persisted vs recomputed). ----
+    ("x3_ann_ivf_indexed",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfTopKIndexed(queries, embLists(s, dir, 16), "vec_id", "embedding",
+            k = 5, centroids = embCentroids(s, dir, 16), nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
              |p AS (SELECT qa.query_id, ca.neighbor_id,
              |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
              |        qa.na, ca.nb

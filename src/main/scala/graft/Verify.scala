@@ -44,9 +44,12 @@ object Verify {
     // SAME persisted parquet index the engine queries loaded (built
     // above during the query run), so the path must be the one THIS
     // process resolved (GRAFT_INDEX_DIR / java.io.tmpdir aware).
-    def resolve(sql: String): String =
-      "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(sql,
+    def resolve(sql: String): String = {
+      val c = "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(sql,
         m => Queries.ivfIndexPath(sfDir, m.group(1).toInt))
+      "__GRAFT_IVF_B(\\d+)__".r.replaceAllIn(c,
+        m => Queries.ivfListsPath(sfDir, m.group(1).toInt))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

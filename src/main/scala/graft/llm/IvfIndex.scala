@@ -82,4 +82,23 @@ object IvfIndex {
     }
     spark.read.parquet(indexPath)
   }
+
+  /** Persisted INVERTED LISTS ([[SimilarityOps.ivfInvertedLists]]) —
+    * the second half of a complete IVF index. The centroids answer
+    * "which buckets does this query probe"; the lists answer "what
+    * lives in each bucket", and at 100 TB re-deriving them per query
+    * batch is a full corpus scan. Same lifecycle as the centroids
+    * (sidecar, drift signature, atomic commit), keyed by the SAME
+    * build parameters so a centroid rebuild implies a list rebuild.
+    * `centroids` must be the loaded index this lists table is derived
+    * from (pass the [[loadOrBuild]] result).
+    */
+  def loadOrBuildLists(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, kmeansIters: Int, centroids: DataFrame,
+                       indexPath: String, rebuild: Boolean = false): DataFrame =
+    IndexStore.loadOrBuild(corpus,
+      s"ivf-lists:nCentroids=$nCentroids,kmeansIters=$kmeansIters",
+      indexPath, rebuild) {
+      SimilarityOps.ivfInvertedLists(corpus, idCol, vecCol, centroids)
+    }
 }

@@ -184,12 +184,40 @@ object SimilarityOps {
   /** IVF-style ANN against a precomputed coarse index
     * ([[ivfCentroids]]): assign corpus vectors to their nearest
     * centroid, then search only the `nProbe` buckets nearest to each
-    * query.
+    * query. The corpus assignment recomputes every call — the
+    * index-once/query-many shape persists it instead:
+    * [[ivfInvertedLists]] + [[ivfTopKIndexed]].
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, centroids: DataFrame, nProbe: Int): DataFrame = {
-    val bucketed = assignBuckets(corpus, idCol, vecCol, centroids, 1)
-      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+              k: Int, centroids: DataFrame, nProbe: Int): DataFrame =
+    ivfTopKIndexed(queries, ivfInvertedLists(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, k, centroids, nProbe)
+
+  /** The IVF INVERTED LISTS — the payload a real IVF index stores
+    * (FAISS's lists): every corpus row assigned to its single nearest
+    * centroid, carrying its quantized vector and squared norm so
+    * probing never touches the raw corpus again. Persist through
+    * [[IvfIndex.loadOrBuildLists]] beside the centroids; at 100 TB
+    * re-deriving this per query batch is a full corpus scan + K dots
+    * per row, while loading it is a partition-pruned parquet read.
+    * Schema: (centroid_id, idCol, __qv, __n2).
+    */
+  def ivfInvertedLists(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame): DataFrame =
+    assignBuckets(corpus, idCol, vecCol, centroids, 1)
+      .select(col("centroid_id"), col(idCol), col("__qv"), col("__n2"))
+
+  /** IVF search against persisted inverted lists
+    * ([[ivfInvertedLists]]): only the QUERIES are assigned per call
+    * (rows × K dots on the small side); the corpus side is the stored
+    * list table, joined on `centroid_id` so only probed buckets scan.
+    */
+  def ivfTopKIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
+                     vecCol: String, k: Int, centroids: DataFrame,
+                     nProbe: Int): DataFrame = {
+    val bucketed = lists
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"),
+        col("__qv").as("__qb"), col("__n2").as("__cn2"))
     val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
       .select(col("centroid_id"), col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
 
