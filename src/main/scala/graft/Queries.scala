@@ -66,6 +66,14 @@ object Queries {
   private[graft] def ivfListsPath(dir: String, nCentroids: Int): String =
     ivfIndexPath(dir, nCentroids) + "_lists"
 
+  /** Lists over the ANN-gate's FILTERED corpus (vec_id % 10 != 0) —
+    * a separate artifact because the corpus-defining query differs
+    * (and its sidecar signature carries the plan hash for exactly that
+    * reason); `__GRAFT_IVF_G<n>__` placeholders resolve here.
+    */
+  private[graft] def ivfGateListsPath(dir: String, nCentroids: Int): String =
+    ivfIndexPath(dir, nCentroids) + "_gatelists"
+
   private def embLists(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
     IvfIndex.loadOrBuildLists(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids, kmeansIters = 2, embCentroids(s, dir, nCentroids),
@@ -3001,6 +3009,49 @@ object Queries {
              |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc),
              |corp AS (SELECT vec_id, q, n2, centroid_id FROM r WHERE rn = 1 AND vec_id % 10 <> 0),
              |pr AS (SELECT vec_id, q, n2, centroid_id FROM r WHERE rn <= 4 AND vec_id % 10 = 0),
+             |e AS (SELECT pr.vec_id AS query_id, corp.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(pr.q, corp.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
+             |        pr.n2 AS na, corp.n2 AS nb
+             |      FROM pr JOIN corp USING (centroid_id) WHERE pr.vec_id <> corp.vec_id)
+             |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
+             |FROM e WHERE na > 0 AND nb > 0 AND dot >= 0 AND dot * dot * 400 >= na * nb * 49
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // ---- X6: the ANN ingest gate against PERSISTED inverted lists —
+    // the production streaming shape: the plain gate (above) re-buckets
+    // the static corpus every micro-batch; here the corpus side is the
+    // stored list table (built over the gate's FILTERED corpus, whose
+    // sidecar signature carries the ADVICE-r7 plan hash — the
+    // filtered-corpus case is exactly why query identity is in the
+    // signature). Output identical to x6_ann_gate; the oracle reads
+    // the persisted lists parquet directly. ----
+    ("x6_ann_gate_indexed",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val lists = IvfIndex.loadOrBuildLists(emb.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", 64, kmeansIters = 2,
+          embCentroids(s, dir, 64), ivfGateListsPath(dir, 64))
+        StreamOps.annGateStreamIndexed(emb.filter(col("vec_id") % 10 === 0), lists,
+            "vec_id", "embedding", num = 7, den = 20,
+            centroids = embCentroids(s, dir, 64), nProbe = 4)
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C64__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |pr AS (SELECT vec_id, q, n2, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |corp AS (SELECT vec_id, "__qv" AS q, "__n2" AS n2, centroid_id
+             |        FROM read_parquet('__GRAFT_IVF_G64__/*.parquet')),
              |e AS (SELECT pr.vec_id AS query_id, corp.vec_id AS neighbor_id,
              |        CAST(list_sum(list_transform(list_zip(pr.q, corp.q), t -> t[1] * t[2])) AS BIGINT) AS dot,
              |        pr.n2 AS na, corp.n2 AS nb

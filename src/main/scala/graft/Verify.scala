@@ -47,8 +47,10 @@ object Verify {
     def resolve(sql: String): String = {
       val c = "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(sql,
         m => Queries.ivfIndexPath(sfDir, m.group(1).toInt))
-      "__GRAFT_IVF_B(\\d+)__".r.replaceAllIn(c,
+      val b = "__GRAFT_IVF_B(\\d+)__".r.replaceAllIn(c,
         m => Queries.ivfListsPath(sfDir, m.group(1).toInt))
+      "__GRAFT_IVF_G(\\d+)__".r.replaceAllIn(b,
+        m => Queries.ivfGateListsPath(sfDir, m.group(1).toInt))
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")

@@ -394,8 +394,24 @@ object SimilarityOps {
     */
   def ivfNearDupGate(incoming: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, num: Long, den: Long,
-                     centroids: DataFrame, nProbe: Int): DataFrame = {
-    val bucketed = assignBuckets(corpus, idCol, vecCol, centroids, 1)
+                     centroids: DataFrame, nProbe: Int): DataFrame =
+    ivfNearDupGateIndexed(incoming,
+      ivfInvertedLists(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, num, den, centroids, nProbe)
+
+  /** [[ivfNearDupGate]] against PERSISTED inverted lists
+    * ([[ivfInvertedLists]] / [[IvfIndex.loadOrBuildLists]]). The
+    * plain gate re-buckets the whole corpus per call — in the
+    * streaming wrapper that means per MICRO-BATCH, a full corpus scan
+    * every few seconds at 100 TB. Here the corpus side is the stored
+    * list table: each micro-batch assigns only its own incoming rows
+    * and joins the lists on `centroid_id` (partition-pruned scan of
+    * probed buckets only).
+    */
+  def ivfNearDupGateIndexed(incoming: DataFrame, lists: DataFrame,
+                            idCol: String, vecCol: String, num: Long, den: Long,
+                            centroids: DataFrame, nProbe: Int): DataFrame = {
+    val bucketed = lists
       .select(col("centroid_id"), col(idCol).as("neighbor_id"),
         col("__qv").as("__qb"), col("__n2").as("__nb"))
     val probes = assignBuckets(incoming, idCol, vecCol, centroids, nProbe)

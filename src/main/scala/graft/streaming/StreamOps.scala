@@ -151,6 +151,20 @@ object StreamOps {
     graft.llm.SimilarityOps.ivfNearDupGate(incoming, corpus, idCol, vecCol,
       num, den, centroids, nProbe)
 
+  /** [[annGateStream]] against PERSISTED inverted lists
+    * ([[graft.llm.IvfIndex.loadOrBuildLists]]) — the production
+    * streaming shape: the plain gate re-buckets the corpus every
+    * MICRO-BATCH (a full corpus scan per trigger at 100 TB); here each
+    * batch assigns only its own incoming rows and joins the stored
+    * list table on `centroid_id`. Still stateless — stream-static
+    * joins only.
+    */
+  def annGateStreamIndexed(incoming: DataFrame, lists: DataFrame,
+                           idCol: String, vecCol: String, num: Long, den: Long,
+                           centroids: DataFrame, nProbe: Int): DataFrame =
+    graft.llm.SimilarityOps.ivfNearDupGateIndexed(incoming, lists, idCol, vecCol,
+      num, den, centroids, nProbe)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

@@ -306,6 +306,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annGateStreamIndexed: persisted-lists gate on a real stream equals the plain gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.05f)), (3L, Seq(0.05f, 0.99f))).toDF("vec_id", "embedding")
+    val cents = graft.llm.SimilarityOps
+      .ivfCentroids(corpus, "vec_id", "embedding", 2).localCheckpoint()
+    val lists = graft.llm.SimilarityOps
+      .ivfInvertedLists(corpus, "vec_id", "embedding", cents).localCheckpoint()
+    val incoming = Seq(
+      (10L, Seq(0.98f, 0.1f)), (11L, Seq(-0.7f, 0.7f)), (12L, Seq(0.02f, 1.0f)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val streamDf = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamOps.annGateStreamIndexed(streamDf, lists, "vec_id", "embedding",
+        num = 9, den = 10, centroids = cents, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_gate_idx").outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_gate_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the indexed gate is the SAME gate with the corpus side persisted
+      val want = StreamOps.annGateStream(incoming.toDF("vec_id", "embedding"),
+          corpus, "vec_id", "embedding", num = 9, den = 10,
+          centroids = cents, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe want
+      got shouldBe Set((10L, 0L), (10L, 2L), (12L, 1L), (12L, 3L))
+    } finally q.stop()
+  }
+
   test("annGateStream: zero-norm vectors pass un-flagged, no NaN cosine, stream == batch (VERDICT r7 item 8)") {
     implicit val sqlCtx = spark.sqlContext
     // corpus includes a zero-norm member too: neither side of the pair
