@@ -202,4 +202,28 @@ class PlanSpec extends SparkSpec {
     "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
     "hashpartitioning\\(centroid_id".r.findAllIn(plan).nonEmpty shouldBe true
   }
+
+  test("x3_ann_ivf_indexed: corpus side is the stored list table — exactly one assignment broadcast") {
+    val plan = formatted("x3_ann_ivf_indexed")
+    plan should not include "CartesianProduct"
+    // ONE 1-row centroid-array broadcast (queries); the recompute
+    // anchor x3_ann_ivf needs two (queries + corpus re-assignment)
+    "\\(\\d+\\) BroadcastNestedLoopJoin\\b".r.findAllIn(plan).size shouldBe 1
+    "\\(\\d+\\) BroadcastNestedLoopJoin\\b".r.findAllIn(formatted("x3_ann_ivf")).size shouldBe 2
+  }
+
+  test("x6_ann_gate_indexed: per-batch work assigns only incoming rows, lists joined keyed") {
+    val plan = formatted("x6_ann_gate_indexed")
+    plan should not include "CartesianProduct"
+    "\\(\\d+\\) Window\\b".r.findAllIn(plan).size shouldBe 0
+    "\\(\\d+\\) BroadcastNestedLoopJoin\\b".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("gen_pipeline_multi: descriptor-keyed rank, centering means broadcast, no cartesian") {
+    val plan = formatted("gen_pipeline_multi")
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin")
+    // the scalable rank range-partitions by (descriptor, cls, order)
+    plan should include("rangepartitioning(descriptor")
+  }
 }

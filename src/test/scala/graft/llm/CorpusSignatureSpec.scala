@@ -69,4 +69,20 @@ class CorpusSignatureSpec extends SparkSpec {
     // aliasing alone is still a bare scan — plan-free, equal to bare
     IndexStore.corpusSignature(spark.read.parquet(dir).alias("c")) shouldBe bare
   }
+
+  test("plan-hash term is session-independent (no rebuild-per-session)") {
+    // canonicalization normalizes exprIds, so the same query text from
+    // a different session (fresh analyzer state, different raw exprIds)
+    // must hash identically — otherwise every new session would treat
+    // a transformed corpus as drifted and rebuild its index
+    val dir = Files.createTempDirectory("corpus-sig-xsession").resolve("c").toString
+    corpus(20).write.parquet(dir)
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.functions.col
+    val a = IndexStore.corpusSignature(
+      spark.read.parquet(dir).filter(col("vec_id") < 10).select("vec_id", "embedding"))
+    val b = IndexStore.corpusSignature(
+      s2.read.parquet(dir).filter(col("vec_id") < 10).select("vec_id", "embedding"))
+    a shouldBe b
+  }
 }
