@@ -1944,6 +1944,41 @@ object Queries {
              |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
              |ORDER BY a.vec_id""".stripMargin)),
 
+    // ---- X2: SemDeDup against the PERSISTED inverted lists — the
+    // cluster assignment SemDeDup starts from IS the keep=1 list
+    // table, so the one stored artifact serves top-k search, the
+    // ingest gate, AND semantic dedup (index once, three operators).
+    // Only the centroid-similarity keep-order dot is computed per
+    // call. Output identical to x2_semdedup; the oracle reads the
+    // persisted lists parquet for the assignment. ----
+    ("x2_semdedup_indexed",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.semDedupIndexed(embLists(s, dir, 64),
+            "vec_id", num = 9, den = 20,
+            centroids = embCentroids(s, dir, 64))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH c AS (SELECT centroid_id, "__centq" AS cq
+             |      FROM read_parquet('__GRAFT_IVF_C64__/*.parquet')),
+             |a AS (SELECT l.vec_id, l."__qv" AS q, l."__n2" AS n2,
+             |        CAST(list_sum(list_transform(list_zip(l."__qv", c.cq), x -> x[1] * x[2])) AS BIGINT) AS cd,
+             |        l.centroid_id
+             |      FROM read_parquet('__GRAFT_IVF_B64__/*.parquet') l
+             |      JOIN c ON l.centroid_id = c.centroid_id),
+             |e AS (SELECT x.vec_id, x.cd AS xcd, y.cd AS ycd, x.n2 AS xn2, y.n2 AS yn2, y.vec_id AS yid,
+             |        CAST(list_sum(list_transform(list_zip(x.q, y.q), t -> t[1] * t[2])) AS BIGINT) AS dot
+             |      FROM a x JOIN a y USING (centroid_id) WHERE x.vec_id <> y.vec_id),
+             |dropped AS (SELECT DISTINCT vec_id FROM e
+             |  WHERE xn2 > 0 AND yn2 > 0 AND dot >= 0 AND dot * dot * 400 >= xn2 * yn2 * 81
+             |    AND ((ycd < 0 AND xcd >= 0)
+             |      OR (xcd >= 0 AND ycd >= 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 < CAST(xcd AS HUGEINT) * xcd * yn2)
+             |      OR (xcd < 0 AND ycd < 0 AND CAST(ycd AS HUGEINT) * ycd * xn2 > CAST(xcd AS HUGEINT) * xcd * yn2)
+             |      OR ((xcd < 0) = (ycd < 0) AND CAST(ycd AS HUGEINT) * ycd * xn2 = CAST(xcd AS HUGEINT) * xcd * yn2
+             |          AND yid < vec_id)))
+             |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS kept
+             |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // ---- X3: deterministic JL sign projection (dimension reduction
     // before bucketed ANN) — engine-neutral md5 coordinate hash, so
     // the all-integer projection is value-exact in DuckDB ----

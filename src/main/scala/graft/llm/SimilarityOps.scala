@@ -328,9 +328,22 @@ object SimilarityOps {
     *   IvfIndex — the oracle replays the same parquet table)
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               num: Long, den: Long, centroids: DataFrame): DataFrame = {
+               num: Long, den: Long, centroids: DataFrame): DataFrame =
+    semDedupIndexed(ivfInvertedLists(df, idCol, vecCol, centroids),
+      idCol, num, den, centroids)
+
+  /** [[semDedup]] against PERSISTED inverted lists — the cluster
+    * assignment SemDeDup starts from IS the keep=1 list table
+    * ([[ivfInvertedLists]]), so the same stored artifact that serves
+    * [[ivfTopKIndexed]] and [[ivfNearDupGateIndexed]] serves semantic
+    * dedup: one index, three operators. Only the centroid-similarity
+    * dot (the keep-order key) is computed per call — a broadcast join
+    * against the centroid table, no corpus re-assignment.
+    */
+  def semDedupIndexed(lists: DataFrame, idCol: String,
+                      num: Long, den: Long, centroids: DataFrame): DataFrame = {
     require(num >= 0 && den > 0, "threshold num/den must be non-negative")
-    val assigned = assignBuckets(df, idCol, vecCol, centroids, 1)
+    val assigned = lists
       .join(broadcast(centroids.select(col("centroid_id"), col("__centq"))), Seq("centroid_id"))
       .withColumn("__cdot", VectorFunctions.longDot(col("__qv"), col("__centq")))
       .select(col("centroid_id"), col(idCol), col("__qv"), col("__n2"), col("__cdot"))
