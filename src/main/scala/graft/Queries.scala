@@ -86,7 +86,11 @@ object Queries {
     */
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
-    embLists(s, dir, 16).count()
+    Seq(16, 64).foreach(n => embLists(s, dir, n).count())
+    IvfIndex.loadOrBuildLists(
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", 64, kmeansIters = 2,
+      embCentroids(s, dir, 64), ivfGateListsPath(dir, 64)).count()
   }
 
   /** One bpeTrain merge round replayed in DuckDB SQL: pair counts from
