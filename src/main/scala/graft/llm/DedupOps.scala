@@ -442,19 +442,39 @@ object DedupOps {
                       shingleW: Int, numHashes: Int, bands: Int,
                       num: Int, den: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // the shingle set feeds three consumers (signatures, sizes, the
     // verify join x2); measured r1: persist() lost to lazy
     // re-derivation; re-measured r3: localCheckpoint
     val sh = wordShingles(docs, idCol, textCol, shingleW).localCheckpoint()
-    val sig = minHashSignatures(sh, numHashes)
-    // band index exploded first, the band hash computed post-Generate
-    // in codegen (hash + slice) — no interpreted `transform` lambda
-    val banded = sig
+    minHashLshPairsIndexed(minHashBandedFromShingles(sh, numHashes, bands), sh, num, den)
+  }
+
+  /** The banded LSH bucket table from a shingle table — the TEXT-side
+    * index artifact (what [[minHashLshPairsIndexed]] probes), shaped
+    * (doc_id, band, bhash). Band index exploded first, the band hash
+    * computed post-Generate in codegen (hash + slice) — no interpreted
+    * `transform` lambda.
+    */
+  def minHashBandedFromShingles(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    minHashSignatures(sh, numHashes)
       .select(col("doc_id"), col("sig"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .select(col("doc_id"), col("band"),
         expr(s"hash(slice(sig, band * $r + 1, $r), band)").as("bhash"))
+  }
+
+  /** [[minHashLshPairs]] against prebuilt artifacts: the banded bucket
+    * table and the shingle table (persist both via
+    * [[loadOrBuildMinHashIndex]]). At 100 TB shingling + 64 hash
+    * passes over the corpus dominate the query — they belong in the
+    * index build, not in every pair scan; the per-call work here is
+    * the band-bucket self-join plus exact-Jaccard verification of the
+    * candidates.
+    */
+  def minHashLshPairsIndexed(banded: DataFrame, sh: DataFrame,
+                             num: Int, den: Int): DataFrame = {
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -473,6 +493,30 @@ object DedupOps {
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * den >= col("uni") * num)
       .select("doc1", "doc2", "inter", "uni")
+  }
+
+  /** Persisted MinHash-LSH index over `docs` — the IndexStore
+    * lifecycle (sidecar, drift signature, atomic commit) applied to
+    * the text-dedup family: the distinct shingle table and the banded
+    * bucket table stored as sibling parquet tables under `indexPath`.
+    * The banded table derives from the PERSISTED shingles, so a warm
+    * load of both costs two parquet reads and zero corpus scans.
+    * Returns (banded, shingles).
+    */
+  def loadOrBuildMinHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                              shingleW: Int, numHashes: Int, bands: Int,
+                              indexPath: String, rebuild: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val sh = IndexStore.loadOrBuild(docs, s"minhash-shingles:w=$shingleW",
+      s"$indexPath/shingles", rebuild) {
+      wordShingles(docs, idCol, textCol, shingleW)
+    }
+    val banded = IndexStore.loadOrBuild(docs,
+      s"minhash-banded:w=$shingleW,numHashes=$numHashes,bands=$bands",
+      s"$indexPath/banded", rebuild) {
+      minHashBandedFromShingles(sh, numHashes, bands)
+    }
+    (banded, sh)
   }
 
   /** Near-dup clustering: connected components over a pair list —
