@@ -96,9 +96,37 @@ object IvfIndex {
   def loadOrBuildLists(corpus: DataFrame, idCol: String, vecCol: String,
                        nCentroids: Int, kmeansIters: Int, centroids: DataFrame,
                        indexPath: String, rebuild: Boolean = false): DataFrame =
-    IndexStore.loadOrBuild(corpus,
-      s"ivf-lists:nCentroids=$nCentroids,kmeansIters=$kmeansIters",
+    IndexStore.loadOrBuild(corpus, listsParams(nCentroids, kmeansIters),
       indexPath, rebuild) {
       SimilarityOps.ivfInvertedLists(corpus, idCol, vecCol, centroids)
     }
+
+  private def listsParams(nCentroids: Int, kmeansIters: Int): String =
+    s"ivf-lists:nCentroids=$nCentroids,kmeansIters=$kmeansIters"
+
+  /** INCREMENTAL list maintenance — the 100 TB append path: when new
+    * corpus rows arrive, assigning ONLY the delta and appending its
+    * list entries costs O(|delta|), where [[loadOrBuildLists]]'s
+    * rebuild re-scans the full corpus. Standard IVF maintenance
+    * semantics: centroids do not move on append (pass the SAME loaded
+    * centroid index the lists were built with; re-train + rebuild when
+    * the distribution drifts enough to matter — recall probes tell
+    * you when).
+    *
+    * Protocol: append `newRows` to the corpus storage first, then call
+    * this with the delta and a DataFrame reading the corpus AS IT NOW
+    * STANDS (`corpusAfterAppend` — its drift signature is what gets
+    * stamped). The list entries append to the index parquet, and the
+    * sidecar re-stamps atomically, so a subsequent [[loadOrBuildLists]]
+    * with the same params reuses the extended index instead of
+    * rebuilding. Crash between append and stamp leaves a stale sidecar
+    * → next load rebuilds from scratch (safe, never wrong).
+    */
+  def appendToLists(newRows: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, kmeansIters: Int, centroids: DataFrame,
+                    corpusAfterAppend: DataFrame, indexPath: String): Unit = {
+    SimilarityOps.ivfInvertedLists(newRows, idCol, vecCol, centroids)
+      .write.mode("append").parquet(indexPath)
+    IndexStore.stamp(corpusAfterAppend, listsParams(nCentroids, kmeansIters), indexPath)
+  }
 }

@@ -139,6 +139,17 @@ private[llm] object IndexStore {
     }
   }
 
+  /** Re-stamp `indexPath`'s sidecar for the CURRENT state of `corpus`
+    * without touching the stored data — the commit step of an
+    * incremental index update: the caller appends delta-derived rows
+    * to the index parquet, then stamps so the next [[loadOrBuild]]
+    * with the same params sees the extended index as fresh.
+    */
+  private[llm] def stamp(corpus: DataFrame, params: String, indexPath: String): Unit = {
+    val p = metaPath(indexPath)
+    writeAtomic(fsFor(corpus, p), p, render(params, corpusSignature(corpus)))
+  }
+
   /** Load the persisted index at `indexPath`, or (re)build via
     * `build` when absent, stale (params or corpus signature changed),
     * or forced. Returns the index read back from parquet, so every

@@ -96,4 +96,37 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.loadOrBuild(spark.read.parquet(corpusDir), "vec_id", "embedding", 4, 1, dir).count()
     partMTimes(dir) should not be built
   }
+
+  test("appendToLists: delta-only maintenance equals a full rebuild, next load reuses") {
+    val base = Files.createTempDirectory("ivf-lists-append")
+    val corpusDir = base.resolve("corpus").toString
+    val centDir = base.resolve("cents").toString
+    val listsDir = base.resolve("lists").toString
+    corpus(40).write.parquet(corpusDir)
+    val c0 = spark.read.parquet(corpusDir)
+    val cents = IvfIndex.loadOrBuild(c0, "vec_id", "embedding", 4, 1, centDir)
+    IvfIndex.loadOrBuildLists(c0, "vec_id", "embedding", 4, 1, cents, listsDir).count()
+
+    // new rows arrive: append to the corpus store, then delta-maintain
+    val delta = (100 until 110)
+      .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    delta.write.mode("append").parquet(corpusDir)
+    val grown = spark.read.parquet(corpusDir)
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, listsDir)
+
+    // next loadOrBuildLists REUSES the extended index (no rebuild):
+    // the part files written so far keep their mtimes
+    val afterAppend = partMTimes(listsDir)
+    val loaded = IvfIndex.loadOrBuildLists(grown, "vec_id", "embedding", 4, 1, cents, listsDir)
+    partMTimes(listsDir) shouldBe afterAppend
+
+    // and the extended index equals a from-scratch build over the
+    // grown corpus (same centroids — append does not move them)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("centroid_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    key(loaded) shouldBe key(
+      graft.llm.SimilarityOps.ivfInvertedLists(grown, "vec_id", "embedding", cents))
+  }
 }
