@@ -140,6 +140,19 @@ object StreamSoak {
     println(s"ann_gate: stateRows across all batches=${agStates.sum} " +
       (if (agStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 
+    // 5) the INDEXED ANN gate on the same stream: corpus side is the
+    // precomputed list table, so each micro-batch assigns only its own
+    // rows — same zero-state requirement, higher sustained throughput
+    // (the plain gate re-buckets the corpus every batch)
+    val lists = graft.llm.SimilarityOps
+      .ivfInvertedLists(corpus, "vec_id", "embedding", cents).localCheckpoint()
+    val agiStates = soak("ann_gate_indexed", StreamOps.annGateStreamIndexed(vecStream, lists,
+        "vec_id", "embedding", num = 9, den = 10, centroids = cents, nProbe = 2)
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckRoot/agi").trigger(Trigger.ProcessingTime("2 seconds")).start())
+    println(s"ann_gate_indexed: stateRows across all batches=${agiStates.sum} " +
+      (if (agiStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+
     spark.stop()
   }
 }
