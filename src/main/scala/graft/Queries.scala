@@ -82,6 +82,14 @@ object Queries {
     s"$indexRoot/docs_${corpusKey}_minhash"
   }
 
+  /** Where the persisted RHP index (buckets + quantized corpus) for
+    * `dir`'s embeddings table lives.
+    */
+  private def rhpIndexPath(dir: String): String = {
+    val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$indexRoot/emb_${corpusKey}_rhp"
+  }
+
   private def embLists(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
     IvfIndex.loadOrBuildLists(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids, kmeansIters = 2, embCentroids(s, dir, nCentroids),
@@ -102,7 +110,52 @@ object Queries {
     DedupOps.loadOrBuildMinHashIndex(Tables.load(s, dir, "documents"),
       "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16,
       minhashIndexPath(dir))._1.count()
+    SimilarityOps.loadOrBuildRhpIndex(Tables.load(s, dir, "embeddings"),
+      "vec_id", "embedding", nBits = 8, nTables = 8, parityTag = "md5",
+      signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64,
+      rhpIndexPath(dir))._1.count()
   }
+
+  /** The md5-parity RHP replay oracle, shared by `x3_ann_rhp` (inline
+    * corpus hashing) and `x3_ann_rhp_indexed` (persisted bucket +
+    * quantized tables): it recomputes the identical ±1 sign matrix
+    * from the RAW embeddings, so it is independent of where the
+    * engine's bucket table came from — the two queries hash-matching
+    * the same oracle is itself the recompute ≡ indexed equality check.
+    */
+  private val rhpMd5OracleSql: String =
+    """WITH v AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+      |e0 AS (SELECT vec_id, q, unnest(range(0, len(q))) AS j FROM v),
+      |x AS (SELECT vec_id, j, q[CAST(j AS INT) + 1] AS qv FROM e0),
+      |d AS (SELECT unnest(range(0, 64)) AS k),
+      |sgn AS (SELECT x.vec_id, x.j, d.k, x.qv,
+      |    CASE WHEN CAST(('0x' || substr(md5(x.j || ':' || d.k), 1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM x, d),
+      |proj AS (SELECT vec_id, k, CAST(sum(qv * s) AS BIGINT) AS rp
+      |         FROM sgn GROUP BY vec_id, k),
+      |bkt AS (SELECT vec_id, k // 8 AS tbl,
+      |          CAST(sum(CASE WHEN rp >= 0 THEN (CAST(1 AS BIGINT) << CAST(k % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+      |        FROM proj GROUP BY vec_id, k // 8),
+      |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
+      |qp AS (SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, CAST(m.m AS BIGINT)) AS pb
+      |       FROM bkt b, masks m WHERE b.vec_id % 10 = 0),
+      |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+      |         FROM qp JOIN bkt cb ON cb.tbl = qp.tbl AND cb.bucket = qp.pb
+      |         WHERE qp.query_id <> cb.vec_id),
+      |sc AS (SELECT cand.query_id, cand.neighbor_id,
+      |         CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+      |         a.n2 AS na, b.n2 AS nb
+      |       FROM cand JOIN n a ON a.vec_id = cand.query_id
+      |                 JOIN n b ON b.vec_id = cand.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM sc),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+      |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
 
   /** One bpeTrain merge round replayed in DuckDB SQL: pair counts from
     * `w{r-1}`, single-row argmax `b{r}`, and the left-to-right
@@ -2208,38 +2261,31 @@ object Queries {
           .withColumnRenamed("rank", "rnk")
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some("""WITH v AS (SELECT vec_id,
-             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-             |       FROM embeddings),
-             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
-             |e0 AS (SELECT vec_id, q, unnest(range(0, len(q))) AS j FROM v),
-             |x AS (SELECT vec_id, j, q[CAST(j AS INT) + 1] AS qv FROM e0),
-             |d AS (SELECT unnest(range(0, 64)) AS k),
-             |sgn AS (SELECT x.vec_id, x.j, d.k, x.qv,
-             |    CASE WHEN CAST(('0x' || substr(md5(x.j || ':' || d.k), 1, 15)) AS BIGINT) % 2 = 0
-             |         THEN 1 ELSE -1 END AS s
-             |  FROM x, d),
-             |proj AS (SELECT vec_id, k, CAST(sum(qv * s) AS BIGINT) AS rp
-             |         FROM sgn GROUP BY vec_id, k),
-             |bkt AS (SELECT vec_id, k // 8 AS tbl,
-             |          CAST(sum(CASE WHEN rp >= 0 THEN (CAST(1 AS BIGINT) << CAST(k % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-             |        FROM proj GROUP BY vec_id, k // 8),
-             |masks AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m),
-             |qp AS (SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, CAST(m.m AS BIGINT)) AS pb
-             |       FROM bkt b, masks m WHERE b.vec_id % 10 = 0),
-             |cand AS (SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
-             |         FROM qp JOIN bkt cb ON cb.tbl = qp.tbl AND cb.bucket = qp.pb
-             |         WHERE qp.query_id <> cb.vec_id),
-             |sc AS (SELECT cand.query_id, cand.neighbor_id,
-             |         CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
-             |         a.n2 AS na, b.n2 AS nb
-             |       FROM cand JOIN n a ON a.vec_id = cand.query_id
-             |                 JOIN n b ON b.vec_id = cand.neighbor_id),
-             |r AS (SELECT query_id, neighbor_id,
-             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM sc),
-             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
-             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
-             |ORDER BY query_id, rnk""".stripMargin)),
+      Some(rhpMd5OracleSql)),
+
+    // ---- X3: RHP against the PERSISTED bucket + quantized-corpus
+    // tables — for RHP the hash IS the index, but at 100 TB even the
+    // hashing/quantization projection is a corpus scan better paid
+    // once (IndexStore lifecycle; parity family named in the sidecar
+    // params). Only the queries hash per call. The oracle recomputes
+    // the identical sign matrix from the raw embeddings, so it is the
+    // SAME oracle as x3_ann_rhp — value-equality of the two queries is
+    // itself part of the check. ----
+    ("x3_ann_rhp_indexed",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        val (buckets, qcorpus) = SimilarityOps.loadOrBuildRhpIndex(emb,
+          "vec_id", "embedding", nBits = 8, nTables = 8, parityTag = "md5",
+          signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64,
+          indexPath = rhpIndexPath(dir))
+        SimilarityOps.rhpTopKIndexed(queries, buckets, qcorpus, "vec_id", "embedding",
+            k = 5, nBits = 8, probeHamming = 1, nTables = 8,
+            signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(rhpMd5OracleSql)),
 
     // ---- X3: RHP at full probe — probeHamming = nBits probes every
     // bucket, so the SAME bucketed plan degenerates to the brute-force

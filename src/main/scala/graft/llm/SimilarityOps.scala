@@ -579,13 +579,74 @@ object SimilarityOps {
     // scored exactly once (the first formulation scored every
     // (pair × table-collision) and distinct()ed the wide scored rows —
     // with 8 tables a near pair paid up to 8 longDots)
-    val cb = rhpBucketIdsMulti(corpus, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
+    rhpTopKIndexed(queries,
+      rhpCorpusBuckets(corpus, idCol, vecCol, nBits, nTables, signParity, maxInputDim),
+      rhpQuantizedCorpus(corpus, idCol, vecCol),
+      idCol, vecCol, k, nBits, probeHamming, nTables, signParity, maxInputDim)
+  }
+
+  /** The RHP corpus-side bucket table `(table, bucket, neighbor_id)` —
+    * the hash-family analogue of [[ivfInvertedLists]]; persistable via
+    * [[IvfIndex]]-style [[graft.llm.DedupOps.loadOrBuildMinHashIndex]]
+    * siblings (see `loadOrBuildRhpIndex` in the query layer).
+    */
+  def rhpCorpusBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                       nBits: Int, nTables: Int,
+                       signParity: (Long, Long) => Long,
+                       maxInputDim: Int): DataFrame =
+    rhpBucketIdsMulti(corpus, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
       .select(col("table"), col("bucket"), col(idCol).as("neighbor_id"))
+
+  /** The quantized corpus scoring table `(neighbor_id, __qb, __cn2)` —
+    * the second stored artifact an indexed RHP search needs (exact
+    * verification of bucket candidates).
+    */
+  def rhpQuantizedCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantized(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
+
+  /** Persisted RHP index (IndexStore lifecycle): the corpus bucket
+    * table and the quantized scoring table as sibling stored tables.
+    * `parityTag` names the sign-hash family in the sidecar params
+    * (functions don't fingerprint) — pass a new tag when changing
+    * `signParity`, like any other build parameter.
+    * Returns (buckets, quantizedCorpus).
+    */
+  def loadOrBuildRhpIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                          nBits: Int, nTables: Int, parityTag: String,
+                          signParity: (Long, Long) => Long, maxInputDim: Int,
+                          indexPath: String, rebuild: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val qc = IndexStore.loadOrBuild(corpus, "rhp-quantized",
+      s"$indexPath/quantized", rebuild) {
+      rhpQuantizedCorpus(corpus, idCol, vecCol)
+    }
+    val bk = IndexStore.loadOrBuild(corpus,
+      s"rhp-buckets:nBits=$nBits,nTables=$nTables,parity=$parityTag,maxDim=$maxInputDim",
+      s"$indexPath/buckets", rebuild) {
+      rhpCorpusBuckets(corpus, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
+    }
+    (bk, qc)
+  }
+
+  /** [[rhpTopK]] against prebuilt corpus-side artifacts: only the
+    * QUERIES are hashed and quantized per call; the corpus bucket
+    * table and quantized scoring table are stored (for RHP the hash IS
+    * the index, so the artifacts are pure projections — but at 100 TB
+    * even that projection is a corpus scan better paid once).
+    */
+  def rhpTopKIndexed(queries: DataFrame, corpusBuckets: DataFrame,
+                     corpusQuantized: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nBits: Int, probeHamming: Int, nTables: Int,
+                     signParity: (Long, Long) => Long =
+                       graft.functions.RhpSign.xxhashParity,
+                     maxInputDim: Int = 4096): DataFrame = {
+    val masks = (0L until (1L << nBits)).filter(java.lang.Long.bitCount(_) <= probeHamming)
     val qb = rhpBucketIdsMulti(queries, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
       .withColumn("__m", explode(typedLit(masks)))
       .select(col("table"), (col("bucket").bitwiseXOR(col("__m"))).as("bucket"),
         col(idCol).as("query_id"))
-    val pairs = qb.join(cb, Seq("table", "bucket"))
+    val pairs = qb.join(corpusBuckets, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
     // within one table a neighbor has exactly one home bucket and the
@@ -593,9 +654,7 @@ object SimilarityOps {
     val cand = if (nTables == 1) pairs else pairs.distinct()
     val qq = quantized(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("__qv").as("__qa"), col("__n2").as("__qn2"))
-    val cq = quantized(corpus, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    val scored = cand.join(qq, "query_id").join(cq, "neighbor_id")
+    val scored = cand.join(qq, "query_id").join(corpusQuantized, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")), col("__qn2"), col("__cn2"))
           .as("cosine"))
