@@ -2699,6 +2699,58 @@ object Queries {
            |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- X4: SAMPLED-trainer train→apply pipeline at 2× the merge
+    // depth — the production trainer (bpeTrainSampled, zero Spark jobs
+    // per round) feeding the encoder, oracle-checked end-to-end: the
+    // vocabulary is DERIVED from an 8-round SQL replay, a depth the
+    // per-round distributed trainer's oracle would pay double for.
+    // Exercises merge products of merge products (round-8 pieces span
+    // 3+ characters), which the 4-round pipeline never reaches. ----
+    ("x4_bpe_pipeline_sampled",
+      (s: SparkSession, dir: String) => {
+        val lowered = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val merges = TextOps.bpeTrainSampled(lowered, "doc_id", "text",
+            nMerges = 8, maxWords = Int.MaxValue)
+          .orderBy("round").collect()
+        val vocab = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString) ++
+          merges.map(r => r.getString(1) + r.getString(2)).toSeq
+        TextOps.bpeEncode(lowered, "doc_id", "text", vocab).orderBy(col("doc_id"))
+      },
+      Some {
+        val rounds = (1 to 8).map(bpeTrainRoundSql).mkString(",\n")
+        val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+          .map(c => s"('$c')").mkString(", ")
+        val bvUnions = (1 to 8).map(r => s"UNION ALL SELECT a || b FROM b$r").mkString(" ")
+        s"""WITH RECURSIVE w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    list_transform(range(1, length(w) + 1), i -> substr(w, CAST(i AS INT), 1)) AS syms
+           |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) GROUP BY w),
+           |$rounds,
+           |bv0(v) AS (VALUES $chars),
+           |bv AS (SELECT v FROM bv0 $bvUnions),
+           |bws AS (SELECT doc_id, string_split(lower(text), ' ') AS sw FROM documents),
+           |bw AS (SELECT doc_id, wpos, sw[wpos] AS w
+           |       FROM (SELECT doc_id, sw, unnest(generate_series(1, len(sw))) AS wpos FROM bws)
+           |       WHERE sw[wpos] <> ''),
+           |benc AS (
+           |  SELECT doc_id, wpos, w AS rem, CAST([] AS VARCHAR[]) AS toks FROM bw
+           |  UNION ALL
+           |  SELECT doc_id, wpos, substr(rem, 1 + len(tok)), list_append(toks, tok)
+           |  FROM (SELECT doc_id, wpos, rem, toks,
+           |          coalesce((SELECT v FROM bv WHERE starts_with(rem, v) ORDER BY len(v) DESC, v LIMIT 1),
+           |                   substr(rem, 1, 1)) AS tok
+           |        FROM benc WHERE rem <> '')),
+           |bdone AS (SELECT doc_id, wpos, toks FROM benc WHERE rem = ''),
+           |bflat AS (SELECT doc_id, unnest(toks) AS tok FROM bdone),
+           |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |           CAST(sum(CASE WHEN tok NOT IN (SELECT v FROM bv) THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+           |         FROM bflat GROUP BY doc_id),
+           |bstr AS (SELECT doc_id, string_agg(array_to_string(toks, '|'), '|' ORDER BY wpos) AS toks
+           |         FROM bdone GROUP BY doc_id)
+           |SELECT bagg.doc_id, n_tokens, n_unk, toks
+           |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- X4: BPE-apply — greedy longest-match subword encode under a
     // broadcast vocabulary (codegen expression Spark-side; the oracle
     // replays the same maximal-munch rule with a recursive CTE) ----
