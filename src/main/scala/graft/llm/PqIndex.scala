@@ -83,9 +83,19 @@ private[llm] object IndexStore {
     val planTerm =
       if (isBareScan(corpus.queryExecution.analyzed)) ""
       else {
+        // hash the canonicalized plan NODE BY NODE (class name + full
+        // expression trees), not its toString: plan strings truncate
+        // field lists at spark.sql.debug.maxToStringFields, so two
+        // wide projections differing only past the cutoff would
+        // collide. Expression.toString is never truncated, and
+        // canonicalization normalizes exprIds, so the digest is
+        // deterministic across sessions (spec-pinned).
         val md = java.security.MessageDigest.getInstance("MD5")
-        md.update(corpus.queryExecution.analyzed.canonicalized.toString()
-          .getBytes(StandardCharsets.UTF_8))
+        corpus.queryExecution.analyzed.canonicalized.foreach { node =>
+          md.update(node.getClass.getName.getBytes(StandardCharsets.UTF_8))
+          node.expressions.foreach(e =>
+            md.update(e.toString.getBytes(StandardCharsets.UTF_8)))
+        }
         ":plan:" + md.digest().map("%02x".format(_)).mkString
       }
     if (files.isEmpty) s"count:${corpus.count()}$planTerm"

@@ -70,6 +70,22 @@ class CorpusSignatureSpec extends SparkSpec {
     IndexStore.corpusSignature(spark.read.parquet(dir).alias("c")) shouldBe bare
   }
 
+  test("wide plans beyond maxToStringFields still get distinct signatures") {
+    // plan STRINGS truncate field lists at spark.sql.debug
+    // .maxToStringFields (25) — the signature hashes full expression
+    // trees instead, so two wide projections differing only past the
+    // cutoff must not collide into one reusable index signature
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("corpus-sig-wide").resolve("c").toString
+    (0 until 5).map(i => (i.toLong, i.toString)).toDF("id", "v")
+      .select(Seq(col("id"), col("v")) ++ (0 until 40).map(j => lit(j).as(s"c$j")): _*)
+      .write.parquet(dir)
+    val base = spark.read.parquet(dir)
+    val wideA = base.select(col("id") +: (0 until 40).map(j => col(s"c$j")): _*)
+    val wideB = base.select(col("id") +: (0 until 39).map(j => col(s"c$j")) :+ col("v"): _*)
+    IndexStore.corpusSignature(wideA) should not be IndexStore.corpusSignature(wideB)
+  }
+
   test("plan-hash term is session-independent (no rebuild-per-session)") {
     // canonicalization normalizes exprIds, so the same query text from
     // a different session (fresh analyzer state, different raw exprIds)
