@@ -42,6 +42,11 @@ object Bench {
 
   /** Suite-wide counters for stage retries / task failures; snapshotted
     * around each timed rep so spikes attribute to a specific query.
+    * Listener events post asynchronously, so a counter increment can
+    * land a few ms after the rep's snapshot and attribute to the NEXT
+    * query — retries/failures are rare enough that off-by-one
+    * attribution still names the right neighborhood; gc_ms and
+    * start_s (read synchronously) are the primary attribution fields.
     */
   private final class Forensics extends SparkListener {
     val stageRetries = new java.util.concurrent.atomic.AtomicLong
