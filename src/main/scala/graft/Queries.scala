@@ -116,6 +116,42 @@ object Queries {
       rhpIndexPath(dir))._1.count()
   }
 
+  /** The fuzzy-dedup pipeline oracle (exact-Jaccard pairs → recursive
+    * connected components → keep-longest), shared by
+    * `x2_fuzzy_pipeline` (exact pair anchor),
+    * `x2_fuzzy_pipeline_scalable` (LSH front end; banding covers the
+    * exact pair set — measured recall 1.0, BASELINE.md), and
+    * `x2_fuzzy_pipeline_indexed` (LSH front end reading the PERSISTED
+    * MinHash index).
+    */
+  private val fuzzyPipelineOracleSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+      |       FROM t WHERE len(toks) >= 5),
+      |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+      |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+      |p0 AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      |       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS (SELECT doc1, doc2 FROM p0
+      |      JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+      |      WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)),
+      |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+      |walk(id, label) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.a, walk.label FROM e JOIN walk ON e.b = walk.id),
+      |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+      |d AS (SELECT d.doc_id, d.n_chars, coalesce(cl.cluster_id, d.doc_id) AS ckey
+      |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      |r AS (SELECT doc_id, ckey,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY ckey) AS group_n,
+      |    first_value(doc_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_id
+      |  FROM d WINDOW w AS (PARTITION BY ckey ORDER BY n_chars DESC, doc_id))
+      |SELECT doc_id, ckey AS cluster_key, canonical_id, CAST(group_n AS BIGINT) AS group_n,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** The md5-parity RHP replay oracle, shared by `x3_ann_rhp` (inline
     * corpus hashing) and `x3_ann_rhp_indexed` (persisted bucket +
     * quantized tables): it recomputes the identical ±1 sign matrix
@@ -1827,6 +1863,31 @@ object Queries {
              |SELECT doc_id, ckey AS cluster_key, canonical_id, CAST(group_n AS BIGINT) AS group_n,
              |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- X2: the fuzzy-dedup pipeline off the STORED index — the
+    // pair stage reads the persisted MinHash artifacts (shingles +
+    // banded buckets), so the whole RefinedWeb flow (pairs → clusters
+    // → keep-longest) runs without re-shingling the corpus. Same
+    // exact-pair oracle as both siblings: identical clusters and keep
+    // verdicts are part of the check. ----
+    ("x2_fuzzy_pipeline_indexed",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (banded, sh) = DedupOps.loadOrBuildMinHashIndex(docs, "doc_id", "text",
+          shingleW = 5, numHashes = 64, bands = 16, minhashIndexPath(dir))
+        val clusters = DedupOps.clusterNearDups(
+          DedupOps.minHashLshPairsIndexed(banded, sh, num = 1, den = 2)
+            .select(col("doc1"), col("doc2")))
+        val keyed = docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+        DedupOps.canonicalKeep(keyed, "doc_id", col("ckey"),
+            Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("doc_id"), col("ckey").as("cluster_key"),
+            col("canonical_id"), col("group_n"),
+            col("is_canonical").cast("long").as("is_canonical"))
+          .orderBy(col("doc_id"))
+      },
+      Some(fuzzyPipelineOracleSql)),
 
     // ---- X2: MinHash + LSH banding (scale path; LSH recall — rows-only check) ----
     // Oracle: the full exact-Jaccard pair set. LSH is approximate in
