@@ -104,6 +104,12 @@ object IvfIndex {
   private def listsParams(nCentroids: Int, kmeansIters: Int): String =
     s"ivf-lists:nCentroids=$nCentroids,kmeansIters=$kmeansIters"
 
+  /** The corpus drift signature used by the index sidecars — exposed
+    * so an append caller can snapshot the PRE-append corpus state (see
+    * [[appendToLists]]'s protocol) before touching the storage.
+    */
+  def corpusSig(corpus: DataFrame): String = IndexStore.corpusSignature(corpus)
+
   /** INCREMENTAL list maintenance — the 100 TB append path: when new
     * corpus rows arrive, assigning ONLY the delta and appending its
     * list entries costs O(|delta|), where [[loadOrBuildLists]]'s
@@ -113,20 +119,41 @@ object IvfIndex {
     * the distribution drifts enough to matter — recall probes tell
     * you when).
     *
-    * Protocol: append `newRows` to the corpus storage first, then call
-    * this with the delta and a DataFrame reading the corpus AS IT NOW
+    * Protocol: snapshot `preAppendSig = corpusSig(corpus)` BEFORE
+    * appending, append `newRows` to the corpus storage, then call this
+    * with the delta and a DataFrame reading the corpus AS IT NOW
     * STANDS (`corpusAfterAppend` — its drift signature is what gets
-    * stamped). The list entries append to the index parquet, and the
-    * sidecar re-stamps atomically, so a subsequent [[loadOrBuildLists]]
-    * with the same params reuses the extended index instead of
-    * rebuilding. Crash between append and stamp leaves a stale sidecar
-    * → next load rebuilds from scratch (safe, never wrong).
+    * stamped).
+    *
+    * A delta append is only sound against an index that is FRESH for
+    * the pre-append corpus under the SAME parameters; appending to a
+    * missing, stale, or differently-parameterized index would commit a
+    * delta-only or mixed-params table that the new sidecar then
+    * declares fresh (ADVICE r8). So the stored sidecar must equal
+    * exactly what a fresh pre-append build would have stamped —
+    * `render(listsParams, preAppendSig)`; on any mismatch this method
+    * falls back to a FULL rebuild over `corpusAfterAppend` (correct,
+    * just not O(delta)). On the fast path the list entries append to
+    * the index parquet and the sidecar re-stamps atomically; a crash
+    * between append and stamp leaves a stale sidecar → next load
+    * rebuilds from scratch (safe, never wrong).
     */
   def appendToLists(newRows: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int, kmeansIters: Int, centroids: DataFrame,
-                    corpusAfterAppend: DataFrame, indexPath: String): Unit = {
-    SimilarityOps.ivfInvertedLists(newRows, idCol, vecCol, centroids)
-      .write.mode("append").parquet(indexPath)
-    IndexStore.stamp(corpusAfterAppend, listsParams(nCentroids, kmeansIters), indexPath)
+                    corpusAfterAppend: DataFrame, indexPath: String,
+                    preAppendSig: String): Unit = {
+    val params = listsParams(nCentroids, kmeansIters)
+    val expected = IndexStore.render(params, preAppendSig)
+    if (IndexStore.readMetaRaw(corpusAfterAppend, indexPath).contains(expected)) {
+      SimilarityOps.ivfInvertedLists(newRows, idCol, vecCol, centroids)
+        .write.mode("append").parquet(indexPath)
+      IndexStore.stamp(corpusAfterAppend, params, indexPath)
+    } else {
+      System.err.println(
+        s"IvfIndex.appendToLists: stored index at $indexPath is missing, stale, " +
+          "or built with different parameters — falling back to a full rebuild")
+      loadOrBuildLists(corpusAfterAppend, idCol, vecCol, nCentroids, kmeansIters,
+        centroids, indexPath, rebuild = true)
+    }
   }
 }

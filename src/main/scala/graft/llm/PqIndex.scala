@@ -48,7 +48,7 @@ private[llm] object IndexStore {
       throw new java.io.IOException(s"IndexStore: failed to commit sidecar $p")
   }
 
-  private def render(params: String, corpusSig: String): String =
+  private[llm] def render(params: String, corpusSig: String): String =
     s"""{"params":${quote(params)},"corpus":${quote(corpusSig)}}"""
 
   /** Cheap corpus-drift signature, NO Spark job on the production
@@ -83,18 +83,27 @@ private[llm] object IndexStore {
     val planTerm =
       if (isBareScan(corpus.queryExecution.analyzed)) ""
       else {
-        // hash the canonicalized plan NODE BY NODE (class name + full
-        // expression trees), not its toString: plan strings truncate
-        // field lists at spark.sql.debug.maxToStringFields, so two
-        // wide projections differing only past the cutoff would
-        // collide. Expression.toString is never truncated, and
-        // canonicalization normalizes exprIds, so the digest is
-        // deterministic across sessions (spec-pinned).
+        // hash the canonicalized plan NODE BY NODE over the FULL
+        // constructor argument list (productIterator), not its
+        // toString: plan strings truncate field lists at
+        // spark.sql.debug.maxToStringFields, so two wide projections
+        // differing only past the cutoff would collide. Hashing only
+        // node.expressions (the pre-round-9 shape) missed every
+        // non-expression field — join type, sample bounds/seed, set-op
+        // flags — so `a INNER JOIN b` and `a LEFT ANTI JOIN b` on the
+        // same condition produced one signature and silently shared an
+        // index (ADVICE r8). Each element is framed with start/end
+        // marker bytes so adjacent strings can never re-segment into a
+        // colliding byte stream (the r8 boundary-ambiguity note).
+        // Expression.toString is never truncated, and canonicalization
+        // normalizes exprIds, so the digest stays deterministic across
+        // sessions (spec-pinned).
         val md = java.security.MessageDigest.getInstance("MD5")
         corpus.queryExecution.analyzed.canonicalized.foreach { node =>
+          md.update(2: Byte)
           md.update(node.getClass.getName.getBytes(StandardCharsets.UTF_8))
-          node.expressions.foreach(e =>
-            md.update(e.toString.getBytes(StandardCharsets.UTF_8)))
+          md.update(0: Byte)
+          node.productIterator.foreach(hashPlanArg(md, _))
         }
         ":plan:" + md.digest().map("%02x".format(_)).mkString
       }
@@ -114,6 +123,30 @@ private[llm] object IndexStore {
         .foreach(e => md.update(e.getBytes(StandardCharsets.UTF_8)))
       s"files:${files.length}:" + md.digest().map("%02x".format(_)).mkString + planTerm
     }
+  }
+
+  /** Digest one logical-plan constructor argument. Child plans are
+    * skipped (the node-by-node `foreach` traversal already covers
+    * them); collections and Options recurse per element; expressions
+    * hash their untruncated toString; everything else (JoinType,
+    * sample bounds, seeds, flags, schemas) hashes its String form.
+    * Every element is wrapped in start(1)/end(0) marker bytes —
+    * unambiguous framing, so no concatenation of distinct argument
+    * lists can produce the same byte stream.
+    */
+  private def hashPlanArg(md: java.security.MessageDigest, arg: Any): Unit = {
+    md.update(1: Byte)
+    arg match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+        md.update('P'.toByte) // structure captured by the traversal
+      case e: org.apache.spark.sql.catalyst.expressions.Expression =>
+        md.update(e.toString.getBytes(StandardCharsets.UTF_8))
+      case o: Option[_] => o.foreach(hashPlanArg(md, _))
+      case s: Iterable[_] => s.foreach(hashPlanArg(md, _))
+      case other =>
+        md.update(String.valueOf(other).getBytes(StandardCharsets.UTF_8))
+    }
+    md.update(0: Byte)
   }
 
   /** True when the analyzed plan is a bare (possibly aliased) source

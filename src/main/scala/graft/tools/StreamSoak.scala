@@ -31,11 +31,21 @@ object StreamSoak {
   def main(args: Array[String]): Unit = {
     val soakSec = if (args.length > 0) args(0).toInt else 60
     val rate = if (args.length > 1) args(1).toInt else 20000
+    // verdicts read q.recentProgress, which Spark caps at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): with
+    // the 2 s trigger a soak past ~200 s would silently truncate the
+    // series while the dedup sub-linear check still compares against
+    // full-run totals (ADVICE r8). Size the buffer to hold every
+    // progress update the soak can produce, with slack for empty-batch
+    // reports.
+    val triggerSec = 2
+    val progressCap = (soakSec / triggerSec + 120).toString
     val spark = graft.GraftSession.tuned(
         SparkSession.builder().master("local[8]")
           .config("spark.ui.enabled", "false")
           .config("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          .config("spark.sql.streaming.numRecentProgressUpdates", progressCap)
           .config("spark.sql.shuffle.partitions", "8"), 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,7 +91,7 @@ object StreamSoak {
       .as[StreamOps.Event]
     val usRows = soak("user_stats", StreamOps.runningUserStats(events)
       .writeStream.format("noop").outputMode("update")
-      .option("checkpointLocation", s"$ckRoot/us").trigger(Trigger.ProcessingTime("2 seconds")).start())
+      .option("checkpointLocation", s"$ckRoot/us").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     val usPlateau = usRows.lastOption.getOrElse(0L)
     println(s"user_stats: final stateRows=$usPlateau (bound=$nUsers) " +
       (if (usPlateau <= nUsers) "PASS bounded by key cardinality" else "FAIL state exceeds key space"))
@@ -93,7 +103,7 @@ object StreamSoak {
     val docsStream = rateSrc.select(col("value").as("k"), col("timestamp").as("ts"))
     val ddRows = soak("dedup_watermark", StreamOps.dedupStream(docsStream, Seq("k"), s"$wmSec seconds")
       .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$ckRoot/dd").trigger(Trigger.ProcessingTime("2 seconds")).start())
+      .option("checkpointLocation", s"$ckRoot/dd").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     // plateau check — the claim is "state stops growing once expiry
     // kicks in", so the verdict is on the TAIL: over the last third of
     // the run the state must be flat (watermark retention ≈ delay +
@@ -121,7 +131,7 @@ object StreamSoak {
     val dgStates = soak("decontam_gate", StreamOps.decontaminateStream(textStream, bm,
         w = 5, mBits = 1 << 20, k = 3)
       .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$ckRoot/dg").trigger(Trigger.ProcessingTime("2 seconds")).start())
+      .option("checkpointLocation", s"$ckRoot/dg").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"decontam_gate: stateRows across all batches=${dgStates.sum} " +
       (if (dgStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 
@@ -136,7 +146,7 @@ object StreamSoak {
     val agStates = soak("ann_gate", StreamOps.annGateStream(vecStream, corpus,
         "vec_id", "embedding", num = 9, den = 10, centroids = cents, nProbe = 2)
       .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$ckRoot/ag").trigger(Trigger.ProcessingTime("2 seconds")).start())
+      .option("checkpointLocation", s"$ckRoot/ag").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"ann_gate: stateRows across all batches=${agStates.sum} " +
       (if (agStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 
@@ -149,7 +159,7 @@ object StreamSoak {
     val agiStates = soak("ann_gate_indexed", StreamOps.annGateStreamIndexed(vecStream, lists,
         "vec_id", "embedding", num = 9, den = 10, centroids = cents, nProbe = 2)
       .writeStream.format("noop").outputMode("append")
-      .option("checkpointLocation", s"$ckRoot/agi").trigger(Trigger.ProcessingTime("2 seconds")).start())
+      .option("checkpointLocation", s"$ckRoot/agi").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"ann_gate_indexed: stateRows across all batches=${agiStates.sum} " +
       (if (agiStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 

@@ -107,13 +107,15 @@ class IvfIndexSpec extends SparkSpec {
     val cents = IvfIndex.loadOrBuild(c0, "vec_id", "embedding", 4, 1, centDir)
     IvfIndex.loadOrBuildLists(c0, "vec_id", "embedding", 4, 1, cents, listsDir).count()
 
-    // new rows arrive: append to the corpus store, then delta-maintain
+    // new rows arrive: snapshot the pre-append signature, append to
+    // the corpus store, then delta-maintain
+    val sigBefore = IvfIndex.corpusSig(c0)
     val delta = (100 until 110)
       .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 100)))
       .toDF("vec_id", "embedding")
     delta.write.mode("append").parquet(corpusDir)
     val grown = spark.read.parquet(corpusDir)
-    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, listsDir)
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, listsDir, sigBefore)
 
     // next loadOrBuildLists REUSES the extended index (no rebuild):
     // the part files written so far keep their mtimes
@@ -128,5 +130,56 @@ class IvfIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
     key(loaded) shouldBe key(
       graft.llm.SimilarityOps.ivfInvertedLists(grown, "vec_id", "embedding", cents))
+  }
+
+  test("appendToLists guards freshness: missing/stale/mismatched index falls back to rebuild (ADVICE r8)") {
+    val base = Files.createTempDirectory("ivf-lists-guard")
+    val corpusDir = base.resolve("corpus").toString
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("centroid_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    corpus(40).write.parquet(corpusDir)
+    val c0 = spark.read.parquet(corpusDir)
+    val cents = IvfIndex.loadOrBuild(c0, "vec_id", "embedding", 4, 1, base.resolve("cents").toString)
+    val sigBefore = IvfIndex.corpusSig(c0)
+    val delta = (100 until 110)
+      .map(i => (i.toLong, Seq.tabulate(8)(j => (i * 8 + j).toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    delta.write.mode("append").parquet(corpusDir)
+    val grown = spark.read.parquet(corpusDir)
+    val truth = key(graft.llm.SimilarityOps.ivfInvertedLists(grown, "vec_id", "embedding", cents))
+
+    // 1) append before any build: no sidecar → must NOT commit a
+    // delta-only table; full rebuild over the grown corpus instead
+    val neverBuilt = base.resolve("never-built").toString
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, neverBuilt, sigBefore)
+    key(spark.read.parquet(neverBuilt)) shouldBe truth
+
+    // 2) params changed since the build: appending delta rows encoded
+    // with 4 centroids onto an 8-centroid table would mix parameters —
+    // guard must rebuild under the requested params
+    val paramsDir = base.resolve("params").toString
+    IvfIndex.loadOrBuildLists(c0, "vec_id", "embedding", 8, 1,
+      IvfIndex.loadOrBuild(c0, "vec_id", "embedding", 8, 1, base.resolve("cents8").toString),
+      paramsDir).count()
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, paramsDir, sigBefore)
+    key(spark.read.parquet(paramsDir)) shouldBe truth
+
+    // 3) stale signature: index built against a DIFFERENT corpus state
+    // than the claimed pre-append one → rebuild, not append
+    val staleDir = base.resolve("stale").toString
+    IvfIndex.loadOrBuildLists(c0, "vec_id", "embedding", 4, 1, cents, staleDir).count()
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, staleDir,
+      preAppendSig = "files:999:deadbeef")
+    key(spark.read.parquet(staleDir)) shouldBe truth
+
+    // 4) and the happy path on a genuinely fresh index still appends
+    // (no rewrite of existing part files)
+    val freshDir2 = base.resolve("fresh").toString
+    IvfIndex.loadOrBuildLists(c0, "vec_id", "embedding", 4, 1, cents, freshDir2).count()
+    val before = partMTimes(freshDir2)
+    IvfIndex.appendToLists(delta, "vec_id", "embedding", 4, 1, cents, grown, freshDir2, sigBefore)
+    partMTimes(freshDir2).view.filterKeys(before.contains).toMap shouldBe before
+    key(spark.read.parquet(freshDir2)) shouldBe truth
   }
 }

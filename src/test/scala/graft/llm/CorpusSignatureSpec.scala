@@ -86,6 +86,36 @@ class CorpusSignatureSpec extends SparkSpec {
     IndexStore.corpusSignature(wideA) should not be IndexStore.corpusSignature(wideB)
   }
 
+  test("non-expression plan fields (join type, sample params) reach the signature (ADVICE r8)") {
+    // the pre-round-9 digest hashed only node.expressions, so two
+    // corpus-defining queries differing in a non-expression field —
+    // inner vs left_anti join on the same condition, or two sample
+    // fractions — collided into one signature and silently shared a
+    // persisted index
+    val base = Files.createTempDirectory("corpus-sig-args")
+    val dirA = base.resolve("a").toString
+    val dirB = base.resolve("b").toString
+    corpus(20).write.parquet(dirA)
+    corpus(5).write.parquet(dirB)
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB).select($"vec_id")
+    val inner = IndexStore.corpusSignature(a.join(b, Seq("vec_id"), "inner"))
+    val anti = IndexStore.corpusSignature(a.join(b, Seq("vec_id"), "left_anti"))
+    val semi = IndexStore.corpusSignature(a.join(b, Seq("vec_id"), "left_semi"))
+    inner should not be anti
+    inner should not be semi
+    anti should not be semi
+    val s10 = IndexStore.corpusSignature(a.sample(0.1, seed = 42))
+    val s20 = IndexStore.corpusSignature(a.sample(0.2, seed = 42))
+    val s10b = IndexStore.corpusSignature(a.sample(0.1, seed = 7))
+    s10 should not be s20
+    s10 should not be s10b
+    // determinism is preserved: re-deriving the same query re-hashes
+    // to the same signature
+    IndexStore.corpusSignature(a.join(b, Seq("vec_id"), "left_anti")) shouldBe anti
+    IndexStore.corpusSignature(a.sample(0.1, seed = 42)) shouldBe s10
+  }
+
   test("plan-hash term is session-independent (no rebuild-per-session)") {
     // canonicalization normalizes exprIds, so the same query text from
     // a different session (fresh analyzer state, different raw exprIds)
