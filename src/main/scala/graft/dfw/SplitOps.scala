@@ -40,19 +40,42 @@ object SplitOps {
     when(x - floor(x).cast("double") === 0.5, floor(x) + pmod(floor(x), lit(2L)))
       .otherwise(floor(x + 0.5))
 
+  /** W2 with COLUMN parameters — the multi-database shape
+    * (`preprocess.py:319-372`): each database carries its own train
+    * setting and cv in config columns, so one plan splits them all.
+    * `train` is the reference's raw scalar (-1 / fraction / count) as
+    * a double column; `trainIsInt` disambiguates `1` (count) from a
+    * fraction, mirroring the reference's isinstance(int) check
+    * (`preprocess.py:167`). The scalar [[trainSizeCol]] delegates
+    * here, so both surfaces share one formula (RefDiffSpec checks it
+    * against the executable reference over 1000+ random configs).
+    */
+  def trainSizeColDyn(n: Column, train: Column, trainIsInt: Column, cv: Column): Column = {
+    val cvL = cv.cast("long")
+    val frac = {
+      val s = roundHalfEven(n.cast("double") * train)
+      when(s < cvL, least(n, cvL)).otherwise(s)
+    }
+    val cnt = {
+      val s = least(train.cast("long"), n)
+      when(s < cvL, least(cvL, n)).otherwise(s)
+    }
+    when(train === -1, n)
+      .when(!trainIsInt && train > 0 && train < 1, frac)
+      .when(trainIsInt && train >= 1, cnt)
+  }
+
   /** W2: per-class train size with the reference's clamp rules.
     * `n` is the class size (LongType column); result is LongType.
     */
   def trainSizeCol(n: Column, spec: TrainSpec, cv: Int): Column = spec match {
-    case All => n
+    case All => trainSizeColDyn(n, lit(-1.0), lit(false), lit(cv))
     case Frac(f) =>
       require(f > 0 && f < 1, "\"train\" fraction must be between 0 and 1")
-      val s = roundHalfEven(n.cast("double") * f)
-      when(s < cv, least(n, lit(cv.toLong))).otherwise(s)
+      trainSizeColDyn(n, lit(f), lit(false), lit(cv))
     case Count(k) =>
       require(k >= 1, "\"train\" count must be a positive integer")
-      val s = least(lit(k.toLong), n)
-      when(s < cv, least(lit(cv.toLong), n)).otherwise(s)
+      trainSizeColDyn(n, lit(k.toDouble), lit(true), lit(cv))
   }
 
   /** Rank every sample within its class by the permutation key
@@ -132,13 +155,24 @@ object SplitOps {
     * broadcast nested-loop join against a cv-row literal table — the
     * fold table is tiny, so this never shuffles the data side.
     */
-  def linspaceFolds(trainRows: DataFrame, cv: Int): DataFrame = {
+  def linspaceFolds(trainRows: DataFrame, cv: Int): DataFrame =
+    linspaceFoldsDyn(trainRows, lit(cv), cv)
+
+  /** [[linspaceFolds]] with a COLUMN cv (multi-database shape): the
+    * fold table spans `maxCv` rows and each data row keeps only the
+    * folds below its own `cvCol`. Scalar callers delegate here with
+    * `cvCol = lit(cv), maxCv = cv` — identical join (the `fold < cv`
+    * term is trivially true), one shared formula.
+    */
+  def linspaceFoldsDyn(trainRows: DataFrame, cvCol: Column, maxCv: Int): DataFrame = {
     val spark = trainRows.sparkSession
-    val folds = spark.range(cv).select(col("id").cast("int").as("fold"))
-    val step = col("train_n").cast("double") / cv
+    val folds = spark.range(maxCv).select(col("id").cast("int").as("fold"))
+    val step = col("train_n").cast("double") / cvCol.cast("double")
     val lo = floor(col("fold") * step)
-    val hi = when(col("fold") === cv - 1, col("train_n")).otherwise(floor((col("fold") + 1) * step))
-    trainRows.join(broadcast(folds), col("pos") >= lo && col("pos") < hi)
+    val hi = when(col("fold") === cvCol - 1, col("train_n"))
+      .otherwise(floor((col("fold") + 1) * step))
+    trainRows.join(broadcast(folds),
+      col("fold") < cvCol && col("pos") >= lo && col("pos") < hi)
   }
 
   /** W4: rotation (leave-one-out round-robin) CV for classes whose
@@ -146,10 +180,14 @@ object SplitOps {
     * tests the single sample at `pos == i mod n`, trains on the rest.
     * Produces one (fold, role) row per sample per fold.
     */
-  def rotationFolds(trainRows: DataFrame, cv: Int): DataFrame = {
+  def rotationFolds(trainRows: DataFrame, cv: Int): DataFrame =
+    rotationFoldsDyn(trainRows, lit(cv), cv)
+
+  /** [[rotationFolds]] with a COLUMN cv — see [[linspaceFoldsDyn]]. */
+  def rotationFoldsDyn(trainRows: DataFrame, cvCol: Column, maxCv: Int): DataFrame = {
     val spark = trainRows.sparkSession
-    val folds = spark.range(cv).select(col("id").cast("int").as("fold"))
-    trainRows.join(broadcast(folds))
+    val folds = spark.range(maxCv).select(col("id").cast("int").as("fold"))
+    trainRows.join(broadcast(folds), col("fold") < cvCol)
       .withColumn("cv_role",
         when(col("pos") === pmod(col("fold").cast("long"), col("train_n")), lit("test"))
           .otherwise(lit("train")))
@@ -163,10 +201,14 @@ object SplitOps {
     * shuffles and its `(cls)` partitioning survives for the per-fold
     * centering aggregate that typically follows.
     */
-  def cvAssign(foldedRows: DataFrame, cv: Int): DataFrame = {
+  def cvAssign(foldedRows: DataFrame, cv: Int): DataFrame =
+    cvAssignDyn(foldedRows, lit(cv), cv)
+
+  /** [[cvAssign]] with a COLUMN cv — see [[linspaceFoldsDyn]]. */
+  def cvAssignDyn(foldedRows: DataFrame, cvCol: Column, maxCv: Int): DataFrame = {
     val spark = foldedRows.sparkSession
-    val folds = spark.range(cv).select(col("id").cast("int").as("cv_fold"))
-    foldedRows.join(broadcast(folds))
+    val folds = spark.range(maxCv).select(col("id").cast("int").as("cv_fold"))
+    foldedRows.join(broadcast(folds), col("cv_fold") < cvCol)
       .withColumn("cv_role",
         when(col("fold") === col("cv_fold"), lit("test")).otherwise(lit("train")))
   }
