@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, SliceOps, WindowOps}
+import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
 import graft.llm.{DedupOps, IvfIndex, SimilarityOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
@@ -803,6 +803,68 @@ object Queries {
               |  round(s.features[2] - m.m2, 4) AS f2_c
               |FROM s JOIN m USING (descriptor)
               |ORDER BY descriptor, cls, sample_id, role, f1_c, f2_c""".stripMargin)),
+
+    // ---- flagship, multi-DATABASE (VERDICT r8 item 7): the
+    // reference's OUTER loop iterates databases, each cut under its
+    // own decoded train/cv config (preprocess.py:110-141,319-372).
+    // Two databases — lineitem features and an orders-derived table
+    // with a DIFFERENT class key, feature arity, train fraction
+    // (0.5 vs 0.25) and cv (5 vs 4) — run through
+    // PreProcess.generatorMulti as ONE plan: broadcast per-db config,
+    // trainSizeColDyn clamps per row, one (db, cls) rank shuffle for
+    // both, per-db train-mean centering. The reference runs this as a
+    // sequential per-database driver loop; at scale it is one
+    // co-partitioned pass. ----
+    ("gen_pipeline_multidb",
+      (s: SparkSession, dir: String) => {
+        val li = featureTable(s, dir)
+          .select(lit("li").as("db"), lit("default").as("descriptor"),
+            col("cls"), col("sample_id"), col("perm"),
+            array(col("l_quantity"), col("l_extendedprice")).as("features"))
+        val ord = Tables.load(s, dir, "orders")
+          .select(lit("ord").as("db"), lit("default").as("descriptor"),
+            col("o_orderpriority").as("cls"), col("o_orderkey").as("sample_id"),
+            (((col("o_orderkey") % 999983L) * 2654435761L + 40503L) % 1000000007L).as("perm"),
+            array(col("o_totalprice")).as("features"))
+        val samples = TransformOps.unionAll(Seq(li, ord))
+        val out = PreProcess.generatorMulti(samples,
+          Seq(PreProcess.DbConfig("li", SplitOps.Frac(0.5), CV),
+            PreProcess.DbConfig("ord", SplitOps.Frac(0.25), 4)),
+          // total order: lineitem has duplicate (sample_id, perm)
+          // pairs, so the features break the tie (same device as
+          // gen_pipeline_multi)
+          Seq(col("perm"), col("sample_id"), element_at(col("features"), 1),
+            coalesce(try_element_at(col("features"), lit(2)), lit(0.0))),
+          center = true)
+        out.select(col("db"), col("cls"), col("sample_id"), col("role"),
+            round(element_at(col("features_centered"), 1), 6).as("f1_c"),
+            round(try_element_at(col("features_centered"), lit(2)), 4).as("f2_c"))
+          .orderBy(col("db"), col("cls"), col("sample_id"), col("role"),
+            col("f1_c"), col("f2_c"))
+      },
+      Some(s"""WITH f AS ($fSql),
+              |li AS (SELECT 'li' AS db, cls, sample_id, perm,
+              |         [l_quantity, l_extendedprice] AS features FROM f),
+              |odb AS (SELECT 'ord' AS db, o_orderpriority AS cls, o_orderkey AS sample_id,
+              |         ((o_orderkey % 999983) * 2654435761 + 40503) % 1000000007 AS perm,
+              |         [o_totalprice] AS features FROM orders),
+              |d AS (SELECT * FROM li UNION ALL SELECT * FROM odb),
+              |r AS (SELECT *,
+              |        row_number() OVER (PARTITION BY db, cls
+              |          ORDER BY perm, sample_id, features[1], coalesce(features[2], 0)) AS rn,
+              |        count(*) OVER (PARTITION BY db, cls) AS n
+              |      FROM d),
+              |s AS (SELECT *, CASE WHEN rn <= (CASE WHEN db = 'li'
+              |        THEN ${tsFracSql("n", "0.5", CV)}
+              |        ELSE ${tsFracSql("n", "0.25", 4)} END)
+              |      THEN 'train' ELSE 'test' END AS role FROM r),
+              |m AS (SELECT db, avg(features[1]) AS m1, avg(features[2]) AS m2
+              |      FROM s WHERE role = 'train' GROUP BY db)
+              |SELECT s.db, s.cls, s.sample_id, s.role,
+              |  round(s.features[1] - m.m1, 6) AS f1_c,
+              |  round(s.features[2] - m.m2, 4) AS f2_c
+              |FROM s JOIN m USING (db)
+              |ORDER BY db, cls, sample_id, role, f1_c, f2_c""".stripMargin)),
 
     // ---- P1: 1-based inclusive class-range slice ----
     ("p1_class_range",

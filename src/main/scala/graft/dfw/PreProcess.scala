@@ -128,6 +128,66 @@ final class PreProcess(
 }
 
 object PreProcess {
+
+  /** Per-DATABASE split configuration — the decoded unit of the
+    * reference's `self._config[database]` (`preprocess.py:319-372`
+    * outer loop; T10 `matchAndFill` distributes raw config entries to
+    * databases the same way).
+    */
+  final case class DbConfig(db: String, train: SplitOps.TrainSpec, cv: Int)
+
+  /** Multi-DATABASE generator (VERDICT r8 item 7): the reference
+    * iterates databases, each cut under its OWN decoded train/cv
+    * config (`preprocess.py:110-141,319-372`). Here N databases split
+    * in ONE lazy plan: the per-db config is a broadcast literal table
+    * and the W2 clamp is the column-parameterized
+    * [[SplitOps.trainSizeColDyn]] — the same formula the scalar facade
+    * delegates to (RefDiffSpec pins it against the executable
+    * reference). The rank shuffle carries (db, descriptor, cls), so N
+    * databases cost one wider shuffle, not N sequential plans — at
+    * 100 TB the reference's per-database driver loop becomes a single
+    * co-partitioned pass.
+    *
+    * `samples` must carry `db`, `descriptor`, `cls`, `sample_id`,
+    * `features`, and the J1 gather order in `orderCols` (a TOTAL
+    * order within each (db, descriptor, cls) group). Centering, when
+    * enabled, is per (db, descriptor) over the concatenated train
+    * matrix — the reference's `preprocess.py:76-79` semantics, per
+    * database.
+    */
+  def generatorMulti(samples: DataFrame, configs: Seq[DbConfig],
+                     orderCols: Seq[Column],
+                     center: Boolean = false, extend: Boolean = false,
+                     numParts: Int = 32): DataFrame = {
+    require(configs.nonEmpty, "generatorMulti needs at least one database config")
+    require(configs.map(_.db).distinct.length == configs.length,
+      "one config per database")
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val cfg = configs.map { c =>
+      val (t, isInt) = c.train match {
+        case SplitOps.All => (-1.0, false)
+        case SplitOps.Frac(f) => (f, false)
+        case SplitOps.Count(k) => (k.toDouble, true)
+      }
+      (c.db, t, isInt, c.cv)
+    }.toDF("db", "__train", "__is_int", "__cv")
+    val ranked = SplitOps.rankByPermutationScalable(
+      samples, Seq("db", "descriptor", "cls"), orderCols, numParts)
+    val split = ranked.join(broadcast(cfg), "db")
+      .withColumn("train_size",
+        SplitOps.trainSizeColDyn(col("n"), col("__train"), col("__is_int"), col("__cv")))
+      .withColumn("role",
+        when(col("rn") <= col("train_size"), lit("train")).otherwise(lit("test")))
+      .drop("__train", "__is_int", "__cv")
+    val extended =
+      if (extend) split.withColumn("features", TransformOps.extendBias(col("features")))
+      else split
+    if (center)
+      TransformOps.centerFeatureArrayFast(extended, Seq("db", "descriptor"), "role", "features")
+    else extended
+  }
+
   /** Build with the reference's defaults (`predefine.py:17-22`). */
   def apply(samples: DataFrame,
             permutations: Option[DataFrame] = None,

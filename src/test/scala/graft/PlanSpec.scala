@@ -226,4 +226,13 @@ class PlanSpec extends SparkSpec {
     // the scalable rank range-partitions by (descriptor, cls, order)
     plan should include("rangepartitioning(descriptor")
   }
+
+  test("gen_pipeline_multidb: per-db config broadcasts, one db-keyed rank shuffle, no cartesian") {
+    val plan = formatted("gen_pipeline_multidb")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastHashJoin")
+    // both databases ride ONE range-partitioned rank keyed by (db, ...)
+    plan should include("rangepartitioning(db")
+  }
 }
