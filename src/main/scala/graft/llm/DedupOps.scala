@@ -519,6 +519,53 @@ object DedupOps {
     (banded, sh)
   }
 
+  /** INCREMENTAL MinHash index maintenance (VERDICT r8 item 5) — the
+    * 100 TB append path for [[loadOrBuildMinHashIndex]]: shingles and
+    * band hashes are per-document (no cross-corpus state), so new
+    * documents shingle + hash in O(|delta|) and append to both stored
+    * tables, where a rebuild re-scans the full corpus.
+    *
+    * Same protocol and freshness guard as [[IvfIndex.appendToLists]]:
+    * snapshot `preAppendSig = IvfIndex.corpusSig(docs)` BEFORE
+    * appending to the corpus store; both sidecars must equal exactly
+    * what a fresh pre-append build stamped (params + pre-append
+    * signature) or the delta would extend a missing/stale/
+    * differently-parameterized index — any mismatch falls back to a
+    * full rebuild over `corpusAfterAppend`. Writes commit in
+    * (shingles, stamp, banded, stamp) order, so a crash at any point
+    * leaves sidecars that force the NEXT load to rebuild only what is
+    * actually behind (stale-sidecar-means-rebuild, never wrong).
+    * Returns (banded, shingles) read back from the store.
+    */
+  def appendToMinHashIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                           shingleW: Int, numHashes: Int, bands: Int,
+                           corpusAfterAppend: DataFrame, indexPath: String,
+                           preAppendSig: String): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    val shParams = s"minhash-shingles:w=$shingleW"
+    val bandParams = s"minhash-banded:w=$shingleW,numHashes=$numHashes,bands=$bands"
+    val fresh =
+      IndexStore.readMetaRaw(corpusAfterAppend, s"$indexPath/shingles")
+        .contains(IndexStore.render(shParams, preAppendSig)) &&
+      IndexStore.readMetaRaw(corpusAfterAppend, s"$indexPath/banded")
+        .contains(IndexStore.render(bandParams, preAppendSig))
+    if (fresh) {
+      val deltaSh = wordShingles(newDocs, idCol, textCol, shingleW).localCheckpoint()
+      deltaSh.write.mode("append").parquet(s"$indexPath/shingles")
+      IndexStore.stamp(corpusAfterAppend, shParams, s"$indexPath/shingles")
+      minHashBandedFromShingles(deltaSh, numHashes, bands)
+        .write.mode("append").parquet(s"$indexPath/banded")
+      IndexStore.stamp(corpusAfterAppend, bandParams, s"$indexPath/banded")
+      (spark.read.parquet(s"$indexPath/banded"), spark.read.parquet(s"$indexPath/shingles"))
+    } else {
+      System.err.println(
+        s"DedupOps.appendToMinHashIndex: stored index at $indexPath is missing, stale, " +
+          "or built with different parameters — falling back to a full rebuild")
+      loadOrBuildMinHashIndex(corpusAfterAppend, idCol, textCol,
+        shingleW, numHashes, bands, indexPath, rebuild = true)
+    }
+  }
+
   /** Near-dup clustering: connected components over a pair list —
     * every document joined (transitively) by a near-dup edge gets
     * `cluster_id` = the smallest doc id in its component.
