@@ -600,10 +600,15 @@ object DedupOps {
     * `localEdgeThreshold = 0`. Doc ids must be integral (long).
     *
     * @param pairs (doc1, doc2) undirected near-dup edges
+    * @param roundHook observability tap for the skew soak (tools/CcSoak):
+    *   called once per alternating-star round with (round, edgeCount) —
+    *   the count is free (it rides the convergence signature). No-op by
+    *   default; never changes the labels.
     * @return (doc_id, cluster_id) for every doc appearing in a pair
     */
   def clusterNearDups(pairs: DataFrame, maxIter: Int = 50,
-                      localEdgeThreshold: Long = 65536): DataFrame = {
+                      localEdgeThreshold: Long = 65536,
+                      roundHook: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     // materialize the pair list ONCE: it is typically the output of an
     // expensive join (shingle/LSH/IVF verify), and it feeds three
     // consumers below (nodes twice, edges once) — without this the
@@ -694,6 +699,7 @@ object DedupOps {
       sig = nsig
       edges = next
       iter += 1
+      roundHook(iter, nsig._1)
     }
 
     // at the fixed point every non-min node has exactly one edge, to
