@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through verbatim. The default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any
+// consumer that json.loads the Bench/Verify output lines — the
+// per-round BENCH_r*.json artifacts have parsed:null in ALL rounds,
+// including round 1 when the lines were short, so the prefix (not
+// line length) is the primary parse blocker.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's trailing "[success] Total time: ..." line so the LAST
+// stdout line of `sbt "runMain graft.Bench"` is the Bench summary
+// JSON itself, not an sbt status line.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -182,15 +182,21 @@ object Bench {
     val failed = results.count(_._3.nonEmpty)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Output ordering matters: the round driver captures a bounded TAIL
-    // of stdout, and the forensics payload (meta/ok/errors for 120+
-    // queries) grew past that bound in rounds 7-8, truncating the head
-    // of a single combined line and leaving the artifact unparseable
-    // (BENCH_r07/r08 parsed:null). So the fat record goes FIRST under
-    // metric:"detail", and the LAST line printed is a short summary —
-    // whatever the driver's tail keeps, it always ends with a complete
-    // {"metric":"total",...} line carrying value/queries/failed/outliers.
+    // of stdout (2000 chars, measured from BENCH_r10.json), so the LAST
+    // line must be short enough to survive whole. Rounds 7-10 all ended
+    // with a line carrying the full per-query map — at 123 queries that
+    // line alone is ~4 KB, the tail starts mid-line, and the artifact
+    // parses to null. Fix: fat records (forensics, full query map) go
+    // FIRST; the final line is a bounded summary — total/failed/
+    // outliers plus only the top-10 slowest queries (~700 chars worst
+    // case), with n_queries + queries_truncated flagging the elision.
+    // The full map stays one line up for human readers and local runs.
     println(s"""{"metric":"detail","ok":$oks,"errors":$errs,"meta":$meta,"suite_start_ms":$suiteStartMs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"outliers":$outJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"queries_truncated":true,"n_queries":${results.length},"median_q":${math.round(medianQ * 1000) / 1000.0},"failed":$failed,"outliers":$outJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     // exit 0 even on query failures: the JSON's ok/errors/failed fields
     // are the failure channel — a nonzero exit could make a harness
