@@ -42,29 +42,44 @@ object Tables {
   /** S1 + S5: scan with existence check. A missing file is a fatal
     * analysis error (reference `preprocess.py:398-399` exits; we throw).
     *
-    * Session requirement: loading `events` needs
-    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session conf
-    * (the file stores TIMESTAMP(NANOS); DSv2 honors this flag only at
-    * the session level, not per-read). Sessions built via
-    * [[graft.GraftSession.tuned]] have it set; any other session gets a
-    * fail-fast `require` here rather than a mid-scan parquet error.
-    * Earlier versions self-healed by mutating the caller's session
-    * conf; the explicit requirement replaced that (behavior change).
+    * The `events` table's `ts` column has shifted physical type between
+    * testdata generations (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so
+    * the load is type-adaptive ([[adaptEventTs]]) instead of assuming
+    * one physical encoding: whatever the scan yields, callers see a
+    * session-zone `timestamp` — the contract every downstream window /
+    * as-of / sessionize operator and the DuckDB oracle rely on.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/${normalizeFormat(name)}"
-    if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS); the session factory sets
-      // spark.sql.legacy.parquet.nanosAsLong (GraftSession.tuned) so the
-      // scan yields LongType nanos. Convert with integer division (a
-      // double division would lose precision at ~1.7e18 ns). The option
-      // below covers sessions not built via GraftSession: DSv2 honors
-      // per-read options only through the session conf, so require it.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true — build the session via GraftSession.tuned")
-      val raw = spark.read.parquet(path)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(path)
+    val raw = spark.read.parquet(path)
+    if (name == "events") adaptEventTs(raw) else raw
+  }
+
+  /** Normalize the events `ts` column to session-zone `timestamp`
+    * regardless of its physical encoding in the file:
+    *
+    *  - `long` — legacy TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    [[graft.GraftSession.tuned]]; Spark's vectorized reader rejects
+    *    NANOS otherwise). Integer-divide to micros — a double division
+    *    would lose precision at ~1.7e18 ns.
+    *  - `timestamp_ntz` — TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    *    what pandas/pyarrow write and Spark 4 infers as NTZ. Cast to
+    *    `timestamp`: with the session zone pinned to UTC
+    *    (GraftSession.tuned) the wall-clock values are preserved
+    *    exactly, matching DuckDB's naive read of the same file.
+    *  - `timestamp` — already the contract type; pass through.
+    */
+  def adaptEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — expected long (nanos), timestamp_ntz or timestamp")
+    }
   }
 
   /** S2: variable/domain projection — read only the requested columns;

@@ -137,8 +137,10 @@ class StreamOpsSpec extends SparkSpec {
       dir.resolve("part-0.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same type-adaptive ts normalization as the batch loader — the
+    // testdata's physical timestamp encoding has shifted between rounds
+    val streamed = graft.sources.Tables.adaptEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamOps.tumblingAggStream(streamed, "1 hour", watermark = "1 hour")
       .writeStream.format("memory").queryName("file_stream_test").outputMode("complete").start()
     try {
