@@ -19,13 +19,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev-only fault injection: SPARK_GRAFT_VERIFY_FAIL=name forces that
+    // query to throw, exercising the error-row path below end-to-end
+    val injectFail = sys.env.get("SPARK_GRAFT_VERIFY_FAIL")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        if (injectFail.contains(name))
+          throw new IllegalStateException("injected failure (SPARK_GRAFT_VERIFY_FAIL)")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        // A failed query must stay VISIBLE in the round artifact: write a
+        // one-row parquet carrying the error so the driver's compare sees
+        // an entry (guaranteed red: schema/hash mismatch) instead of the
+        // query silently vanishing from the denominator — in round 11 ten
+        // regressed queries left no trace and the artifact read as a
+        // perfect 113/113.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        import spark.implicits._
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
