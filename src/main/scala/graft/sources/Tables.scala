@@ -52,7 +52,89 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/${normalizeFormat(name)}"
     val raw = spark.read.parquet(path)
-    if (name == "events") adaptEventTs(raw) else raw
+    assertSchema(name, raw.schema)
+    if (name == "events") adaptEventTs(raw) else adaptNanosTs(name, raw)
+  }
+
+  // ---------------------------------------------------------------
+  // Schema-drift defense: the driver regenerates the testdata between
+  // rounds and physical types have shifted underneath the engine
+  // before (events.ts: TIMESTAMP(NANOS) → TIMESTAMP(MICROS), which
+  // silently killed every events query). Every load now checks the
+  // scanned schema against a per-table contract of accepted type
+  // FAMILIES — physical-width variants that the engine adapts or
+  // handles uniformly — and fails with one precise message naming the
+  // table and column instead of N opaque downstream analysis errors.
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+
+  /** Accepted type families. `ts` includes LongType because a legacy
+    * TIMESTAMP(NANOS) file scanned under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` yields nanos-as-long
+    * (adapted back to `timestamp` in [[adaptEventTs]]/[[adaptNanosTs]]).
+    */
+  private val families: Map[String, DataType => Boolean] = Map(
+    "int" -> (t => t == IntegerType || t == LongType || t == ShortType),
+    "float" -> (t => t == FloatType || t == DoubleType),
+    "str" -> (_ == StringType),
+    "ts" -> (t => t == LongType || t == TimestampType || t == TimestampNTZType),
+    "float_array" -> {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+
+  /** The driver-table schema contract (TESTDATA.md): column → family. */
+  private[sources] val expectedColumns: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "str"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "str", "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "int", "c_name" -> "str", "c_nationkey" -> "int",
+      "c_acctbal" -> "float", "c_mktsegment" -> "str"),
+    "supplier" -> Seq("s_suppkey" -> "int", "s_name" -> "str", "s_nationkey" -> "int",
+      "s_acctbal" -> "float"),
+    "part" -> Seq("p_partkey" -> "int", "p_name" -> "str", "p_brand" -> "str",
+      "p_type" -> "str", "p_size" -> "int", "p_retailprice" -> "float"),
+    "orders" -> Seq("o_orderkey" -> "int", "o_custkey" -> "int", "o_orderstatus" -> "str",
+      "o_totalprice" -> "float", "o_orderdate" -> "ts", "o_orderpriority" -> "str"),
+    "lineitem" -> Seq("l_orderkey" -> "int", "l_partkey" -> "int", "l_suppkey" -> "int",
+      "l_linenumber" -> "int", "l_quantity" -> "float", "l_extendedprice" -> "float",
+      "l_discount" -> "float", "l_tax" -> "float", "l_returnflag" -> "str",
+      "l_linestatus" -> "str", "l_shipdate" -> "ts"),
+    "events" -> Seq("event_id" -> "int", "ts" -> "ts", "user_id" -> "int",
+      "event_type" -> "str", "value" -> "float", "props" -> "str"),
+    "documents" -> Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+      "source" -> "str", "n_chars" -> "int"),
+    "embeddings" -> Seq("vec_id" -> "int", "embedding" -> "float_array", "label" -> "int"))
+
+  /** Fail fast with a table/column-precise message when a scanned
+    * schema violates the contract. Extra columns are tolerated (the
+    * driver may enrich tables); missing or family-incompatible ones
+    * are not.
+    */
+  def assertSchema(table: String, schema: StructType): Unit =
+    expectedColumns.get(table).foreach { cols =>
+      cols.foreach { case (c, fam) =>
+        schema.fields.find(_.name == c) match {
+          case None => throw new IllegalStateException(
+            s"$table.parquet schema drift: column '$c' is missing " +
+              s"(scanned columns: ${schema.fieldNames.mkString(", ")})")
+          case Some(f) if !families(fam)(f.dataType) => throw new IllegalStateException(
+            s"$table.parquet schema drift: column '$c' scanned as " +
+              s"${f.dataType.simpleString}, engine accepts family '$fam'")
+          case _ => ()
+        }
+      }
+    }
+
+  /** Adapt any non-events `ts`-family column that scanned as raw long
+    * (a legacy TIMESTAMP(NANOS) file under nanosAsLong) back to
+    * `timestamp`; typed timestamp columns pass through untouched.
+    */
+  private def adaptNanosTs(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    expectedColumns.getOrElse(table, Nil).collect {
+      case (c, "ts") if df.schema(c).dataType == LongType => c
+    }.foldLeft(df)((d, c) => d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)")))
   }
 
   /** Normalize the events `ts` column to session-zone `timestamp`
