@@ -117,8 +117,11 @@ object Bench {
     // SPARK_GRAFT_BENCH_REPS > 1 reports the per-query MEDIAN of that
     // many runs — this box shows ±10-50% single-run noise on
     // sub-second queries, and medians are the cheap way to see through
-    // it. Default 1 keeps the driver's per-round wall time unchanged.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // it. Default 3: round 11's single-rep artifact flagged two 2-3x
+    // outliers on UNCHANGED query code (box noise), making the round's
+    // recorded evidence weak — the extra bench wall time buys numbers
+    // that can actually be compared across rounds. Set 1 for dev loops.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = names.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         System.gc()
@@ -159,20 +162,31 @@ object Bench {
           f"[start +${(m.startMs - suiteStartMs) / 1000.0}%.1f s, gc ${m.gcMs} ms, " +
           f"heap peak ${m.heapPeakMb} MB, stage retries ${m.stageRetries}, failed tasks ${m.failedTasks}]")
     }
-    val outJson = outliers.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // Shared JSON string escape for every builder-authored key/value:
+    // a query name (or exception class) containing a quote, backslash
+    // or control char must not corrupt the artifact.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val oks = results.map { case (k, _, e, _) => jstr(k) + ":" + e.isEmpty }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, e, _) => "\"" + k + "\":" + e.isEmpty }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => "\"" + k + "\":\"" + e + "\"" }
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     // per-query attribution record for the median rep: wall-clock start
     // offset within the suite (sec), GC-time delta (ms), peak heap (MB),
     // stage retries and failed tasks — enough to tell a GC stall from a
     // stage retry from an external scheduling gap after the fact
     val meta = results.map { case (k, _, _, m) =>
-      "\"" + k + "\":{" +
+      jstr(k) + ":{" +
         "\"start_s\":" + ((m.startMs - suiteStartMs) / 1000.0) +
         ",\"gc_ms\":" + m.gcMs +
         ",\"heap_peak_mb\":" + m.heapPeakMb +
@@ -193,10 +207,33 @@ object Bench {
     // The full map stays one line up for human readers and local runs.
     println(s"""{"metric":"detail","ok":$oks,"errors":$errs,"meta":$meta,"suite_start_ms":$suiteStartMs}""")
     println(s"""{"metric":"queries","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    // The summary line must be BOUNDED: every map on it is capped to a
+    // fixed N with rounded values, so a pathological run (many
+    // outliers, huge times) cannot push the line past the driver's
+    // ~2000-char tail capture. Truncated maps use distinct key names
+    // (top_queries, top_outliers) so a consumer of the old full-map
+    // `queries` key fails loudly instead of silently comparing a
+    // partial map; the full per-query map rides the metric:"queries"
+    // line above.
     val top10 = results.sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .map { case (k, v, _, _) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top10,"queries_truncated":true,"n_queries":${results.length},"median_q":${math.round(medianQ * 1000) / 1000.0},"failed":$failed,"outliers":$outJson,"reps":$reps,"sf":"$sfDir"}""")
+    val topOutliers = outliers.sortBy(-_._2).take(5)
+      .map { case (k, v, _, _) => jstr(k) + ":" + r3(v) }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","top_queries":$top10,"queries_truncated":true,"n_queries":${results.length},"median_q":${r3(medianQ)},"failed":$failed,"top_outliers":$topOutliers,"n_outliers":${outliers.length},"reps":$reps,"sf":${jstr(sfDir)}}"""
+    // Artifact self-check (the r7-r10 defect class: a final line too
+    // long for the driver's tail capture, or malformed, parses to null
+    // and silently zeroes the round's bench evidence). Both checks are
+    // warnings on stderr — the measurement is still printed.
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(summary)
+    catch { case e: Exception =>
+      System.err.println(s"BENCH SELF-CHECK: summary line is not valid JSON: ${e.getMessage}")
+    }
+    if (summary.length > 1800)
+      System.err.println(s"BENCH SELF-CHECK: summary line is ${summary.length} chars — may exceed the driver's tail capture")
+    println(summary)
     spark.stop()
     // exit 0 even on query failures: the JSON's ok/errors/failed fields
     // are the failure channel — a nonzero exit could make a harness
