@@ -538,7 +538,10 @@ object Queries {
     // value whose rank error is within ±1/accuracy (slack is 10× that
     // bound, still ~100× tighter than the group spread). DuckDB
     // replays the verdicts as literal 1s: if the sketch ever escapes
-    // its bound, the Spark side flips to 0 and the hash gate goes red. ----
+    // its bound, the Spark side flips to 0 and the hash gate goes red.
+    // The exact side is FUSED: one percentile(col, array(lo, q, hi))
+    // per column shares a single map buffer for all three ranks —
+    // two exact aggregates instead of six (VERDICT r11 item 6). ----
     ("q_percentiles_approx",
       (s: SparkSession, dir: String) => {
         val slack = 0.001 // 10 × the 1/accuracy GK rank-error bound
@@ -547,16 +550,14 @@ object Queries {
           .agg(
             expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq"),
             expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap"),
-            round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-            expr(s"percentile(l_quantity, ${0.5 - slack})").as("q_lo"),
-            expr(s"percentile(l_quantity, ${0.5 + slack})").as("q_hi"),
-            expr(s"percentile(l_extendedprice, ${0.9 - slack})").as("p_lo"),
-            expr(s"percentile(l_extendedprice, ${0.9 + slack})").as("p_hi"))
-          .select(col("l_returnflag"), col("median_qty"), col("p90_price"),
-            (col("aq") >= col("q_lo") && col("aq") <= col("q_hi"))
+            expr(s"percentile(l_quantity, array(${0.5 - slack}, 0.5, ${0.5 + slack}))").as("qp"),
+            expr(s"percentile(l_extendedprice, array(${0.9 - slack}, 0.9, ${0.9 + slack}))").as("pp"))
+          .select(col("l_returnflag"),
+            round(col("qp")(1), 6).as("median_qty"),
+            round(col("pp")(1), 4).as("p90_price"),
+            (col("aq") >= col("qp")(0) && col("aq") <= col("qp")(2))
               .cast("int").as("median_in_bounds"),
-            (col("ap") >= col("p_lo") && col("ap") <= col("p_hi"))
+            (col("ap") >= col("pp")(0) && col("ap") <= col("pp")(2))
               .cast("int").as("p90_in_bounds"))
           .orderBy(col("l_returnflag"))
       },
@@ -564,6 +565,37 @@ object Queries {
              |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
              |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
              |  1 AS median_in_bounds, 1 AS p90_in_bounds
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- q_percentiles at 100 TB: rank-select exact quantiles.
+    // percentile() merges a per-group value→count map through the
+    // shuffle — on nearly-unique doubles (prices) that map IS the
+    // group, i.e. unbounded reducer state; the sketch twin above
+    // bounds memory but changes the value. QuantileOps keeps the
+    // EXACT value with O(1) reducer state: distributed range sort +
+    // two-phase rank, then a broadcast join against the tiny
+    // (group × quantile) rank table keeps only the two neighbor order
+    // statistics per quantile and interpolates (quantile_cont
+    // semantics, same oracle row as q_percentiles). Locally the map
+    // merge wins (~1.7 s vs ~2.5 s — sort fixed costs dominate at
+    // 600k rows); at cluster scale only the rank-select shape
+    // survives, which is why both are in the suite. ----
+    ("q_percentiles_scalable",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val mq = graft.dfw.QuantileOps.exactQuantileCols(
+          li, Seq("l_returnflag"), "l_quantity", Seq(0.5 -> "mq"))
+        val pp = graft.dfw.QuantileOps.exactQuantileCols(
+          li, Seq("l_returnflag"), "l_extendedprice", Seq(0.9 -> "pp"))
+        mq.join(pp, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(col("mq"), 6).as("median_qty"),
+            round(col("pp"), 4).as("p90_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- W1/W2: per-class train/test split by stored permutation order ----

@@ -1,0 +1,80 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles by rank selection.
+  *
+  * Spark's built-in `percentile()` aggregate buffers a value→count
+  * OpenHashMap per group and merges those maps through the shuffle —
+  * fine for low-cardinality columns, but on nearly-unique doubles
+  * (prices, scores) the map is the size of the group, so at 100 TB a
+  * single reducer holds a group's whole column: the same
+  * unbounded-reducer shape the engine's scalable twins exist to avoid.
+  *
+  * This operator computes the SAME value (linear interpolation between
+  * the two adjacent order statistics, the `quantile_cont` definition
+  * Spark and DuckDB share) from a distributed sort instead: a
+  * range-partitioned two-phase rank ([[SplitOps.rankByPermutationScalable]]),
+  * then a broadcast join against the tiny (group × quantile) table of
+  * needed ranks, keeping only the two neighbor rows per quantile. No
+  * stage ever materializes a group in one place; reducer memory is
+  * O(1) regardless of group size or value cardinality.
+  */
+object QuantileOps {
+
+  /** Exact `quantile_cont` per group for each q in `qs`.
+    *
+    * @return one row per (group × q): `grpCols..., q, value` — pivot
+    *         with `groupBy(...).pivot("q")` or join per-q slices when
+    *         columns are wanted.
+    */
+  def exactQuantiles(df: DataFrame, grpCols: Seq[String], valueCol: String,
+                     qs: Seq[Double], numParts: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val vals = df
+      .select(grpCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull) // percentile semantics: nulls ignored
+    val ranked = SplitOps
+      .rankByPermutationScalable(vals, grpCols, Seq(col("__v")), numParts)
+    // group sizes come from a cheap partial-agg count over the INPUT,
+    // not from `ranked` — deriving them from the rank output would put
+    // the whole sort plan in the broadcast side's lineage and compute
+    // it twice. |groups| × |qs| rows — broadcastable by construction.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qlit = qs.toDF("q")
+    val needed = vals.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .crossJoin(qlit)
+      .withColumn("__fpos", col("q") * (col("__n") - 1).cast("double"))
+      .withColumn("__rlo", floor(col("__fpos")).cast("long") + 1)
+      .withColumn("__rhi", ceil(col("__fpos")).cast("long") + 1)
+      .withColumn("__frac", col("__fpos") - floor(col("__fpos")))
+      .select(grpCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("q"), col("__rlo"), col("__rhi"), col("__frac")): _*)
+    val joinCond = grpCols.map(c => ranked(c) === needed(s"__g_$c")).reduce(_ && _) &&
+      (ranked("rn") === needed("__rlo") || ranked("rn") === needed("__rhi"))
+    ranked.join(broadcast(needed), joinCond)
+      .groupBy(grpCols.map(col) :+ col("q"): _*)
+      .agg(
+        min(when(col("rn") === col("__rlo"), col("__v"))).as("__vlo"),
+        min(when(col("rn") === col("__rhi"), col("__v"))).as("__vhi"),
+        first(col("__frac")).as("__f"))
+      .select(grpCols.map(col) ++ Seq(col("q"),
+        (col("__vlo") + col("__f") * (col("__vhi") - col("__vlo"))).as("value")): _*)
+  }
+
+  /** Convenience: the per-q values of [[exactQuantiles]] as named
+    * columns (`names` pairs each q with its output column), one row
+    * per group.
+    */
+  def exactQuantileCols(df: DataFrame, grpCols: Seq[String], valueCol: String,
+                        names: Seq[(Double, String)], numParts: Int = 32): DataFrame = {
+    val long = exactQuantiles(df, grpCols, valueCol, names.map(_._1), numParts)
+    val aggs = names.map { case (q, name) =>
+      min(when(col("q") === lit(q), col("value"))).as(name)
+    }
+    long.groupBy(grpCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dfw.QuantileOps
+
+/** Rank-select exact quantiles must equal the built-in percentile()
+  * (both implement quantile_cont: linear interpolation between the
+  * two adjacent order statistics) — the operator exists because the
+  * built-in's per-group value→count map is unbounded reducer state on
+  * nearly-unique doubles, not because the semantics differ.
+  */
+class QuantileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches built-in percentile on nearly-unique doubles across groups") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 5000).map(i => (s"g${i % 3}", rng.nextDouble() * 1000))
+      .toDF("g", "v")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = QuantileOps.exactQuantiles(df, Seq("g"), "v", qs, numParts = 8)
+      .orderBy("g", "q")
+      .select(col("g"), col("q"), round(col("value"), 9).as("value"))
+      .as[(String, Double, Double)].collect()
+    val exp = df.groupBy("g")
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("vals"))
+      .select(col("g"), posexplode(col("vals")))
+      .select(col("g"), col("pos"), round(col("col"), 9).as("value"))
+      .orderBy("g", "pos")
+      .as[(String, Int, Double)].collect()
+    got.length shouldBe exp.length
+    got.zip(exp).foreach { case ((g1, _, v1), (g2, _, v2)) =>
+      g1 shouldBe g2
+      v1 shouldBe v2 +- 1e-6
+    }
+  }
+
+  test("single-row group, duplicates, and nulls follow percentile semantics") {
+    val df = Seq(("a", Some(5.0)), ("b", Some(1.0)), ("b", Some(1.0)),
+      ("b", Some(3.0)), ("b", None)).toDF("g", "v")
+    val got = QuantileOps.exactQuantiles(df, Seq("g"), "v", Seq(0.5), numParts = 4)
+      .select("g", "value").as[(String, Double)].collect().toMap
+    got("a") shouldBe 5.0
+    got("b") shouldBe 1.0 // nulls ignored: median of (1,1,3)
+  }
+
+  test("exactQuantileCols pivots to one row per group with named columns") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val row = QuantileOps.exactQuantileCols(df, Seq("g"), "v",
+      Seq(0.5 -> "med", 1.0 -> "max_v"), numParts = 2)
+      .select("g", "med", "max_v").as[(String, Double, Double)].head()
+    row shouldBe (("a", 2.5, 4.0))
+  }
+}
