@@ -23,9 +23,12 @@ object GraftSession {
     *  - 128 MB scan splits: the Parquet row-group sweet spot, keeps
     *    100 TB scans at ~800k tasks instead of millions;
     *  - UTC session timezone for engine-independent timestamp logic;
-    *  - nanos-as-long: the events table stores TIMESTAMP(NANOS), which
-    *    Spark's vectorized reader rejects — set once here, not from
-    *    inside a reader function (readers must not mutate session conf).
+    *  - nanos-as-long: some testdata vintages store the events table
+    *    as TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    *    unless this flag maps it to long — set once here, not from
+    *    inside a reader function (readers must not mutate session
+    *    conf). `Tables.load` adapts whichever physical type the scan
+    *    yields (TablesSchemaSpec pins all vintages).
     */
   def tuned(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder = b
     .config("spark.sql.adaptive.enabled", "true")
