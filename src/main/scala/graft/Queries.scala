@@ -1680,14 +1680,18 @@ object Queries {
     // scalable rank machinery applied globally with an engine-neutral
     // content hash: range-partition by hash, rank locally, add
     // broadcast offsets. No single global sort, reproducible on any
-    // engine (the constant `corpus` key keeps the offset window
-    // partitioned) ----
+    // engine. The constant `corpus` key must be NON-FOLDABLE
+    // (`doc_id * 0`, same idiom as SplitOps.classOffsets): a
+    // `lit(0)` gets constant-folded OUT of the window partition spec,
+    // leaving the (tiny, numParts-row) offsets window formally
+    // unpartitioned — harmless here but it trips WindowExec's
+    // single-partition warning on every run. ----
     ("x4_shuffle_order",
       (s: SparkSession, dir: String) => {
         val hashed = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
             DedupOps.md5TokenHash(col("doc_id").cast("string")).as("perm"))
-          .withColumn("corpus", lit(0))
+          .withColumn("corpus", (col("doc_id") * 0).cast("int"))
         SplitOps.rankByPermutationScalable(hashed, Seq("corpus"),
             Seq(col("perm"), col("doc_id")), numParts = 32)
           .select(col("doc_id"), col("perm"), col("pos").as("shuffle_pos"))
