@@ -235,4 +235,14 @@ class PlanSpec extends SparkSpec {
     // both databases ride ONE range-partitioned rank keyed by (db, ...)
     plan should include("rangepartitioning(db")
   }
+
+  test("q_percentiles_scalable: rank-select — no percentile map-merge on the data side") {
+    val plan = formatted("q_percentiles_scalable")
+    // the exact values must come from the distributed sort + neighbor
+    // selection, never from the value→count map-merge aggregate whose
+    // reducer state is unbounded on nearly-unique doubles
+    plan should not include "percentile("
+    plan should include("rangepartitioning")
+    plan should include("BroadcastHashJoin")
+  }
 }
