@@ -3021,6 +3021,26 @@ object Queries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |FROM t GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin)),
 
+    // ---- X4: heavy hitters — exact top-k terms plus a count-min
+    // certification. The exact side is the oracle anchor (DuckDB
+    // recomputes the same top-k); the sketch side is ONE bounded d×w
+    // matrix built map-side-combined in a single pass — the only shape
+    // that survives a vocabulary too large to shuffle — and its
+    // estimates carry two integer verdicts: never_under (count-min is
+    // one-sided; a 0 means broken merge/indexing, not noise) and
+    // within_eps (estimate ≤ exact + 10·(e/w)·N; failure odds <1e-6 at
+    // the defaults). DuckDB replays the verdicts as literal 1s. ----
+    ("x4_heavy_hitters",
+      (s: SparkSession, dir: String) => {
+        TextOps.heavyHitters(Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 10, d = 4, w = 8192, slack = 10)
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_corpus
+             |      FROM toks WHERE term != '' GROUP BY term)
+             |SELECT term, tf_corpus, 1 AS never_under, 1 AS within_eps
+             |FROM c ORDER BY tf_corpus DESC, term LIMIT 10""".stripMargin)),
+
     // ---- X4: TF-IDF top terms per document ----
     ("x4_tfidf",
       (s: SparkSession, dir: String) => {

@@ -120,6 +120,55 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
   }
 
+  /** Count-min sketch build: inputs are each element's d precomputed
+    * bucket indices (callers derive them with the SAME SQL-expressible
+    * hash — `pmod(xxhash64(term, i), w)` — they later use to query the
+    * sketch, so build and estimate can never disagree on hashing); the
+    * buffer is the flat d×w counter matrix and merge is elementwise
+    * sum — a commutative monoid, so map-side combine reduces a corpus
+    * partition to ONE d×w partial before the shuffle, the property
+    * that makes single-pass heavy-hitter counting work at 100 TB where
+    * an exact per-term groupBy's key space is unbounded.
+    *
+    * Estimates (min over the d counters) are ONE-SIDED: never below
+    * the true count, above it by more than e/w·N with probability
+    * ≤ e^(−d) (Cormode & Muthukrishnan 2005).
+    */
+  class CountMinAgg(d: Int, w: Int) extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    require(d > 0 && w > 0, "sketch depth and width must be positive")
+
+    override def zero: Array[Long] = new Array[Long](d * w)
+
+    override def reduce(buf: Array[Long], idxs: Seq[Long]): Array[Long] = {
+      require(idxs.length == d, s"expected $d bucket indices, got ${idxs.length}")
+      var i = 0
+      while (i < d) {
+        val idx = idxs(i)
+        require(idx >= 0 && idx < w, s"bucket index $idx outside [0, $w)")
+        buf(i * w + idx.toInt) += 1L
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.longArray
+  }
+
+  /** Input encoder for [[CountMinAgg]] callers (`udaf(agg, enc)`). */
+  val seqLongEncoder: Encoder[Seq[Long]] = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    ExpressionEncoder[Seq[Long]]()
+  }
+
   private object ExpressionEncoderHelper {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()

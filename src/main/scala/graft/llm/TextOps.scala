@@ -805,4 +805,51 @@ object TextOps {
       col("id").as("bucket"),
       (pmod(DedupOps.md5TokenHash(concat(lit("w:"), col("id").cast("string"))),
         lit(2001L)) - 1000L).as("w"))
+
+  /** X4: corpus heavy hitters with a count-min certification — the
+    * single-pass sketch shape for "top terms over a corpus whose
+    * vocabulary does not fit anywhere".
+    *
+    * The exact side (groupBy term → count → TakeOrdered top-k, ties
+    * broken by term) is the oracle anchor: map-side-combinable and
+    * fine at any corpus size, but its shuffle key space is the full
+    * vocabulary. The sketch side is ONE d×w matrix
+    * ([[graft.functions.Aggregators.CountMinAgg]]) built in the same
+    * pass structure — bounded memory regardless of vocabulary — and
+    * each top-k term's estimate is read back from the broadcast
+    * sketch with the identical `pmod(xxhash64(term, i), w)` hash the
+    * build used.
+    *
+    * Certification (the t5_class_count_approx / q_percentiles_approx
+    * pattern): count-min is ONE-SIDED — `estimate ≥ exact` always
+    * (a violated inequality means a broken merge or indexing, not
+    * noise), and `estimate ≤ exact + slack·(e/w)·N` with failure
+    * probability < (slack·e)^(−d) by Markov on each of the d
+    * independent rows (≈10⁻⁶ at the defaults). Both verdicts ride the
+    * output as integers; DuckDB replays them as literal 1s, so a
+    * sketch escaping its bound fails the hash gate.
+    */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 10, d: Int = 4, w: Int = 8192,
+                   slack: Int = 10): DataFrame = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val idxExpr = s"transform(sequence(0, ${d - 1}), i -> pmod(xxhash64(term, i), $w))"
+    val cmUdaf = udaf(new graft.functions.Aggregators.CountMinAgg(d, w),
+      graft.functions.Aggregators.seqLongEncoder)
+    val sketch = toks
+      .agg(cmUdaf(expr(idxExpr).as("idxs")).as("sk"), count(lit(1)).as("n_tokens"))
+    val topk = toks.groupBy(col("term")).agg(count(lit(1)).as("tf_corpus"))
+      .orderBy(col("tf_corpus").desc, col("term")).limit(k)
+    topk.crossJoin(broadcast(sketch))
+      .withColumn("est", expr(
+        s"array_min(transform(sequence(0, ${d - 1}), " +
+          s"i -> element_at(sk, cast(i * $w + pmod(xxhash64(term, i), $w) + 1 as int))))"))
+      .select(col("term"), col("tf_corpus"),
+        (col("est") >= col("tf_corpus")).cast("int").as("never_under"),
+        (col("est") <= col("tf_corpus") +
+          ceil(lit(slack * math.E / w) * col("n_tokens")).cast("long"))
+          .cast("int").as("within_eps"))
+      .orderBy(col("tf_corpus").desc, col("term"))
+  }
 }

@@ -78,10 +78,18 @@ object StreamOps {
     * state stores, no global structure.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, withinMinutes: Int): DataFrame =
+    intervalJoinWithin(left, right, s"$withinMinutes MINUTES")
+
+  /** [[intervalJoin]] with an arbitrary INTERVAL literal bound (e.g.
+    * `"15 SECONDS"`) — the soak harness uses sub-minute bounds so
+    * state expiry is observable inside a short run; production
+    * attribution windows are typically minutes.
+    */
+  def intervalJoinWithin(left: DataFrame, right: DataFrame, within: String): DataFrame =
     left.alias("l").join(right.alias("r"),
         col("l.user_id") === col("r.user_id") &&
           col("r.ts") >= col("l.ts") &&
-          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
       .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
         col("l.user_id").as("user_id"),
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))

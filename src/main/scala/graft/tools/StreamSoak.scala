@@ -163,6 +163,36 @@ object StreamSoak {
     println(s"ann_gate_indexed: stateRows across all batches=${agiStates.sum} " +
       (if (agiStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 
+    // 6) stream-stream interval join: BOTH sides buffer in the state
+    // store until the watermark passes the join bound — the time-bound
+    // condition is exactly what licenses expiry, so state must plateau
+    // at ~2 × rate × (watermark + bound + cadence) and NOT track
+    // stream length. Sub-minute bound (15 s) so expiry is observable
+    // within the soak; left side thinned 20× (attribution shape:
+    // sparse impressions joined to dense events, keyed per user).
+    def evStream = rateSrc.select(
+      col("value").as("event_id"),
+      pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+      col("timestamp").as("ts"))
+    val ijLeft = evStream.where(pmod(col("event_id"), lit(20L)) === 0)
+      .withWatermark("ts", s"$wmSec seconds")
+    val ijRight = evStream.withWatermark("ts", s"$wmSec seconds")
+    val ijRows = soak("interval_join",
+      StreamOps.intervalJoinWithin(ijLeft, ijRight, "15 SECONDS")
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$ckRoot/ij")
+        .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val ijFinal = ijRows.lastOption.getOrElse(0L)
+    val ijTail = ijRows.drop(ijRows.length * 2 / 3)
+    val ijFlat = ijTail.nonEmpty &&
+      ijTail.max - ijTail.min <= (ijTail.max / 20).max(2000)
+    // linear growth would be both sides' full history: ~2 × rate × soakSec
+    val ijSubLinear = ijFinal < soakSec.toLong * rate
+    println(s"interval_join: final stateRows=$ijFinal, tail ${ijTail.headOption.getOrElse(0L)}→${ijTail.lastOption.getOrElse(0L)} " +
+      s"(linear-growth would be ~${2L * soakSec * rate}) " +
+      (if (ijFlat && ijSubLinear) "PASS watermark-bounded join state (plateau, input continuing)"
+       else "FAIL join state still growing at end of soak"))
+
     spark.stop()
   }
 }
