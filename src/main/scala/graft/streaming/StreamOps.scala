@@ -32,6 +32,44 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** X6/X4: windowed streaming heavy-hitter sketch — one count-min
+    * matrix per tumbling window over a text stream
+    * ([[graft.functions.Aggregators.CountMinAgg]]; the batch corpus
+    * twin with exact top-k and certification verdicts is
+    * `x4_heavy_hitters`). The state story is what makes this the
+    * streaming shape: per window the state is ONE fixed d×w buffer —
+    * it does not grow with stream length, token volume, or vocabulary
+    * — and the watermark expires whole windows, so live state is
+    * (windows inside the horizon) × (d·w longs). Downstream consumers
+    * probe the emitted sketch with the same
+    * `pmod(xxhash64(term, i), w)` bucketing the build used.
+    *
+    * The merge algebra is a commutative monoid (CountMinProps), so
+    * the emitted sketch is identical regardless of partitioning or
+    * arrival order — the batch run of the SAME body is the oracle
+    * (StreamOpsSpec pins stream == batch on a staged file source).
+    */
+  def heavyHittersWindowed(docs: DataFrame, textCol: String,
+                           windowDuration: String,
+                           d: Int = 4, w: Int = 1024): DataFrame = {
+    val idxExpr = s"transform(sequence(0, ${d - 1}), i -> pmod(xxhash64(__term, i), $w))"
+    val cmUdaf = udaf(new graft.functions.Aggregators.CountMinAgg(d, w),
+      graft.functions.Aggregators.seqLongEncoder)
+    docs
+      .select(col("ts"), explode(split(col(textCol), " ")).as("__term"))
+      .where(col("__term") =!= "")
+      .groupBy(window(col("ts"), windowDuration).as("w"))
+      .agg(cmUdaf(expr(idxExpr)).as("sketch"), count(lit(1)).as("n_tokens"))
+      .select(col("w.start").as("ws"), col("sketch"), col("n_tokens"))
+  }
+
+  /** [[heavyHittersWindowed]] for append-mode streams. */
+  def heavyHittersStream(docs: DataFrame, textCol: String,
+                         windowDuration: String, watermark: String,
+                         d: Int = 4, w: Int = 1024): DataFrame =
+    heavyHittersWindowed(docs.withWatermark("ts", watermark), textCol,
+      windowDuration, d, w)
+
   /** Batch sessionization: gap-based sessions per user via lag +
     * running sum. The streaming twin is `session_window` (below) —
     * same session semantics, incremental state.

@@ -56,6 +56,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: per-window sketch on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = Seq(
+      (1L, "spark spark shuffle join", ts(1)),
+      (2L, "shuffle spark scan", ts(7)),
+      (3L, "join join codegen", ts(40)),   // second 30-min window
+      (4L, "spark", ts(45)))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val streamDf = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamOps.heavyHittersStream(streamDf, "text", "30 minutes",
+        watermark = "2 hours", d = 3, w = 64)
+      .writeStream.format("memory").queryName("hh_stream_test").outputMode("complete").start()
+    try {
+      mem.addData(docRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("hh_stream_test")
+        .select("ws", "sketch", "n_tokens").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      val batch = StreamOps.heavyHittersWindowed(
+          docRows.toDF("doc_id", "text", "ts"), "text", "30 minutes", d = 3, w = 64)
+        .select("ws", "sketch", "n_tokens").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      // commutative-monoid merge: the sketches must be IDENTICAL
+      // arrays regardless of arrival order / partitioning
+      got shouldBe batch
+      batch.values.map(_._2).sum shouldBe 11L
+    } finally q.stop()
+  }
+
   test("intervalJoin runs as a stream-stream join and matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, String, Double, Timestamp)]
