@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
-import graft.llm.{DedupOps, IvfIndex, SimilarityOps, TextOps, MultimodalOps}
+import graft.llm.{DedupOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
 /** The engine's named queries and their DuckDB oracle SQL.
@@ -2099,6 +2099,44 @@ object Queries {
              |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
              |SELECT doc1, doc2, hamming FROM p WHERE hamming <= 3
              |ORDER BY doc1, doc2""".stripMargin)),
+
+    // ---- X2: cross-source content overlap via KMV (theta-family)
+    // bottom-k sketches — one mergeable 8 KiB summary per source
+    // built in a single map-side-combined pass, pairwise
+    // union/intersection estimated from retained samples (HLL can't
+    // intersect). Exact pairwise-distinct anchor + 6-sigma bound
+    // verdicts; SketchOps.sourceOverlapCertified scaladoc has the
+    // estimator math. ----
+    ("x2_kmv_overlap",
+      (s: SparkSession, dir: String) => {
+        SketchOps.sourceOverlapCertified(Tables.load(s, dir, "documents"),
+          sources = Seq("src0", "src1", "src2", "src3"), n = 3, k = 1024)
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+             |           WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+             |sp0 AS (SELECT source,
+             |          unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             |        FROM t WHERE len(toks) >= 3),
+             |sp AS (SELECT DISTINCT source, sh FROM sp0),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source),
+             |pr AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+             |       FROM sp a JOIN sp b ON a.sh = b.sh AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT pr.src_a, pr.src_b, ca.n AS n_a, cb.n AS n_b, pr.n_inter,
+             |       ca.n + cb.n - pr.n_inter AS n_union, 1 AS union_ok, 1 AS inter_ok
+             |FROM pr JOIN c ca ON ca.source = pr.src_a JOIN c cb ON cb.source = pr.src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- pre-aggregated HLL rollup: per-(source, lang) DataSketches
+    // HLL sketches (Spark built-ins), rolled up per source by sketch
+    // UNION — distinct counts at any coarser grain without re-scanning
+    // raw data. Exact countDistinct anchor + bound verdict. ----
+    ("q_hll_rollup",
+      (s: SparkSession, dir: String) => {
+        SketchOps.hllRollupCertified(Tables.load(s, dir, "documents"), lgK = 14)
+      },
+      Some("""SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_texts, 1 AS within_bound
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- X2: embedding-cosine near-dup pairs (quantized, oracle-exact) ----
     ("x2_embed_neardup",

@@ -245,4 +245,16 @@ class PlanSpec extends SparkSpec {
     plan should include("rangepartitioning")
     plan should include("BroadcastHashJoin")
   }
+
+  test("q_hll_rollup: sketches merge via partial ObjectHashAggregate, rollup touches no raw rows") {
+    val plan = formatted("q_hll_rollup")
+    // fine-grain sketch build AND the per-source rollup both run as
+    // partial + merge object-hash aggregates (map-side combine of
+    // sketch registers — the shuffle carries sketches, not rows)
+    plan should include("ObjectHashAggregate")
+    plan should include("hll_sketch_agg")
+    plan should include("hll_union_agg")
+    // the exact anchor joins back via broadcast, not a shuffled join
+    plan should include("BroadcastHashJoin")
+  }
 }
