@@ -1243,6 +1243,27 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
+    // ---- X6: windowed distinct users, HLL-sketched — bounded state
+    // per (window × type) where exact streaming countDistinct holds
+    // every id in every live window (stream twin:
+    // StreamOps.distinctUsersStream, spec-pinned equal). Exact anchor
+    // + bound verdict, the t5/x4 certification pattern. ----
+    ("x6_distinct_users",
+      (s: SparkSession, dir: String) => {
+        Tables.load(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"),
+            countDistinct(col("user_id")).as("n_users"))
+          .select(col("ws"), col("event_type"), col("n_users"),
+            (abs(col("est") - col("n_users")) <=
+              greatest(lit(4.0), col("n_users") * lit(0.05))).cast("int").as("within_bound"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS ws, event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, 1 AS within_bound
+             |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
+
     // ---- X6: event-time interval join (click -> views within 30 min;
     // the stream-stream twin with watermark state expiry is
     // StreamOps.intervalJoin on two readStreams, spec-tested equal) ----

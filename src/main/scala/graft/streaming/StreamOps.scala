@@ -70,6 +70,36 @@ object StreamOps {
     heavyHittersWindowed(docs.withWatermark("ts", watermark), textCol,
       windowDuration, d, w)
 
+  /** X6: windowed distinct-user sketch — one HLL sketch per
+    * (tumbling window × event_type) via Spark's DataSketches
+    * built-ins. Distinct counting is the third streaming metric (after
+    * plain counts and heavy hitters) whose naive state explodes: exact
+    * windowed `countDistinct` must hold every user id seen in every
+    * live window. Here the state per (window × type) is one 2^lgK
+    * register block (≤4 KiB at lgK=12) — bounded regardless of user
+    * cardinality — and the watermark expires whole windows, so live
+    * state is (windows in horizon) × (types) × 4 KiB. Register merge
+    * is max-per-register (commutative, idempotent), so the estimate is
+    * identical regardless of partitioning or arrival order — the batch
+    * run of the SAME body is the oracle (StreamOpsSpec pins
+    * stream == batch; the certified batch twin with the exact anchor
+    * and bound verdict is `x6_distinct_users`).
+    */
+  def distinctUsersWindowed(events: DataFrame, windowDuration: String,
+                            lgK: Int = 12): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration).as("w"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgK)).as("est_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("ws"), col("event_type"), col("est_users"),
+        col("n_events"))
+
+  /** [[distinctUsersWindowed]] for append-mode streams. */
+  def distinctUsersStream(events: DataFrame, windowDuration: String,
+                          watermark: String, lgK: Int = 12): DataFrame =
+    distinctUsersWindowed(events.withWatermark("ts", watermark),
+      windowDuration, lgK)
+
   /** Batch sessionization: gap-based sessions per user via lag +
     * running sum. The streaming twin is `session_window` (below) —
     * same session semantics, incremental state.

@@ -85,6 +85,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctUsersStream: per-window HLL estimate on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 repeats across batches in window 1 (must count once);
+    // window 2 has two distinct users arriving out of order
+    val rows = Seq(
+      (1L, 1L, "click", 1.0, ts(1)),
+      (2L, 2L, "click", 1.0, ts(7)),
+      (3L, 1L, "click", 1.0, ts(12)),
+      (4L, 9L, "view", 1.0, ts(40)),   // second 30-min window
+      (5L, 8L, "view", 1.0, ts(35)))
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = StreamOps.distinctUsersStream(streamDf, "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("du_stream_test").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // second batch re-sends user 1 + out-of-order window 2
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))
+      val got = spark.table("du_stream_test")
+        .select("ws", "event_type", "est_users", "n_events").collect().map(key).toMap
+      val batch = StreamOps.distinctUsersWindowed(
+          rows.toDF("event_id", "user_id", "event_type", "value", "ts"), "30 minutes")
+        .select("ws", "event_type", "est_users", "n_events").collect().map(key).toMap
+      // register merge is max-per-register: estimate must be identical
+      // regardless of batch boundaries and arrival order
+      got shouldBe batch
+      // HLL is exact at these cardinalities: 2 distinct in w1, 2 in w2
+      batch.values.map(_._1).toSeq.sorted shouldBe Seq(2L, 2L)
+    } finally q.stop()
+  }
+
   test("intervalJoin runs as a stream-stream join and matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, String, Double, Timestamp)]
