@@ -90,6 +90,14 @@ object Queries {
     s"$indexRoot/emb_${corpusKey}_rhp"
   }
 
+  /** Where the persisted per-source KMV sketch table for `dir`'s
+    * documents lives.
+    */
+  private def kmvIndexPath(dir: String): String = {
+    val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$indexRoot/docs_${corpusKey}_kmv"
+  }
+
   private def embLists(s: SparkSession, dir: String, nCentroids: Int): DataFrame =
     IvfIndex.loadOrBuildLists(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids, kmeansIters = 2, embCentroids(s, dir, nCentroids),
@@ -2132,6 +2140,32 @@ object Queries {
       (s: SparkSession, dir: String) => {
         SketchOps.sourceOverlapCertified(Tables.load(s, dir, "documents"),
           sources = Seq("src0", "src1", "src2", "src3"), n = 3, k = 1024)
+      },
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+             |           WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+             |sp0 AS (SELECT source,
+             |          unnest(list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             |        FROM t WHERE len(toks) >= 3),
+             |sp AS (SELECT DISTINCT source, sh FROM sp0),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY source),
+             |pr AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_inter
+             |       FROM sp a JOIN sp b ON a.sh = b.sh AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT pr.src_a, pr.src_b, ca.n AS n_a, cb.n AS n_b, pr.n_inter,
+             |       ca.n + cb.n - pr.n_inter AS n_union, 1 AS union_ok, 1 AS inter_ok
+             |FROM pr JOIN c ca ON ca.source = pr.src_a JOIN c cb ON cb.source = pr.src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // ---- x2_kmv_overlap answered from the PERSISTED sketch index
+    // (IndexStore lifecycle: sidecar-signed, drift-rebuilt, O(delta)
+    // append via KmvMergeAgg) — the corpus scan happens once at index
+    // build; every later overlap question reads |sources| × ~8 KiB.
+    // Same certified output, same oracle. ----
+    ("x2_kmv_overlap_indexed",
+      (s: SparkSession, dir: String) => {
+        SketchOps.sourceOverlapCertifiedIndexed(Tables.load(s, dir, "documents"),
+          sources = Seq("src0", "src1", "src2", "src3"), n = 3, k = 1024,
+          indexPath = kmvIndexPath(dir))
       },
       Some("""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents
              |           WHERE source IN ('src0', 'src1', 'src2', 'src3')),

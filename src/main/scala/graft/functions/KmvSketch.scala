@@ -202,7 +202,30 @@ object KmvSketch {
     out
   }
 
-  private[functions] val longArray: Encoder[Array[Long]] = {
+  /** Second-level aggregation: merge already-built sketches (IN = a
+    * `finish`-trimmed sketch array). This is what makes the sketch an
+    * INDEX rather than a one-shot statistic — persisted per-source
+    * sketches union with a delta batch's sketches in O(delta), and
+    * coarser rollups (per-language, global) aggregate the stored
+    * sketch table without touching raw documents. Merge-of-merges
+    * equals build-of-everything (KmvSketchProps' concat law), so the
+    * hierarchy is lossless.
+    */
+  class KmvMergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    require(k >= 2, s"KMV k must be >= 2, got $k")
+
+    override def zero: Array[Long] = KmvSketch.zero(k)
+    override def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] =
+      KmvSketch.merge(buf, inflate(sk, k))
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = KmvSketch.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf.take(buf(0).toInt + 1)
+
+    override def bufferEncoder: Encoder[Array[Long]] = KmvSketch.longArray
+    override def outputEncoder: Encoder[Array[Long]] = KmvSketch.longArray
+  }
+
+  /** Input encoder for [[KmvMergeAgg]] callers (`udaf(agg, enc)`). */
+  val longArray: Encoder[Array[Long]] = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     ExpressionEncoder[Array[Long]]()
   }

@@ -49,23 +49,74 @@ object SketchOps {
     * sets. Exactness when a source's shingle set fits in k slots is
     * a property, not a special case (KmvSketchSpec pins it).
     */
+  /** Word `n`-gram shingle stream per source (no DISTINCT — the
+    * sketch dedups internally).
+    */
+  private def shingles(docs: DataFrame, sources: Seq[String], n: Int): DataFrame =
+    docs.where(col("source").isin(sources: _*))
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+        .as("sh"))
+
+  /** One-pass per-source KMV sketch table: `(source, sk)`. */
+  def sourceSketches(docs: DataFrame, sources: Seq[String],
+                     n: Int = 3, k: Int = 1024): DataFrame = {
+    val kmv = udaf(new KmvSketch.KmvAgg(k), KmvSketch.longEncoder)
+    shingles(docs, sources, n).groupBy("source").agg(kmv(xxhash64(col("sh"))).as("sk"))
+  }
+
+  /** [[sourceSketches]] persisted under the IndexStore lifecycle
+    * (sidecar-signed params + corpus signature, rebuild on drift) —
+    * the sketch table is the INDEX artifact: built once at ingest,
+    * loaded by every later overlap / rollup question, extended for a
+    * delta batch by [[appendToSourceSketches]] in O(delta).
+    */
+  def loadOrBuildSourceSketches(docs: DataFrame, sources: Seq[String],
+                                n: Int, k: Int, indexPath: String,
+                                rebuild: Boolean = false): DataFrame =
+    IndexStore.loadOrBuild(docs,
+      s"kmv:n=$n,k=$k,sources=${sources.sorted.mkString("+")}",
+      indexPath, rebuild) {
+      sourceSketches(docs, sources, n, k)
+    }
+
+  /** O(delta) index append: sketch ONLY the delta batch, then merge
+    * with the stored sketch table ([[graft.functions.KmvSketch.KmvMergeAgg]]).
+    * Merge-of-merges == build-of-everything (KmvSketchProps' concat
+    * law), so the appended index is bit-identical to a full rebuild —
+    * pinned in SketchOpsSpec.
+    */
+  def appendToSourceSketches(stored: DataFrame, deltaDocs: DataFrame,
+                             sources: Seq[String], n: Int, k: Int): DataFrame = {
+    val mergeAgg = udaf(new KmvSketch.KmvMergeAgg(k), KmvSketch.longArray)
+    stored.unionByName(sourceSketches(deltaDocs, sources, n, k))
+      .groupBy("source").agg(mergeAgg(col("sk")).as("sk"))
+  }
+
   def sourceOverlapCertified(docs: DataFrame, sources: Seq[String],
-                             n: Int = 3, k: Int = 1024): DataFrame = {
+                             n: Int = 3, k: Int = 1024): DataFrame =
+    overlapCertified(docs, sourceSketches(docs, sources, n, k), sources, n, k)
+
+  /** [[sourceOverlapCertified]] answered from the PERSISTED sketch
+    * index — the production shape: the corpus scan happened once at
+    * index build; every subsequent overlap question reads
+    * |sources| × ~8 KiB of sketches. Same certified output, same
+    * oracle row.
+    */
+  def sourceOverlapCertifiedIndexed(docs: DataFrame, sources: Seq[String],
+                                    n: Int, k: Int, indexPath: String): DataFrame =
+    overlapCertified(docs,
+      loadOrBuildSourceSketches(docs, sources, n, k, indexPath), sources, n, k)
+
+  private def overlapCertified(docs: DataFrame, sketchDf: DataFrame,
+                               sources: Seq[String], n: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = docs.where(col("source").isin(sources: _*))
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= n)
-    val sh = toks.select(col("source"), explode(expr(
-      s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
-      .as("sh"))
-
-    // one-pass per-source sketches (the sketch dedups internally — no
-    // DISTINCT shuffle on the raw shingle stream)
-    val kmv = udaf(new KmvSketch.KmvAgg(k), KmvSketch.longEncoder)
-    val sketchRows = sh.groupBy("source").agg(kmv(xxhash64(col("sh"))).as("sk"))
-      .collect() // bounded: ≤ |sources| rows × (k+1) longs
+    val sh = shingles(docs, sources, n)
+    val sketchRows = sketchDf.collect() // bounded: ≤ |sources| rows × (k+1) longs
     val byName = sketchRows.map(r =>
       r.getString(0) -> KmvSketch.inflate(r.getAs[scala.collection.Seq[Long]]("sk").toArray, k)).toMap
 

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.llm.SketchOps
+
+/** Spark-level contract for the KMV sketch index
+  * ([[graft.llm.SketchOps]]): the persisted sketch table reproduces
+  * the direct build, O(delta) append equals a from-scratch build over
+  * the grown corpus (the merge-concat law at DataFrame level), and
+  * the indexed overlap query equals the plain one.
+  */
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val srcs = Seq("a", "b")
+  private def docs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, srcs(i % 2),
+      s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 13} shared common tail"))
+      .toDF("doc_id", "source", "text")
+
+  private def sketchRows(df: DataFrame): Map[String, Seq[Long]] =
+    df.collect().map(r =>
+      r.getString(0) -> r.getAs[scala.collection.Seq[Long]]("sk").toSeq).toMap
+
+  test("appendToSourceSketches: delta merge is bit-identical to a full rebuild") {
+    val full = SketchOps.sourceSketches(docs(0 until 40), srcs, n = 3, k = 64)
+    val base = SketchOps.sourceSketches(docs(0 until 25), srcs, n = 3, k = 64)
+    val grown = SketchOps.appendToSourceSketches(base, docs(25 until 40), srcs, n = 3, k = 64)
+    sketchRows(grown) shouldBe sketchRows(full)
+  }
+
+  test("indexed overlap: persisted sketches load back and reproduce the direct result") {
+    val idx = Files.createTempDirectory("kmv-idx").resolve("sk").toString
+    val corpus = docs(0 until 40)
+    val direct = SketchOps.sourceOverlapCertified(corpus, srcs, n = 3, k = 64).collect()
+    val indexed = SketchOps.sourceOverlapCertifiedIndexed(corpus, srcs, n = 3, k = 64, idx).collect()
+    indexed shouldBe direct
+    // second call reuses the sidecar-signed artifact (no rebuild):
+    // the stored sketch rows are unchanged
+    val stored = sketchRows(spark.read.parquet(idx))
+    SketchOps.sourceOverlapCertifiedIndexed(corpus, srcs, n = 3, k = 64, idx)
+    sketchRows(spark.read.parquet(idx)) shouldBe stored
+  }
+}
