@@ -193,6 +193,32 @@ object StreamSoak {
       (if (ijFlat && ijSubLinear) "PASS watermark-bounded join state (plateau, input continuing)"
        else "FAIL join state still growing at end of soak"))
 
+    // 7) windowed distinct users via HLL sketch agg, EVERY user id
+    // unique — the worst case for distinct counting: any id-holding
+    // formulation (pre-dedup groupBy(window, user_id)) buffers
+    // ~rate × (window + watermark) rows of live state. The sketch
+    // keeps ONE state row per (window × event_type) holding a fixed
+    // register block, so state rows must track live GROUPS (single
+    // digits), not id cardinality.
+    val duStream = rateSrc.select(
+      col("value").as("user_id"),
+      concat(lit("t"), pmod(col("value"), lit(3L))).as("event_type"),
+      col("timestamp").as("ts"))
+    val duRows = soak("distinct_users_hll", StreamOps.distinctUsersStream(
+        duStream, "10 seconds", s"$wmSec seconds")
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/du")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val duFinal = duRows.lastOption.getOrElse(0L)
+    // live groups: (windows inside the watermark horizon, + slack for
+    // trigger lag) × 3 types
+    val duBound = 3L * ((wmSec + 10) / 10 + 3)
+    println(s"distinct_users_hll: final stateRows=$duFinal (group bound=$duBound; " +
+      s"id-holding state would be ~${rate.toLong * (wmSec + 10)}) " +
+      (if (duFinal > 0 && duFinal <= duBound)
+        "PASS sketch-bounded state (rows = live groups, not ids)"
+       else "FAIL state exceeds group bound"))
+
     spark.stop()
   }
 }
