@@ -246,6 +246,34 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("x2_kmv_overlap: anchor join keyed and broadcast-fed, no cartesian") {
+    val plan = formatted("x2_kmv_overlap")
+    // the exact anchor's pair join is keyed on the shingle and the
+    // tiny per-source counts + estimate tables ride broadcasts
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("kmv sketch build: typed-Aggregator partials combine map-side (ObjectHashAggregate)") {
+    // the sketch table is built (and collected) before the returned
+    // plan exists, so assert on its own plan: partial + merge
+    // object-hash aggregation — the shuffle carries one ~8 KiB sketch
+    // per source × task, not shingles
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val plan = graft.llm.SketchOps
+      .sourceSketches(docs, Seq("src0", "src1"), n = 3, k = 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("ObjectHashAggregate")
+    plan.split("ObjectHashAggregate").length should be >= 3 // partial + final
+  }
+
+  test("x6_distinct_users: HLL sketch aggregates partially (map-side combine)") {
+    val plan = formatted("x6_distinct_users")
+    plan should include("hll_sketch_agg")
+    plan should include("ObjectHashAggregate")
+  }
+
   test("q_hll_rollup: sketches merge via partial ObjectHashAggregate, rollup touches no raw rows") {
     val plan = formatted("q_hll_rollup")
     // fine-grain sketch build AND the per-source rollup both run as
