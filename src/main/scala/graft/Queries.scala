@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.dfw.{SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
+import graft.dfw.{MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
 import graft.llm.{DedupOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
@@ -274,6 +274,42 @@ object Queries {
   /** Integer train size with the reference's clamp (preprocess.py:168-171). */
   private def tsCountSql(n: String, k: String, cv: Int): String =
     s"(CASE WHEN LEAST($k, $n) < $cv THEN LEAST($cv, $n) ELSE LEAST($k, $n) END)"
+
+  // ---------------------------------------------------------------
+  // CDC merge family (M): a deterministic change feed derived from
+  // orders — each order is a change event against the customer
+  // dimension. version = o_orderkey (unique, monotone stand-in for a
+  // CDC log offset); op cycles delete/insert/update by modulus; insert
+  // keys are shifted past the base key range so they genuinely add
+  // entities. The oracle derives the SAME feed in SQL.
+  // ---------------------------------------------------------------
+
+  private def ordersAsCustomerChanges(orders: DataFrame): DataFrame =
+    orders.select(
+      (col("o_custkey") +
+        when(col("o_orderkey") % 7 === 3, lit(500000)).otherwise(lit(0)))
+        .cast("int").as("c_custkey"),
+      col("o_orderkey").cast("long").as("version"),
+      when(col("o_orderkey") % 20 === 0, lit("delete"))
+        .when(col("o_orderkey") % 7 === 3, lit("insert"))
+        .otherwise(lit("update")).as("op"),
+      concat(lit("cust_"), col("o_custkey").cast("string")).as("c_name"),
+      (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+      round(col("o_totalprice").cast("double"), 2).as("c_acctbal"),
+      col("o_orderpriority").as("c_mktsegment"))
+
+  /** The shared feed-derivation SQL (mirrors [[ordersAsCustomerChanges]]). */
+  private val changesFeedSql: String =
+    """SELECT CAST(o_custkey + CASE WHEN o_orderkey % 7 = 3 THEN 500000 ELSE 0 END AS INTEGER) AS c_custkey,
+      |       CAST(o_orderkey AS BIGINT) AS version,
+      |       CASE WHEN o_orderkey % 20 = 0 THEN 'delete'
+      |            WHEN o_orderkey % 7 = 3 THEN 'insert'
+      |            ELSE 'update' END AS op,
+      |       'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+      |       CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey,
+      |       round(CAST(o_totalprice AS DOUBLE), 2) AS c_acctbal,
+      |       o_orderpriority AS c_mktsegment
+      |FROM orders""".stripMargin
 
   // ---------------------------------------------------------------
   // Query registry
@@ -3538,7 +3574,63 @@ object Queries {
              |      FROM pr JOIN corp USING (centroid_id) WHERE pr.vec_id <> corp.vec_id)
              |SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine
              |FROM e WHERE na > 0 AND nb > 0 AND dot >= 0 AND dot * dot * 400 >= na * nb * 49
-             |ORDER BY query_id, neighbor_id""".stripMargin))
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // ---- M: last-writer-wins CDC merge. Base snapshot (customer) +
+    // change feed (derived from orders: inserts/updates/deletes with
+    // version = log offset) converge to latest state in ONE hash
+    // aggregate — union + max_by partial-combines map-side; no window,
+    // no join, no driver state (dfw/MergeOps.applyChangesLww). ----
+    ("m1_merge_lww",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "customer").select(
+          col("c_custkey").cast("int").as("c_custkey"),
+          col("c_name"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          col("c_acctbal").cast("double").as("c_acctbal"),
+          col("c_mktsegment"))
+        val changes = ordersAsCustomerChanges(Tables.load(s, dir, "orders"))
+        MergeOps.applyChangesLww(base, changes, "c_custkey", "version", "op")
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""WITH ch AS ($changesFeedSql),
+             |allr AS (
+             |  SELECT CAST(c_custkey AS INTEGER) AS c_custkey,
+             |         CAST(-9223372036854775807 - 1 AS BIGINT) AS version,
+             |         '__base' AS op, c_name,
+             |         CAST(c_nationkey AS INTEGER) AS c_nationkey,
+             |         CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, version, op, c_name, c_nationkey, c_acctbal, c_mktsegment FROM ch),
+             |w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+             |      FROM allr)
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM w WHERE rn = 1 AND op <> 'delete'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- M: SCD-2 history — the same feed expanded into validity
+    // intervals (valid_from/valid_to/is_current). One keyed window
+    // whose groups are a single entity's edit chain; deletes close the
+    // prior interval but emit no row (dfw/MergeOps.scdHistory). ----
+    ("m2_scd_history",
+      (s: SparkSession, dir: String) => {
+        val changes = ordersAsCustomerChanges(Tables.load(s, dir, "orders"))
+        MergeOps.scdHistory(changes, "c_custkey", "version", "op")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("c_custkey"), col("valid_from"))
+      },
+      Some(s"""WITH ch AS ($changesFeedSql),
+             |w AS (SELECT *, lead(version) OVER (PARTITION BY c_custkey ORDER BY version) AS valid_to
+             |      FROM ch)
+             |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             |       CAST(version AS BIGINT) AS valid_from,
+             |       CAST(valid_to AS BIGINT) AS valid_to,
+             |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM w WHERE op <> 'delete'
+             |ORDER BY c_custkey, valid_from""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

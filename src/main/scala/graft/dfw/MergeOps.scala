@@ -1,0 +1,86 @@
+package graft.dfw
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC apply: merge a change feed into a base snapshot.
+  *
+  * Extension family M — the ingestion-maintenance shape a continuously
+  * refreshed training corpus needs: upstream crawls/labelers emit
+  * insert/update/delete events against document keys, and the corpus
+  * table must converge to latest-state (or keep a queryable history)
+  * without driver-side state or a per-key file rewrite pass. The
+  * reference has no incremental story at all (it re-reads whole `.mat`
+  * snapshots, `tools.py` load path); this family is what replaces that
+  * full-reload habit at scale.
+  */
+object MergeOps {
+
+  /** Last-writer-wins CDC merge.
+    *
+    * Per key: the change row with the highest `versionCol` wins; a key
+    * with no change keeps its base row; a winning row whose `opCol`
+    * equals `deleteOp` removes the key. Versions must be unique per key
+    * (CDC logs give a monotone LSN/offset); base rows sit below every
+    * change at version `Long.MinValue`.
+    *
+    * Scale shape: tag base, UNION the feed (no join), then ONE hash
+    * aggregate keyed on `key` with `max_by(struct(payload), version)`.
+    * The aggregate partial-combines map-side, so each task reduces its
+    * local rows to at most one candidate per key before the single
+    * shuffle; no Window (a window would shuffle AND sort whole groups
+    * to pick one row), no driver state. This is the latest-wins half of
+    * MERGE INTO as Delta/Iceberg execute it at 100 TB, decoupled from
+    * file rewrite (layout is the sink's job — [[graft.sources.Sinks]]).
+    *
+    * @param base     current snapshot: `key` + payload columns
+    * @param changes  feed with `key`, payload columns, `versionCol`, `opCol`
+    */
+  def applyChangesLww(base: DataFrame, changes: DataFrame, key: String,
+                      versionCol: String, opCol: String,
+                      deleteOp: String = "delete"): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes feed must carry every base payload column; missing " +
+        payload.filterNot(changes.columns.contains).mkString(", "))
+    val baseTagged = base.select(
+      (col(key) +: payload.map(col)) :+
+        lit(Long.MinValue).as(versionCol) :+ lit("__base").as(opCol): _*)
+    val feed = changes.select(
+      (col(key) +: payload.map(col)) :+
+        col(versionCol).cast("long").as(versionCol) :+ col(opCol): _*)
+    val winner = baseTagged.unionByName(feed)
+      .groupBy(col(key))
+      .agg(max_by(struct((payload :+ opCol).map(col): _*), col(versionCol)).as("__w"))
+    winner
+      .filter(col(s"__w.$opCol") =!= deleteOp)
+      .select(col(key) +: payload.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** SCD-2 history: expand a change feed into validity intervals.
+    *
+    * Per key ordered by `versionCol`: `valid_from` = the change's own
+    * version, `valid_to` = the next change's version (null while
+    * current), `is_current` = 1 on the open interval. Rows whose op is
+    * `deleteOp` close the previous interval but emit no open row (the
+    * entity ends); a later insert for the same key re-opens it.
+    *
+    * Scale shape: one keyed Window whose groups are a single entity's
+    * edit chain — bounded by per-key churn, not table width — so the
+    * per-group sort stays small however wide the corpus is. The
+    * partition key is the entity id: 100 TB of history still shuffles
+    * once, and AQE's skew split covers a pathological hot entity.
+    */
+  def scdHistory(changes: DataFrame, key: String, versionCol: String,
+                 opCol: String, deleteOp: String = "delete"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(col(opCol) =!= deleteOp)
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .withColumn("valid_from", col(versionCol).cast("long"))
+      .withColumn("valid_to", col("valid_to").cast("long"))
+      .drop(versionCol)
+  }
+}

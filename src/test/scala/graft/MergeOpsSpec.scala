@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dfw.MergeOps
+
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1, "a", 10.0),
+    (2, "b", 20.0),
+    (3, "c", 30.0)
+  ).toDF("k", "name", "bal")
+
+  // (k, version, op, name, bal)
+  private def changes = Seq(
+    (2, 100L, "update", "b2", 21.0),
+    (2, 200L, "update", "b3", 22.0), // later version wins over b2
+    (3, 150L, "delete", "c", 30.0),  // removes key 3
+    (4, 120L, "insert", "d", 40.0),  // new key
+    (5, 110L, "insert", "e", 50.0),
+    (5, 130L, "delete", "e", 50.0)   // inserted then deleted -> absent
+  ).toDF("k", "version", "op", "name", "bal")
+
+  test("applyChangesLww: latest change wins, deletes drop, base survives untouched keys") {
+    val out = MergeOps.applyChangesLww(base, changes, "k", "version", "op")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    out shouldBe Array(
+      (1, "a", 10.0),  // no change
+      (2, "b3", 22.0), // highest version
+      (4, "d", 40.0))  // insert; 3 and 5 deleted
+  }
+
+  test("applyChangesLww: a change below a later delete does not resurrect the key") {
+    val ch = Seq((1, 10L, "update", "a2", 11.0), (1, 20L, "delete", "a2", 11.0))
+      .toDF("k", "version", "op", "name", "bal")
+    val out = MergeOps.applyChangesLww(base, ch, "k", "version", "op")
+      .orderBy("k").collect().map(_.getInt(0))
+    out shouldBe Array(2, 3)
+  }
+
+  test("applyChangesLww: missing payload column in the feed fails fast") {
+    val ch = Seq((1, 10L, "update")).toDF("k", "version", "op")
+    an[IllegalArgumentException] should be thrownBy
+      MergeOps.applyChangesLww(base, ch, "k", "version", "op")
+  }
+
+  test("scdHistory: validity intervals chain per key; delete closes but emits nothing") {
+    val out = MergeOps.scdHistory(changes, "k", "version", "op")
+      .select("k", "name", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    out shouldBe Array(
+      (2, "b2", 100L, 200L, 0), // closed by the later update
+      (2, "b3", 200L, -1L, 1),  // open interval -> current
+      (4, "d", 120L, -1L, 1),
+      (5, "e", 110L, 130L, 0))  // closed by the delete; delete row absent
+  }
+
+  test("applyChangesLww plan: single hash aggregate, no Window, no join") {
+    val plan = MergeOps.applyChangesLww(base, changes, "k", "version", "op")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+    // union + max_by resolves to an aggregate with a partial phase
+    plan should include("Aggregate")
+  }
+}
