@@ -3630,7 +3630,30 @@ object Queries {
              |       CAST(valid_to AS BIGINT) AS valid_to,
              |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
              |FROM w WHERE op <> 'delete'
-             |ORDER BY c_custkey, valid_from""".stripMargin))
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
+    // ---- L: Z-order layout key — Morton interleave of (o_custkey,
+    // totalprice bucket), the clustering key behind multi-dimensional
+    // min/max pruning (functions/ZOrderExpressions, codegen; layout
+    // write + measured pruning in sources/LayoutOps + ZOrderSpec).
+    // Oracle replays the identical shift-mask spread in SQL. ----
+    ("l1_zorder",
+      (s: SparkSession, dir: String) => {
+        val o = Tables.load(s, dir, "orders")
+        o.select(
+            col("o_orderkey").cast("int").as("o_orderkey"),
+            graft.functions.ZOrderFunctions.zorder16(
+              col("o_custkey").cast("int"),
+              floor(col("o_totalprice").cast("double") / 32).cast("int")).as("zval"))
+          .orderBy(col("zval"), col("o_orderkey"))
+      },
+      Some(s"""SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+             |  ${graft.functions.ZOrderFunctions.zorder16Sql(
+                  "o_custkey",
+                  "CAST(floor(CAST(o_totalprice AS DOUBLE) / 32) AS BIGINT)",
+                  "zval")}
+             |FROM orders
+             |ORDER BY zval, o_orderkey""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
