@@ -47,16 +47,46 @@ object MergeOps {
     val baseTagged = base.select(
       (col(key) +: payload.map(col)) :+
         lit(Long.MinValue).as(versionCol) :+ lit("__base").as(opCol): _*)
-    val feed = changes.select(
-      (col(key) +: payload.map(col)) :+
-        col(versionCol).cast("long").as(versionCol) :+ col(opCol): _*)
-    val winner = baseTagged.unionByName(feed)
-      .groupBy(col(key))
-      .agg(max_by(struct((payload :+ opCol).map(col): _*), col(versionCol)).as("__w"))
-    winner
-      .filter(col(s"__w.$opCol") =!= deleteOp)
-      .select(col(key) +: payload.map(c => col(s"__w.$c").as(c)): _*)
+    latestState(
+      applyChangesLwwVersioned(baseTagged, changes, key, versionCol, opCol),
+      versionCol, opCol, deleteOp)
   }
+
+  /** The ASSOCIATIVE form of [[applyChangesLww]]: per-key winner
+    * retained WITH its version and op — deletes stay as tombstones.
+    *
+    * Why it exists: a streaming/incremental maintainer that dropped
+    * tombstones would lose the delete's version, and a later-arriving
+    * but LOWER-version change would resurrect the key — violating the
+    * batch-replay semantics. Retaining (version, op) makes the merge a
+    * semilattice join (argmax by version), so
+    * `merge(merge(s, b1), b2) == merge(s, b1 ∪ b2)` for any batch
+    * split — the law [[graft.streaming.StreamOps.cdcApplyStream]]
+    * builds on and MergeOpsSpec pins.
+    *
+    * Inputs carry identical columns: `key`, payload, `versionCol`,
+    * `opCol`. Same single-shuffle plan as [[applyChangesLww]].
+    */
+  def applyChangesLwwVersioned(state: DataFrame, changes: DataFrame, key: String,
+                               versionCol: String, opCol: String): DataFrame = {
+    val payload = state.columns.filterNot(c =>
+      c == key || c == versionCol || c == opCol).toSeq
+    val cols = (col(key) +: payload.map(col)) :+
+      col(versionCol).cast("long").as(versionCol) :+ col(opCol)
+    val winner = state.select(cols: _*)
+      .unionByName(changes.select(cols: _*))
+      .groupBy(col(key))
+      .agg(max_by(struct((payload ++ Seq(versionCol, opCol)).map(col): _*),
+        col(versionCol)).as("__w"))
+    winner.select(
+      col(key) +: (payload ++ Seq(versionCol, opCol)).map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** Read view of a versioned state: live rows only, bookkeeping
+    * columns dropped. */
+  def latestState(versioned: DataFrame, versionCol: String, opCol: String,
+                  deleteOp: String = "delete"): DataFrame =
+    versioned.filter(col(opCol) =!= deleteOp).drop(versionCol, opCol)
 
   /** SCD-2 history: expand a change feed into validity intervals.
     *

@@ -281,4 +281,73 @@ object StreamOps {
   def userStatsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  // ---------------------------------------------------------------
+  // M/X6: streaming CDC apply — maintain a latest-state snapshot
+  // under an unbounded change stream.
+  // ---------------------------------------------------------------
+
+  /** Apply an unbounded CDC change stream to a persisted snapshot.
+    *
+    * Each micro-batch merges into the stored VERSIONED state with
+    * [[graft.dfw.MergeOps.applyChangesLwwVersioned]] — the associative
+    * tombstone-retaining form, so any batch split of the feed
+    * (including out-of-order versions across batches: an update
+    * arriving AFTER a higher-version delete stays dead) converges to
+    * the same snapshot as one batch replay (law pinned by
+    * MergeOpsSpec; stream == batch twin pinned by CdcApplyStreamSpec).
+    *
+    * State lives in the snapshot table, NOT the state store — nothing
+    * accumulates in streaming state, restarts resume from the last
+    * committed snapshot + checkpointed source offsets. Each epoch
+    * writes a fresh `snap_<epoch>` directory, then flips the
+    * `_LATEST` pointer AFTER the parquet commit: a crash mid-write
+    * leaves `_LATEST` on the previous good snapshot, and a replayed
+    * epoch rewrites its own directory deterministically (idempotent).
+    *
+    * Scale: an epoch costs O(snapshot + batch) — the full-rewrite
+    * regime, right up to snapshots that rewrite faster than the feed
+    * accumulates. Past that, production engines go merge-on-read
+    * (append delta files, compact periodically); the delta files here
+    * would be the batch winners (`applyChangesLwwVersioned` of the
+    * batch against an empty state), unioned at read and compacted by
+    * exactly this merge — same operator, amortized schedule.
+    */
+  def cdcApplyStream(changes: DataFrame, snapshotRoot: String, key: String,
+                     versionCol: String, opCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val mergeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, epoch) => {
+        val spark = batch.sparkSession
+        val prev = readVersionedSnapshot(spark, snapshotRoot)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+        val next = graft.dfw.MergeOps
+          .applyChangesLwwVersioned(prev, batch.toDF(), key, versionCol, opCol)
+        val dir = f"$snapshotRoot/snap_$epoch%09d"
+        next.write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$snapshotRoot/_LATEST"),
+          dir.getBytes("UTF-8"))
+      }
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(mergeBatch)
+      .start()
+  }
+
+  /** The last committed versioned snapshot, if any epoch completed. */
+  def readVersionedSnapshot(spark: org.apache.spark.sql.SparkSession,
+                            snapshotRoot: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(s"$snapshotRoot/_LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(spark.read.parquet(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
+    else None
+  }
+
+  /** Live-rows read view of the maintained snapshot. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, snapshotRoot: String,
+                   versionCol: String, opCol: String): Option[DataFrame] =
+    readVersionedSnapshot(spark, snapshotRoot)
+      .map(graft.dfw.MergeOps.latestState(_, versionCol, opCol))
 }

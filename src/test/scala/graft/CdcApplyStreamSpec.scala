@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.dfw.MergeOps
+import graft.streaming.StreamOps
+
+class CdcApplyStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (k, version, op, name, bal)
+  private val batch1 = Seq(
+    (1, 10L, "insert", "a", 1.0),
+    (2, 11L, "insert", "b", 2.0),
+    (3, 12L, "insert", "c", 3.0))
+  private val batch2 = Seq(
+    (2, 20L, "update", "b2", 2.5),
+    (3, 25L, "delete", "c", 3.0),
+    (4, 22L, "insert", "d", 4.0))
+  private val batch3 = Seq(
+    (3, 15L, "update", "zombie", 9.9), // BELOW the delete's version: stays dead
+    (1, 30L, "update", "a2", 1.5))
+
+  test("cdcApplyStream: snapshot converges to the one-shot batch merge, tombstones hold") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String, String, Double)]
+    val changes = mem.toDF().toDF("k", "version", "op", "name", "bal")
+    val root = Files.createTempDirectory("cdc_snap").toString
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+
+    val q = StreamOps.cdcApplyStream(changes, root, "k", "version", "op", ckpt)
+    try {
+      for (b <- Seq(batch1, batch2, batch3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = StreamOps.readSnapshot(spark, root, "version", "op").get
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+
+    // batch twin: every change in ONE replay against an empty base
+    val all = (batch1 ++ batch2 ++ batch3).toDF("k", "version", "op", "name", "bal")
+    val empty = Seq.empty[(Int, String, Double)].toDF("k", "name", "bal")
+    val want = MergeOps.applyChangesLww(empty, all, "k", "version", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+
+    got shouldBe want
+    got.map(_._1) shouldBe Array(1, 2, 4) // 3 deleted, not resurrected by v15
+    got(0) shouldBe ((1, "a2", 1.5))
+  }
+
+  test("crash-safety: _LATEST points at the previous snapshot until an epoch commits") {
+    val root = Files.createTempDirectory("cdc_empty").toString
+    StreamOps.readVersionedSnapshot(spark, root) shouldBe None
+    StreamOps.readSnapshot(spark, root, "version", "op") shouldBe None
+  }
+}

@@ -58,6 +58,34 @@ class MergeOpsSpec extends SparkSpec {
       (5, "e", 110L, 130L, 0))  // closed by the delete; delete row absent
   }
 
+  test("applyChangesLwwVersioned: incremental merge == one-shot merge for any batch split") {
+    // the semilattice law cdcApplyStream relies on — includes an
+    // out-of-order update below an already-applied delete
+    val feed = Seq(
+      (1, 10L, "insert", "a", 1.0), (1, 40L, "update", "a2", 1.1),
+      (2, 11L, "insert", "b", 2.0), (2, 35L, "delete", "b", 2.0),
+      (2, 20L, "update", "late", 9.9), // below the delete: must stay dead
+      (3, 12L, "insert", "c", 3.0))
+    def df(rows: Seq[(Int, Long, String, String, Double)]) =
+      rows.toDF("k", "version", "op", "name", "bal")
+    val empty = df(Nil)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4))).toSeq
+
+    val oneShot = MergeOps.applyChangesLwwVersioned(empty, df(feed), "k", "version", "op")
+    for (cut <- 1 until feed.length) {
+      val (b1, b2) = feed.splitAt(cut)
+      val stepped = MergeOps.applyChangesLwwVersioned(
+        MergeOps.applyChangesLwwVersioned(empty, df(b1), "k", "version", "op"),
+        df(b2), "k", "version", "op")
+      canon(stepped) shouldBe canon(oneShot)
+    }
+    // and the read view hides the tombstone
+    MergeOps.latestState(oneShot, "version", "op")
+      .orderBy("k").collect().map(_.getInt(0)) shouldBe Array(1, 3)
+  }
+
   test("applyChangesLww plan: single hash aggregate, no Window, no join") {
     val plan = MergeOps.applyChangesLww(base, changes, "k", "version", "op")
       .queryExecution.executedPlan.toString
