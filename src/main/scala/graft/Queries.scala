@@ -3653,7 +3653,30 @@ object Queries {
                   "CAST(floor(CAST(o_totalprice AS DOUBLE) / 32) AS BIGINT)",
                   "zval")}
              |FROM orders
-             |ORDER BY zval, o_orderkey""".stripMargin))
+             |ORDER BY zval, o_orderkey""".stripMargin)),
+
+    // ---- Q: retention curve — per-day + cumulative distinct users.
+    // Raw events are scanned ONCE (map-side-combined per-day HLL
+    // sketches); the cumulative series merges per-day KiB sketches in
+    // an expanding window over day rows, never re-scanning events.
+    // Exact anchors (countDistinct; first-seen cumulative identity)
+    // + bound verdicts; the oracle replays the anchors. ----
+    ("q_cumulative_users",
+      (s: SparkSession, dir: String) => {
+        SketchOps.cumulativeDistinctUsersCertified(Tables.load(s, dir, "events"))
+      },
+      Some("""WITH bd AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+             |ed AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_daily
+             |       FROM bd GROUP BY day),
+             |fs AS (SELECT user_id, min(day) AS day FROM bd GROUP BY user_id),
+             |nn AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY day),
+             |j AS (SELECT ed.day, ed.n_daily, COALESCE(nn.n_new, 0) AS n_new
+             |      FROM ed LEFT JOIN nn USING (day))
+             |SELECT day, n_daily, n_new,
+             |       CAST(sum(n_new) OVER (ORDER BY day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
+             |       1 AS daily_ok, 1 AS cum_ok
+             |FROM j ORDER BY day""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.KmvSketch
@@ -177,5 +178,48 @@ object SketchOps {
         (abs(col("est") - col("n_texts")) <=
           greatest(lit(4.0), col("n_texts") * lit(0.05))).cast("int").as("within_bound"))
       .orderBy(col("source"))
+  }
+
+  /** Retention-curve primitive: per-day distinct users AND the running
+    * cumulative distinct-user count, both sketch-estimated and
+    * certified against exact anchors.
+    *
+    * The naive cumulative formulation re-scans the raw events once per
+    * prefix — O(days × data). Here the per-day HLL sketches are built
+    * in ONE map-side-combined pass over the events; the cumulative
+    * series then merges the per-day KiB register blocks in an
+    * expanding window over DAY rows, so the window's frame holds days
+    * (~365 rows/year), never events — at 100 TB the raw data is
+    * touched exactly once however long the retention horizon grows.
+    * Exact anchors: per-day `countDistinct` and the first-seen-day
+    * cumulative sum (a user contributes to `n_cum` from the day they
+    * first appear — `sum(n_new) OVER (ORDER BY day)` ≡ cumulative
+    * distinct, an identity the oracle replays).
+    */
+  def cumulativeDistinctUsersCertified(events: DataFrame, lgK: Int = 14): DataFrame = {
+    val byDay = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val daySk = byDay.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+    // expanding union over the tiny per-day sketch table (days rows)
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = daySk.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est_daily"),
+      hll_sketch_estimate(hll_union_agg(col("sk")).over(wDays)).as("est_cum"))
+    val exactDaily = byDay.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("n_daily"))
+    val firstSeen = byDay.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val exact = exactDaily.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("n_daily"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_cum", sum(col("n_new")).over(wDays))
+    exact.join(est, "day")
+      .select(col("day"), col("n_daily"), col("n_new"), col("n_cum"),
+        (abs(col("est_daily") - col("n_daily")) <=
+          greatest(lit(4.0), col("n_daily") * lit(0.05))).cast("int").as("daily_ok"),
+        (abs(col("est_cum") - col("n_cum")) <=
+          greatest(lit(4.0), col("n_cum") * lit(0.05))).cast("int").as("cum_ok"))
+      .orderBy(col("day"))
   }
 }

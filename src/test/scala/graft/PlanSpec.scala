@@ -309,6 +309,17 @@ class PlanSpec extends SparkSpec {
     plan should include("Union")
   }
 
+  test("q_cumulative_users: events scanned once per branch — the cumulative window merges day sketches") {
+    val plan = formatted("q_cumulative_users")
+    // the sketch build partial-combines map-side
+    plan should include("ObjectHashAggregate")
+    plan should include("hll_sketch_agg")
+    // the expanding union runs over the per-day sketch rows, not raw events
+    plan should include("hll_union_agg")
+    // the anchor joins are on tiny day tables — no sort-merge join anywhere
+    plan should not include "SortMergeJoin"
+  }
+
   test("l1_zorder: the interleave runs inside whole-stage codegen") {
     // the generated spread rounds are inlined, not a boxed call
     codegenOf("l1_zorder") should include("& 0x00FF00FFL")

@@ -44,4 +44,27 @@ class SketchOpsSpec extends SparkSpec {
     SketchOps.sourceOverlapCertifiedIndexed(corpus, srcs, n = 3, k = 64, idx)
     sketchRows(spark.read.parquet(idx)) shouldBe stored
   }
+
+  test("cumulativeDistinctUsersCertified: anchors exact, verdicts green, curve monotone") {
+    import java.sql.Timestamp
+    // 5 days; user u appears from day (u % 5) onward — returning users
+    // must NOT re-count in n_cum, and day d's new users are exactly
+    // those with u % 5 == d.
+    val events = (for {
+      d <- 0 until 5
+      u <- 0 until 200
+      if u % 5 <= d
+    } yield (Timestamp.valueOf(f"2024-03-${d + 1}%02d 12:00:00"), u.toLong))
+      .toDF("ts", "user_id")
+    val out = SketchOps.cumulativeDistinctUsersCertified(events, lgK = 14)
+      .collect()
+    out.length shouldBe 5
+    out.zipWithIndex.foreach { case (r, d) =>
+      r.getLong(1) shouldBe (d + 1) * 40L      // n_daily
+      r.getLong(2) shouldBe 40L                // n_new per day
+      r.getLong(3) shouldBe (d + 1) * 40L      // n_cum == distinct so far
+      r.getInt(4) shouldBe 1                   // daily_ok
+      r.getInt(5) shouldBe 1                   // cum_ok
+    }
+  }
 }
