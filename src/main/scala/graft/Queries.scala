@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dfw.{MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
-import graft.llm.{DedupOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
+import graft.llm.{DedupOps, GraphOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
 /** The engine's named queries and their DuckDB oracle SQL.
@@ -3676,7 +3676,42 @@ object Queries {
              |       CAST(sum(n_new) OVER (ORDER BY day
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum,
              |       1 AS daily_ok, 1 AS cum_ok
-             |FROM j ORDER BY day""".stripMargin))
+             |FROM j ORDER BY day""".stripMargin)),
+
+    // ---- G: link-graph centrality (integer PageRank) on the
+    // customer↔supplier purchase graph — the page-importance signal
+    // corpus curation weights documents by. Integer micro-unit
+    // arithmetic makes every round's sums order-independent, so the
+    // oracle's unrolled iteration matches bit-for-bit (llm/GraphOps).
+    ("g1_pagerank",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val base =
+          """WITH b AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s
+            |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT c AS src, s AS dst FROM b UNION SELECT s, c FROM b),
+            |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+            |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+            |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+        val iterations = (1 to 3).map { k =>
+          s"""c$k AS (SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS s
+             |        FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |        GROUP BY e.dst),
+             |r$k AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+             |        FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$iterations\nSELECT node, rank FROM r3 ORDER BY node"
+      })
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory reference: the same integer iteration, computed naively. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = nodes.map(n => n -> (scale * 15 / 100 + 85 * in.getOrElse(n, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  private val chain = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (4L, 1L))
+
+  test("pageRankInt matches the naive integer reference on a hand graph") {
+    val got = GraphOps.pageRankInt(chain.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe reference(chain, 4)
+  }
+
+  test("dangling receivers keep teleport mass; a hub accumulates more") {
+    // 4 -> 1 only: node 4 has no in-edges, so after round 1 its rank
+    // is exactly the teleport floor; node 1 (three in-edges) dominates.
+    val got = GraphOps.pageRankInt(chain.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(4L) shouldBe 150000L
+    got(1L) should be > got(2L)
+    got(1L) should be > got(3L)
+  }
+
+  test("result is partitioning-invariant (integer sums are order-independent)") {
+    val df = chain.toDF("src", "dst")
+    val a = GraphOps.pageRankInt(df, "src", "dst", iters = 3)
+      .orderBy("node").collect().toSeq
+    val b = GraphOps.pageRankInt(df.repartition(7, col("dst")), "src", "dst", iters = 3)
+      .orderBy("node").collect().toSeq
+    a shouldBe b
+  }
+
+  test("zero iterations returns the uniform init") {
+    val got = GraphOps.pageRankInt(chain.toDF("src", "dst"), "src", "dst", iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.values.toSet shouldBe Set(1000000L)
+    got.keySet shouldBe Set(1L, 2L, 3L, 4L)
+  }
+}

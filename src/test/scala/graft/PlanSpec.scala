@@ -320,6 +320,13 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("g1_pagerank: the rank table broadcasts into every round's join — edges never re-shuffle per round") {
+    val plan = formatted("g1_pagerank")
+    // |V| ≪ |E|: each of the 3 rounds joins ranks via broadcast
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("l1_zorder: the interleave runs inside whole-stage codegen") {
     // the generated spread rounds are inlined, not a boxed call
     codegenOf("l1_zorder") should include("& 0x00FF00FFL")
