@@ -350,4 +350,46 @@ object StreamOps {
                    versionCol: String, opCol: String): Option[DataFrame] =
     readVersionedSnapshot(spark, snapshotRoot)
       .map(graft.dfw.MergeOps.latestState(_, versionCol, opCol))
+
+  /** Committed snapshot epochs, ascending — every `snap_<epoch>`
+    * directory at or below the `_LATEST` pointer. Epochs above the
+    * pointer (a crash mid-write) are not listed. */
+  def snapshotEpochs(snapshotRoot: String): Seq[Long] = {
+    val latest = java.nio.file.Paths.get(s"$snapshotRoot/_LATEST")
+    if (!java.nio.file.Files.exists(latest)) return Seq.empty
+    val cap = new String(java.nio.file.Files.readAllBytes(latest), "UTF-8")
+      .split("snap_").last.toLong
+    val dir = new java.io.File(snapshotRoot)
+    dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .map(_.getName.stripPrefix("snap_").toLong)
+      .filter(_ <= cap).sorted
+  }
+
+  /** Time travel: the versioned snapshot AS OF `epoch` (the largest
+    * committed epoch ≤ the ask) — every epoch's merge result is a
+    * complete state, so reading any retained epoch is O(1) lookups,
+    * no replay. None if no committed epoch qualifies. */
+  def readVersionedSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+                              snapshotRoot: String, epoch: Long): Option[DataFrame] =
+    snapshotEpochs(snapshotRoot).filter(_ <= epoch).lastOption
+      .map(e => spark.read.parquet(f"$snapshotRoot/snap_$e%09d"))
+
+  /** Retention: drop all but the newest `keep` committed snapshots
+    * (the time-travel horizon); the `_LATEST` target is always kept.
+    * Returns the epochs removed. Mirrors VACUUM on a Delta/Iceberg
+    * table — at 100 TB, old full snapshots are the dominant storage
+    * cost of the full-rewrite CDC regime. */
+  def vacuumSnapshots(snapshotRoot: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val es = snapshotEpochs(snapshotRoot)
+    val drop = es.dropRight(keep)
+    drop.foreach { e =>
+      val d = java.nio.file.Paths.get(f"$snapshotRoot/snap_$e%09d")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    drop
+  }
 }

@@ -219,6 +219,33 @@ object StreamSoak {
         "PASS sketch-bounded state (rows = live groups, not ids)"
        else "FAIL state exceeds group bound"))
 
+    // 8) streaming CDC apply: foreachBatch merge into a persisted
+    // snapshot — state lives in the SNAPSHOT TABLE, not the state
+    // store. Two claims to measure: (a) the streaming plan carries no
+    // state operator at all; (b) the snapshot is bounded by KEY
+    // cardinality (LWW winners + tombstones), never by stream length.
+    val nKeys = 10000L
+    val cdcStream = rateSrc.select(
+      pmod(col("value"), lit(nKeys)).as("k"),
+      col("value").as("version"),
+      when(pmod(col("value"), lit(20L)) === 0, lit("delete"))
+        .otherwise(lit("update")).as("op"),
+      concat(lit("n"), col("value")).as("name"),
+      (col("value") % 100).cast("double").as("bal"))
+    val snapRoot = java.nio.file.Files.createTempDirectory("soak-cdc").toString
+    val cdcStates = soak("cdc_apply", StreamOps.cdcApplyStream(
+      cdcStream, snapRoot, "k", "version", "op", s"$ckRoot/cdc"))
+    val versioned = StreamOps.readVersionedSnapshot(spark, snapRoot)
+      .map(_.count()).getOrElse(-1L)
+    val live = StreamOps.readSnapshot(spark, snapRoot, "version", "op")
+      .map(_.count()).getOrElse(-1L)
+    val cdcTotal = soakSec.toLong * rate
+    println(s"cdc_apply: state-store rows=${cdcStates.sum}, snapshot versioned=$versioned " +
+      s"live=$live (key bound=$nKeys; feed was ~$cdcTotal rows) " +
+      (if (cdcStates.sum == 0 && versioned > 0 && versioned <= nKeys)
+        "PASS snapshot-bounded (no state store, rows = keys not stream length)"
+       else "FAIL state store used or snapshot exceeds key space"))
+
     spark.stop()
   }
 }

@@ -60,4 +60,37 @@ class CdcApplyStreamSpec extends SparkSpec {
     StreamOps.readVersionedSnapshot(spark, root) shouldBe None
     StreamOps.readSnapshot(spark, root, "version", "op") shouldBe None
   }
+
+  test("time travel + vacuum: epochs list, as-of reads, retention keeps the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Int, Long, String, String, Double)]
+    val changes = mem.toDF().toDF("k", "version", "op", "name", "bal")
+    val root = Files.createTempDirectory("cdc_tt").toString
+    val ckpt = Files.createTempDirectory("cdc_tt_ck").toString
+    val q = StreamOps.cdcApplyStream(changes, root, "k", "version", "op", ckpt)
+    try {
+      for (b <- Seq(batch1, batch2, batch3)) { mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val epochs = StreamOps.snapshotEpochs(root)
+    epochs.length shouldBe 3
+
+    // as-of the first epoch: only batch1 applied — key 3 still alive
+    val atFirst = StreamOps.readVersionedSnapshotAt(spark, root, epochs.head).get
+    graft.dfw.MergeOps.latestState(atFirst, "version", "op")
+      .orderBy("k").collect().map(_.getInt(0)) shouldBe Array(1, 2, 3)
+    // as-of beyond the last epoch: identical to the live snapshot
+    StreamOps.readVersionedSnapshotAt(spark, root, Long.MaxValue).get
+      .orderBy("k").collect() shouldBe
+      StreamOps.readVersionedSnapshot(spark, root).get.orderBy("k").collect()
+    // as-of before any commit: nothing
+    StreamOps.readVersionedSnapshotAt(spark, root, epochs.head - 1) shouldBe None
+
+    // vacuum to 1: old epochs gone, latest intact, early as-of now empty
+    val dropped = StreamOps.vacuumSnapshots(root, keep = 1)
+    dropped shouldBe epochs.dropRight(1)
+    StreamOps.snapshotEpochs(root) shouldBe Seq(epochs.last)
+    StreamOps.readVersionedSnapshotAt(spark, root, epochs.head) shouldBe None
+    StreamOps.readSnapshot(spark, root, "version", "op").get.count() shouldBe 3
+  }
 }
