@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.dfw.{MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
+import graft.dfw.{FunnelOps, MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
 import graft.llm.{DedupOps, GraphOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
@@ -3711,7 +3711,54 @@ object Queries {
              |        FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
         }.mkString(",\n")
         s"$base,\n$iterations\nSELECT node, rank FROM r3 ORDER BY node"
-      })
+      }),
+
+    // ---- F: sequential conversion funnel view→click→purchase.
+    // Window-free: each step is a scan-filtered pass over events
+    // joined (broadcast) to the previous step's per-user first-time
+    // state — events never shuffle; only user-cardinality state moves
+    // (dfw/FunnelOps). Integer conversion percents. ----
+    ("q_funnel",
+      (s: SparkSession, dir: String) => {
+        FunnelOps.sequentialFunnel(Tables.load(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+             |c AS (SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+             |      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+             |      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
+             |f AS (SELECT n_users AS n0 FROM c WHERE step = 1)
+             |SELECT step, stage, n_users, (n_users * 100) // n0 AS conv_pct
+             |FROM c, f ORDER BY step""".stripMargin)),
+
+    // ---- Q: robust outlier gate — per-type median/MAD and the count
+    // of values beyond 3×MAD (dfw/QuantileOps.madOutlierStats; 50%
+    // breakdown where mean/stddev z-scores self-mask). Group stats
+    // ride back via broadcast; the data side never join-shuffles. ----
+    ("q_anomaly_mad",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.madOutlierStats(Tables.load(s, dir, "events"),
+            Seq("event_type"), "value", k = 3)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             |             FROM events GROUP BY event_type),
+             |dev AS (SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+             |        FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |        FROM dev GROUP BY event_type)
+             |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+             |       round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad
+             |FROM dev d JOIN mad m USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -77,4 +77,35 @@ object QuantileOps {
     }
     long.groupBy(grpCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Robust per-group outlier statistics: median / MAD (median
+    * absolute deviation) and the count of rows beyond `k × MAD` —
+    * the outlier gate that survives what kills mean/stddev z-scores
+    * (a single wild value drags the mean AND inflates the stddev,
+    * masking itself; the median and MAD have 50% breakdown).
+    *
+    * Three group-keyed passes: median → absolute deviations + MAD →
+    * flag count. Each per-group statistic rides back via broadcast,
+    * so the data side is never join-shuffled. `percentile()` is exact
+    * with a value→count map per group — right when groups are an
+    * aggregation grain (here: event types); for nearly-unique-value
+    * grains at 100 TB swap the median passes for the rank-select path
+    * ([[exactQuantiles]]) — same downstream arithmetic.
+    */
+  def madOutlierStats(df: DataFrame, grpCols: Seq[String], valueCol: String,
+                      k: Int = 3): DataFrame = {
+    val g = grpCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), grpCols)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(g: _*)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), grpCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum((col("__ad") > lit(k.toDouble) * col("mad")).cast("long")).as("n_anomalies"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"))
+  }
 }

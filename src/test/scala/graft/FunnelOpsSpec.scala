@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.dfw.FunnelOps
+
+class FunnelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  // user 1: full ordered funnel; user 2: click BEFORE view (click must
+  // not count until after the first view; a later click rescues them);
+  // user 3: view only; user 4: reaches click but their purchase
+  // happened BEFORE that click (drops at purchase); user 5: no view at
+  // all (never enters despite clicking and purchasing).
+  private val events = Seq(
+    (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+    (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(3)), (2L, "purchase", ts(4)),
+    (3L, "view", ts(5)),
+    (4L, "view", ts(1)), (4L, "purchase", ts(2)), (4L, "click", ts(3)),
+    (5L, "click", ts(1)), (5L, "purchase", ts(2))
+  ).toDF("user_id", "event_type", "ts")
+
+  test("sequentialFunnel: order-sensitive reach with strict after semantics") {
+    val out = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1, "view", 4L, 100L),     // users 1, 2, 3, 4
+      (2, "click", 3L, 75L),     // 1, 2 (post-view click only), 4
+      (3, "purchase", 2L, 50L))  // 1, 2 — user 4 purchased before clicking
+  }
+
+  test("sequentialFunnel: single-step funnel degenerates to distinct actors") {
+    val out = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts", Seq("purchase"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(("purchase", 4L, 100L)) // users 1, 2, 4, 5 ever purchased
+  }
+
+  test("sequentialFunnel plan: no Window, events join via broadcast") {
+    val plan = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("BroadcastHashJoin")
+  }
+}

@@ -51,4 +51,24 @@ class QuantileOpsSpec extends SparkSpec {
       .select("g", "med", "max_v").as[(String, Double, Double)].head()
     row shouldBe (("a", 2.5, 4.0))
   }
+
+  test("madOutlierStats: flags the wild value a mean/stddev z-score would mask") {
+    // group a: nine values at 10±1 plus one at 1000. The outlier drags
+    // the mean to ~109 and the stddev to ~313, so its classic z-score
+    // is ~2.8 — under a 3-sigma gate it masks itself. Median 10,
+    // MAD 1: |1000-10| = 990 > 3×1 flags it. Group b: clean, 0 flags.
+    val a = Seq(9.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 11.0, 1000.0).map(("a", _))
+    val b = Seq(5.0, 5.0, 6.0, 7.0, 7.0).map(("b", _))
+    val got = QuantileOps.madOutlierStats((a ++ b).toDF("g", "v"), Seq("g"), "v", k = 3)
+      .orderBy("g")
+      .select("g", "n", "n_anomalies", "med", "mad")
+      .as[(String, Long, Long, Double, Double)].collect()
+    got(0) shouldBe (("a", 10L, 1L, 10.0, 1.0))
+    got(1) shouldBe (("b", 5L, 0L, 6.0, 1.0))
+    // the masking claim, computed: classic z of the outlier is < 3
+    val av = a.map(_._2)
+    val mean = av.sum / av.size
+    val sd = math.sqrt(av.map(x => (x - mean) * (x - mean)).sum / av.size)
+    ((1000.0 - mean) / sd) should be < 3.0
+  }
 }
