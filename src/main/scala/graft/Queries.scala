@@ -3735,7 +3735,8 @@ object Queries {
              |      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
              |      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
              |f AS (SELECT n_users AS n0 FROM c WHERE step = 1)
-             |SELECT step, stage, n_users, (n_users * 100) // n0 AS conv_pct
+             |SELECT step, stage, n_users,
+             |       CASE WHEN n0 = 0 THEN 0 ELSE (n_users * 100) // n0 END AS conv_pct
              |FROM c, f ORDER BY step""".stripMargin)),
 
     // ---- Q: robust outlier gate — per-type median/MAD and the count

@@ -46,7 +46,10 @@ object FunnelOps {
     val first = counts.filter(col("step") === 1).select(col("n_users").as("__n0"))
     counts.crossJoin(broadcast(first))
       .select(col("step"), col("stage"), col("n_users"),
-        expr("(n_users * 100) div __n0").as("conv_pct"))
+        // guarded: a funnel whose first step has no actors reports 0%
+        // reach instead of dividing by zero (which throws under ANSI)
+        expr("CASE WHEN __n0 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_users * 100) div __n0 END").as("conv_pct"))
       .orderBy(col("step"))
   }
 }

@@ -317,23 +317,47 @@ object StreamOps {
                      versionCol: String, opCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val mergeBatch: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, epoch) => {
-        val spark = batch.sparkSession
-        val prev = readVersionedSnapshot(spark, snapshotRoot)
-          .getOrElse(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
-        val next = graft.dfw.MergeOps
-          .applyChangesLwwVersioned(prev, batch.toDF(), key, versionCol, opCol)
-        val dir = f"$snapshotRoot/snap_$epoch%09d"
-        next.write.mode("overwrite").parquet(dir)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$snapshotRoot/_LATEST"),
-          dir.getBytes("UTF-8"))
-      }
+      (batch, epoch) =>
+        applyCdcEpoch(batch.sparkSession, batch.toDF(), snapshotRoot,
+          key, versionCol, opCol, epoch)
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch(mergeBatch)
       .start()
+  }
+
+  /** One epoch of the CDC apply. Crash windows, exhaustively:
+    *  - crash mid-parquet-write: `snap_<epoch>` is partial but
+    *    `_LATEST` still names the previous good snapshot; the replayed
+    *    epoch reads `prev` from that OLDER directory (never its own —
+    *    no read-under-overwrite) and rewrites its directory.
+    *  - crash after the pointer flip but before Structured Streaming's
+    *    commit log records the batch (foreachBatch's at-least-once
+    *    window): the replayed epoch is DETECTED (`_LATEST` already at
+    *    or past it) and skipped — merging the same batch again would
+    *    be value-idempotent (LWW semilattice) but would read and
+    *    overwrite the same directory, which Spark rejects.
+    *  - crash mid-pointer-write: the pointer is written to a temp file
+    *    and ATOMIC_MOVEd into place, so `_LATEST` is always either the
+    *    old or the new path, never truncated garbage.
+    */
+  private[graft] def applyCdcEpoch(spark: org.apache.spark.sql.SparkSession,
+                                       batch: DataFrame, snapshotRoot: String,
+                                       key: String, versionCol: String, opCol: String,
+                                       epoch: Long): Unit = {
+    if (snapshotEpochs(snapshotRoot).lastOption.exists(_ >= epoch)) return
+    val prev = readVersionedSnapshot(spark, snapshotRoot)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+    val next = graft.dfw.MergeOps
+      .applyChangesLwwVersioned(prev, batch, key, versionCol, opCol)
+    val dir = f"$snapshotRoot/snap_$epoch%09d"
+    next.write.mode("overwrite").parquet(dir)
+    val tmp = java.nio.file.Paths.get(s"$snapshotRoot/_LATEST.tmp")
+    java.nio.file.Files.write(tmp, dir.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$snapshotRoot/_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The last committed versioned snapshot, if any epoch completed. */
@@ -387,8 +411,9 @@ object StreamOps {
     drop.foreach { e =>
       val d = java.nio.file.Paths.get(f"$snapshotRoot/snap_$e%09d")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(d)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(java.nio.file.Files.delete)
     }
     drop
   }

@@ -61,6 +61,30 @@ class CdcApplyStreamSpec extends SparkSpec {
     StreamOps.readSnapshot(spark, root, "version", "op") shouldBe None
   }
 
+  test("epoch replay: an already-committed epoch is skipped, never read-and-overwritten") {
+    // simulates foreachBatch's at-least-once window: the epoch's
+    // parquet + pointer committed but the streaming commit log didn't
+    // record the batch, so restart re-delivers the same epoch id
+    val root = Files.createTempDirectory("cdc_replay").toString
+    val b1 = Seq((1, 10L, "insert", "a", 1.0)).toDF("k", "version", "op", "name", "bal")
+    StreamOps.applyCdcEpoch(spark, b1, root, "k", "version", "op", epoch = 0L)
+    val committed = StreamOps.readVersionedSnapshot(spark, root).get.collect()
+
+    // replay with DIFFERENT content must be a no-op (the guard, not luck)
+    val replay = Seq((9, 99L, "insert", "z", 9.0)).toDF("k", "version", "op", "name", "bal")
+    StreamOps.applyCdcEpoch(spark, replay, root, "k", "version", "op", epoch = 0L)
+    StreamOps.readVersionedSnapshot(spark, root).get.collect() shouldBe committed
+    StreamOps.snapshotEpochs(root) shouldBe Seq(0L)
+
+    // the next epoch still merges normally
+    val b2 = Seq((2, 20L, "insert", "b", 2.0)).toDF("k", "version", "op", "name", "bal")
+    StreamOps.applyCdcEpoch(spark, b2, root, "k", "version", "op", epoch = 1L)
+    StreamOps.readSnapshot(spark, root, "version", "op").get
+      .orderBy("k").collect().map(_.getInt(0)) shouldBe Array(1, 2)
+    // no stray tmp pointer left behind
+    Files.exists(java.nio.file.Paths.get(s"$root/_LATEST.tmp")) shouldBe false
+  }
+
   test("time travel + vacuum: epochs list, as-of reads, retention keeps the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, Long, String, String, Double)]

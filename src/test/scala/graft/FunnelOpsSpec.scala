@@ -38,6 +38,13 @@ class FunnelOpsSpec extends SparkSpec {
     out shouldBe Array(("purchase", 4L, 100L)) // users 1, 2, 4, 5 ever purchased
   }
 
+  test("sequentialFunnel: absent first step yields 0% rows, not a divide-by-zero") {
+    val out = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("install", "view"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(("install", 0L, 0L), ("view", 0L, 0L))
+  }
+
   test("sequentialFunnel plan: no Window, events join via broadcast") {
     val plan = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
       Seq("view", "click", "purchase")).queryExecution.executedPlan.toString
