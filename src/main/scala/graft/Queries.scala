@@ -3759,7 +3759,26 @@ object Queries {
              |       CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
              |       round(max(d.med), 4) AS med, round(max(m.mad), 4) AS mad
              |FROM dev d JOIN mad m USING (event_type)
-             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
+    // ---- F: cohort retention matrix — first-seen cohorts × day
+    // offsets with integer retention percents. Activity collapses to
+    // distinct (day, user) first; first-seen broadcasts back; one
+    // hash agg per (cohort, offset) (dfw/FunnelOps.cohortRetention).
+    ("q_cohort_retention",
+      (s: SparkSession, dir: String) => {
+        FunnelOps.cohortRetention(Tables.load(s, dir, "events"), "user_id", "ts")
+      },
+      Some("""WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+             |fs AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u),
+             |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n FROM fs GROUP BY cohort_day),
+             |m AS (SELECT f.cohort_day, (a.day - f.cohort_day) AS day_offset,
+             |        CAST(count(*) AS BIGINT) AS n_active
+             |      FROM act a JOIN fs f ON a.u = f.u GROUP BY 1, 2)
+             |SELECT m.cohort_day, m.day_offset, m.n_active,
+             |       (m.n_active * 100) // sz.cohort_n AS retention_pct
+             |FROM m JOIN sz USING (cohort_day)
+             |ORDER BY cohort_day, day_offset""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,4 +52,30 @@ object FunnelOps {
           "ELSE (n_users * 100) div __n0 END").as("conv_pct"))
       .orderBy(col("step"))
   }
+
+  /** Cohort retention matrix: users grouped by first-seen day, and for
+    * each (cohort, day-offset) the count and integer percent of the
+    * cohort active that day — the activation/churn table behind every
+    * "day-N retention" readout.
+    *
+    * Shape: activity collapses to distinct (day, user) pairs first
+    * (user-day cardinality, ≪ events), the per-user first-seen table
+    * broadcasts back, and one hash aggregate per (cohort, offset)
+    * finishes — no window, no self-join over events. Integer percents
+    * (`div`); a cohort's own day 0 is always 100.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val act = events.select(to_date(col(tsCol)).as("day"), col(userCol).as("__u")).distinct()
+    val first = act.groupBy(col("__u")).agg(min(col("day")).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+    act.join(broadcast(first), "__u")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (cohort, offset, user) unique by construction
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        expr("(n_active * 100) div cohort_n").as("retention_pct"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

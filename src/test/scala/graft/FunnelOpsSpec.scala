@@ -51,4 +51,24 @@ class FunnelOpsSpec extends SparkSpec {
     plan should not include "Window"
     plan should include("BroadcastHashJoin")
   }
+
+  test("cohortRetention: day-0 always 100%, returning users counted once per day") {
+    def d(day: Int, m: Int) = Timestamp.valueOf(f"2024-02-$day%02d 0$m:00:00")
+    // cohort Feb-1: users 10, 11 (10 twice on day 0 — must not double);
+    // day1 only 10 returns (50%); day2 both (100%).
+    // cohort Feb-2: user 12 alone, returns day 1.
+    val ev = Seq(
+      (10L, d(1, 1)), (10L, d(1, 2)), (11L, d(1, 1)),
+      (10L, d(2, 1)), (12L, d(2, 1)),
+      (10L, d(3, 1)), (11L, d(3, 1)), (12L, d(3, 2))
+    ).toDF("user_id", "ts")
+    val out = FunnelOps.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      ("2024-02-01", 0, 2L, 100L),
+      ("2024-02-01", 1, 1L, 50L),
+      ("2024-02-01", 2, 2L, 100L),
+      ("2024-02-02", 0, 1L, 100L),
+      ("2024-02-02", 1, 1L, 100L))
+  }
 }
