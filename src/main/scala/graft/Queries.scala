@@ -3713,6 +3713,43 @@ object Queries {
         s"$base,\n$iterations\nSELECT node, rank FROM r3 ORDER BY node"
       }),
 
+    // ---- G: WEIGHTED integer PageRank — edge weight = purchase
+    // multiplicity (each lineitem contributes 1), rank splits
+    // proportionally to weights. Same bit-replayable integer
+    // discipline (llm/GraphOps.pageRankWeightedInt). ----
+    ("g2_pagerank_weighted",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+            lit(1L).as("w"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        GraphOps.pageRankWeightedInt(edges, "src", "dst", "w", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val base =
+          """WITH raw AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+            |               CAST(l_suppkey + 1000000 AS BIGINT) AS s
+            |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e0 AS (SELECT c AS src, s AS dst, CAST(1 AS BIGINT) AS w FROM raw
+            |       UNION ALL SELECT s, c, CAST(1 AS BIGINT) FROM raw),
+            |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM e0 GROUP BY src, dst),
+            |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+            |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+            |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+        val iterations = (1 to 3).map { k =>
+          s"""c$k AS (SELECT e.dst AS node, CAST(sum((r.rank * e.w) // d.outw) AS BIGINT) AS s
+             |        FROM e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+             |        GROUP BY e.dst),
+             |r$k AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+             |        FROM nodes n LEFT JOIN c$k c ON n.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$iterations\nSELECT node, rank FROM r3 ORDER BY node"
+      }),
+
     // ---- F: sequential conversion funnel view→click→purchase.
     // Window-free: each step is a scan-filtered pass over events
     // joined (broadcast) to the previous step's per-user first-time

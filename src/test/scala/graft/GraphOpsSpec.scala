@@ -49,6 +49,43 @@ class GraphOpsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("pageRankWeightedInt: unit weights on a simple graph reduce to pageRankInt") {
+    val df = chain.toDF("src", "dst") // no duplicate pairs
+    val unweighted = GraphOps.pageRankInt(df, "src", "dst", iters = 4)
+      .orderBy("node").collect().toSeq
+    val weighted = GraphOps.pageRankWeightedInt(
+        df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+        "src", "dst", "w", iters = 4)
+      .orderBy("node").collect().toSeq
+    weighted shouldBe unweighted
+  }
+
+  test("pageRankWeightedInt: weight shifts mass toward the heavier edge") {
+    // node 1 splits between 2 and 3; tripling the 1->3 weight must
+    // rank 3 above 2 (symmetric otherwise)
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pageRankWeightedInt(e, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(3L) should be > got(2L)
+    // exact split in round 1: rank(1)=1e6, outw=4 → 2 gets 250000, 3 gets 750000
+    val r1 = GraphOps.pageRankWeightedInt(e, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1(2L) shouldBe 150000L + 85L * 250000L / 100L
+    r1(3L) shouldBe 150000L + 85L * 750000L / 100L
+  }
+
+  test("pageRankWeightedInt: duplicate edges pre-aggregate into multiplicity") {
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    GraphOps.pageRankWeightedInt(dup, "src", "dst", "w", iters = 3)
+      .orderBy("node").collect().toSeq shouldBe
+      GraphOps.pageRankWeightedInt(merged, "src", "dst", "w", iters = 3)
+        .orderBy("node").collect().toSeq
+  }
+
   test("zero iterations returns the uniform init") {
     val got = GraphOps.pageRankInt(chain.toDF("src", "dst"), "src", "dst", iters = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
