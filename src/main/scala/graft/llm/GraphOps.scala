@@ -47,19 +47,24 @@ object GraphOps {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-                  scale: Long = 1000000L, materialize: Boolean = true): DataFrame = {
+                  scale: Long = 1000000L, materialize: Boolean = true,
+                  broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // Static across rounds: edge list with outdegree, and the node set.
     // Under one lazy plan each round would RE-DERIVE both from the raw
     // input (k rounds = k+1 scans of the upstream joins); materializing
-    // once cuts that to a single derivation (measured 5.3 → 2.6 s at
-    // sf0.1, and the ratio grows with rounds). localCheckpoint is the
+    // once cuts that to a single derivation. localCheckpoint is the
     // local-mode stand-in — on a cluster with executor churn, persist
     // the edge list to a bucketed table instead
     // ([[graft.sources.Sinks.writeBucketed]]) and reliable-checkpoint.
+    // A checkpointed table has NO catalyst size stats (Scan
+    // ExistingRDD), so the |V|-sized rank/summed sides carry an
+    // explicit broadcast hint (`broadcastRanks`); set it false past
+    // broadcast range and the rounds run as co-partitioned joins.
     val edPlan = e.join(deg, "src")
     val ed = if (materialize) edPlan.localCheckpoint() else edPlan
     val nodesPlan = e.select(col("src").as("node"))
@@ -70,11 +75,11 @@ object GraphOps {
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("rank div outdeg").as("c"))
       val summed = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
-      rank = nodes.join(summed, Seq("node"), "left")
+      rank = nodes.join(hint(summed), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
@@ -95,8 +100,10 @@ object GraphOps {
                           weightCol: String, iters: Int,
                           dampNum: Long = 85L, dampDen: Long = 100L,
                           scale: Long = 1000000L,
-                          materialize: Boolean = true): DataFrame = {
+                          materialize: Boolean = true,
+                          broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
@@ -112,11 +119,11 @@ object GraphOps {
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) div outw").as("c"))
       val summed = contrib.groupBy(col("node")).agg(sum(col("c")).as("s"))
-      rank = nodes.join(summed, Seq("node"), "left")
+      rank = nodes.join(hint(summed), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
