@@ -3815,7 +3815,198 @@ object Queries {
              |SELECT m.cohort_day, m.day_offset, m.n_active,
              |       (m.n_active * 100) // sz.cohort_n AS retention_pct
              |FROM m JOIN sz USING (cohort_day)
-             |ORDER BY cohort_day, day_offset""".stripMargin))
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ---- G: triangle census over the part co-purchase graph
+    // (parts sharing an order, quantity-gated to keep the graph
+    // sparse). Degree-ordered orientation bounds the wedge join by
+    // |E|^1.5 regardless of hub skew (llm/GraphOps.triangleStats);
+    // all-integer output, bit-replayable. ----
+    ("g3_triangles",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") > 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.triangleStats(e, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+             |            FROM lineitem WHERE l_quantity > 25),
+             |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |        GROUP BY node),
+             |o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+             |             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+             |      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+             |w AS (SELECT o1.t AS wa, o2.t AS wb
+             |      FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+             |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |        FROM w JOIN e ON w.wa = e.u AND w.wb = e.v),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+             |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+             |nw AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+             |SELECT nn.n_nodes, ne.n_edges, nw.n_wedges, tri.n_triangles,
+             |  CASE WHEN nw.n_wedges = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE (3 * tri.n_triangles * 1000000) // nw.n_wedges END AS gcc_ppm
+             |FROM nn, ne, nw, tri""".stripMargin)),
+
+    // ---- X4: BM25 top-k retrieval over the corpus for a literal
+    // probe query — tokenization keeps only query terms pre-explode,
+    // idf/corpus stats broadcast, top-k via TakeOrderedAndProject;
+    // scores ranked in integer micro-units (llm/TextOps.bm25TopK). ----
+    ("x4_bm25",
+      (s: SparkSession, dir: String) => {
+        TextOps.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+            Seq("hash", "join", "merge", "window", "stream"), topK = 20)
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+             |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+             |hits AS (SELECT doc_id, term FROM toks
+             |         WHERE term IN ('hash', 'join', 'merge', 'window', 'stream')),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM hits GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM hits GROUP BY term),
+             |sc AS (SELECT tf.doc_id,
+             |         ln(1.0 + (CAST(c.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+             |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+             |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / c.avgdl))
+             |           AS contrib
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus c),
+             |agg AS (SELECT doc_id,
+             |          CAST(sum(CAST(round(contrib * 1000000) AS BIGINT)) AS BIGINT) AS score_q,
+             |          CAST(count(*) AS BIGINT) AS n_terms
+             |        FROM sc GROUP BY doc_id),
+             |r AS (SELECT doc_id, n_terms, score_q,
+             |        row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk FROM agg)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms, score_q,
+             |       CAST(score_q AS DOUBLE) / 1000000.0 AS score
+             |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin)),
+
+    // ---- X2: sorted-neighborhood ER blocking — block on the first
+    // token, sort by the 40-char prefix, compare each record to its 3
+    // successors, levenshtein-verify (llm/DedupOps
+    // .sortedNeighborhoodPairs). Candidate volume ≤ w·N — linear. ----
+    ("x2_sorted_neighborhood",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.sortedNeighborhoodPairs(docs, "doc_id",
+            substring(col("text"), 1, 40), substring_index(col("text"), " ", 1),
+            w = 3, maxDist = 15)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH k AS (SELECT doc_id AS id, substr(text, 1, 40) AS k,
+             |             split_part(text, ' ', 1) AS blk FROM documents),
+             |r AS (SELECT id, k, blk,
+             |        row_number() OVER (PARTITION BY blk ORDER BY k, id) AS rn FROM k),
+             |p AS (SELECT a.id AS id_l, a.k AS k_l, b.id AS id_r, b.k AS k_r
+             |      FROM r a JOIN r b ON a.blk = b.blk
+             |        AND b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+             |d AS (SELECT DISTINCT least(id_l, id_r) AS id_a, greatest(id_l, id_r) AS id_b,
+             |        CAST(levenshtein(k_l, k_r) AS BIGINT) AS dist FROM p)
+             |SELECT id_a, id_b, dist FROM d WHERE dist <= 15
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- TS: hourly OHLC bars per event type — open/close over a
+    // tie-broken total order, mean in integer micro-units
+    // (dfw/TimeSeriesOps.ohlcBars). One (series, bucket) shuffle. ----
+    ("q_ohlc",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.TimeSeriesOps.ohlcBars(Tables.load(s, dir, "events"),
+            "event_type", "ts", "value", "event_id", "hour")
+          .orderBy(col("event_type"), col("bucket_ts"))
+      },
+      Some("""WITH w AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+             |    first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+             |    last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+             |  FROM events),
+             |g AS (SELECT event_type, bucket_ts, first(open) AS open, max(value) AS high,
+             |        min(value) AS low, first(close) AS close,
+             |        CAST(count(*) AS BIGINT) AS volume,
+             |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+             |      FROM w GROUP BY event_type, bucket_ts)
+             |SELECT event_type, bucket_ts, open, high, low, close, volume, sum_q,
+             |       sum_q // volume AS mean_q
+             |FROM g ORDER BY event_type, bucket_ts""".stripMargin)),
+
+    // ---- TS: first-order Markov transition matrix over per-user
+    // event sequences (dfw/TimeSeriesOps.transitionCounts) — one
+    // user-keyed window, vocabulary-sized aggregate, ppm rows. ----
+    ("q_transitions",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.TimeSeriesOps.transitionCounts(Tables.load(s, dir, "events"),
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy(col("from_state"), col("to_state"))
+      },
+      Some("""WITH s AS (SELECT user_id, event_type AS from_state,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+             |  FROM events),
+             |c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+             |      FROM s WHERE to_state IS NOT NULL GROUP BY from_state, to_state),
+             |t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY from_state)
+             |SELECT c.from_state, c.to_state, c.n, (c.n * 1000000) // t.tot AS p_ppm
+             |FROM c JOIN t USING (from_state)
+             |ORDER BY from_state, to_state""".stripMargin)),
+
+    // ---- Q: equi-width profiling histogram with a dense bucket
+    // spine (dfw/QuantileOps.equiWidthHistogram) — one stats pass,
+    // one ≤nb-key aggregate, broadcast everywhere. ----
+    ("q_histogram",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.equiWidthHistogram(
+            Tables.load(s, dir, "lineitem").select(col("l_extendedprice")),
+            "l_extendedprice", nb = 16)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+             |             CAST(count(l_extendedprice) AS BIGINT) AS n_total FROM lineitem),
+             |b AS (SELECT CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+             |        ELSE least(CAST(15 AS BIGINT),
+             |          CAST(floor((l_extendedprice - s.mn) / (s.mx - s.mn) * 16) AS BIGINT))
+             |        END AS bucket
+             |      FROM lineitem, s),
+             |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket),
+             |sp AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bucket, s.mn, s.mx, s.n_total
+             |       FROM s)
+             |SELECT sp.bucket,
+             |  round(sp.mn + sp.bucket * (sp.mx - sp.mn) / 16, 6) AS lo,
+             |  round(sp.mn + (sp.bucket + 1) * (sp.mx - sp.mn) / 16, 6) AS hi,
+             |  COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt,
+             |  (COALESCE(c.cnt, CAST(0 AS BIGINT)) * 1000000) // sp.n_total AS frac_ppm
+             |FROM sp LEFT JOIN c USING (bucket) ORDER BY sp.bucket""".stripMargin)),
+
+    // ---- X4: within-document repetition removal, keep-first — the
+    // intra-doc dedup gate (llm/TextOps.dedupWithinDoc); rewritten
+    // text reassembled by first-occurrence position, rep ratio in
+    // ppm. ----
+    ("x4_dedup_within_doc",
+      (s: SparkSession, dir: String) => {
+        TextOps.dedupWithinDoc(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS unit,
+             |             unnest(range(0, len(string_split(text, ' ')))) AS pos
+             |           FROM documents),
+             |m AS (SELECT doc_id, unit, min(pos) AS pos, CAST(count(*) AS BIGINT) AS n
+             |      FROM t GROUP BY doc_id, unit)
+             |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_before,
+             |  CAST(count(*) AS BIGINT) AS n_after,
+             |  string_agg(unit, ' ' ORDER BY pos) AS dedup_text,
+             |  CAST(((sum(n) - count(*)) * 1000000) // sum(n) AS BIGINT) AS rep_ratio_ppm
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -108,4 +108,44 @@ object QuantileOps {
         round(max(col("med")), 4).as("med"),
         round(max(col("mad")), 4).as("mad"))
   }
+
+  /** Equi-width histogram — the data-profiling staple: `nb` buckets
+    * spanning [min, max], bucket i covering
+    * `[min + i·step, min + (i+1)·step)` with the max value folded into
+    * the last bucket. Emits every bucket (zero-count ones included) so
+    * the output shape is fixed at `nb` rows per group key regardless
+    * of data.
+    *
+    * Plan shape: one scan-side aggregate for (min, max, n) — a one-row
+    * broadcast — then a codegen'd bucket expression on the scan and a
+    * hash aggregate over ≤ nb keys; the dense bucket spine is a
+    * broadcast `sequence` cross-joined and left-joined with the
+    * counts. Two passes over the column, no wide shuffle anywhere.
+    *
+    * Determinism: bucket assignment is
+    * `floor((x - min) / (max - min) * nb)` — IEEE double ops in a
+    * fixed order, identical across engines; bounds are emitted
+    * rounded for display only (assignment never uses the rounded
+    * values). Degenerate max==min collapses to bucket 0.
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+    require(nb >= 1)
+    val stats = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),
+      count(col(valueCol)).as("n_total"))
+    val bucketed = df.join(broadcast(stats))
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit(nb - 1).cast("long"),
+          floor((col(valueCol) - col("mn")) / (col("mx") - col("mn")) * nb)))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val spine = stats.select(explode(sequence(lit(0L), lit((nb - 1).toLong))).as("bucket"),
+      col("mn"), col("mx"), col("n_total"))
+    // left-outer can only broadcast its right side; counts are ≤ nb rows
+    spine.join(broadcast(bucketed), Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / nb, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / nb, 6).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("coalesce(cnt, 0L) * 1000000 div n_total").as("frac_ppm"))
+  }
 }

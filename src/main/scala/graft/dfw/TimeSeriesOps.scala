@@ -1,0 +1,83 @@
+package graft.dfw
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event time-series shapes over an append-only event log: bucketed
+  * OHLC bars and first-order (Markov) transition counts. Both are
+  * one-window-plus-one-aggregate plans whose window partition keys are
+  * high-cardinality ((series, bucket) / user), so no reducer ever sees
+  * more than one series' bucket — the shape that survives a 100 TB
+  * event log.
+  */
+object TimeSeriesOps {
+
+  /** Time-bucketed OHLC bars per series: open/close are the first/last
+    * value in the bucket by (time, tiebreak) order, high/low/volume/
+    * mean aggregate over the bucket. The standard downsampling shape
+    * for metric and market data.
+    *
+    * Determinism: equal timestamps are broken by `tieCol` (a unique
+    * id), so open/close are well-defined under any shuffle order —
+    * first_value/last_value run over a total order, never an arbitrary
+    * one. The mean is emitted in integer micro-units (an order-free
+    * sum followed by one integer division), engine-exact.
+    *
+    * Plan shape: one window partitioned by (series, bucket) —
+    * high-cardinality, skew-free for any realistic bucket width — then
+    * one hash aggregate on the same key; Catalyst reuses the window's
+    * partitioning for the aggregate, so the plan has a single shuffle.
+    */
+  def ohlcBars(events: DataFrame, seriesCol: String, tsCol: String,
+               valueCol: String, tieCol: String,
+               bucket: String = "hour"): DataFrame = {
+    val b = date_trunc(bucket, col(tsCol)).as("bucket_ts")
+    val w = Window.partitionBy(col(seriesCol), date_trunc(bucket, col(tsCol)))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col(seriesCol), b, col(tsCol), col(tieCol), col(valueCol),
+        first(col(valueCol)).over(w).as("open"),
+        last(col(valueCol)).over(w).as("close"))
+      .groupBy(col(seriesCol), col("bucket_ts"))
+      .agg(
+        first(col("open")).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        first(col("close")).as("close"),
+        count(lit(1)).as("volume"),
+        sum(round(col(valueCol) * 1000000).cast("long")).as("sum_q"))
+      .withColumn("mean_q", expr("sum_q div volume"))
+  }
+
+  /** First-order transition counts over per-entity event sequences —
+    * the empirical Markov chain of "what happens after X" (session
+    * flow analysis, next-event models, anomalous-sequence mining).
+    *
+    * Each entity's events are ordered by (time, tiebreak); every
+    * consecutive pair contributes one (from_state, to_state)
+    * observation; counts aggregate globally with a parts-per-million
+    * row probability per source state (integer division — order-free,
+    * engine-exact).
+    *
+    * Plan shape: one window partitioned by entity (high-cardinality),
+    * one hash aggregate on (from, to) — state-vocabulary sized — and a
+    * broadcast-sized per-from total joined back. Nothing scales with
+    * more than the event count.
+    */
+  def transitionCounts(events: DataFrame, entityCol: String, stateCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(entityCol), col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .filter(col("to_state").isNotNull)
+    val counts = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_state")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+  }
+}

@@ -794,4 +794,52 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sorted-neighborhood entity-resolution blocking (Hernández &
+    * Stolfo '95): sort records by a blocking key, compare each record
+    * only to its `w` successors in sort order, verify survivors with
+    * an edit-distance gate. The classic cheap alternative to LSH when
+    * near-duplicates share long prefixes (URLs, names, addresses,
+    * boilerplate openings).
+    *
+    * Scale posture: the textbook version ranks over ONE global sort —
+    * a single-reducer window. Here the neighborhood is scoped inside
+    * `blockExpr` (e.g. the first token, a URL host, a key prefix), so
+    * `row_number` partitions by block: each block sorts locally and
+    * windows never cross blocks. That is exactly the
+    * multi-pass/blocked variant the original paper recommends; recall
+    * loss at block boundaries is the documented trade (run a second
+    * pass with a shifted key to recover it). Neighbor generation is an
+    * equi-join on (block, rn bucket): each row joins to ≤ w
+    * successors, so candidate volume is ≤ w·N — linear, not O(N²) —
+    * and the levenshtein verify runs only on those pairs.
+    *
+    * @param keyExpr   sort + comparison key (e.g. a normalized prefix)
+    * @param blockExpr coarse partition key scoping the neighborhood
+    * @param w         neighbors ahead to compare (window size − 1)
+    * @param maxDist   keep pairs with levenshtein(key_a, key_b) ≤ this
+    * @return (id_a, id_b, dist) with id_a < id_b in scan order of the
+    *         sorted block — deterministic: ties in the key sort break
+    *         on the id
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              keyExpr: Column, blockExpr: Column,
+                              w: Int, maxDist: Int): DataFrame = {
+    require(w >= 1 && maxDist >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col(idCol).as("id"), keyExpr.as("k"), blockExpr.as("blk"))
+    val ranked = keyed.withColumn("rn",
+      row_number().over(Window.partitionBy(col("blk")).orderBy(col("k"), col("id"))))
+    // each left row meets its next w rows via an explode over the w
+    // offsets — equi-join on (blk, rn), no range condition, hashable
+    val probes = ranked.select(col("id").as("id_l"), col("k").as("k_l"), col("blk"),
+      explode(sequence(col("rn") + 1, col("rn") + w)).as("rn"))
+    probes.join(ranked.select(col("id").as("id_r"), col("k").as("k_r"),
+        col("blk"), col("rn")), Seq("blk", "rn"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        levenshtein(col("k_l"), col("k_r")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -852,4 +852,90 @@ object TextOps {
           .cast("int").as("within_eps"))
       .orderBy(col("tf_corpus").desc, col("term"))
   }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene-default
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` variant, always
+    * positive) — the relevance-ranked lookup a curation pipeline runs
+    * when mining a corpus for documents matching a probe query
+    * (eval-set decontamination by retrieval, topic mining, hard-
+    * negative search).
+    *
+    * Plan shape at scale: tokenization keeps ONLY query terms before
+    * the explode (the filter runs inside codegen on each doc's token
+    * array, so the exploded row count is Σ per-doc query-term hits,
+    * not corpus token count); doc length rides the same row — tf and
+    * dl come out of ONE (doc, term) aggregate with no doc-side
+    * re-join. The per-term idf table is |query| rows and the (N,
+    * avgdl) pair one row — both broadcast. Final top-k is
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    * global sort).
+    *
+    * Scores are quantized to integer micro-units before ranking so the
+    * (score, id) order — and therefore the result set — is engine-
+    * exact, not ulp-dependent.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && topK > 0)
+    val base = docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode_outer(filter(col("__toks"), t => t.isInCollection(queryTerms))).as("term"))
+    // corpus stats: N and avgdl over ALL docs (explode_outer keeps
+    // term-free docs as one null-term row, so this needs no second
+    // scan); tf rows drop the nulls after
+    val corpus = base.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val hits = base.filter(col("term").isNotNull)
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = hits.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        // constants pre-folded driver-side (k1+1, 1-b) so the column
+        // expression is the exact IEEE op sequence the oracle writes
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(round(col("contrib") * 1000000).cast("long")).as("score_q"),
+        count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score_q").desc, col(idCol)).limit(topK)
+    // rank the k survivors (tiny set) for a stable output surface
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score_q").desc, col(idCol))).cast("long"))
+      .select(col("rnk"), col(idCol), col("n_terms"), col("score_q"),
+        (col("score_q").cast("double") / 1000000.0).as("score"))
+  }
+
+  /** Within-document repetition removal, keep-first — the intra-doc
+    * twin of corpus-level dedup (real pipelines run it on lines or
+    * paragraphs; the unit here is the whitespace token because the
+    * testdata corpus is single-line). Emits the rewritten text plus
+    * before/after token counts, so a repetition-ratio gate can filter
+    * on the same pass.
+    *
+    * Plan shape: posexplode → (doc, unit) min-position aggregate →
+    * per-doc ordered re-assembly via array_sort over (pos, unit)
+    * structs (collect_list is order-free; the sort makes the result
+    * deterministic under any shuffle order). One shuffle on (doc,
+    * unit), one on doc — both high-cardinality keys, and state per
+    * doc is bounded by the doc's own distinct units.
+    */
+  def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "unit")))
+      .groupBy(col(idCol), col("unit"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_before"), count(lit(1)).as("n_after"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x("unit")), " ").as("dedup_text"))
+      .withColumn("rep_ratio_ppm",
+        expr("(n_before - n_after) * 1000000 div n_before"))
 }

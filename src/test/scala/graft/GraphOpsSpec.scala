@@ -92,4 +92,32 @@ class GraphOpsSpec extends SparkSpec {
     got.values.toSet shouldBe Set(1000000L)
     got.keySet shouldBe Set(1L, 2L, 3L, 4L)
   }
+
+  private def triRow(edges: Seq[(Long, Long)]) =
+    GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst").collect().head
+
+  test("triangleStats: K4 has 4 triangles and gcc = 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = triRow(k4)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe ((4L, 6L, 12L, 4L))
+    r.getLong(4) shouldBe 1000000L // 3*4*1e6 / 12 wedges
+  }
+
+  test("triangleStats: a star has wedges but zero triangles") {
+    val star = (2L to 6L).map(i => (1L, i))
+    val r = triRow(star)
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((5L, 10L, 0L, 0L))
+  }
+
+  test("triangleStats: duplicates, reversed edges and self-loops collapse") {
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L), (2L, 3L))
+    val r = triRow(tri)
+    (r.getLong(0), r.getLong(1), r.getLong(3)) shouldBe ((3L, 3L, 1L))
+  }
+
+  test("triangleStats: each triangle counted exactly once despite a shared hub") {
+    // two triangles glued at node 1: {1,2,3} and {1,4,5}
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L), (1L, 5L))
+    triRow(g).getLong(3) shouldBe 2L
+  }
 }

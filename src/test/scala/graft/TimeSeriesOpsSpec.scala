@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.dfw.TimeSeriesOps
+
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // one series, one hour bucket, a tie on the 10:00:05 timestamp
+  private val bars = Seq(
+    (1L, ts("2024-01-01 10:00:05"), "m", 3.0),
+    (2L, ts("2024-01-01 10:00:05"), "m", 9.0),
+    (3L, ts("2024-01-01 10:30:00"), "m", 1.0),
+    (4L, ts("2024-01-01 10:59:59"), "m", 5.0),
+    (5L, ts("2024-01-01 11:00:00"), "m", 7.0),
+    (6L, ts("2024-01-01 10:15:00"), "x", 2.0)
+  ).toDF("event_id", "ts", "event_type", "value")
+
+  test("ohlcBars: open/close obey the (ts, tiebreak) total order") {
+    val got = TimeSeriesOps.ohlcBars(bars, "event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "bucket_ts").collect()
+    got.length shouldBe 3
+    val m10 = got(0)
+    m10.getAs[String]("event_type") shouldBe "m"
+    m10.getAs[Double]("open") shouldBe 3.0  // id 1 beats id 2 on the tie
+    m10.getAs[Double]("close") shouldBe 5.0 // 10:59:59
+    m10.getAs[Double]("high") shouldBe 9.0
+    m10.getAs[Double]("low") shouldBe 1.0
+    m10.getAs[Long]("volume") shouldBe 4L
+    m10.getAs[Long]("sum_q") shouldBe 18000000L
+    m10.getAs[Long]("mean_q") shouldBe 4500000L
+    got(1).getAs[Double]("open") shouldBe 7.0 // the 11:00 bucket
+    got(2).getAs[String]("event_type") shouldBe "x"
+  }
+
+  test("ohlcBars: result is shuffle-order invariant") {
+    val a = TimeSeriesOps.ohlcBars(bars, "event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "bucket_ts").collect().toSeq
+    val b = TimeSeriesOps.ohlcBars(bars.repartition(7, col("value")),
+        "event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "bucket_ts").collect().toSeq
+    a shouldBe b
+  }
+
+  private val seqEvents = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+    (2L, ts("2024-01-01 10:01:00"), 1L, "b"),
+    (3L, ts("2024-01-01 10:02:00"), 1L, "a"),
+    (4L, ts("2024-01-01 10:00:00"), 2L, "a"),
+    (5L, ts("2024-01-01 10:01:00"), 2L, "b"),
+    (6L, ts("2024-01-01 10:00:30"), 3L, "c") // single event: no transition
+  ).toDF("event_id", "ts", "user_id", "event_type")
+
+  test("transitionCounts: consecutive pairs per entity, ppm rows per source") {
+    val got = TimeSeriesOps.transitionCounts(seqEvents, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_state", "to_state").collect()
+    got.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq shouldBe Seq(
+      ("a", "b", 2L, 1000000L), // a always goes to b
+      ("b", "a", 1L, 1000000L))
+  }
+
+  test("transitionCounts: a tie in ts is ordered by the tiebreak column") {
+    val tied = Seq(
+      (2L, ts("2024-01-01 10:00:00"), 1L, "y"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "x")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = TimeSeriesOps.transitionCounts(tied, "user_id", "event_type", "ts", "event_id")
+      .collect()
+    got.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("x", "y"))
+  }
+}
