@@ -159,12 +159,21 @@ object GraphOps {
     *         gcc_ppm = 3·triangles·10⁶ div wedges (global clustering
     *         coefficient in parts-per-million; 0 when wedge-free)
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set: (lo, hi), no loops, no dups
-    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    // canonical undirected edge set: (lo, hi), no loops, no dups.
+    // Five downstream branches (degree, orientation, wedge self-join
+    // probe, and the four census aggregates) all consume `e`; under
+    // one lazy plan each branch re-derives it from the raw input —
+    // for a derived edge list (e.g. a co-occurrence self-join) that
+    // multiplies the most expensive stage of the whole query.
+    // localCheckpoint caps it at one derivation (cluster posture:
+    // persist to a bucketed table instead, as pageRankInt documents).
+    val ePlan = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+    val e = if (materialize) ePlan.localCheckpoint() else ePlan
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, node): strict total order, ties broken by id
