@@ -32,12 +32,17 @@ object TimeSeriesOps {
   def ohlcBars(events: DataFrame, seriesCol: String, tsCol: String,
                valueCol: String, tieCol: String,
                bucket: String = "hour"): DataFrame = {
-    val b = date_trunc(bucket, col(tsCol)).as("bucket_ts")
-    val w = Window.partitionBy(col(seriesCol), date_trunc(bucket, col(tsCol)))
+    // bucket materialized as an attribute BEFORE the window so the
+    // window partitioning and the downstream groupBy key are the SAME
+    // attribute — Catalyst then reuses one exchange for both (keying
+    // the window on the raw date_trunc expression leaves the aggregate
+    // unable to prove co-partitioning and inserts a second shuffle)
+    val w = Window.partitionBy(col(seriesCol), col("bucket_ts"))
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     events
-      .select(col(seriesCol), b, col(tsCol), col(tieCol), col(valueCol),
+      .withColumn("bucket_ts", date_trunc(bucket, col(tsCol)))
+      .select(col(seriesCol), col("bucket_ts"), col(tsCol), col(tieCol), col(valueCol),
         first(col(valueCol)).over(w).as("open"),
         last(col(valueCol)).over(w).as("close"))
       .groupBy(col(seriesCol), col("bucket_ts"))

@@ -331,4 +331,38 @@ class PlanSpec extends SparkSpec {
     // the generated spread rounds are inlined, not a boxed call
     codegenOf("l1_zorder") should include("& 0x00FF00FFL")
   }
+
+  test("g3_triangles: wedge-closing probe is a hash equi-join, never a nested loop") {
+    val plan = formatted("g3_triangles")
+    // the only BroadcastNestedLoopJoins allowed are the final one-row
+    // census Cross joins; the (wa, wb) probe must hash
+    plan should not include "BroadcastNestedLoopJoin Inner"
+    plan should not include "CartesianProduct"
+  }
+
+  test("x4_bm25: idf and corpus stats broadcast; top-k is a TakeOrdered, not a global sort") {
+    val plan = formatted("x4_bm25")
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("x2_sorted_neighborhood: neighbor gen is a keyed equi-join — no range join, no cartesian") {
+    val plan = formatted("x2_sorted_neighborhood")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_ohlc: single (series, bucket) shuffle feeds both window and aggregate") {
+    val plan = formatted("q_ohlc")
+    // window sort + reused partitioning; no join anywhere
+    plan should not include "Join"
+    "Arguments: hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("q_histogram: stats ride a broadcast; the value column never join-shuffles") {
+    val plan = formatted("q_histogram")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
 }
