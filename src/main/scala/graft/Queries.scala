@@ -3988,6 +3988,121 @@ object Queries {
              |  (COALESCE(c.cnt, CAST(0 AS BIGINT)) * 1000000) // sp.n_total AS frac_ppm
              |FROM sp LEFT JOIN c USING (bucket) ORDER BY sp.bucket""".stripMargin)),
 
+    // ---- G: bounded-round min-label propagation over the same
+    // co-purchase graph as g3 — the convergence probe before paying
+    // for the full CC loop; integer min-aggregation is
+    // order-independent, so the k-round intermediate state is
+    // bit-replayable (llm/GraphOps.minLabelPropagate). ----
+    ("g4_label_prop",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") > 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.minLabelPropagate(e, "src", "dst", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val base =
+          """WITH li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+            |            FROM lineitem WHERE l_quantity > 25),
+            |raw AS (SELECT a.pk AS u, b.pk AS v
+            |        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+            |e AS (SELECT u AS a, v AS b FROM raw UNION SELECT v, u FROM raw),
+            |n AS (SELECT DISTINCT a AS node FROM e),
+            |l0 AS (SELECT node, node AS label FROM n)""".stripMargin
+        val rounds = (1 to 3).map { k =>
+          s"""m$k AS (SELECT e.a AS node, min(l.label) AS nmin
+             |        FROM e JOIN l${k - 1} l ON e.b = l.node GROUP BY e.a),
+             |l$k AS (SELECT l.node, least(l.label, COALESCE(m.nmin, l.label)) AS label
+             |        FROM l${k - 1} l LEFT JOIN m$k m ON l.node = m.node)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT node, label FROM l3 ORDER BY node"
+      }),
+
+    // ---- DQ: data-quality expectation audit — five dbt/Deequ-shape
+    // rules, each one scan-aggregate (or broadcast anti-join) row
+    // unioned into one lazy plan (dfw/ExpectOps). ----
+    ("q_expectations",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        graft.dfw.ExpectOps.expectNotNull(li, "l_shipdate")
+          .unionAll(graft.dfw.ExpectOps.expectUnique(ord, Seq("o_orderkey")))
+          .unionAll(graft.dfw.ExpectOps.expectInRange(li, "l_quantity", 1.0, 30.0))
+          .unionAll(graft.dfw.ExpectOps.expectAccepted(ord, "o_orderstatus", Seq("F", "O", "P")))
+          .unionAll(graft.dfw.ExpectOps.expectRefIntegrity(ord, "o_custkey", cust, "c_custkey"))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT 'not_null(l_shipdate)' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+             |  CAST(count(*) - count(l_shipdate) AS BIGINT) AS n_violations,
+             |  CASE WHEN count(*) - count(l_shipdate) = 0 THEN 1 ELSE 0 END AS pass
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique(o_orderkey)', CAST(sum(n) AS BIGINT), CAST(sum(n - 1) AS BIGINT),
+             |  CASE WHEN sum(n - 1) = 0 THEN 1 ELSE 0 END
+             |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+             |UNION ALL
+             |SELECT 'in_range(l_quantity,1.0,30.0)', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |                 AND (l_quantity < 1.0 OR l_quantity > 30.0)
+             |           THEN 1 ELSE 0 END) AS BIGINT),
+             |  CASE WHEN sum(CASE WHEN l_quantity IS NOT NULL
+             |                      AND (l_quantity < 1.0 OR l_quantity > 30.0)
+             |                THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'accepted(o_orderstatus)', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+             |                 AND o_orderstatus NOT IN ('F', 'O', 'P')
+             |           THEN 1 ELSE 0 END) AS BIGINT),
+             |  CASE WHEN sum(CASE WHEN o_orderstatus IS NOT NULL
+             |                      AND o_orderstatus NOT IN ('F', 'O', 'P')
+             |                THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+             |FROM orders
+             |UNION ALL
+             |SELECT 'ref(o_custkey->c_custkey)', CAST(count(o_custkey) AS BIGINT),
+             |  CAST((SELECT count(*) FROM orders o
+             |        WHERE o.o_custkey IS NOT NULL
+             |          AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+             |  CASE WHEN (SELECT count(*) FROM orders o
+             |             WHERE o.o_custkey IS NOT NULL
+             |               AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+             |       THEN 1 ELSE 0 END
+             |FROM orders
+             |ORDER BY rule""".stripMargin)),
+
+    // ---- TS: OHLC as ONE pure hash aggregate — min_by/max_by over
+    // the unique (ts, id) struct, no window, no sort; the same body
+    // is the streaming ingest query (streaming/StreamOps.ohlcStream).
+    // Same oracle as q_ohlc: two plans, one semantics. ----
+    ("q_ohlc_agg",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.TimeSeriesOps.ohlcBarsAgg(Tables.load(s, dir, "events"),
+            "event_type", "ts", "value", "event_id", "hour")
+          .orderBy(col("event_type"), col("bucket_ts"))
+      },
+      Some("""WITH w AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+             |    first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+             |    last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+             |  FROM events),
+             |g AS (SELECT event_type, bucket_ts, first(open) AS open, max(value) AS high,
+             |        min(value) AS low, first(close) AS close,
+             |        CAST(count(*) AS BIGINT) AS volume,
+             |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+             |      FROM w GROUP BY event_type, bucket_ts)
+             |SELECT event_type, bucket_ts, open, high, low, close, volume, sum_q,
+             |       sum_q // volume AS mean_q
+             |FROM g ORDER BY event_type, bucket_ts""".stripMargin)),
+
     // ---- X4: within-document repetition removal, keep-first — the
     // intra-doc dedup gate (llm/TextOps.dedupWithinDoc); rewritten
     // text reassembled by first-occurrence position, rep ratio in

@@ -56,6 +56,32 @@ object TimeSeriesOps {
       .withColumn("mean_q", expr("sum_q div volume"))
   }
 
+  /** OHLC bars as ONE pure hash aggregate — `min_by`/`max_by` over the
+    * unique (ts, tiebreak) struct pick open/close with no window and
+    * no sort: partials combine map-side, so per-group state is six
+    * scalars regardless of bucket size (the window form sorts each
+    * partition). Same output contract as [[ohlcBars]] (TimeSeriesOps
+    * Spec pins equality); being a plain aggregation it is ALSO legal
+    * as a streaming query body — see
+    * [[graft.streaming.StreamOps.ohlcStream]].
+    */
+  def ohlcBarsAgg(events: DataFrame, seriesCol: String, tsCol: String,
+                  valueCol: String, tieCol: String,
+                  bucket: String = "hour"): DataFrame = {
+    val okey = struct(col(tsCol), col(tieCol))
+    events
+      .withColumn("bucket_ts", date_trunc(bucket, col(tsCol)))
+      .groupBy(col(seriesCol), col("bucket_ts"))
+      .agg(
+        min_by(col(valueCol), okey).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), okey).as("close"),
+        count(lit(1)).as("volume"),
+        sum(round(col(valueCol) * 1000000).cast("long")).as("sum_q"))
+      .withColumn("mean_q", expr("sum_q div volume"))
+  }
+
   /** First-order transition counts over per-entity event sequences —
     * the empirical Markov chain of "what happens after X" (session
     * flow analysis, next-event models, anomalous-sequence mining).

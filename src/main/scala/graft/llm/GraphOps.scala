@@ -131,6 +131,45 @@ object GraphOps {
     rank
   }
 
+  /** Synchronous min-label propagation — the label-propagation shape
+    * of connected components (each round every node takes the minimum
+    * label in its closed neighborhood; after diameter rounds labels
+    * equal per-component minima). Exposed at a FIXED round count so
+    * the result is a deterministic, oracle-replayable intermediate
+    * state — the alternating large-star/small-star loop
+    * ([[DedupOps.clusterNearDups]]) remains the production CC path
+    * (O(log L) rounds vs diameter); this is the bounded-round probe
+    * of convergence a pipeline runs to decide whether a graph is
+    * "mostly one blob" before paying for the full loop.
+    *
+    * Integer labels + min-aggregation are order-independent, so the
+    * result is bit-identical under any partitioning — same discipline
+    * as [[pageRankInt]], same per-round cost shape (one join of the
+    * static symmetric edge list against the |V|-row label table +
+    * one min-aggregate; labels broadcast while |V| ≪ |E|).
+    */
+  def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                        iters: Int, materialize: Boolean = true,
+                        broadcastLabels: Boolean = true): DataFrame = {
+    require(iters >= 0)
+    def hint(df: DataFrame) = if (broadcastLabels) broadcast(df) else df
+    val raw = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val ePlan = raw.union(raw.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val e = if (materialize) ePlan.localCheckpoint() else ePlan
+    val nodesPlan = e.select(col("a").as("node")).distinct()
+    val nodes = if (materialize) nodesPlan.localCheckpoint() else nodesPlan
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val neigh = e.join(hint(lab.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
+      lab = lab.join(hint(neigh), Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    lab
+  }
+
   /** Triangle census by degree-ordered edge orientation (the
     * MapReduce-clustering-coefficient classic — Suri & Vassilvitskii,
     * WWW'11). Input is an undirected edge list in either/both

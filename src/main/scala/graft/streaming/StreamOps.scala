@@ -100,6 +100,35 @@ object StreamOps {
     distinctUsersWindowed(events.withWatermark("ts", watermark),
       windowDuration, lgK)
 
+  /** Streaming OHLC downsampling: [[graft.dfw.TimeSeriesOps.ohlcBarsAgg]]
+    * is a pure hash aggregate (min_by/max_by over the unique
+    * (ts, tie) struct — no window function), so the SAME body runs as
+    * a watermarked streaming aggregation: per-(series, bucket) state
+    * is six scalars, windows finalize and evict at the watermark, and
+    * the commutative aggregates make the bar identical under any
+    * arrival order. The metrics/market downsampling shape at ingest.
+    */
+  def ohlcStream(events: DataFrame, seriesCol: String, watermark: String,
+                 windowDuration: String = "1 hour"): DataFrame = {
+    // the bucket must be a `window()` over the watermarked column —
+    // a date_trunc-derived timestamp drops the event-time metadata
+    // and append mode would never finalize; window.start == the
+    // batch twin's date_trunc for aligned durations
+    val okey = struct(col("ts"), col("event_id"))
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col(seriesCol))
+      .agg(
+        min_by(col("value"), okey).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), okey).as("close"),
+        count(lit(1)).as("volume"),
+        sum(round(col("value") * 1000000).cast("long")).as("sum_q"))
+      .select(col(seriesCol), col("w.start").as("bucket_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("sum_q"), expr("sum_q div volume").as("mean_q"))
+  }
+
   /** Batch sessionization: gap-based sessions per user via lag +
     * running sum. The streaming twin is `session_window` (below) —
     * same session semantics, incremental state.

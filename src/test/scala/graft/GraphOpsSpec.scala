@@ -120,4 +120,30 @@ class GraphOpsSpec extends SparkSpec {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L), (1L, 5L))
     triRow(g).getLong(3) shouldBe 2L
   }
+
+  private def labels(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.minLabelPropagate(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("minLabelPropagate: a k-hop chain needs k rounds to fully converge") {
+    val chain5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // after 1 round each node sees only direct neighbors
+    labels(chain5, 1) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L)
+    // after 4 rounds (diameter) everyone carries the component min
+    labels(chain5, 4) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+  }
+
+  test("minLabelPropagate: disjoint components keep distinct minima") {
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    labels(two, 3) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("minLabelPropagate: converged labels match clusterNearDups components") {
+    val g = Seq((7L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (22L, 20L))
+    val lpa = labels(g, 4)
+    val cc = graft.llm.DedupOps.clusterNearDups(
+        g.toDF("doc1", "doc2"), localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lpa shouldBe cc
+  }
 }

@@ -62,6 +62,55 @@ class TimeSeriesOpsSpec extends SparkSpec {
       ("b", "a", 1L, 1000000L))
   }
 
+  test("ohlcBarsAgg: pure-aggregate form equals the window form exactly") {
+    val w = TimeSeriesOps.ohlcBars(bars, "event_type", "ts", "value", "event_id")
+      .orderBy("event_type", "bucket_ts").collect().toSeq
+    val a = TimeSeriesOps.ohlcBarsAgg(bars, "event_type", "ts", "value", "event_id")
+      .select(w.head.schema.fieldNames.map(col): _*)
+      .orderBy("event_type", "bucket_ts").collect().toSeq
+    a shouldBe w
+  }
+
+  test("ohlcBarsAgg: plan has no window and no sort before the aggregate") {
+    val plan = TimeSeriesOps.ohlcBarsAgg(bars, "event_type", "ts", "value", "event_id")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should not include "Window"
+    plan should include("partial_min_by")
+  }
+
+  test("ohlcStream: streaming bars on a real stream equal the batch twin") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:05"), "m", 3.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:05"), "m", 9.0),
+      (3L, Timestamp.valueOf("2024-01-01 10:30:00"), "m", 1.0),
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), "m", 7.0),
+      (5L, Timestamp.valueOf("2024-01-01 10:15:00"), "x", 2.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = graft.streaming.StreamOps.ohlcStream(streamDf, "event_type", watermark = "2 hours")
+      .writeStream.format("memory").queryName("ohlc_stream_test").outputMode("complete").start()
+    try {
+      // two micro-batches split across a bucket: open/close must see
+      // the cross-batch total order, not arrival order
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("ohlc_stream_test")
+        .orderBy("event_type", "bucket_ts").collect().toSeq
+      val batch = TimeSeriesOps.ohlcBarsAgg(
+          rows.toDF("event_id", "ts", "event_type", "value"),
+          "event_type", "ts", "value", "event_id")
+        .select(got.head.schema.fieldNames.map(col): _*)
+        .orderBy("event_type", "bucket_ts").collect().toSeq
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("transitionCounts: a tie in ts is ordered by the tiebreak column") {
     val tied = Seq(
       (2L, ts("2024-01-01 10:00:00"), 1L, "y"),
