@@ -4103,6 +4103,55 @@ object Queries {
              |       sum_q // volume AS mean_q
              |FROM g ORDER BY event_type, bucket_ts""".stripMargin)),
 
+    // ---- X4: per-doc character entropy — the noise/boilerplate
+    // quality signal; micro-unit-quantized c·ln c contributions make
+    // the per-doc sum order-free (llm/TextOps.charEntropy). ----
+    ("x4_char_entropy",
+      (s: SparkSession, dir: String) => {
+        TextOps.charEntropy(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+             |c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             |        CAST(count(*) AS BIGINT) AS n_distinct,
+             |        CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT) AS sum_clnc_q
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_chars, n_distinct, sum_clnc_q,
+             |  round(ln(n_chars) - (CAST(sum_clnc_q AS DOUBLE) / 1000000.0) / n_chars, 6) AS entropy
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // ---- X4: quality-decile tiering — integer stop-ratio score,
+    // GLOBAL decile assignment via the range-partitioned scalable
+    // rank (dfw/WindowOps.orderedAnalyticsScalable — no single-
+    // reducer window), per-tile profile. The "sample by quality
+    // tier" precursor of curriculum/mixture construction. ----
+    ("x4_quality_deciles",
+      (s: SparkSession, dir: String) => {
+        val scored = Tables.load(s, dir, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            size(filter(split(col("text"), " "), t => t.isInCollection(Seq("the", "a"))))
+              .cast("long").as("n_stop"))
+          .withColumn("score_q", expr("n_stop * 1000000 div n_tokens"))
+          .withColumn("all", lit(0))
+        WindowOps.orderedAnalyticsScalable(scored, Seq("all"),
+            Seq(col("score_q"), col("doc_id")), "score_q", nTiles = 10, numParts = 8)
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n_docs"), min(col("score_q")).as("lo_q"),
+            max(col("score_q")).as("hi_q"), sum(col("n_tokens")).as("tot_tokens"))
+          .orderBy(col("tile"))
+      },
+      Some("""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+             |  FROM documents),
+             |q AS (SELECT doc_id, n_tokens, (n_stop * 1000000) // n_tokens AS score_q FROM s),
+             |t AS (SELECT doc_id, n_tokens, score_q,
+             |        CAST(ntile(10) OVER (ORDER BY score_q, doc_id) AS BIGINT) AS tile FROM q)
+             |SELECT tile, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(min(score_q) AS BIGINT) AS lo_q, CAST(max(score_q) AS BIGINT) AS hi_q,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+             |FROM t GROUP BY tile ORDER BY tile""".stripMargin)),
+
     // ---- X4: within-document repetition removal, keep-first — the
     // intra-doc dedup gate (llm/TextOps.dedupWithinDoc); rewritten
     // text reassembled by first-occurrence position, rep ratio in

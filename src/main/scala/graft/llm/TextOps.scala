@@ -914,6 +914,33 @@ object TextOps {
         (col("score_q").cast("double") / 1000000.0).as("score"))
   }
 
+  /** Per-document character-level Shannon entropy — the cheap
+    * "is this text or noise" quality signal (low entropy ⇒ repetitive
+    * boilerplate/padding, high ⇒ random bytes; natural text sits in a
+    * narrow band). Uses the identity H = ln(n) − (Σ c·ln c)/n so the
+    * per-(doc, char) contributions quantize to integer micro-units
+    * BEFORE the per-doc sum — order-free, engine-exact.
+    *
+    * Plan shape: one explode to (doc, char) rows, one shuffle on that
+    * high-cardinality pair, one per-doc aggregate whose state is the
+    * doc's own alphabet size (≤ a few hundred), never its length.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        // Spark's split(-1 limit) keeps a trailing "" element on
+        // empty-regex splits; drop it so counts are pure characters
+        explode(filter(split(col(textCol), ""), c => c =!= "")).as("ch"))
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log(col("c")) * 1000000).cast("long")).as("sum_clnc_q"))
+      .withColumn("entropy",
+        // rounded: Math.log and libm log differ in the last ulp, and
+        // the quantized sum cannot absorb a difference in ln(n) itself
+        round(log(col("n_chars")) -
+          (col("sum_clnc_q").cast("double") / 1000000.0) / col("n_chars"), 6))
+
   /** Within-document repetition removal, keep-first — the intra-doc
     * twin of corpus-level dedup (real pipelines run it on lines or
     * paragraphs; the unit here is the whitespace token because the

@@ -75,6 +75,22 @@ class ProfileRetrievalSpec extends SparkSpec {
     got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((1L, 2L, 1L))
   }
 
+  test("charEntropy: uniform alphabet hits ln(k); single-char text is zero") {
+    val docs = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs, "doc_id", "text").orderBy("doc_id").collect()
+    got(0).getAs[Double]("entropy") shouldBe (math.log(4.0) +- 1e-5)
+    got(0).getAs[Long]("n_distinct") shouldBe 4L
+    got(1).getAs[Double]("entropy") shouldBe 0.0
+    got(2).getAs[Double]("entropy") shouldBe (math.log(2.0) +- 1e-5)
+    got.map(_.getAs[Long]("n_chars")).toSeq shouldBe Seq(4L, 4L, 4L)
+  }
+
+  test("charEntropy: repetitive text scores below varied text of the same length") {
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs, "doc_id", "text").orderBy("doc_id").collect()
+    got(0).getAs[Double]("entropy") should be < got(1).getAs[Double]("entropy")
+  }
+
   test("sortedNeighborhood: window w bounds how far comparisons reach") {
     // identical keys rank by id: 1,2,3,4 in one block; w=1 compares
     // only successive pairs
