@@ -4103,6 +4103,55 @@ object Queries {
              |       sum_q // volume AS mean_q
              |FROM g ORDER BY event_type, bucket_ts""".stripMargin)),
 
+    // ---- W: temporal leave-last-k-out split — per-user most-recent
+    // k events become test (the forecasting/recommender eval split;
+    // random splits leak the future). One user-keyed window
+    // (dfw/SplitOps.temporalSplit). ----
+    ("w_temporal_split",
+      (s: SparkSession, dir: String) => {
+        SplitOps.temporalSplit(Tables.load(s, dir, "events"),
+            "user_id", "ts", "event_id", k = 2)
+          .select(col("user_id"), col("event_id"), col("split"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rev
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  CASE WHEN rev <= 2 THEN 'test' ELSE 'train' END AS split
+             |FROM r ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- T: per-class z-score standardization from EXACT integer
+    // moment sums (dfw/TransformOps.standardizeByGroup) — built-in
+    // stddev accumulates in shuffle order; integer Σx/Σx² are exact
+    // under any partitioning, so the z-scores are engine-exact.
+    // Fractional price quantized to whole dollars so Σx² stays in
+    // BIGINT range at any scale factor. ----
+    ("t_standardize",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice")).cast("long").as("price_d"))
+        TransformOps.standardizeByGroup(base, Seq("l_returnflag"), Seq("qty", "price_d"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price_d"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS price_d
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(qty) AS BIGINT) AS s1q, CAST(sum(qty * qty) AS BIGINT) AS s2q,
+             |    CAST(sum(price_d) AS BIGINT) AS s1p, CAST(sum(price_d * price_d) AS BIGINT) AS s2p
+             |  FROM b GROUP BY l_returnflag)
+             |SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.qty, b.price_d,
+             |  round((b.qty - CAST(s1q AS DOUBLE) / n) /
+             |    sqrt((CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * s1q / n) / (n - 1)), 6) AS qty_z,
+             |  round((b.price_d - CAST(s1p AS DOUBLE) / n) /
+             |    sqrt((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * s1p / n) / (n - 1)), 6) AS price_d_z
+             |FROM b JOIN m USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
+
     // ---- X4: per-doc character entropy — the noise/boilerplate
     // quality signal; micro-unit-quantized c·ln c contributions make
     // the per-doc sum order-free (llm/TextOps.charEntropy). ----

@@ -243,4 +243,25 @@ object SplitOps {
     val w = base.rowsBetween(Window.unboundedPreceding, -1)
     perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
   }
+
+  /** Temporal leave-last-k-out split — the forecasting/evaluation
+    * counterpart of the permutation splits: per entity, the k MOST
+    * RECENT rows (by (time, tiebreak) total order) become test, the
+    * rest train. Random splits leak the future into training on any
+    * time-dependent target; this is the split shape time-series and
+    * recommender evals require.
+    *
+    * One `row_number` window per entity (high-cardinality key — no
+    * single-reducer sort anywhere); entities with ≤ k rows go entirely
+    * to test, matching the "too short to train on" convention.
+    */
+  def temporalSplit(df: DataFrame, entityCol: String, tsCol: String,
+                    tieCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rev", row_number().over(w))
+      .withColumn("split", when(col("__rev") <= k, lit("test")).otherwise(lit("train")))
+      .drop("__rev")
+  }
 }

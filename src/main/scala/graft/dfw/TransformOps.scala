@@ -87,6 +87,39 @@ object TransformOps {
       .drop("__means")
   }
 
+  /** Per-group z-score standardization from EXACT moment sums — the
+    * variance-scaling companion of the T2 centering family. The
+    * built-in `stddev` accumulates in shuffle order (last-ulp
+    * nondeterminism); here the inputs are integer-valued (quantize
+    * fractional columns upstream, e.g. price → cents), so n, Σx, Σx²
+    * are exact integers under ANY partitioning and
+    * μ = Σx/n, σ = sqrt((Σx² − Σx²/n)/(n−1)) is one fixed IEEE op
+    * sequence — the z-scores are engine-exact before their display
+    * rounding. Group moments ride back via broadcast; the data side
+    * never join-shuffles.
+    *
+    * @param cols integer-valued columns to standardize; emits
+    *             `<col>_z` rounded to 6
+    */
+  def standardizeByGroup(df: DataFrame, groupCols: Seq[String],
+                         cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).cast("long")).as(s"__s1_$c"),
+        sum((col(c).cast("long") * col(c).cast("long"))).as(s"__s2_$c"))
+    }
+    val allAggs = count(lit(1)).as("__n") +: aggs
+    val moments = df.groupBy(groupCols.map(col): _*)
+      .agg(allAggs.head, allAggs.tail: _*)
+    val joined = df.join(broadcast(moments), groupCols)
+    val out = cols.foldLeft(joined) { (d, c) =>
+      val mu = col(s"__s1_$c").cast("double") / col("__n")
+      val varr = (col(s"__s2_$c").cast("double") -
+        col(s"__s1_$c").cast("double") * col(s"__s1_$c") / col("__n")) / (col("__n") - 1)
+      d.withColumn(s"${c}_z", round((col(c) - mu) / sqrt(varr), 6))
+    }
+    out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
   /** T6: schema-aligned union — UNION ALL by column name
     * (reference `_array_concatenate`, `preprocess.py:101-103`).
     */

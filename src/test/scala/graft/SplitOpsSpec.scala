@@ -112,4 +112,20 @@ class SplitOpsSpec extends SparkSpec {
       .select("cls", "offset").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     got shouldBe Map("a" -> 0L, "b" -> 3L, "c" -> 8L)
   }
+
+  test("temporalSplit: last k per entity are test; short entities go all-test; ties break on id") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (1L, 1L, t(0)), (1L, 2L, t(1)), (1L, 3L, t(2)), (1L, 4L, t(2)), // u1: tie at t(2)
+      (2L, 5L, t(0))                                                  // u2: single event
+    ).toDF("user_id", "event_id", "ts")
+    val got = SplitOps.temporalSplit(df, "user_id", "ts", "event_id", k = 2)
+      .select("user_id", "event_id", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // tie at t(2): event 4 outranks event 3 on the id tiebreak, so the
+    // two most recent are {3, 4}
+    got shouldBe Map((1L, 1L) -> "train", (1L, 2L) -> "train",
+      (1L, 3L) -> "test", (1L, 4L) -> "test", (2L, 5L) -> "test")
+  }
 }

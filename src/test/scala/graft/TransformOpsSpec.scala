@@ -218,6 +218,21 @@ class TransformOpsSpec extends SparkSpec {
     TransformOps.saltedJoin(fact, dim, Seq("k"), 8, Seq(col("id"))).count() shouldBe 1000L
   }
 
+  test("standardizeByGroup: hand-computed z-scores; partitioning-invariant") {
+    // group g: values 1,2,3 → μ=2, σ²=((1+4+9) - 36/3)/2 = 1, σ=1
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("h", 10L), ("h", 20L))
+      .toDF("cls", "v")
+    val got = TransformOps.standardizeByGroup(df, Seq("cls"), Seq("v"))
+      .orderBy("cls", "v").collect().map(_.getAs[Double]("v_z")).toSeq
+    got.take(3) shouldBe Seq(-1.0, 0.0, 1.0)
+    // h: μ=15, σ² = (500 - 900/2)/1 = 50 → z = ±5/sqrt(50)
+    got(3) shouldBe (-5.0 / math.sqrt(50.0) +- 1e-6)
+    val reparted = TransformOps.standardizeByGroup(
+        df.repartition(7, col("v")), Seq("cls"), Seq("v"))
+      .orderBy("cls", "v").collect().map(_.getAs[Double]("v_z")).toSeq
+    reparted shouldBe got
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)
