@@ -40,8 +40,20 @@ object WindowOps {
                                nTiles: Int, numParts: Int): DataFrame = {
     require(nTiles > 0, "nTiles must be positive")
     require(numParts > 1, "numParts must spread classes over >1 partition")
+    // MATERIALIZE the range-partitioned data before reading
+    // spark_partition_id: two consumers follow (the per-partition
+    // count/offset aggregate and the final join), and under separate
+    // physical executions the range exchange can differ between
+    // branches (boundary sampling and AQE partition coalescing are
+    // per-branch) — then the (pid → offset) map disagrees with the
+    // join side's pids and global ranks overshoot n (observed: an
+    // 11th ntile on a 10-tile request at 5k rows, where AQE coalesces
+    // aggressively). localCheckpoint freezes ONE partitioning that
+    // both consumers read; on a cluster persist to a sorted bucketed
+    // table for the same guarantee.
     val parted = df
       .repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+      .localCheckpoint()
       .withColumn("__pid", spark_partition_id())
     val keyP = (clsCols :+ "__pid").map(col)
     val localW = Window.partitionBy(keyP: _*).orderBy(orderCols: _*)

@@ -246,6 +246,30 @@ object StreamSoak {
         "PASS snapshot-bounded (no state store, rows = keys not stream length)"
        else "FAIL state store used or snapshot exceeds key space"))
 
+    // 9) streaming OHLC downsampling: one six-scalar aggregate row per
+    // (window × series) — state rows must track LIVE BARS (window
+    // buckets inside the watermark horizon × series), never event
+    // volume; watermark expiry must evict finalized bars.
+    val ohlcStream0 = rateSrc.select(
+      col("value").as("event_id"),
+      concat(lit("s"), pmod(col("value"), lit(4L))).as("event_type"),
+      (col("value") % 1000).cast("double").as("value"),
+      col("timestamp").as("ts"))
+    val obRows = soak("ohlc_bars", StreamOps.ohlcStream(
+        ohlcStream0, "event_type", watermark = s"$wmSec seconds",
+        windowDuration = "10 seconds")
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/ob")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val obFinal = obRows.lastOption.getOrElse(0L)
+    // live bars: windows in the watermark horizon (+ trigger slack) × 4 series
+    val obBound = 4L * ((wmSec + 10) / 10 + 3)
+    println(s"ohlc_bars: final stateRows=$obFinal (bar bound=$obBound; " +
+      s"event-holding state would be ~${rate.toLong * (wmSec + 10)}) " +
+      (if (obFinal > 0 && obFinal <= obBound)
+        "PASS bar-bounded state (rows = live bars, not events)"
+       else "FAIL state exceeds live-bar bound"))
+
     spark.stop()
   }
 }
