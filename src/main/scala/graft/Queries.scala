@@ -4152,6 +4152,45 @@ object Queries {
              |FROM b JOIN m USING (l_returnflag)
              |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
 
+    // ---- DQ: PSI drift monitor — price distribution of pre-1998
+    // shipments (reference) vs later (current) over shared global
+    // equi-width buckets; Laplace-smoothed shares, micro-unit-
+    // quantized contributions (dfw/QuantileOps.psiDrift). ----
+    ("q_psi_drift",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.psiDrift(
+            Tables.load(s, dir, "lineitem").select(col("l_extendedprice"), col("l_shipdate")),
+            "l_extendedprice", col("l_shipdate") < lit("1998-01-01").cast("timestamp"), nb = 16)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+             |b AS (SELECT CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+             |        ELSE least(CAST(15 AS BIGINT),
+             |          CAST(floor((l_extendedprice - s.mn) / (s.mx - s.mn) * 16) AS BIGINT))
+             |        END AS bucket,
+             |        CASE WHEN l_shipdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS r
+             |      FROM lineitem, s),
+             |c AS (SELECT bucket, CAST(sum(r) AS BIGINT) AS ref_n,
+             |        CAST(sum(1 - r) AS BIGINT) AS cur_n FROM b GROUP BY bucket),
+             |sp AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bucket, s.mn, s.mx FROM s),
+             |f AS (SELECT sp.bucket, sp.mn, sp.mx,
+             |        COALESCE(c.ref_n, CAST(0 AS BIGINT)) AS ref_n,
+             |        COALESCE(c.cur_n, CAST(0 AS BIGINT)) AS cur_n
+             |      FROM sp LEFT JOIN c USING (bucket)),
+             |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt, CAST(sum(cur_n) AS BIGINT) AS ct FROM f),
+             |pq AS (SELECT f.bucket, f.mn, f.mx, f.ref_n, f.cur_n,
+             |         (CAST(f.ref_n AS DOUBLE) + 1.0) / (t.rt + 16) AS p,
+             |         (CAST(f.cur_n AS DOUBLE) + 1.0) / (t.ct + 16) AS q
+             |       FROM f, t),
+             |k AS (SELECT bucket, mn, mx, ref_n, cur_n,
+             |        CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS psi_q FROM pq),
+             |tot AS (SELECT CAST(sum(psi_q) AS BIGINT) AS psi_total_q FROM k)
+             |SELECT k.bucket,
+             |  round(k.mn + k.bucket * (k.mx - k.mn) / 16, 6) AS lo,
+             |  round(k.mn + (k.bucket + 1) * (k.mx - k.mn) / 16, 6) AS hi,
+             |  k.ref_n, k.cur_n, k.psi_q, tot.psi_total_q
+             |FROM k, tot ORDER BY k.bucket""".stripMargin)),
+
     // ---- X4: per-doc character entropy — the noise/boilerplate
     // quality signal; micro-unit-quantized c·ln c contributions make
     // the per-doc sum order-free (llm/TextOps.charEntropy). ----

@@ -128,6 +128,57 @@ object QuantileOps {
     * rounded for display only (assignment never uses the rounded
     * values). Degenerate max==min collapses to bucket 0.
     */
+  /** Population Stability Index between two slices of one column —
+    * the standard drift monitor between a reference window and the
+    * current one (PSI < 0.1 stable, > 0.25 drifted). Shared equi-width
+    * buckets come from the GLOBAL min/max so both slices bin
+    * identically; Laplace-smoothed shares ((n+1)/(N+nb)) keep empty
+    * buckets finite; each bucket's (p−q)·ln(p/q) term quantizes to
+    * integer micro-units so the total is an order-free integer sum.
+    *
+    * Plan shape: one stats pass (broadcast one row), one ≤2·nb-key
+    * aggregate over codegen'd (bucket, slice) labels, a broadcast
+    * dense-spine join, and a windowless total via a broadcast one-row
+    * cross join. The column shuffles nothing wider than nb keys.
+    *
+    * @param isRef predicate splitting reference (true) from current
+    * @return nb rows: bucket, lo, hi, ref_n, cur_n, psi_q
+    *         (contribution, micro-units), psi_total_q (same each row)
+    */
+  def psiDrift(df: DataFrame, valueCol: String, isRef: Column, nb: Int): DataFrame = {
+    require(nb >= 1)
+    val stats = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    val bucketed = df.join(broadcast(stats))
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(lit(nb - 1).cast("long"),
+          floor((col(valueCol) - col("mn")) / (col("mx") - col("mn")) * nb)))
+        .as("bucket"),
+        isRef.cast("int").as("__ref"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__ref")).cast("long").as("ref_n"),
+        sum(lit(1) - col("__ref")).cast("long").as("cur_n"))
+    val spine = stats.select(explode(sequence(lit(0L), lit((nb - 1).toLong))).as("bucket"),
+      col("mn"), col("mx"))
+    val filled = spine.join(broadcast(bucketed), Seq("bucket"), "left")
+      .select(col("bucket"), col("mn"), col("mx"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = filled.agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    val perBucket = filled.join(broadcast(totals))
+      .withColumn("__p",
+        (col("ref_n").cast("double") + 1.0) / (col("__rt") + nb))
+      .withColumn("__q",
+        (col("cur_n").cast("double") + 1.0) / (col("__ct") + nb))
+      .withColumn("psi_q",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")) * 1000000).cast("long"))
+    val total = perBucket.agg(sum(col("psi_q")).as("psi_total_q"))
+    perBucket.join(broadcast(total))
+      .select(col("bucket"),
+        round(col("mn") + col("bucket") * (col("mx") - col("mn")) / nb, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / nb, 6).as("hi"),
+        col("ref_n"), col("cur_n"), col("psi_q"), col("psi_total_q"))
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
     require(nb >= 1)
     val stats = df.agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"),

@@ -75,6 +75,23 @@ class ProfileRetrievalSpec extends SparkSpec {
     got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((1L, 2L, 1L))
   }
 
+  test("psiDrift: identical slices score ~0; a shifted slice scores high") {
+    import graft.llm.{TextOps => _}
+    val same = (1 to 100).flatMap(i => Seq((i.toDouble % 10, true), (i.toDouble % 10, false)))
+      .toDF("v", "ref")
+    val psiSame = QuantileOps.psiDrift(same, "v", col("ref"), nb = 8)
+      .select("psi_total_q").head().getLong(0)
+    psiSame shouldBe 0L
+    // current slice shifted wholesale into the top half of the range
+    val drift = ((1 to 100).map(i => ((i % 10).toDouble, true)) ++
+      (1 to 100).map(i => ((i % 10).toDouble + 10.0, false))).toDF("v", "ref")
+    val psiDrift = QuantileOps.psiDrift(drift, "v", col("ref"), nb = 8)
+      .select("psi_total_q").head().getLong(0)
+    psiDrift should be > 250000L // PSI > 0.25 = "drifted" threshold
+    // every bucket present on both, spine is dense
+    QuantileOps.psiDrift(drift, "v", col("ref"), nb = 8).count() shouldBe 8L
+  }
+
   test("charEntropy: uniform alphabet hits ln(k); single-char text is zero") {
     val docs = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "aabb")).toDF("doc_id", "text")
     val got = TextOps.charEntropy(docs, "doc_id", "text").orderBy("doc_id").collect()
