@@ -365,4 +365,16 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("g4_label_prop: labels broadcast into every round's join") {
+    val plan = formatted("g4_label_prop")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_psi_drift: slice counts aggregate on <=2nb keys, no sort-merge join") {
+    val plan = formatted("q_psi_drift")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
 }
