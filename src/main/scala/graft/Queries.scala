@@ -4152,6 +4152,37 @@ object Queries {
              |FROM b JOIN m USING (l_returnflag)
              |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
 
+    // ---- T: robust median/IQR scaling — the outlier-resistant twin
+    // of t_standardize (25–50% breakdown quartiles vs a fragile σ);
+    // exact per-class percentile triple broadcast back
+    // (dfw/TransformOps.robustScaleByGroup). ----
+    ("t_robust_scale",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice")).cast("long").as("price_d"))
+        TransformOps.robustScaleByGroup(base, Seq("l_returnflag"), Seq("qty", "price_d"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price_d"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             |    CAST(l_quantity AS BIGINT) AS qty,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS price_d
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag,
+             |    quantile_cont(qty, 0.25) AS q1q, quantile_cont(qty, 0.5) AS medq,
+             |    quantile_cont(qty, 0.75) AS q3q,
+             |    quantile_cont(price_d, 0.25) AS q1p, quantile_cont(price_d, 0.5) AS medp,
+             |    quantile_cont(price_d, 0.75) AS q3p
+             |  FROM b GROUP BY l_returnflag)
+             |SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.qty, b.price_d,
+             |  CASE WHEN q3q - q1q = 0 THEN 0.0
+             |       ELSE round((b.qty - medq) / (q3q - q1q), 6) END AS qty_r,
+             |  CASE WHEN q3p - q1p = 0 THEN 0.0
+             |       ELSE round((b.price_d - medp) / (q3p - q1p), 6) END AS price_d_r
+             |FROM b JOIN m USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
+
     // ---- DQ: PSI drift monitor — price distribution of pre-1998
     // shipments (reference) vs later (current) over shared global
     // equi-width buckets; Laplace-smoothed shares, micro-unit-

@@ -120,6 +120,36 @@ object TransformOps {
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** Robust (median/IQR) scaling — the outlier-resistant companion of
+    * [[standardizeByGroup]]: heavy-tailed features blow up a z-score's
+    * σ, while the median and quartiles have 25–50% breakdown. One
+    * exact `percentile(col, array(0.25, 0.5, 0.75))` per column per
+    * group (value→count map state — right at an aggregation grain;
+    * swap in the rank-select path for nearly-unique grains), quartiles
+    * broadcast back, data never join-shuffles. Constant features
+    * (IQR 0) scale to 0 rather than NaN.
+    *
+    * Determinism: percentile() interpolates over a sorted value→count
+    * map — order-independent, and its IEEE interpolation matches
+    * DuckDB's quantile_cont (pinned by the q_percentiles family).
+    */
+  def robustScaleByGroup(df: DataFrame, groupCols: Seq[String],
+                         cols: Seq[String]): DataFrame = {
+    val aggs = cols.map { c =>
+      percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75))).as(s"__q_$c")
+    }
+    val quarts = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(quarts), groupCols)
+    val out = cols.foldLeft(joined) { (d, c) =>
+      val q = col(s"__q_$c")
+      val iqr = q.getItem(2) - q.getItem(0)
+      d.withColumn(s"${c}_r",
+        when(iqr === 0.0, lit(0.0))
+          .otherwise(round((col(c) - q.getItem(1)) / iqr, 6)))
+    }
+    out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
   /** T6: schema-aligned union — UNION ALL by column name
     * (reference `_array_concatenate`, `preprocess.py:101-103`).
     */

@@ -233,6 +233,24 @@ class TransformOpsSpec extends SparkSpec {
     reparted shouldBe got
   }
 
+  test("robustScaleByGroup: hand-computed median/IQR scaling; constant feature scales to 0") {
+    // g: 1,2,3,4,5 → med=3, q1=2, q3=4, iqr=2 → scaled = (x-3)/2
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L),
+      ("h", 7L), ("h", 7L)).toDF("cls", "v")
+    val got = TransformOps.robustScaleByGroup(df, Seq("cls"), Seq("v"))
+      .orderBy("cls", "v").collect().map(_.getAs[Double]("v_r")).toSeq
+    got.take(5) shouldBe Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+    got.drop(5) shouldBe Seq(0.0, 0.0) // IQR 0 → 0, not NaN
+  }
+
+  test("robustScaleByGroup shrugs off an outlier that wrecks the z-score") {
+    val vals = Seq.fill(9)(10L) :+ 1000000L
+    val df = (vals.zipWithIndex.map { case (v, i) => ("g", v + (i % 3)) }).toDF("cls", "v")
+    val r = TransformOps.robustScaleByGroup(df, Seq("cls"), Seq("v"))
+      .filter(col("v") < 100).select("v_r").collect().map(_.getDouble(0))
+    all(r.map(math.abs)) should be <= 2.0 // inliers stay near 0 despite the 1e6 outlier
+  }
+
   test("P1 classRange is 1-based inclusive; -1 means all") {
     val df = (0 to 9).map(i => Tuple1(i)).toDF("cls")
     SliceOps.classRange(df, "cls", (3, 7)).as[Int].collect().sorted shouldBe Array(2, 3, 4, 5, 6)

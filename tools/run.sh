@@ -10,6 +10,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# 16g default: the 153-query suite in ONE JVM at sf1 showed 8g is
+# memory-pressure territory for the sort-heavy tail (BASELINE.md
+# round-12 scale caveat); the box has 128 GiB.
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
