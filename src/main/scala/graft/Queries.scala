@@ -1328,6 +1328,28 @@ object Queries {
              |  AND b.us >= a.us AND b.us - a.us <= CAST(30 * 60 AS BIGINT) * 1000000
              |ORDER BY left_id, right_id""".stripMargin)),
 
+    // ---- X6: LEFT-OUTER interval join — keeps the clicks that never
+    // led to a view (the unconverted half attribution needs); null
+    // right side sorted via a -1 coalesce so both engines order
+    // identically (streaming/StreamOps.intervalJoinOuterWithin). ----
+    ("x6_interval_join_outer",
+      (s: SparkSession, dir: String) => {
+        val e = Tables.load(s, dir, "events")
+        StreamOps.intervalJoinOuterWithin(
+            e.filter(col("event_type") === "click"),
+            e.filter(col("event_type") === "view"),
+            "30 MINUTES")
+          .orderBy(col("left_id"), coalesce(col("right_id"), lit(-1L)))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+             |l AS (SELECT * FROM e WHERE event_type = 'click'),
+             |r AS (SELECT * FROM e WHERE event_type = 'view')
+             |SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id,
+             |  r.us - l.us AS gap_us
+             |FROM l LEFT JOIN r ON l.user_id = r.user_id
+             |  AND r.us >= l.us AND r.us - l.us <= CAST(30 * 60 AS BIGINT) * 1000000
+             |ORDER BY left_id, COALESCE(right_id, -1)""".stripMargin)),
+
     // ---- deterministic stratified sampling (engine-neutral md5 key
     // hash so DuckDB reproduces the exact sample membership) ----
     ("t_sample_stratified",

@@ -191,6 +191,26 @@ object StreamOps {
         col("l.user_id").as("user_id"),
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
 
+  /** LEFT-OUTER [[intervalJoinWithin]] — unmatched left events emit a
+    * null right side: the "views that never converted" half of
+    * attribution, which the inner form silently drops. On two
+    * watermarked streams this is Spark's outer stream-stream join:
+    * the null row for an unmatched left event is emitted only once
+    * the watermark passes its join horizon (before that a match could
+    * still arrive), so outer results trail the inner ones by the
+    * watermark delay — same bounded state, same expiry rule. The SAME
+    * body serves the batch oracle twin, where nulls emit immediately.
+    */
+  def intervalJoinOuterWithin(left: DataFrame, right: DataFrame, within: String): DataFrame =
+    left.alias("l").join(right.alias("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") >= col("l.ts") &&
+          col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+        "left_outer")
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
+
   /** X6: stream-static enrichment — join each event against a static
     * (slowly-changing) dimension table, broadcast to every task. On a
     * streaming `events` this is Spark's stream-static join: the dim

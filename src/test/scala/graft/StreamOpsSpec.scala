@@ -159,6 +159,54 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter: unmatched lefts emit a null right once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val views = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    def named(m: MemoryStream[(Long, Long, String, Double, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    // short watermark so the null row can finalize inside the test
+    val joined = StreamOps.intervalJoinOuterWithin(
+      named(clicks).withWatermark("ts", "5 minutes"),
+      named(views).withWatermark("ts", "5 minutes"),
+      "10 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ivjo_test")
+      .outputMode("append").start()
+    try {
+      // user 7 converts; user 9's click never gets a view
+      clicks.addData((1L, 7L, "click", 0.0, ts(0)), (6L, 9L, "click", 0.0, ts(0)))
+      views.addData((2L, 7L, "view", 0.0, ts(5)))
+      q.processAllAvailable()
+      // advance event time far past click+window+watermark on BOTH
+      // streams so user 9's null row is forced out
+      clicks.addData((7L, 1L, "click", 0.0, ts(59)))
+      views.addData((8L, 1L, "view", 0.0, ts(59)))
+      q.processAllAvailable()
+      clicks.addData((9L, 2L, "click", 0.0, Timestamp.valueOf("2026-01-01 12:00:00")))
+      views.addData((10L, 2L, "view", 0.0, Timestamp.valueOf("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivjo_test")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      got should contain((1L, 2L))   // matched pair
+      got should contain((6L, -1L))  // unconverted click emitted with null view
+      // batch twin agrees on the same union of inputs
+      val all = Seq(
+        (1L, 7L, "click", 0.0, ts(0)), (6L, 9L, "click", 0.0, ts(0)),
+        (2L, 7L, "view", 0.0, ts(5)), (7L, 1L, "click", 0.0, ts(59)),
+        (8L, 1L, "view", 0.0, ts(59)),
+        (9L, 2L, "click", 0.0, Timestamp.valueOf("2026-01-01 12:00:00")),
+        (10L, 2L, "view", 0.0, Timestamp.valueOf("2026-01-01 12:00:00")))
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val batch = StreamOps.intervalJoinOuterWithin(
+          all.filter(col("event_type") === "click"),
+          all.filter(col("event_type") === "view"), "10 MINUTES")
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      batch shouldBe got
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first arrivals only, across micro-batches, equal to batch dedup") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
