@@ -4174,6 +4174,37 @@ object Queries {
              |FROM b JOIN m USING (l_returnflag)
              |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
 
+    // ---- W: deterministic hash split — 80/10/10 membership as a
+    // pure function of the row key (stable under data growth, unlike
+    // rank splits; engine-neutral md5 so membership is externally
+    // reproducible). Per-split integer checksums certify the exact
+    // membership without materializing 600k rows
+    // (dfw/SplitOps.hashSplit). ----
+    ("w_hash_split",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("sample_id"))
+        SplitOps.hashSplit(base, col("sample_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            k => DedupOps.md5TokenHash(k.cast("string")))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("sample_id")).as("sum_ids"),
+            sum(col("__hv")).as("sum_hv"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH f AS (SELECT l_orderkey * 10 + l_linenumber AS sample_id FROM lineitem),
+             |h AS (SELECT sample_id,
+             |        CAST(('0x' || substr(md5(CAST(sample_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hv
+             |      FROM f),
+             |sp AS (SELECT sample_id, hv,
+             |         CASE WHEN hv < 800000 THEN 'train'
+             |              WHEN hv < 900000 THEN 'val' ELSE 'test' END AS split
+             |       FROM h)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(sample_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(hv) AS BIGINT) AS sum_hv
+             |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
     // ---- T: robust median/IQR scaling — the outlier-resistant twin
     // of t_standardize (25–50% breakdown quartiles vs a fragile σ);
     // exact per-class percentile triple broadcast back

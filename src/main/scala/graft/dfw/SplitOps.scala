@@ -244,6 +244,36 @@ object SplitOps {
     perClass.withColumn("offset", coalesce(sum(col(trainSizeCol)).over(w), lit(0L)))
   }
 
+  /** Deterministic hash split — train/val/test membership as a pure
+    * function of the row KEY, the industry default for dataset
+    * splits: membership is STABLE under data growth, re-partitioning,
+    * engine change, and re-runs (a rank split like [[splitByRank]]
+    * reshuffles membership every time a row is added, silently
+    * contaminating yesterday's test set into today's train set).
+    * Cumulative fraction boundaries over a hash in [0, 1e6); rows
+    * past the last boundary take the last label, so fractions that
+    * sum to 1 partition exactly.
+    *
+    * Pure per-row expression — no shuffle, no state, codegen'd; the
+    * hash is pluggable so an engine-neutral hash (md5) makes
+    * membership externally reproducible.
+    */
+  def hashSplit(df: DataFrame, keyCol: Column,
+                fractions: Seq[(String, Double)],
+                hash: Column => Column): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0))
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val hv = pmod(hash(keyCol), lit(1000000L))
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr0: Column = lit(fractions.last._1)
+    val split = fractions.init.zip(bounds.init).reverse
+      .foldLeft(expr0) { case (els, ((label, _), cum)) =>
+        when(hv < lit(math.round(cum * 1000000)), lit(label)).otherwise(els)
+      }
+    df.withColumn("__hv", hv).withColumn("split", split)
+  }
+
   /** Temporal leave-last-k-out split — the forecasting/evaluation
     * counterpart of the permutation splits: per entity, the k MOST
     * RECENT rows (by (time, tiebreak) total order) become test, the

@@ -113,6 +113,32 @@ class SplitOpsSpec extends SparkSpec {
     got shouldBe Map("a" -> 0L, "b" -> 3L, "c" -> 8L)
   }
 
+  test("hashSplit: membership is stable under data growth; fractions land near target") {
+    import org.apache.spark.sql.functions.{col, xxhash64, pmod, lit}
+    def h(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(1000000L))
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 1000L).toDF("id")
+    val big = (1L to 5000L).toDF("id")
+    val mSmall = SplitOps.hashSplit(small, col("id"), fr, h)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mBig = SplitOps.hashSplit(big, col("id"), fr, h)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every original row keeps its split after the corpus grows 5x —
+    // the property rank splits cannot give
+    mSmall.foreach { case (id, s) => mBig(id) shouldBe s }
+    val counts = mBig.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble / 5000 shouldBe (0.8 +- 0.03)
+    counts("val").toDouble / 5000 shouldBe (0.1 +- 0.02)
+    counts("test").toDouble / 5000 shouldBe (0.1 +- 0.02)
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    an[IllegalArgumentException] should be thrownBy
+      SplitOps.hashSplit(Seq(1L).toDF("id"), col("id"),
+        Seq("a" -> 0.5, "b" -> 0.4), c => xxhash64(c))
+  }
+
   test("temporalSplit: last k per entity are test; short entities go all-test; ties break on id") {
     import java.sql.Timestamp
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
