@@ -3774,9 +3774,11 @@ object Queries {
 
     // ---- F: sequential conversion funnel view→click→purchase.
     // Window-free: each step is a scan-filtered pass over events
-    // joined (broadcast) to the previous step's per-user first-time
-    // state — events never shuffle; only user-cardinality state moves
-    // (dfw/FunnelOps). Integer conversion percents. ----
+    // joined to the previous step's per-user first-time state — the
+    // state join broadcasts by default (events never shuffle) and
+    // flips to a keyed shuffle join via broadcastState=false when user
+    // cardinality outgrows the broadcast limit (dfw/FunnelOps).
+    // Integer conversion percents. ----
     ("q_funnel",
       (s: SparkSession, dir: String) => {
         FunnelOps.sequentialFunnel(Tables.load(s, dir, "events"),
@@ -3790,6 +3792,36 @@ object Queries {
              |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
              |       JOIN s2 ON e.user_id = s2.user_id
              |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+             |c AS (SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+             |      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+             |      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),
+             |f AS (SELECT n_users AS n0 FROM c WHERE step = 1)
+             |SELECT step, stage, n_users,
+             |       CASE WHEN n0 = 0 THEN 0 ELSE (n_users * 100) // n0 END AS conv_pct
+             |FROM c, f ORDER BY step""".stripMargin)),
+
+    // ---- F: the funnel real event analytics defaults to — each
+    // transition carries a CONVERSION WINDOW ("click within 1 day of
+    // the view, purchase within 1 day of the click"). Same window-free
+    // per-user-state shape as q_funnel; the bound is one extra
+    // scan-side predicate per step, so the plan (and the
+    // broadcastState scale switch) is unchanged (dfw/FunnelOps). ----
+    ("q_funnel_windowed",
+      (s: SparkSession, dir: String) => {
+        FunnelOps.sequentialFunnel(Tables.load(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          withinSeconds = Seq(86400L, 86400L))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t
+             |         AND epoch(e.ts) - epoch(s1.t) <= 86400 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             |         AND epoch(e.ts) - epoch(s2.t) <= 86400 GROUP BY e.user_id),
              |c AS (SELECT 1 AS step, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
              |      UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
              |      UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3),

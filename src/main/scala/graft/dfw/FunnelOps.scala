@@ -11,31 +11,61 @@ import org.apache.spark.sql.functions._
   * per-user ordered window would shuffle and sort the whole event log
   * per step). Instead each step k keeps one row per user still in the
   * funnel — `(user, t_k)` where `t_k` is the FIRST qualifying time —
-  * and step k+1 is a broadcast join of that per-user state against the
-  * scan-filtered event log followed by a min-aggregate. A k-step
-  * funnel is k filtered passes over events (type predicates push to
-  * the parquet scan) with only user-cardinality state ever crossing
-  * the network; events themselves are never shuffled.
+  * and step k+1 joins that per-user state against the scan-filtered
+  * event log followed by a min-aggregate. A k-step funnel is k
+  * filtered passes over events (type predicates push to the parquet
+  * scan) with only user-cardinality state ever crossing the network.
+  *
+  * Join strategy for the per-user state is a PARAMETER, not a forced
+  * hint: `broadcastState = true` (the local/default posture) ships the
+  * surviving-user table to every executor so events never shuffle;
+  * at 100 TB user cardinality is unbounded (10⁸–10⁹ users ≫ the
+  * broadcast limit), so set it FALSE and each step becomes a keyed
+  * shuffle join — the shuffled volume is the scan-FILTERED step events
+  * (one event type) plus the user-state table, both ≪ the raw log.
+  * Mirrors [[graft.llm.GraphOps.pageRankInt]]'s `broadcastRanks`.
   */
 object FunnelOps {
 
   /** Per-step reach of the funnel `steps` (first-occurrence, strictly
     * increasing timestamps across steps).
     *
+    * @param withinSeconds optional per-transition conversion windows:
+    *        when non-empty it must have `steps.size - 1` entries and
+    *        step k+1 counts only if it happens within
+    *        `withinSeconds(k)` seconds of the user's step-k time
+    *        ("click ≤ 7 days after view" = `Seq(604800L, …)`). Empty
+    *        (default) = unbounded, the classic funnel.
+    * @param broadcastState broadcast the per-user surviving state into
+    *        each step's join (true: events never shuffle; false: keyed
+    *        shuffle join for past-broadcast user cardinality)
     * @return (step INT, stage STRING, n_users LONG, conv_pct LONG) —
     *         conv_pct = integer percent of step-1 users (exact in any
     *         summation order)
     */
   def sequentialFunnel(events: DataFrame, userCol: String, typeCol: String,
-                       tsCol: String, steps: Seq[String]): DataFrame = {
+                       tsCol: String, steps: Seq[String],
+                       withinSeconds: Seq[Long] = Nil,
+                       broadcastState: Boolean = true): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds.isEmpty || withinSeconds.size == steps.size - 1,
+      s"withinSeconds needs one entry per transition (${steps.size - 1}), " +
+        s"got ${withinSeconds.size}")
+    def hint(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    val bounds: Seq[Option[Long]] =
+      if (withinSeconds.isEmpty) Seq.fill(steps.size - 1)(None)
+      else withinSeconds.map(Some(_))
     var cur = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
     val reached = scala.collection.mutable.ListBuffer(steps.head -> cur)
-    for (st <- steps.tail) {
+    for ((st, bound) <- steps.tail.zip(bounds)) {
+      val within = bound match {
+        case Some(w) => col(tsCol) <= col("__prev") + expr(s"INTERVAL $w SECOND")
+        case None    => lit(true)
+      }
       cur = events.filter(col(typeCol) === st)
-        .join(broadcast(cur.withColumnRenamed("__t", "__prev")), userCol)
-        .filter(col(tsCol) > col("__prev"))
+        .join(hint(cur.withColumnRenamed("__t", "__prev")), userCol)
+        .filter(col(tsCol) > col("__prev") && within)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       reached += st -> cur
     }
@@ -44,6 +74,7 @@ object FunnelOps {
         .select(lit(i + 1).as("step"), lit(st).as("stage"), col("n_users"))
     }.reduce(_ unionByName _)
     val first = counts.filter(col("step") === 1).select(col("n_users").as("__n0"))
+    // one-row side: always broadcast regardless of broadcastState
     counts.crossJoin(broadcast(first))
       .select(col("step"), col("stage"), col("n_users"),
         // guarded: a funnel whose first step has no actors reports 0%
@@ -60,15 +91,21 @@ object FunnelOps {
     *
     * Shape: activity collapses to distinct (day, user) pairs first
     * (user-day cardinality, ≪ events), the per-user first-seen table
-    * broadcasts back, and one hash aggregate per (cohort, offset)
-    * finishes — no window, no self-join over events. Integer percents
-    * (`div`); a cohort's own day 0 is always 100.
+    * joins back (`broadcastState` picks the strategy — per-user state
+    * is unbounded at scale, see the object doc), and one hash
+    * aggregate per (cohort, offset) finishes — no window, no self-join
+    * over events. The cohort-SIZE side stays a broadcast
+    * unconditionally: its cardinality is distinct DAYS, bounded by the
+    * calendar, not by users. Integer percents (`div`); a cohort's own
+    * day 0 is always 100.
     */
-  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      broadcastState: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastState) broadcast(df) else df
     val act = events.select(to_date(col(tsCol)).as("day"), col(userCol).as("__u")).distinct()
     val first = act.groupBy(col("__u")).agg(min(col("day")).as("cohort_day"))
     val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
-    act.join(broadcast(first), "__u")
+    act.join(hint(first), "__u")
       .select(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .groupBy(col("cohort_day"), col("day_offset"))

@@ -52,6 +52,62 @@ class FunnelOpsSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("sequentialFunnel: broadcastState=false plan is a keyed shuffle join, same result") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // threshold off so static planning can't silently re-broadcast the
+      // tiny test relations: what's left is exactly the scale posture
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), broadcastState = false)
+      val plan = df.queryExecution.executedPlan.toString
+      // state joins shuffle by user key; the only broadcast left is the
+      // explicit one-row conv_pct denominator (nested-loop, not hash)
+      plan should not include "BroadcastHashJoin"
+      (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")) shouldBe true
+      df.collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))) shouldBe
+        Array((1, 4L, 100L), (2, 3L, 75L), (3, 2L, 50L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("sequentialFunnel: conversion windows bound each transition") {
+    // user 1 converts within minutes; user 6 clicks 2h after view and
+    // purchases 10m after the click — a 1h click-window drops user 6 at
+    // step 2, while the unbounded funnel keeps them throughout.
+    def h(hh: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $hh%02d:$m%02d:00")
+    val ev = events.union(Seq(
+      (6L, "view", h(10, 0)), (6L, "click", h(12, 0)), (6L, "purchase", h(12, 10))
+    ).toDF("user_id", "event_type", "ts"))
+    val unbounded = FunnelOps.sequentialFunnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    unbounded shouldBe Array((1, 5L), (2, 4L), (3, 3L))
+    val windowed = FunnelOps.sequentialFunnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSeconds = Seq(3600L, 3600L))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    windowed shouldBe Array((1, 5L), (2, 3L), (3, 2L))
+  }
+
+  test("sequentialFunnel: window bound is inclusive and per-transition") {
+    // qualifying clicks sit exactly 60 s after the first view (user 1:
+    // 10:01→10:02; user 2: 10:02→10:03) — a 60 s window keeps both
+    // (inclusive <=), 59 s drops both; user 4's 120 s click drops either way
+    val keep = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), withinSeconds = Seq(60L))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    keep shouldBe Array((1, 4L), (2, 2L))
+    val drop = FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click"), withinSeconds = Seq(59L))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    drop shouldBe Array((1, 4L), (2, 0L))
+  }
+
+  test("sequentialFunnel: withinSeconds arity must match transitions") {
+    an[IllegalArgumentException] should be thrownBy
+      FunnelOps.sequentialFunnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSeconds = Seq(60L))
+  }
+
   test("cohortRetention: day-0 always 100%, returning users counted once per day") {
     def d(day: Int, m: Int) = Timestamp.valueOf(f"2024-02-$day%02d 0$m:00:00")
     // cohort Feb-1: users 10, 11 (10 twice on day 0 — must not double);
@@ -70,5 +126,31 @@ class FunnelOpsSpec extends SparkSpec {
       ("2024-02-01", 2, 2L, 100L),
       ("2024-02-02", 0, 1L, 100L),
       ("2024-02-02", 1, 1L, 100L))
+  }
+
+  test("cohortRetention: broadcastState=false shuffles first-seen, same matrix") {
+    def d(day: Int, m: Int) = Timestamp.valueOf(f"2024-02-$day%02d 0$m:00:00")
+    val ev = Seq(
+      (10L, d(1, 1)), (10L, d(1, 2)), (11L, d(1, 1)),
+      (10L, d(2, 1)), (12L, d(2, 1)),
+      (10L, d(3, 1)), (11L, d(3, 1)), (12L, d(3, 2))
+    ).toDF("user_id", "ts")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = FunnelOps.cohortRetention(ev, "user_id", "ts", broadcastState = false)
+      val plan = df.queryExecution.executedPlan.toString
+      // ONE broadcast hash join must remain: the calendar-bounded cohort
+      // sizes (explicitly hinted); the per-USER first-seen join shuffles
+      "BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1
+      (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")) shouldBe true
+      df.collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3))) shouldBe
+        Array(
+          ("2024-02-01", 0, 2L, 100L),
+          ("2024-02-01", 1, 1L, 50L),
+          ("2024-02-01", 2, 2L, 100L),
+          ("2024-02-02", 0, 1L, 100L),
+          ("2024-02-02", 1, 1L, 100L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
