@@ -3124,6 +3124,42 @@ object Queries {
              |SELECT bagg.doc_id, n_tokens, n_unk, toks
              |FROM bagg JOIN bstr USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: merge-order-faithful BPE apply — trained merges applied
+    // in rank order, one left-to-right pass each (Sennrich et al. 2016
+    // semantics, matching what bpeTrain learns), vs x4_bpe_encode's
+    // greedy longest-match approximation. Spark folds the merge list
+    // into one codegen'd replace-chain over DISTINCT words (separator-
+    // wrapped symbols make literal replace = the non-overlap merge
+    // pass), broadcast-joined back to corpus positions; the oracle
+    // replays the identical replace chain in DuckDB. ----
+    ("x4_bpe_encode_ranked",
+      (s: SparkSession, dir: String) => {
+        TextOps.bpeEncodeRanked(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sep = "\u001f"
+        def wrap(t: String) = sep + t + sep
+        val chain = TextOps.DemoBpeMerges.foldLeft("enc") { case (e, (x, y)) =>
+          s"replace($e, '${wrap(x) + wrap(y)}', '${wrap(x + y)}')"
+        }
+        s"""WITH bws AS (SELECT doc_id, string_split(lower(text), ' ') AS sw FROM documents),
+           |bw AS (SELECT doc_id, wpos, sw[wpos] AS w
+           |       FROM (SELECT doc_id, sw, unnest(generate_series(1, len(sw))) AS wpos FROM bws)
+           |       WHERE sw[wpos] <> ''),
+           |dw AS (SELECT DISTINCT w FROM bw),
+           |e0 AS (SELECT w, '$sep' || array_to_string(string_split(w, ''), '$sep$sep') || '$sep' AS enc FROM dw),
+           |ek AS (SELECT w, $chain AS enc FROM e0),
+           |wt AS (SELECT w, string_split(substr(enc, 2, len(enc) - 2), '$sep$sep') AS toks FROM ek),
+           |j AS (SELECT doc_id, wpos, toks FROM bw JOIN wt USING (w)),
+           |agg AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           |          string_agg(array_to_string(toks, '|'), '|' ORDER BY wpos) AS toks
+           |        FROM j GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |       coalesce(agg.toks, '') AS toks
+           |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      }),
+
     // ---- X4: hashed-n-gram linear classifier (fastText serving
     // shape) — model-based quality filtering. The weight table is the
     // deterministic md5 pseudo-model so the oracle replays scoring

@@ -34,27 +34,40 @@ object WindowOps {
     * @param valCol    column whose lag/lead is emitted as prev/next
     * @param nTiles    ntile bucket count
     * @param numParts  range partitions to spread each class across
+    * @param mat       how the range-partitioned data freezes (must be
+    *                  a real materialization — see below; `Bucketed`
+    *                  is the cluster-grade choice, `Local` the
+    *                  local-mode default)
     */
   def orderedAnalyticsScalable(df: DataFrame, clsCols: Seq[String],
                                orderCols: Seq[Column], valCol: String,
-                               nTiles: Int, numParts: Int): DataFrame = {
+                               nTiles: Int, numParts: Int,
+                               mat: graft.sources.Materializer =
+                                 graft.sources.Materializer.Local): DataFrame = {
     require(nTiles > 0, "nTiles must be positive")
     require(numParts > 1, "numParts must spread classes over >1 partition")
-    // MATERIALIZE the range-partitioned data before reading
-    // spark_partition_id: two consumers follow (the per-partition
-    // count/offset aggregate and the final join), and under separate
-    // physical executions the range exchange can differ between
-    // branches (boundary sampling and AQE partition coalescing are
-    // per-branch) — then the (pid → offset) map disagrees with the
-    // join side's pids and global ranks overshoot n (observed: an
-    // 11th ntile on a 10-tile request at 5k rows, where AQE coalesces
-    // aggressively). localCheckpoint freezes ONE partitioning that
-    // both consumers read; on a cluster persist to a sorted bucketed
-    // table for the same guarantee.
-    val parted = df
-      .repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
-      .localCheckpoint()
-      .withColumn("__pid", spark_partition_id())
+    // MATERIALIZE the range partitioning — with the partition id
+    // stamped INTO the data first — before anything reads it: two
+    // consumers follow (the per-partition count/offset aggregate and
+    // the final join), and under separate physical executions a
+    // re-derived range exchange can differ between branches (boundary
+    // sampling and AQE partition coalescing are per-branch) — then the
+    // (pid → offset) map disagrees with the join side's pids and
+    // global ranks overshoot n (observed: an 11th ntile on a 10-tile
+    // request at 5k rows, where AQE coalesces aggressively). Freezing
+    // ONE executed exchange, with __pid evaluated during that one
+    // execution, makes both consumers read the same mapping under ANY
+    // strategy — including Bucketed, where __pid is a stored column
+    // immune to how the readback scan splits files. Lazy is rejected:
+    // it would re-run the exchange per consumer, which is exactly the
+    // divergence this freeze exists to prevent.
+    require(mat.frozen,
+      "orderedAnalyticsScalable needs a real Materializer (Lazy re-runs the " +
+        "range exchange per consumer and the partition-id map diverges)")
+    val parted = mat.freeze(
+      df.repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+        .withColumn("__pid", spark_partition_id()),
+      clsCols :+ "__pid", "win_parted")
     val keyP = (clsCols :+ "__pid").map(col)
     val localW = Window.partitionBy(keyP: _*).orderBy(orderCols: _*)
     val local = parted

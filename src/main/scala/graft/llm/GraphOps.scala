@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.sources.Materializer
+
 /** Link-graph centrality — the page-importance signal web-scale
   * corpus curation weights documents by (CommonCrawl-style crawls
   * rank hosts/pages before content filters ever run).
@@ -27,11 +29,21 @@ import org.apache.spark.sql.functions._
   *    broadcasts it into the join (plan-asserted), so a round costs
   *    one scan of the edge list + one aggregate. At 100 TB of edges
   *    with |V| past broadcast range, the same plan degrades to a
-  *    co-partitioned shuffle join on `src` — pre-bucket the edge list
-  *    by `src` ([[graft.sources.Sinks.writeBucketed]]) and the
-  *    per-round shuffle disappears too. For horizons past a handful
-  *    of rounds, `localCheckpoint` the rank table every ~5 rounds to
-  *    truncate lineage.
+  *    co-partitioned shuffle join on `src` — freeze the edge list
+  *    through `mat = Materializer.Bucketed(n)` (bucketed by `src`,
+  *    [[graft.sources.Materializer]]) and the per-round shuffle
+  *    disappears too. For horizons past a handful of rounds,
+  *    `localCheckpoint` the rank table every ~5 rounds to truncate
+  *    lineage.
+  *
+  * Every operator here takes a `mat: Materializer` deciding HOW the
+  * static per-round intermediates (edge list + degrees, node set)
+  * freeze: `Local` (localCheckpoint — local-mode default, lost on
+  * executor failure), `Reliable` (HDFS/S3 checkpoint — survives
+  * executor churn on a real cluster), `Bucketed` (catalog table keyed
+  * on the round-join key — reliable AND exchange-free rounds), or
+  * `Lazy` (no freeze; every round re-derives — correct but k-round =
+  * (k+1)-derivation cost).
   */
 object GraphOps {
 
@@ -47,7 +59,8 @@ object GraphOps {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-                  scale: Long = 1000000L, materialize: Boolean = true,
+                  scale: Long = 1000000L,
+                  mat: Materializer = Materializer.Local,
                   broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
@@ -56,20 +69,19 @@ object GraphOps {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // Static across rounds: edge list with outdegree, and the node set.
     // Under one lazy plan each round would RE-DERIVE both from the raw
-    // input (k rounds = k+1 scans of the upstream joins); materializing
-    // once cuts that to a single derivation. localCheckpoint is the
-    // local-mode stand-in — on a cluster with executor churn, persist
-    // the edge list to a bucketed table instead
-    // ([[graft.sources.Sinks.writeBucketed]]) and reliable-checkpoint.
-    // A checkpointed table has NO catalyst size stats (Scan
-    // ExistingRDD), so the |V|-sized rank/summed sides carry an
-    // explicit broadcast hint (`broadcastRanks`); set it false past
-    // broadcast range and the rounds run as co-partitioned joins.
-    val edPlan = e.join(deg, "src")
-    val ed = if (materialize) edPlan.localCheckpoint() else edPlan
-    val nodesPlan = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = if (materialize) nodesPlan.localCheckpoint() else nodesPlan
+    // input (k rounds = k+1 scans of the upstream joins); `mat` freezes
+    // them once — Bucketed keys the edge table by `src`, the column
+    // every round joins ranks on, so past-broadcast rounds run
+    // exchange-free on the edge side. A checkpointed edge table has NO
+    // catalyst size stats (Scan ExistingRDD), so the |V|-sized
+    // rank/summed sides carry an explicit broadcast hint
+    // (`broadcastRanks`); set it false past broadcast range and the
+    // rounds run as co-partitioned joins.
+    val ed = mat.freeze(e.join(deg, "src"), Seq("src"), "pr_edges")
+    val nodes = mat.freeze(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      Seq("node"), "pr_nodes")
     val teleport = scale * (dampDen - dampNum) / dampDen
 
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
@@ -100,7 +112,7 @@ object GraphOps {
                           weightCol: String, iters: Int,
                           dampNum: Long = 85L, dampDen: Long = 100L,
                           scale: Long = 1000000L,
-                          materialize: Boolean = true,
+                          mat: Materializer = Materializer.Local,
                           broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
@@ -109,11 +121,11 @@ object GraphOps {
         col(weightCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val edPlan = e.join(deg, "src")
-    val ed = if (materialize) edPlan.localCheckpoint() else edPlan
-    val nodesPlan = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = if (materialize) nodesPlan.localCheckpoint() else nodesPlan
+    val ed = mat.freeze(e.join(deg, "src"), Seq("src"), "prw_edges")
+    val nodes = mat.freeze(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      Seq("node"), "prw_nodes")
     val teleport = scale * (dampDen - dampNum) / dampDen
 
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
@@ -149,23 +161,39 @@ object GraphOps {
     * one min-aggregate; labels broadcast while |V| ≪ |E|).
     */
   def minLabelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
-                        iters: Int, materialize: Boolean = true,
-                        broadcastLabels: Boolean = true): DataFrame = {
+                        iters: Int,
+                        mat: Materializer = Materializer.Local,
+                        broadcastLabels: Boolean = true,
+                        ckptEvery: Int = 5): DataFrame = {
     require(iters >= 0)
+    require(ckptEvery > 0, "ckptEvery must be positive")
     def hint(df: DataFrame) = if (broadcastLabels) broadcast(df) else df
     val raw = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val ePlan = raw.union(raw.select(col("b").as("a"), col("a").as("b"))).distinct()
-    val e = if (materialize) ePlan.localCheckpoint() else ePlan
-    val nodesPlan = e.select(col("a").as("node")).distinct()
-    val nodes = if (materialize) nodesPlan.localCheckpoint() else nodesPlan
+    // symmetric edge set frozen keyed by `b` — the side every round's
+    // neighbor-label join probes
+    val e = mat.freeze(
+      raw.union(raw.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      Seq("b"), "lp_edges")
+    val nodes = mat.freeze(e.select(col("a").as("node")).distinct(),
+      Seq("node"), "lp_nodes")
     var lab = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val neigh = e.join(hint(lab.withColumnRenamed("node", "b")
           .withColumnRenamed("label", "nl")), "b")
         .groupBy(col("a").as("node")).agg(min(col("nl")).as("nmin"))
       lab = lab.join(hint(neigh), Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // each round references `lab` TWICE (as the join's probe side and
+      // inside `neigh`), so an unfrozen label table doubles the plan
+      // per round — 2^iters subtree copies by the end, which stalls
+      // catalyst long before data size matters (observed at iters=21
+      // on a 60-node graph). Freezing the |V|-row label table every
+      // ckptEvery rounds caps growth at 2^ckptEvery between freezes;
+      // deep-diameter probes stay linear-time. Lazy deliberately keeps
+      // the unbounded form (single-digit-round probes only).
+      if (i % ckptEvery == 0 && i < iters && mat.frozen)
+        lab = mat.freeze(lab, Seq("node"), s"lp_lab_$i")
     }
     lab
   }
@@ -199,20 +227,22 @@ object GraphOps {
     *         coefficient in parts-per-million; 0 when wedge-free)
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
-                    materialize: Boolean = true): DataFrame = {
+                    mat: Materializer = Materializer.Local): DataFrame = {
     // canonical undirected edge set: (lo, hi), no loops, no dups.
     // Five downstream branches (degree, orientation, wedge self-join
     // probe, and the four census aggregates) all consume `e`; under
     // one lazy plan each branch re-derives it from the raw input —
     // for a derived edge list (e.g. a co-occurrence self-join) that
     // multiplies the most expensive stage of the whole query.
-    // localCheckpoint caps it at one derivation (cluster posture:
-    // persist to a bucketed table instead, as pageRankInt documents).
-    val ePlan = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-      .distinct()
-    val e = if (materialize) ePlan.localCheckpoint() else ePlan
+    // `mat` caps it at one derivation (Bucketed keys by `u`, the
+    // wedge-closing probe's leading join column; Reliable for
+    // executor-churn clusters).
+    val e = mat.freeze(
+      edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct(),
+      Seq("u"), "tri_edges")
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, node): strict total order, ties broken by id

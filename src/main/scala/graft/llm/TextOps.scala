@@ -515,15 +515,20 @@ object TextOps {
     *   pair_freq), round 1-based in merge order
     */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-               nMerges: Int): DataFrame = {
+               nMerges: Int,
+               mat: graft.sources.Materializer =
+                 graft.sources.Materializer.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nMerges > 0, "nMerges must be positive")
     val spark = docs.sparkSession
-    var words = docs
+    // rounds iterate: freeze the word-frequency table once up front
+    // (mat = Reliable is the executor-churn cluster posture; the
+    // per-round freeBlocks below is a no-op for non-Local strategies)
+    var words = mat.freeze(docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("syms", split(col("w"), ""))
-      .localCheckpoint() // rounds iterate: cut lineage once up front
+      .withColumn("syms", split(col("w"), "")),
+      Seq("w"), "bpe_words")
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     var exhausted = false
@@ -557,8 +562,8 @@ object TextOps {
           .withColumn("out", when(col("ms"), lit(x + y)).otherwise(col("s")))
           .groupBy("w", "freq")
           .agg(expr("transform(array_sort(collect_list(struct(i, out))), p -> p.out)").as("syms"))
-          .localCheckpoint() // bounded plan per round
-        // localCheckpoint is eager, so `next` is materialized — the
+        val nextFrozen = mat.freeze(next, Seq("w"), "bpe_words") // bounded plan per round
+        // localCheckpoint is eager, so `nextFrozen` is materialized — the
         // previous round's checkpointed blocks are now dead. Note
         // Dataset.unpersist would be a NO-OP here: localCheckpoint
         // persists its internal RDD directly, never registering with
@@ -566,7 +571,7 @@ object TextOps {
         // itself, or retained blocks sit until the ContextCleaner GCs
         // them (linear growth in nMerges meanwhile)
         freeLocalCheckpoint(words)
-        words = next
+        words = nextFrozen
         round += 1
       }
     }
@@ -740,6 +745,88 @@ object TextOps {
           t => length(t) === 1 && !array_contains(typedLit(vocab), t)))
           .cast("long").as("n_unk"),
         array_join(col("__toks"), "|").as("toks"))
+  }
+
+  /** A rank-ordered merge list paired with [[DemoBpeVocab]] for
+    * [[bpeEncodeRanked]] — the form a trained tokenizer actually
+    * ships (merges.txt): earlier rank = learned earlier = applied
+    * first. Compound merges ((th,e), (th,at), (w,ith)) exercise the
+    * property greedy longest-match cannot express: a merge's operands
+    * are PRODUCTS of earlier merges, so application order changes the
+    * segmentation. `bpeTrain` output (round-ordered (left, right)
+    * rows) plugs in directly.
+    */
+  val DemoBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("an", "d"),
+    ("in", "g"), ("o", "r"), ("e", "s"), ("o", "u"), ("t", "o"),
+    ("th", "at"), ("f", "or"), ("i", "th"), ("w", "ith"), ("o", "f"))
+
+  /** X4: merge-order-faithful BPE apply (Sennrich et al. 2016, the
+    * same semantics [[bpeTrain]] learns under): encode by applying the
+    * trained merges IN RANK ORDER, one left-to-right non-overlapping
+    * pass each — so a word segments exactly as it did during training,
+    * where [[bpeEncode]]'s greedy longest-match is only an
+    * approximation (it can pick a long vocab entry the merge sequence
+    * never actually forms).
+    *
+    * Spark-first trick: a merge pass IS a literal string replace.
+    * Each symbol is wrapped in its own separator pair
+    * (`␟s␟`, U+001F), so word "aaa" is `␟a␟␟a␟␟a␟` and merge (x,y) is
+    * `replace(enc, "␟x␟␟y␟", "␟xy␟")` — literal `replace` scans
+    * left-to-right over non-overlapping matches, which is EXACTLY the
+    * trainer's odd-candidate-in-run rule (adjacent candidates only
+    * arise for x = y, and the per-symbol separator pairs make the 1st,
+    * 3rd, … of each run match). One pass per merge suffices: a merge
+    * removes every (x,y) adjacency and can't recreate one (the
+    * product symbol differs from both operands, and leftover run
+    * tails are never adjacent).
+    *
+    * Scale shape: merges fold into ONE chain of k codegen'd string
+    * replaces over the DISTINCT-word table (vocab-sized, not
+    * corpus-sized — the same reduction as the trainer), which then
+    * broadcast-joins back to the corpus positions. Map-only over the
+    * corpus; no window, no shuffle of the text, whole-stage codegen
+    * end to end.
+    *
+    * @param merges rank-ordered (left, right) pairs — `bpeTrain`
+    *               output or a shipped merges.txt
+    * @return (doc_id, n_tokens LONG, toks STRING) — '|'-joined token
+    *         stream; empty-text docs keep a row with n_tokens = 0
+    */
+  def bpeEncodeRanked(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)] = DemoBpeMerges): DataFrame = {
+    val S = "\u001f"
+    def wrap(sym: String) = S + sym + S
+    require(merges.forall { case (x, y) => !(x + y).contains(S) },
+      "merge symbols must not contain the U+001F separator")
+    val wordsOf = (t: Column) =>
+      filter(split(lower(t), " "), w => length(w) > 0)
+    // distinct words, each char wrapped ␟c␟ (Spark split('') keeps a
+    // trailing "" — filtered before wrapping)
+    val dw = docs.select(explode(wordsOf(col(textCol))).as("w")).distinct()
+      .withColumn("__enc", concat(lit(S),
+        array_join(filter(split(col("w"), ""), c => length(c) > 0), S + S),
+        lit(S)))
+    val encoded = merges.foldLeft(dw) { case (df, (x, y)) =>
+      df.withColumn("__enc",
+        replace(col("__enc"), lit(wrap(x) + wrap(y)), lit(wrap(x + y))))
+    }
+    val wordToks = encoded.select(col("w"),
+      split(expr("substring(__enc, 2, length(__enc) - 2)"), S + S).as("__wt"))
+    val positioned = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(wordsOf(col(textCol))).as(Seq("__p", "w")))
+      .join(broadcast(wordToks), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("__wt"))).cast("long").as("n_tokens"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(__p, __wt))), s -> array_join(s.__wt, '|'))"),
+          "|").as("toks"))
+    docs.select(col(idCol).as("doc_id")).join(positioned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("toks"), lit("")).as("toks"))
   }
 
   /** X4: hashed-n-gram linear classifier scoring — the fastText

@@ -119,4 +119,29 @@ object BpeTrainProps extends Properties("bpeTrain") {
       val want = model(Seq(keptCorpus.mkString(" ")), nMerges)
       Prop(got == want) :| s"cap=$cap got=$got want=$want"
     }
+
+  /** VERDICT r12 item 5: the merge-order-faithful encoder applied to
+    * the TRAINING corpus must reproduce the segmentation the trainer
+    * itself reached — i.e. encoding with the learned merges in rank
+    * order equals replaying the reference rewrite word-for-word. This
+    * is the semantic contract greedy longest-match ([[TextOps
+    * .bpeEncode]]) only approximates.
+    */
+  property("bpeEncodeRanked reproduces the training segmentation merge-for-merge") =
+    Prop.forAll(genCase) { case (docs, nMerges) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = model(docs, nMerges).map { case (_, x, y, _) => (x, y) }
+      val got = TextOps.bpeEncodeRanked(df, "doc_id", "text", merges)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      def seg(w: String): List[String] =
+        merges.foldLeft(w.split("").toList) { case (s, (x, y)) => mergeWord(s, x, y) }
+      val want = docs.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ", -1).filter(_.nonEmpty).toList.map(seg)
+        (i.toLong, toks.map(_.length.toLong).sum, toks.map(_.mkString("|")).mkString("|"))
+      }
+      Prop(got == want) :| s"merges=$merges got=$got want=$want"
+    }
 }
