@@ -192,8 +192,9 @@ object StreamOps {
         (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
 
   /** LEFT-OUTER [[intervalJoinWithin]] — unmatched left events emit a
-    * null right side: the "views that never converted" half of
-    * attribution, which the inner form silently drops. On two
+    * null right side: the "clicks that never converted" half of
+    * attribution (the preserved LEFT side is the clicks stream in the
+    * x6 caller), which the inner form silently drops. On two
     * watermarked streams this is Spark's outer stream-stream join:
     * the null row for an unmatched left event is emitted only once
     * the watermark passes its join horizon (before that a match could
@@ -330,6 +331,95 @@ object StreamOps {
   def userStatsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Per-user funnel progress: `step` = how many funnel stages this
+    * user has completed, `times` = the first-qualifying time of each
+    * completed stage (a strict prefix — stage k is only ever reached
+    * after 1..k-1, so the state IS the prefix of times).
+    */
+  final case class FunnelProgress(user_id: Long, step: Int, times: Seq[Timestamp])
+
+  /** X6: streaming funnel — the per-user first-qualifying-time state
+    * of [[graft.dfw.FunnelOps.sequentialFunnel]] is exactly a
+    * `flatMapGroupsWithState` shape: the state store holds ONE
+    * bounded `FunnelProgress` row per user (≤ `steps.size` timestamps
+    * — key-bounded, independent of stream length; StreamSoak scenario
+    * 10 measures the plateau), and each micro-batch folds its events
+    * in over the strictly-after (+ optional conversion-window) rule.
+    *
+    * An event can only ever advance the NEXT uncompleted stage, so
+    * the fold is one comparison per event; a single batch may cascade
+    * a user through several stages (events are sorted by `ts` within
+    * the batch first, so intra-batch disorder is handled). Exactness
+    * relative to the batch twin assumes per-user cross-batch arrival
+    * follows event time — the append-log normal case; a first-seen
+    * time never changes under in-order delivery, which is what makes
+    * the greedy state update equal the batch min-aggregate
+    * (StreamOpsSpec pins stream-final == batch on a staged source).
+    * Update output mode: one refreshed row per advanced user per
+    * batch; users yet to enter the funnel emit nothing.
+    *
+    * @param withinSeconds optional per-transition conversion windows,
+    *        as in the batch operator (`steps.size - 1` entries)
+    */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   withinSeconds: Seq[Long] = Nil): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds.isEmpty || withinSeconds.size == steps.size - 1,
+      s"withinSeconds needs one entry per transition (${steps.size - 1}), " +
+        s"got ${withinSeconds.size}")
+    import events.sparkSession.implicits._
+    val bounds: Seq[Option[Long]] =
+      if (withinSeconds.isEmpty) Seq.fill(steps.size - 1)(None)
+      else withinSeconds.map(Some(_))
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val before = times.length
+          for (e <- batch.toArray.sortBy(_.ts.getTime)
+               if times.length < steps.length && steps(times.length) == e.event_type) {
+            val ok =
+              if (times.isEmpty) true
+              else {
+                val prev = times.last.getTime
+                e.ts.getTime > prev &&
+                  bounds(times.length - 1).forall(w => e.ts.getTime <= prev + w * 1000L)
+              }
+            if (ok) times = times :+ e.ts
+          }
+          if (times.length > before) {
+            val next = FunnelProgress(uid, times.length, times)
+            state.update(next)
+            Iterator.single(next)
+          } else Iterator.empty
+      }
+  }
+
+  /** Turn latest per-user [[FunnelProgress]] rows into the
+    * [[graft.dfw.FunnelOps.sequentialFunnel]] readout — (step, stage,
+    * n_users, conv_pct) with every stage present (0 rows for
+    * unreached stages) and the same guarded integer percent.
+    */
+  def funnelReachFromProgress(progress: DataFrame, steps: Seq[String]): DataFrame = {
+    import progress.sparkSession.implicits._
+    val counts = progress
+      .select(explode(expr("sequence(1, step)")).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    val stages = steps.zipWithIndex.map { case (st, i) => (i + 1, st) }
+      .toDF("step", "stage")
+    val joined = stages.join(counts, Seq("step"), "left")
+      .select(col("step"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+    val first = joined.filter(col("step") === 1).select(col("n_users").as("__n0"))
+    joined.crossJoin(broadcast(first))
+      .select(col("step"), col("stage"), col("n_users"),
+        expr("CASE WHEN __n0 = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_users * 100) div __n0 END").as("conv_pct"))
+      .orderBy(col("step"))
+  }
 
   // ---------------------------------------------------------------
   // M/X6: streaming CDC apply — maintain a latest-state snapshot

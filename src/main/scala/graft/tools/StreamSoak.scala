@@ -270,6 +270,31 @@ object StreamSoak {
         "PASS bar-bounded state (rows = live bars, not events)"
        else "FAIL state exceeds live-bar bound"))
 
+    // 10) streaming funnel: per-user FunnelProgress state — one row of
+    // ≤ |steps| timestamps per user. The rate source cycles each user
+    // through view→click→purchase (value div nUsers picks the stage),
+    // so users keep advancing while ids repeat forever; state rows
+    // must plateau at the key cardinality like user_stats, NEVER track
+    // event volume.
+    val fnEvents = rateSrc.select(
+        col("value").as("event_id"),
+        pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+        element_at(typedLit(Seq("view", "click", "purchase")),
+          (pmod(expr(s"value div $nUsers"), lit(3L)) + 1).cast("int")).as("event_type"),
+        lit(0.0).as("value"),
+        col("timestamp").as("ts"))
+      .as[StreamOps.Event]
+    val fnRows = soak("funnel", StreamOps.funnelStream(
+        fnEvents, Seq("view", "click", "purchase"))
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/fn")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val fnFinal = fnRows.lastOption.getOrElse(0L)
+    println(s"funnel: final stateRows=$fnFinal (bound=$nUsers) " +
+      (if (fnFinal > 0 && fnFinal <= nUsers)
+        "PASS bounded by key cardinality (one FunnelProgress row per user)"
+       else "FAIL state exceeds key space"))
+
     spark.stop()
   }
 }

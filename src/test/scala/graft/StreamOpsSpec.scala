@@ -486,4 +486,50 @@ class StreamOpsSpec extends SparkSpec {
       got shouldBe Set((21L, 0L), (21L, 2L))
     } finally q.stop()
   }
+
+  test("funnelStream: state advances across micro-batches and the final reach equals the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.Event
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val q = StreamOps.funnelStream(mem.toDS(), steps, withinSeconds = Seq(3600L, 3600L))
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update").start()
+    // u1 cascades two stages inside batch 1 (events sorted by ts within
+    // the batch); u2's pre-view click must not count; u3's click in
+    // batch 2 lands 88 min after their view — outside the 1 h window
+    val batch1 = Seq(
+      Event(2L, 1L, "click", 0.0, ts(1)), Event(1L, 1L, "view", 0.0, ts(0)),
+      Event(3L, 2L, "click", 0.0, ts(1)), Event(4L, 3L, "view", 0.0, ts(2)))
+    val batch2 = Seq(
+      Event(5L, 1L, "purchase", 0.0, ts(10)), Event(6L, 2L, "view", 0.0, ts(11)),
+      Event(7L, 2L, "click", 0.0, ts(12)),
+      Event(8L, 3L, "click", 0.0, Timestamp.valueOf("2026-01-01 11:30:00")))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val updates = spark.table("funnel_stream_test")
+      // the latest per-user row carries the full prefix of first times
+      val finalTimes = updates
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("step").desc)))
+        .filter(col("__rn") === 1)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Timestamp](2)).toMap
+      finalTimes(1L) shouldBe Seq(ts(0), ts(1), ts(10))
+      finalTimes(2L) shouldBe Seq(ts(11), ts(12))
+      finalTimes(3L) shouldBe Seq(ts(2)) // windowed click rejected
+      val latest = updates.groupBy("user_id").agg(max("step").as("step"))
+      val got = StreamOps.funnelReachFromProgress(latest, steps)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val want = graft.dfw.FunnelOps.sequentialFunnel(
+          (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", steps,
+          withinSeconds = Seq(3600L, 3600L))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      got shouldBe want
+      got shouldBe Array((1, "view", 3L, 100L), (2, "click", 2L, 66L), (3, "purchase", 1L, 33L))
+    } finally q.stop()
+  }
 }
