@@ -4075,7 +4075,9 @@ object Queries {
              |  round(sp.mn + sp.bucket * (sp.mx - sp.mn) / 16, 6) AS lo,
              |  round(sp.mn + (sp.bucket + 1) * (sp.mx - sp.mn) / 16, 6) AS hi,
              |  COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt,
-             |  (COALESCE(c.cnt, CAST(0 AS BIGINT)) * 1000000) // sp.n_total AS frac_ppm
+             |  CASE WHEN sp.n_total = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE (COALESCE(c.cnt, CAST(0 AS BIGINT)) * 1000000) // sp.n_total
+             |  END AS frac_ppm
              |FROM sp LEFT JOIN c USING (bucket) ORDER BY sp.bucket""".stripMargin)),
 
     // ---- G: bounded-round min-label propagation over the same
@@ -4235,10 +4237,10 @@ object Queries {
              |    CAST(sum(price_d) AS BIGINT) AS s1p, CAST(sum(price_d * price_d) AS BIGINT) AS s2p
              |  FROM b GROUP BY l_returnflag)
              |SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.qty, b.price_d,
-             |  round((b.qty - CAST(s1q AS DOUBLE) / n) /
-             |    sqrt((CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * s1q / n) / (n - 1)), 6) AS qty_z,
-             |  round((b.price_d - CAST(s1p AS DOUBLE) / n) /
-             |    sqrt((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * s1p / n) / (n - 1)), 6) AS price_d_z
+             |  CASE WHEN n <= 1 THEN 0.0 ELSE round((b.qty - CAST(s1q AS DOUBLE) / n) /
+             |    sqrt((CAST(s2q AS DOUBLE) - CAST(s1q AS DOUBLE) * s1q / n) / (n - 1)), 6) END AS qty_z,
+             |  CASE WHEN n <= 1 THEN 0.0 ELSE round((b.price_d - CAST(s1p AS DOUBLE) / n) /
+             |    sqrt((CAST(s2p AS DOUBLE) - CAST(s1p AS DOUBLE) * s1p / n) / (n - 1)), 6) END AS price_d_z
              |FROM b JOIN m USING (l_returnflag)
              |ORDER BY l_orderkey, l_linenumber, qty, price_d""".stripMargin)),
 
@@ -4257,7 +4259,7 @@ object Queries {
             k => DedupOps.md5TokenHash(k.cast("string")))
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n"), sum(col("sample_id")).as("sum_ids"),
-            sum(col("__hv")).as("sum_hv"))
+            sum(col("hash_val")).as("sum_hv"))
           .orderBy(col("split"))
       },
       Some("""WITH f AS (SELECT l_orderkey * 10 + l_linenumber AS sample_id FROM lineitem),

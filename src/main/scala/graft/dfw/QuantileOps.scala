@@ -153,7 +153,10 @@ object QuantileOps {
         .otherwise(least(lit(nb - 1).cast("long"),
           floor((col(valueCol) - col("mn")) / (col("mx") - col("mn")) * nb)))
         .as("bucket"),
-        isRef.cast("int").as("__ref"))
+        // NULL predicate rows get a DEFINED slice (current), matching
+        // the oracle's CASE WHEN — a bare cast would silently drop
+        // them from BOTH slices (sum skips nulls)
+        when(isRef, 1).otherwise(0).as("__ref"))
       .groupBy(col("bucket"))
       .agg(sum(col("__ref")).cast("long").as("ref_n"),
         sum(lit(1) - col("__ref")).cast("long").as("cur_n"))
@@ -197,6 +200,10 @@ object QuantileOps {
         round(col("mn") + col("bucket") * (col("mx") - col("mn")) / nb, 6).as("lo"),
         round(col("mn") + (col("bucket") + 1) * (col("mx") - col("mn")) / nb, 6).as("hi"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
-        expr("coalesce(cnt, 0L) * 1000000 div n_total").as("frac_ppm"))
+        // n_total = 0 (empty/all-null column): Spark's integer div
+        // would return NULL while DuckDB's // raises — pin both
+        // engines to 0 for the degenerate histogram
+        expr("CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE coalesce(cnt, 0L) * 1000000 div n_total END").as("frac_ppm"))
   }
 }

@@ -257,6 +257,12 @@ object SplitOps {
     * Pure per-row expression — no shuffle, no state, codegen'd; the
     * hash is pluggable so an engine-neutral hash (md5) makes
     * membership externally reproducible.
+    *
+    * @return input plus `hash_val` (the row's hash in [0, 1e6) — a
+    *         PUBLIC column: it certifies membership externally, feeds
+    *         the w_hash_split checksum oracle, and lets an auditor
+    *         recompute the boundary comparison; drop it downstream if
+    *         the pipeline doesn't need the certificate) and `split`
     */
   def hashSplit(df: DataFrame, keyCol: Column,
                 fractions: Seq[(String, Double)],
@@ -271,7 +277,7 @@ object SplitOps {
       .foldLeft(expr0) { case (els, ((label, _), cum)) =>
         when(hv < lit(math.round(cum * 1000000)), lit(label)).otherwise(els)
       }
-    df.withColumn("__hv", hv).withColumn("split", split)
+    df.withColumn("hash_val", hv).withColumn("split", split)
   }
 
   /** Temporal leave-last-k-out split — the forecasting/evaluation

@@ -115,7 +115,12 @@ object TransformOps {
       val mu = col(s"__s1_$c").cast("double") / col("__n")
       val varr = (col(s"__s2_$c").cast("double") -
         col(s"__s1_$c").cast("double") * col(s"__s1_$c") / col("__n")) / (col("__n") - 1)
-      d.withColumn(s"${c}_z", round((col(c) - mu) / sqrt(varr), 6))
+      // singleton group: (n-1) = 0 would make the z-score NaN/Inf —
+      // emit 0.0 (the value IS its group mean), mirroring
+      // robustScaleByGroup's IQR-0 degenerate handling
+      d.withColumn(s"${c}_z",
+        when(col("__n") <= 1, lit(0.0))
+          .otherwise(round((col(c) - mu) / sqrt(varr), 6)))
     }
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }

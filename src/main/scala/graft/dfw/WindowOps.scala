@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * and `cume_dist = rn / n` (no peer groups), and `ntile`'s fill rule
   * ("first n mod t tiles get one extra row") has the closed form
   * computed here — so one ranked pass yields the whole analytic menu.
+  *
+  * Why class skew needs NO salting here (SURVEY §7.4's "per-class
+  * fits a partition" caveat does not apply): the range-exchange key is
+  * `clsCols ++ orderCols`, not the class alone, so the range
+  * partitioner balances by TOTAL row count — a class holding 95% of
+  * the table simply spans ~95% of the `numParts` partitions, and every
+  * task still holds ~|rows|/numParts rows regardless of how skewed the
+  * class histogram is (pinned by the skew test in WindowOpsSpec). The
+  * only per-CLASS structures are on the fix-up side: the offsets
+  * window and broadcast are one row per (class, partition) —
+  * ≤ numParts rows per class whatever the data volume. Salting would
+  * add a second fix-up layer to bound something this scheme never
+  * builds: there is no data-side structure keyed by class alone.
   */
 object WindowOps {
 

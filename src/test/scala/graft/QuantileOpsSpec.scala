@@ -71,4 +71,28 @@ class QuantileOpsSpec extends SparkSpec {
     val sd = math.sqrt(av.map(x => (x - mean) * (x - mean)).sum / av.size)
     ((1000.0 - mean) / sd) should be < 3.0
   }
+
+  test("psiDrift: NULL slice predicate counts the row in the CURRENT slice (ADVICE r12)") {
+    // 3 ref rows, 2 current, 1 with a NULL predicate — the NULL row
+    // must land in cur_n (the oracle's CASE WHEN semantics), not
+    // vanish from both slices
+    val df = Seq((1.0, Some(true)), (2.0, Some(true)), (3.0, Some(true)),
+        (1.5, Some(false)), (2.5, Some(false)), (3.5, None))
+      .toDF("v", "is_ref")
+    val got = QuantileOps.psiDrift(df, "v", col("is_ref"), nb = 2)
+      .orderBy("bucket").select("bucket", "ref_n", "cur_n")
+      .as[(Long, Long, Long)].collect()
+    got.map(_._2).sum shouldBe 3L
+    got.map(_._3).sum shouldBe 3L // 2 false + 1 NULL
+    got(1)._3 shouldBe 2L // 2.5 and the NULL-predicate 3.5 share bucket 1
+  }
+
+  test("equiWidthHistogram: empty input yields nb zero rows, frac_ppm 0, no error (ADVICE r12)") {
+    val empty = Seq.empty[Double].toDF("v")
+    val got = QuantileOps.equiWidthHistogram(empty, "v", nb = 4)
+      .orderBy("bucket").select("bucket", "cnt", "frac_ppm")
+      .as[(Long, Long, Long)].collect()
+    got.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    got.foreach { case (_, c, f) => c shouldBe 0L; f shouldBe 0L }
+  }
 }

@@ -233,6 +233,14 @@ class TransformOpsSpec extends SparkSpec {
     reparted shouldBe got
   }
 
+  test("standardizeByGroup: singleton group z-scores to 0.0, never NaN/Inf (ADVICE r12)") {
+    val df = Seq(("g", 1L), ("g", 3L), ("solo", 42L)).toDF("cls", "v")
+    val got = TransformOps.standardizeByGroup(df, Seq("cls"), Seq("v"))
+      .orderBy("cls", "v").collect().map(r => (r.getString(0), r.getAs[Double]("v_z")))
+    got.foreach { case (_, z) => z.isNaN shouldBe false; z.isInfinite shouldBe false }
+    got(2) shouldBe ("solo", 0.0) // mirrors robustScaleByGroup's IQR-0 rule
+  }
+
   test("robustScaleByGroup: hand-computed median/IQR scaling; constant feature scales to 0") {
     // g: 1,2,3,4,5 → med=3, q1=2, q3=4, iqr=2 → scaled = (x-3)/2
     val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 5L),

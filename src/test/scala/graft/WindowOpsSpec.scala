@@ -40,6 +40,36 @@ class WindowOpsSpec extends SparkSpec {
     for ((k, v) <- direct) withClue(s"row $k: ") { scalable(k) shouldBe v }
   }
 
+  test("orderedAnalyticsScalable: a 99%-skewed class spans partitions and stays window-exact") {
+    // class A holds 5000 of 5050 rows: under a class-keyed exchange it
+    // would be ONE task at any numParts; the range key appends the
+    // order columns, so the partitioner balances by total rows instead
+    val rows =
+      (0 until 5000).map(i => ("A", i.toLong, (i * 7919 % 1000).toDouble)) ++
+      (0 until 50).map(i => ("B", 10000L + i, (i * 104729 % 50).toDouble))
+    val df = rows.toDF("cls", "id", "v").repartition(7)
+    // the mechanism: the same range exchange the operator freezes
+    // splits class A across many partitions
+    val pids = df.repartitionByRange(8, col("cls"), col("v"), col("id"))
+      .select(col("cls"), spark_partition_id().as("pid"))
+      .filter(col("cls") === "A").select("pid").distinct().count()
+    pids should be >= 4L
+    // and the fixed-up analytics still equal the direct window exactly
+    val w = Window.partitionBy(col("cls")).orderBy(col("v"), col("id"))
+    val direct = df.select(col("cls"), col("id"),
+        lag(col("v"), 1).over(w).as("prev"),
+        lead(col("v"), 1).over(w).as("next"),
+        rank().over(w).cast("long").as("rn"),
+        ntile(10).over(w).cast("long").as("tile"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val scalable = WindowOps.orderedAnalyticsScalable(
+        df, Seq("cls"), Seq(col("v"), col("id")), "v", nTiles = 10, numParts = 8)
+      .select(col("cls"), col("id"), col("prev"), col("next"), col("rn"), col("tile"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    scalable.keySet shouldBe direct.keySet
+    for ((k, v) <- direct) withClue(s"row $k: ") { scalable(k) shouldBe v }
+  }
+
   test("orderedAnalyticsScalable handles classes smaller than the tile count") {
     val df = Seq(("A", 1L, 5.0), ("A", 2L, 3.0), ("B", 3L, 1.0))
       .toDF("cls", "id", "v")
