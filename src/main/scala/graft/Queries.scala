@@ -3866,6 +3866,44 @@ object Queries {
              |       CASE WHEN n0 = 0 THEN 0 ELSE (n_users * 100) // n0 END AS conv_pct
              |FROM c, f ORDER BY step""".stripMargin)),
 
+    // ---- F: time-to-convert distribution per funnel transition —
+    // the latency stats that price conversion windows (exact integer
+    // microseconds + quantile_cont-matched p50/p90; same per-user
+    // state chain and broadcastState switch as q_funnel)
+    // (dfw/FunnelOps.funnelTransitionStats). ----
+    ("q_funnel_latency",
+      (s: SparkSession, dir: String) => {
+        FunnelOps.funnelTransitionStats(Tables.load(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+             |t1 AS (SELECT epoch_us(s2.t) - epoch_us(s1.t) AS us
+             |       FROM s1 JOIN s2 USING (user_id)),
+             |t2 AS (SELECT epoch_us(s3.t) - epoch_us(s2.t) AS us
+             |       FROM s2 JOIN s3 USING (user_id))
+             |SELECT 1 AS step, 'view' AS from_stage, 'click' AS to_stage,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us,
+             |  CAST(sum(us) AS BIGINT) AS sum_us,
+             |  round(quantile_cont(CAST(us AS DOUBLE) / 1000000.0, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(CAST(us AS DOUBLE) / 1000000.0, 0.9), 4) AS p90_s
+             |FROM t1
+             |UNION ALL
+             |SELECT 2, 'click', 'purchase', CAST(count(*) AS BIGINT),
+             |  CAST(min(us) AS BIGINT), CAST(max(us) AS BIGINT),
+             |  CAST(sum(us) AS BIGINT),
+             |  round(quantile_cont(CAST(us AS DOUBLE) / 1000000.0, 0.5), 4),
+             |  round(quantile_cont(CAST(us AS DOUBLE) / 1000000.0, 0.9), 4)
+             |FROM t2
+             |ORDER BY step""".stripMargin)),
+
     // ---- Q: robust outlier gate — per-type median/MAD and the count
     // of values beyond 3×MAD (dfw/QuantileOps.madOutlierStats; 50%
     // breakdown where mean/stddev z-scores self-mask). Group stats

@@ -84,6 +84,77 @@ object FunnelOps {
       .orderBy(col("step"))
   }
 
+  /** Time-to-convert distribution per funnel transition: for every
+    * user completing step k→k+1, the latency between their
+    * first-qualifying times — the "how long does a click take after
+    * the view" readout that prices conversion windows (the
+    * `withinSeconds` bounds of [[sequentialFunnel]] are chosen FROM
+    * this distribution in practice).
+    *
+    * Same per-user-state chain as [[sequentialFunnel]] (each stage one
+    * scan-filtered pass + min-aggregate; `broadcastState` picks the
+    * state-join strategy); consecutive stages join per user and one
+    * hash aggregate per transition emits exact integer seconds stats
+    * plus interpolated p50/p90 (`percentile` — IEEE-matched to
+    * DuckDB's quantile_cont, pinned by the q_percentiles family).
+    *
+    * @return one row per transition: (step INT — 1-based transition,
+    *         from_stage, to_stage, n_users LONG, min_us/max_us/sum_us
+    *         LONG — integer MICROseconds (`unix_micros`, exactly
+    *         DuckDB's `epoch_us`; whole seconds would truncate
+    *         differently across engines on fractional timestamps) —
+    *         p50_s/p90_s DOUBLE: interpolated percentiles in SECONDS
+    *         rounded to 4. The percentile interpolates over
+    *         `us / 1e6` doubles deliberately: at raw-micros magnitude
+    *         (~1e12) the two engines' algebraically-equal interpolation
+    *         forms differ in the last ulp, which round(…, 4) cannot
+    *         absorb — at seconds magnitude the ulp sits ~1e-10 below
+    *         the rounding grain)
+    */
+  def funnelTransitionStats(events: DataFrame, userCol: String, typeCol: String,
+                            tsCol: String, steps: Seq[String],
+                            withinSeconds: Seq[Long] = Nil,
+                            broadcastState: Boolean = true): DataFrame = {
+    require(steps.size >= 2, "transition stats need at least two steps")
+    require(withinSeconds.isEmpty || withinSeconds.size == steps.size - 1,
+      s"withinSeconds needs one entry per transition (${steps.size - 1}), " +
+        s"got ${withinSeconds.size}")
+    def hint(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    val bounds: Seq[Option[Long]] =
+      if (withinSeconds.isEmpty) Seq.fill(steps.size - 1)(None)
+      else withinSeconds.map(Some(_))
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    val stages = scala.collection.mutable.ListBuffer(cur)
+    for ((st, bound) <- steps.tail.zip(bounds)) {
+      val within = bound match {
+        case Some(w) => col(tsCol) <= col("__prev") + expr(s"INTERVAL $w SECOND")
+        case None    => lit(true)
+      }
+      cur = events.filter(col(typeCol) === st)
+        .join(hint(cur.withColumnRenamed("__t", "__prev")), userCol)
+        .filter(col(tsCol) > col("__prev") && within)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      stages += cur
+    }
+    stages.toSeq.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      val lat = a.withColumnRenamed("__t", "__ta")
+        .join(b.withColumnRenamed("__t", "__tb"), userCol)
+        .select((unix_micros(col("__tb")) - unix_micros(col("__ta"))).as("__us"))
+      lat.agg(
+          count(lit(1)).as("n_users"),
+          min(col("__us")).as("min_us"), max(col("__us")).as("max_us"),
+          sum(col("__us")).as("sum_us"),
+          percentile(col("__us").cast("double") / 1000000.0,
+            array(lit(0.5), lit(0.9))).as("__p"))
+        .select(lit(i + 1).as("step"),
+          lit(steps(i)).as("from_stage"), lit(steps(i + 1)).as("to_stage"),
+          col("n_users"), col("min_us"), col("max_us"), col("sum_us"),
+          round(col("__p").getItem(0), 4).as("p50_s"),
+          round(col("__p").getItem(1), 4).as("p90_s"))
+    }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen day, and for
     * each (cohort, day-offset) the count and integer percent of the
     * cohort active that day — the activation/churn table behind every

@@ -108,6 +108,21 @@ class FunnelOpsSpec extends SparkSpec {
         Seq("view", "click", "purchase"), withinSeconds = Seq(60L))
   }
 
+  test("funnelTransitionStats: exact per-transition latency from first-qualifying times") {
+    // view→click completers: user 1 (60 s: 10:01→10:02), user 2
+    // (60 s: first view 10:02 → rescuing click 10:03), user 4 (120 s:
+    // 10:01→10:03); click→purchase completers: 1 (60 s), 2 (60 s)
+    val out = FunnelOps.funnelTransitionStats(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8)))
+    val M = 60000000L // one minute in micros; percentiles emit seconds
+    out shouldBe Array(
+      (1, "view", "click", 3L, M, 2 * M, 4 * M, 60.0, 120.0 * 0.8 + 60.0 * 0.2),
+      (2, "click", "purchase", 2L, M, M, 2 * M, 60.0, 60.0))
+  }
+
   test("cohortRetention: day-0 always 100%, returning users counted once per day") {
     def d(day: Int, m: Int) = Timestamp.valueOf(f"2024-02-$day%02d 0$m:00:00")
     // cohort Feb-1: users 10, 11 (10 twice on day 0 — must not double);
