@@ -377,4 +377,32 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("q_funnel: every step's type predicate reaches the parquet scan; no window") {
+    val plan = formatted("q_funnel")
+    plan should include("EqualTo(event_type,view)")
+    plan should include("EqualTo(event_type,click)")
+    plan should include("EqualTo(event_type,purchase)")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin" // default broadcastState posture
+  }
+
+  test("q_funnel_windowed: the conversion bound adds no shuffle or window to the funnel plan") {
+    val plan = formatted("q_funnel_windowed")
+    plan should include("EqualTo(event_type,click)")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("x4_bpe_encode_ranked: distinct-word tokens broadcast back; corpus never shuffles pre-join") {
+    val plan = formatted("x4_bpe_encode_ranked")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // word→token map and the final doc join are both broadcasts
+    "BroadcastHashJoin".r.findAllIn(plan).nonEmpty shouldBe true
+    // per-doc reassembly is a partial+final ObjectHashAggregate
+    // (map-side combine), not a single-exchange SortAggregate
+    "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+  }
 }
