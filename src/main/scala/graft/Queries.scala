@@ -2553,6 +2553,30 @@ object Queries {
              |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
              |ORDER BY query_id, rnk""".stripMargin)),
 
+    // ---- X3: cluster-balanced diversity sample — at most perCell
+    // rows kept per embedding cluster in engine-neutral md5-hash
+    // order, off the SAME persisted inverted lists the ANN/semantic-
+    // dedup operators share (one index, four operators). The quota is
+    // a rank-limit window Spark runs as WindowGroupLimit: tasks keep
+    // their local top-perCell per cell BEFORE the shuffle, so the
+    // exchange is bounded at any cluster skew (plan-asserted)
+    // (llm/SimilarityOps.diversitySampleIndexed). ----
+    ("x3_diversity_sample",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.diversitySampleIndexed(embLists(s, dir, 16), "vec_id",
+            perCell = 20, hash = DedupOps.md5TokenHash)
+          .orderBy(col("centroid_id"), col("cell_rank"))
+      },
+      Some("""WITH ca AS (SELECT centroid_id, vec_id FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |h AS (SELECT centroid_id, vec_id,
+             |        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hv
+             |      FROM ca),
+             |r AS (SELECT centroid_id, vec_id,
+             |        row_number() OVER (PARTITION BY centroid_id ORDER BY hv, vec_id) AS cell_rank
+             |      FROM h)
+             |SELECT centroid_id, vec_id, CAST(cell_rank AS BIGINT) AS cell_rank
+             |FROM r WHERE cell_rank <= 20 ORDER BY centroid_id, cell_rank""".stripMargin)),
+
     // ---- X3: IVF at full probe — nProbe = nCentroids degenerates to an
     // exhaustive search, so the SAME bucketed plan is value-exact
     // against the brute-force oracle (validates assignment, probing and

@@ -405,6 +405,49 @@ object SimilarityOps {
     * every emitted match is exact-verified with the all-integer
     * threshold test, so false positives are impossible.
     */
+  /** X3: cluster-balanced DIVERSITY SAMPLE — keep at most `perCell`
+    * rows per embedding cluster, chosen by a deterministic pluggable
+    * hash order (engine-neutral md5 makes the selection externally
+    * reproducible). The corpus-curation counterpart of semantic
+    * dedup: where SemDeDup removes near-identical vectors, this caps
+    * DOMINANT clusters so the sampled corpus covers embedding space
+    * instead of mirroring its skew (the cluster-balanced selection
+    * step of SemDeDup/DoReMi-style curation pipelines).
+    *
+    * Scale shape: assignment is the SAME persisted inverted-list
+    * table the ANN/semantic-dedup operators use (one index, four
+    * operators); the per-cell quota is a rank-limit window that Spark
+    * executes as WindowGroupLimit — each task keeps only its local
+    * top-`perCell` per cell BEFORE the shuffle (plan-asserted), so
+    * the exchange carries ≤ tasks × cells × perCell rows no matter
+    * how skewed the cluster histogram is.
+    *
+    * @return (centroid_id, idCol, cell_rank LONG) — `cell_rank` ≤
+    *         perCell in hash-then-id order within the cell
+    */
+  def diversitySampleIndexed(lists: DataFrame, idCol: String, perCell: Int,
+                             hash: Column => Column): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("__h"), col(idCol))
+    lists.select(col("centroid_id"), col(idCol))
+      .withColumn("__h", pmod(hash(col(idCol).cast("string")), lit(1000000L)))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .filter(col("cell_rank") <= perCell)
+      .drop("__h")
+  }
+
+  /** [[diversitySampleIndexed]] with inline assignment — derives the
+    * inverted lists from `centroids` first (index-once pipelines
+    * should persist the lists and call the indexed form).
+    */
+  def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, perCell: Int,
+                      hash: Column => Column): DataFrame =
+    diversitySampleIndexed(ivfInvertedLists(corpus, idCol, vecCol, centroids),
+      idCol, perCell, hash)
+
   def ivfNearDupGate(incoming: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, num: Long, den: Long,
                      centroids: DataFrame, nProbe: Int): DataFrame =

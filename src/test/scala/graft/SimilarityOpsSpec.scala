@@ -409,4 +409,45 @@ class SimilarityOpsSpec extends SparkSpec {
       num = 9, den = 20, centroids = semCents)
     run().exceptAll(run()).count() shouldBe 0L
   }
+
+  test("diversitySample caps each cluster at perCell; small cells keep everything") {
+    // two well-separated clusters: 8 vectors near +x, 2 near +y
+    val rows = (0L until 8L).map(i => (i, Array(1.0f, 0.01f * i))) ++
+      Seq((100L, Array(0.0f, 1.0f)), (101L, Array(0.02f, 1.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    // centroids seeded from one representative per cluster so the
+    // 8/2 assignment is unambiguous regardless of seed selection
+    val cents = SimilarityOps.ivfCentroids(
+      Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2)
+    val got = SimilarityOps.diversitySample(corpus, "vec_id", "embedding",
+        cents, perCell = 3, hash = graft.llm.DedupOps.md5TokenHash)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // big cluster capped at 3, small keeps both
+    got.length shouldBe 5
+    got.map(_._2).max shouldBe 3L
+    got.count(_._1 >= 100L) shouldBe 2
+  }
+
+  test("diversitySample selection is deterministic and partitioning-invariant") {
+    val rows = (0L until 50L).map(i => (i, Array((i % 7).toFloat, (i % 5).toFloat, 1.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.diversitySample(df, "vec_id", "embedding", cents,
+          perCell = 5, hash = graft.llm.DedupOps.md5TokenHash)
+        .orderBy("centroid_id", "cell_rank")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    run(corpus) shouldBe run(corpus.repartition(13))
+  }
+
+  test("diversitySample plan: rank limit runs as WindowGroupLimit (pre-shuffle top-k per cell)") {
+    val rows = (0L until 50L).map(i => (i, Array((i % 7).toFloat, 1.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    val plan = SimilarityOps.diversitySample(corpus, "vec_id", "embedding",
+        cents, perCell = 5, hash = graft.llm.DedupOps.md5TokenHash)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
 }
