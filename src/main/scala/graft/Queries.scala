@@ -3521,6 +3521,38 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_events, min(us) AS start_us, max(us) - min(us) AS dur_us
              |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- X6/F: one-row session engagement rollup — counts, bounce
+    // ppm, exact p50/p90 duration via the rank-select quantile path
+    // (session durations are nearly unique: the grain where
+    // percentile()'s value→count map state grows with data); the
+    // session table freezes once for its two consumers
+    // (streaming/StreamOps.sessionStats). ----
+    ("q_session_stats",
+      (s: SparkSession, dir: String) => {
+        StreamOps.sessionStats(Tables.load(s, dir, "events"), gapMinutes = 10)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+             |x AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END AS new_s FROM l),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM x),
+             |g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             |        max(us) - min(us) AS dur_us
+             |      FROM s GROUP BY user_id, session_id),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |        CAST(sum(n_events) AS BIGINT) AS n_events_total,
+             |        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             |        CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+             |        round(quantile_cont(CAST(dur_us AS DOUBLE) / 1000000.0, 0.5), 4) AS p50_dur_s,
+             |        round(quantile_cont(CAST(dur_us AS DOUBLE) / 1000000.0, 0.9), 4) AS p90_dur_s
+             |      FROM g)
+             |SELECT n_sessions, n_users, n_events_total, n_bounce,
+             |  CASE WHEN n_sessions = 0 THEN CAST(0 AS BIGINT)
+             |       ELSE (n_bounce * 1000000) // n_sessions END AS bounce_ppm,
+             |  sum_dur_us, p50_dur_s, p90_dur_s
+             |FROM a""".stripMargin)),
+
     // ---- X6: converged state of the flatMapGroupsWithState running
     // per-user stats — StreamOpsSpec pins that feeding ALL events
     // through StreamOps.runningUserStats (Update mode, MemoryStream

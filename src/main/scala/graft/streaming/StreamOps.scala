@@ -147,6 +147,47 @@ object StreamOps {
         (max(col("us")) - min(col("us"))).as("dur_us"))
   }
 
+  /** Session-level rollup of [[sessionizeBatch]] — the one-row
+    * engagement readout product analytics runs: session/user counts,
+    * bounce rate (single-event sessions, integer ppm), total events,
+    * and exact p50/p90 session duration.
+    *
+    * Scale notes: the session table is frozen ONCE via `mat` (two
+    * consumers — the scalar aggregate and the quantile pass — would
+    * otherwise each replay the per-user sessionize window); durations
+    * are nearly unique per session, exactly the grain where
+    * `percentile()`'s value→count map state grows with the data, so
+    * the quantiles use the rank-select path
+    * ([[graft.dfw.QuantileOps.exactQuantileCols]] — O(1) reducer
+    * state at any session count). Duration quantiles interpolate at
+    * seconds scale (micros-magnitude ulps vs round(4), as in
+    * FunnelOps.funnelTransitionStats).
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int,
+                   mat: graft.sources.Materializer =
+                     graft.sources.Materializer.Local): DataFrame = {
+    val s = mat.freeze(sessionizeBatch(events, gapMinutes),
+      Seq("user_id"), "sessions")
+    val scalars = s.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(col("n_events")).as("n_events_total"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+      sum(col("dur_us")).as("sum_dur_us"))
+    val quants = graft.dfw.QuantileOps.exactQuantileCols(
+        s.select((col("dur_us").cast("double") / 1000000.0).as("dur_s"), lit(1).as("__g")),
+        Seq("__g"), "dur_s", Seq(0.5 -> "p50_dur_s", 0.9 -> "p90_dur_s"))
+      .drop("__g")
+    scalars.crossJoin(broadcast(quants))
+      .select(col("n_sessions"), col("n_users"), col("n_events_total"),
+        col("n_bounce"),
+        expr("CASE WHEN n_sessions = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_bounce * 1000000) div n_sessions END").as("bounce_ppm"),
+        col("sum_dur_us"),
+        round(col("p50_dur_s"), 4).as("p50_dur_s"),
+        round(col("p90_dur_s"), 4).as("p90_dur_s"))
+  }
+
   /** Streaming sessionization via `session_window` — state-store backed,
     * watermark-bounded; semantics match [[sessionizeBatch]]'s gap rule.
     */

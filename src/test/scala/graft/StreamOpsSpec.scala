@@ -31,6 +31,20 @@ class StreamOpsSpec extends SparkSpec {
     got shouldBe Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L))
   }
 
+  test("sessionStats: one-row rollup — counts, bounce ppm, exact duration percentiles") {
+    // sessions (gap 10 min): u1 [10:00,10:05] (2 events, 300 s),
+    // u1 [10:40] (bounce, 0 s), u2 [10:02] (bounce, 0 s)
+    val got = StreamOps.sessionStats(events, gapMinutes = 10).collect().head
+    got.getLong(0) shouldBe 3L        // n_sessions
+    got.getLong(1) shouldBe 2L        // n_users
+    got.getLong(2) shouldBe 4L        // n_events_total
+    got.getLong(3) shouldBe 2L        // n_bounce
+    got.getLong(4) shouldBe 666666L   // bounce_ppm = 2e6 div 3
+    got.getLong(5) shouldBe 300000000L // sum_dur_us
+    got.getDouble(6) shouldBe 0.0     // p50 of (0, 0, 300)
+    got.getDouble(7) shouldBe (240.0 +- 1e-9) // p90: 0.9*(3-1)=1.8 → 0 + 0.8*300
+  }
+
   test("tumblingAgg buckets by window start") {
     val got = StreamOps.tumblingAgg(events, "1 hour")
       .select("ws", "event_type", "n").collect()
