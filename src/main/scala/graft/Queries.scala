@@ -2031,6 +2031,58 @@ object Queries {
              |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
              |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // ---- X2/W: near-dup-AWARE train/val/test split — membership
+    // hashes the CLUSTER key (near-dup component, singletons their own
+    // key), not the document id, so near-duplicates co-travel into one
+    // split by construction: the random-split failure mode where a
+    // test document's near-copy sits in train (silent benchmark
+    // contamination) is impossible. Pure composition: clusterNearDups
+    // components feed SplitOps.hashSplit — no new operator, the same
+    // deterministic md5 membership, leak-safety as a keying choice.
+    // The oracle replays pairs → components → cluster-key hash →
+    // boundaries end to end. ----
+    ("x2_dedup_aware_split",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val clusters = DedupOps.clusterNearDups(
+          DedupOps.jaccardPairs(
+            DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2,
+            maxDocFreq = Int.MaxValue))
+        val keyed = docs.join(clusters, Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+        SplitOps.hashSplit(keyed, col("ckey"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            k => DedupOps.md5TokenHash(k.cast("string")))
+          .select(col("doc_id"), col("ckey").as("cluster_key"),
+            col("hash_val"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p0 AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc1, doc2 FROM p0
+             |      JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |      WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)),
+             |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+             |walk(id, label) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.label FROM e JOIN walk ON e.b = walk.id),
+             |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id),
+             |d AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_key
+             |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+             |h AS (SELECT doc_id, cluster_key,
+             |        CAST(('0x' || substr(md5(CAST(cluster_key AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hash_val
+             |      FROM d)
+             |SELECT doc_id, cluster_key, hash_val,
+             |  CASE WHEN hash_val < 800000 THEN 'train'
+             |       WHEN hash_val < 900000 THEN 'val' ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: the fuzzy-dedup pipeline on its SCALE path — MinHash-LSH
     // banded pairs (sub-quadratic) replace the exact-Jaccard anchor in
     // front of the same clusters → keep stages. Hash-checked against

@@ -400,11 +400,28 @@ object StreamOps {
     * Update output mode: one refreshed row per advanced user per
     * batch; users yet to enter the funnel emit nothing.
     *
+    * `evictCompleted` drops a user's state row the moment they finish
+    * the last stage: a completed funnel is PROVABLY final (no event
+    * can change it — every stage keeps its first-qualifying time), so
+    * holding it is pure waste, and in a healthy funnel the completed
+    * users are exactly the ones that otherwise accumulate without
+    * bound. With eviction, live state tracks IN-FLIGHT users only
+    * (StreamSoak scenario 11 measures the contrast on an
+    * ever-growing user id space: ~0 vs linear). A completed user's
+    * later step-1 event re-enters as a fresh journey row; the
+    * max-step-per-user readout ([[funnelReachFromProgress]] on the
+    * sink) is unaffected because earlier rows already recorded the
+    * completion.
+    *
     * @param withinSeconds optional per-transition conversion windows,
     *        as in the batch operator (`steps.size - 1` entries)
+    * @param evictCompleted remove state for users who completed every
+    *        stage (safe always; default false keeps r13-compatible
+    *        single-journey semantics for re-entering users)
     */
   def funnelStream(events: Dataset[Event], steps: Seq[String],
-                   withinSeconds: Seq[Long] = Nil): Dataset[FunnelProgress] = {
+                   withinSeconds: Seq[Long] = Nil,
+                   evictCompleted: Boolean = false): Dataset[FunnelProgress] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(withinSeconds.isEmpty || withinSeconds.size == steps.size - 1,
       s"withinSeconds needs one entry per transition (${steps.size - 1}), " +
@@ -433,7 +450,8 @@ object StreamOps {
           }
           if (times.length > before) {
             val next = FunnelProgress(uid, times.length, times)
-            state.update(next)
+            if (evictCompleted && times.length == steps.length) state.remove()
+            else state.update(next)
             Iterator.single(next)
           } else Iterator.empty
       }

@@ -295,6 +295,34 @@ object StreamSoak {
         "PASS bounded by key cardinality (one FunnelProgress row per user)"
        else "FAIL state exceeds key space"))
 
+    // 11) funnel with completed-user eviction on an EVER-GROWING user
+    // space: every user is new (value div 3) and completes the funnel
+    // in 3 consecutive events (value % 3 picks the stage), so without
+    // eviction state grows linearly with the stream; with
+    // evictCompleted=true a completed user's provably-final row drops
+    // immediately and live state is just the per-batch in-flight tail.
+    val fneEvents = rateSrc.select(
+        col("value").as("event_id"),
+        expr("value div 3").as("user_id"),
+        element_at(typedLit(Seq("view", "click", "purchase")),
+          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+        lit(0.0).as("value"),
+        col("timestamp").as("ts"))
+      .as[StreamOps.Event]
+    val fneRows = soak("funnel_evict", StreamOps.funnelStream(
+        fneEvents, Seq("view", "click", "purchase"), evictCompleted = true)
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/fne")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val fneFinal = fneRows.lastOption.getOrElse(0L)
+    // users seen ≈ soakSec × rate / 3 — linear-growth state would sit
+    // there; in-flight is at most the users straddling batch edges
+    val fneUsers = soakSec.toLong * rate / 3
+    println(s"funnel_evict: final stateRows=$fneFinal (users seen ~$fneUsers) " +
+      (if (fneFinal >= 0 && fneFinal < fneUsers / 10)
+        "PASS completed-user eviction keeps state at the in-flight tail, not user cardinality"
+       else "FAIL state tracks user cardinality despite eviction"))
+
     spark.stop()
   }
 }

@@ -132,6 +132,34 @@ class SplitOpsSpec extends SparkSpec {
     counts("test").toDouble / 5000 shouldBe (0.1 +- 0.02)
   }
 
+  test("hashSplit on a near-dup cluster key: duplicates co-travel, no cluster spans splits") {
+    // three near-identical docs (one cluster) + two singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog again today"),
+      (10L, "completely different content about spark physical plans"),
+      (11L, "unrelated text concerning duckdb oracle replay mechanics")
+    ).toDF("doc_id", "text")
+    val clusters = graft.llm.DedupOps.clusterNearDups(
+      graft.llm.DedupOps.jaccardPairs(
+        graft.llm.DedupOps.wordShingles(docs, "doc_id", "text", 5), 1, 2,
+        maxDocFreq = Int.MaxValue))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster_id"), col("doc_id")))
+    val split = SplitOps.hashSplit(keyed, col("ckey"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        k => graft.llm.DedupOps.md5TokenHash(k.cast("string")))
+      .select("doc_id", "ckey", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // docs 1,2,3 share one cluster key and therefore one split
+    val dupSplits = split.filter(t => Set(1L, 2L, 3L)(t._1))
+    dupSplits.map(_._2).toSet.size shouldBe 1
+    dupSplits.map(_._3).toSet.size shouldBe 1
+    // the leak-safety invariant in general: one split per cluster key
+    split.groupBy(_._2).values.foreach(g => g.map(_._3).toSet.size shouldBe 1)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     import org.apache.spark.sql.functions.{col, xxhash64}
     an[IllegalArgumentException] should be thrownBy

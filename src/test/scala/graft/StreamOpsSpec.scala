@@ -546,4 +546,41 @@ class StreamOpsSpec extends SparkSpec {
       got shouldBe Array((1, "view", 3L, 100L), (2, "click", 2L, 66L), (3, "purchase", 1L, 33L))
     } finally q.stop()
   }
+
+  test("funnelStream evictCompleted: same reach, completed users leave the state store") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.Event
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[Event]
+    val q = StreamOps.funnelStream(mem.toDS(), steps, evictCompleted = true)
+      .writeStream.format("memory").queryName("funnel_evict_test")
+      .outputMode("update").start()
+    try {
+      // u1 completes across two batches (state must survive batch 1,
+      // drop after batch 2); u2 stays in flight
+      mem.addData(Event(1L, 1L, "view", 0.0, ts(0)), Event(2L, 1L, "click", 0.0, ts(1)),
+        Event(3L, 2L, "view", 0.0, ts(2)))
+      q.processAllAvailable()
+      mem.addData(Event(4L, 1L, "purchase", 0.0, ts(5)))
+      q.processAllAvailable()
+      val latest = spark.table("funnel_evict_test")
+        .groupBy("user_id").agg(max("step").as("step"))
+      val got = StreamOps.funnelReachFromProgress(latest, steps)
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+      got shouldBe Array((1, 2L, 100L), (2, 1L, 50L), (3, 1L, 50L))
+      // state proof: u1 is GONE from state, so a fresh view re-enters
+      // at step 1 (a kept state row would reject it as non-advancing)
+      mem.addData(Event(5L, 1L, "view", 0.0, ts(30)))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_evict_test")
+        .filter(col("user_id") === 1L).select("step").collect().map(_.getInt(0)).sorted
+      rows shouldBe Array(1, 2, 3) // journeys: step2 (b1), step3 (b2), fresh step1 (b3)
+      // readout is unaffected by the re-entry row
+      val latest2 = spark.table("funnel_evict_test")
+        .groupBy("user_id").agg(max("step").as("step"))
+      StreamOps.funnelReachFromProgress(latest2, steps)
+        .collect().map(r => (r.getInt(0), r.getLong(2))) shouldBe
+        Array((1, 2L), (2, 1L), (3, 1L))
+    } finally q.stop()
+  }
 }
