@@ -1824,6 +1824,39 @@ object Queries {
              |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: padding-waste accounting — fixed-size batches pad every
+    // member to the batch max, so batching similar lengths together
+    // (group_by_length) saves compute; this measures the saving:
+    // arrival-order vs length-bucketed batch formation over the same
+    // sharded corpus, one exact-integer accounting row per strategy
+    // (llm/TextOps.paddingWaste). ----
+    ("x4_pad_waste",
+      (s: SparkSession, dir: String) => {
+        TextOps.paddingWaste(Tables.load(s, dir, "documents"), "doc_id", "text",
+            batchSize = 16, bucketWidth = 8, shards = 8)
+          .orderBy(col("strategy"))
+      },
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |       FROM documents),
+             |b AS (SELECT *, n_tokens // 8 AS bucket FROM t),
+             |a1 AS (SELECT shard, (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // 16 AS batch,
+             |              n_tokens FROM b),
+             |g1 AS (SELECT shard, batch, count(*) AS n, sum(n_tokens) AS s, max(n_tokens) AS m
+             |       FROM a1 GROUP BY 1, 2),
+             |r1 AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             |         CAST(sum(s) AS BIGINT) AS useful_tokens, CAST(sum(n * m) AS BIGINT) AS padded_tokens FROM g1),
+             |a2 AS (SELECT shard, bucket, (row_number() OVER (PARTITION BY shard, bucket ORDER BY doc_id) - 1) // 16 AS batch,
+             |              n_tokens FROM b),
+             |g2 AS (SELECT shard, bucket, batch, count(*) AS n, sum(n_tokens) AS s, max(n_tokens) AS m
+             |       FROM a2 GROUP BY 1, 2, 3),
+             |r2 AS (SELECT 'bucketed' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+             |         CAST(sum(s) AS BIGINT) AS useful_tokens, CAST(sum(n * m) AS BIGINT) AS padded_tokens FROM g2),
+             |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+             |SELECT strategy, n_batches, useful_tokens, padded_tokens,
+             |  (padded_tokens - useful_tokens) * 1000000 // padded_tokens AS waste_ppm
+             |FROM u ORDER BY strategy""".stripMargin)),
+
     // ---- X4: end-to-end corpus curation in ONE lazy plan — the
     // composition story: exact dedup (canonical keep) → Gopher quality
     // gate → LM-surprisal band (statistics trained on the FULL corpus,
@@ -1951,6 +1984,48 @@ object Queries {
              |      FROM pt)
              |SELECT doc_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
              |FROM pc ORDER BY doc_id""".stripMargin)),
+
+    // ---- W/X4: temperature-scaled mixture weights — the
+    // multilingual-sampling / DoReMi re-balancing rule p_i ∝ n_i^α
+    // (α=0.5 here): boosts tail languages without drowning the head;
+    // shares feed sampleToMixture's fractions directly. One map-side-
+    // combined count over the corpus, all float work on the
+    // |groups|-row table (dfw/TransformOps.mixtureWeightsTemperature).
+    ("w_mixture_temperature",
+      (s: SparkSession, dir: String) => {
+        TransformOps.mixtureWeightsTemperature(
+            Tables.load(s, dir, "documents"), "lang", alpha = 0.5)
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t, sum(pow(CAST(n AS DOUBLE), 0.5)) AS ta FROM c)
+             |SELECT lang, n,
+             |  round(CAST(n AS DOUBLE) / t.t, 6) AS share_raw,
+             |  round(pow(CAST(n AS DOUBLE), 0.5) / t.ta, 6) AS share_temp,
+             |  round(pow(CAST(n AS DOUBLE), 0.5) / t.ta / (CAST(n AS DOUBLE) / t.t), 6) AS boost
+             |FROM c, t ORDER BY lang""".stripMargin)),
+
+    // ---- W: epoch schedule at a token budget — the data-constrained
+    // follow-on to w_mixture_temperature: with per-source token counts
+    // and a temperature-α mixture, epochs_i = budget·p_i/n_i says how
+    // many PASSES each source makes (>1 = repeated data, <1 =
+    // subsampled). One exact integer token-sum over the corpus, float
+    // work on the |sources|-row table (dfw/TransformOps.epochSchedule). ----
+    ("w_epoch_schedule",
+      (s: SparkSession, dir: String) => {
+        TransformOps.epochSchedule(Tables.load(s, dir, "documents"), "source",
+            tokens = size(split(col("text"), " ")), alpha = 0.3,
+            budgetTokens = 10000000L)
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |          FROM documents GROUP BY source),
+             |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM c)
+             |SELECT source, n_tokens,
+             |  round(pow(CAST(n_tokens AS DOUBLE), 0.3) / t.ta, 6) AS share_temp,
+             |  round(CAST(10000000 AS DOUBLE) * (pow(CAST(n_tokens AS DOUBLE), 0.3) / t.ta)
+             |        / CAST(n_tokens AS DOUBLE), 6) AS epochs
+             |FROM c, t ORDER BY source""".stripMargin)),
 
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
@@ -2628,6 +2703,34 @@ object Queries {
              |      FROM h)
              |SELECT centroid_id, vec_id, CAST(cell_rank AS BIGINT) AS cell_rank
              |FROM r WHERE cell_rank <= 20 ORDER BY centroid_id, cell_rank""".stripMargin)),
+
+    // ---- X3: per-cluster outlier candidates — the k rows per cell
+    // FARTHEST (lowest cosine) from their own centroid, the
+    // least-typical members embedding-space cleaning inspects or
+    // drops; sixth operator off the one shared IVF index. Same
+    // WindowGroupLimit rank-limit shape as the diversity sample, so
+    // the exchange stays bounded at any cluster skew. ORACLE-EXACT:
+    // the SQL scores both persisted parquet tables with the identical
+    // integer dot / sqrt division and the −2.0 zero-norm sentinel
+    // (llm/SimilarityOps.cellOutliersIndexed). ----
+    ("x3_cell_outliers",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.cellOutliersIndexed(embLists(s, dir, 16),
+            embCentroids(s, dir, 16), "vec_id", k = 10)
+          .orderBy(col("centroid_id"), col("out_rank"))
+      },
+      Some("""WITH ca AS (SELECT centroid_id, vec_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT ca.centroid_id, ca.vec_id,
+             |         CASE WHEN ca.nb = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(ca.qb, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(ca.nb * c.cn2 AS DOUBLE)) END AS cosine
+             |       FROM ca JOIN c USING (centroid_id)),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY centroid_id ORDER BY cosine ASC, vec_id) AS out_rank FROM sc)
+             |SELECT centroid_id, CAST(out_rank AS BIGINT) AS out_rank, vec_id, cosine
+             |FROM k WHERE out_rank <= 10 ORDER BY centroid_id, out_rank""".stripMargin)),
 
     // ---- X3: IVF at full probe — nProbe = nCentroids degenerates to an
     // exhaustive search, so the SAME bucketed plan is value-exact
@@ -3660,6 +3763,40 @@ object Queries {
              |  CAST(sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              |  sum(CASE WHEN n_set = n_probe THEN 1 ELSE 0 END) > 0 AS flagged
              |FROM pr GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- X6: streaming MinHash-LSH near-dup gate run over the batch
+    // rows — completes the ingest-gate trio (Bloom contamination, ANN
+    // embedding near-dup, text near-dup), all stateless against
+    // persisted index artifacts. Incoming docs (doc_id%10=3) probe the
+    // SAME stored shingle/banded tables the x2_minhash family shares;
+    // shingling/signature/band hashes evaluate inside the row (HOFs,
+    // no state store), pairs emit exactly once via the first-matching-
+    // band rule, and every hit is exact-Jaccard verified. Same
+    // exact-pair oracle logic as x2_minhash_lsh (banding recall 1.0
+    // at r=4, measured — BASELINE.md); StreamOpsSpec pins MemoryStream
+    // == this batch twin (llm/DedupOps.minHashGateIndexed). ----
+    ("x6_neardup_gate",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (banded, sh) = DedupOps.loadOrBuildMinHashIndex(docs, "doc_id", "text",
+          shingleW = 5, numHashes = 64, bands = 16, minhashIndexPath(dir))
+        StreamOps.neardupGateStream(docs.filter(col("doc_id") % 10 === 3),
+            banded, sh, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+          .orderBy(col("in_id"), col("corpus_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS in_id, b.doc_id AS corpus_id, count(*) AS inter
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id % 10 = 3 AND a.doc_id <> b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT in_id, corpus_id, CAST(inter AS BIGINT) AS inter,
+             |  CAST(z1.n_sh + z2.n_sh - inter AS BIGINT) AS uni
+             |FROM p JOIN z z1 ON z1.doc_id = in_id JOIN z z2 ON z2.doc_id = corpus_id
+             |WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)
+             |ORDER BY in_id, corpus_id""".stripMargin)),
 
     // ---- X6: streaming ANN near-dup gate run over the batch rows —
     // incoming embeddings (vec_id%10=0) probe 4 buckets of the static

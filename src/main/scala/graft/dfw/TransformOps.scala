@@ -255,6 +255,73 @@ object TransformOps {
       .drop("__wsum", "__rate")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/DoReMi
+    * re-balancing rule `p_i ∝ n_i^α`: at α = 1 shares mirror the
+    * corpus (big sources dominate), at α = 0 every source draws
+    * equally, and the standard α ≈ 0.3–0.7 boosts the tail without
+    * drowning the head (Conneau & Lample 2019's multilingual sampling;
+    * DoReMi seeds from the same form). Emits per group the raw share,
+    * the temperature share, and the boost ratio — `p_i` feeds
+    * [[sampleToMixture]]'s `fractions` directly.
+    *
+    * One count aggregate over the data (map-side combined), then all
+    * arithmetic on the |groups|-row table — nothing else touches the
+    * corpus. Shares round to 6 (values ≤ 1, so cross-engine libm pow
+    * ulps sit ~1e-16, far under the grain).
+    *
+    * @return (groupCol, n LONG, share_raw, share_temp, boost — the
+    *         last three DOUBLE rounded to 6)
+    */
+  def mixtureWeightsTemperature(df: DataFrame, groupCol: String,
+                                alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("__t"),
+      sum(pow(col("n").cast("double"), lit(alpha))).as("__ta"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n"),
+        round(col("n").cast("double") / col("__t"), 6).as("share_raw"),
+        round(pow(col("n").cast("double"), lit(alpha)) / col("__ta"), 6).as("share_temp"),
+        round(pow(col("n").cast("double"), lit(alpha)) / col("__ta") /
+          (col("n").cast("double") / col("__t")), 6).as("boost"))
+  }
+
+  /** Epoch schedule at a token budget — the data-constrained-scaling
+    * question [[mixtureWeightsTemperature]] leads to: given per-source
+    * token counts, a temperature-α mixture, and a training budget of
+    * `budgetTokens`, how many PASSES (epochs) over each source does
+    * the run make? `epochs_i = budget · p_i / n_i` with
+    * `p_i ∝ n_i^α` — epochs > 1 means the source repeats (the
+    * regime the data-constrained scaling literature prices in), < 1
+    * means it is subsampled. Emits per group the exact token count,
+    * the temperature share, and the epoch multiplier.
+    *
+    * One sum aggregate over the data (map-side combined, exact integer
+    * token totals), then all float work on the |groups|-row table —
+    * nothing else touches the corpus. Shares/epochs round to 6; the
+    * cross-engine pow/sum ulps sit ~1e-16 relative, far under the
+    * grain at these magnitudes.
+    *
+    * @param tokens per-row token count expression (integer-valued)
+    * @return (groupCol, n_tokens LONG, share_temp, epochs — the last
+    *         two DOUBLE rounded to 6)
+    */
+  def epochSchedule(df: DataFrame, groupCol: String, tokens: Column,
+                    alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(tokens).cast("long").as("n_tokens"))
+    val totals = counts.agg(
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("__ta"))
+    val p = pow(col("n_tokens").cast("double"), lit(alpha)) / col("__ta")
+    counts.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"),
+        round(p, 6).as("share_temp"),
+        round(lit(budgetTokens.toDouble) * p / col("n_tokens").cast("double"), 6)
+          .as("epochs"))
+  }
+
   /** Skew-safe aggregation: explicit two-phase salted sum/count for
     * keys whose groups are too hot even for map-side combine (billions
     * of rows under 3 keys leave the final reduce with 3 tasks; salting

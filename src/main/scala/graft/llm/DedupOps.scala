@@ -566,6 +566,83 @@ object DedupOps {
     }
   }
 
+  /** X2/X6: STATELESS per-row MinHash-LSH near-dup gate against the
+    * persisted index ([[loadOrBuildMinHashIndex]]) — "is this incoming
+    * document a near-duplicate of anything already in the corpus?",
+    * the text-side sibling of [[graft.llm.SimilarityOps.ivfNearDupGateIndexed]]
+    * and the third ingest gate beside the Bloom decontaminator and the
+    * ANN gate. Each emitted row is an exact-Jaccard-verified
+    * (in_id, corpus_id) hit; a silent row is a novel document.
+    *
+    * Streaming-safe by construction: everything per-document — the
+    * shingle set, the
+    * `numHashes` signature, and the band hashes — evaluates INSIDE the
+    * incoming row via higher-order functions (no groupBy, so no state
+    * store), and the corpus side enters only through stream-static
+    * equi-joins on precomputed tables. A candidate pair colliding in
+    * several bands would emit once per band; the gate instead keeps
+    * each pair only at its FIRST matching band — decided per-row by
+    * comparing the incoming row's band-hash array against the
+    * candidate's stored one — so output pairs are exactly-once with
+    * zero distinct/aggregation. The signature/band-hash expressions
+    * are term-for-term the ones [[minHashBandedFromShingles]] builds
+    * the index with, so gate candidates equal index-build candidates.
+    *
+    * Static-side preparation (batch, once per index load): the banded
+    * table self-grouped to per-doc band-hash arrays (bands longs/doc)
+    * and the shingle table grouped to per-doc sets — both
+    * O(corpus) rows, joined on (band, bhash) and corpus id
+    * respectively, so only colliding buckets are touched per batch.
+    *
+    * @return (in_id, corpus_id, inter LONG, uni LONG) — verified pairs
+    *         with Jaccard = inter/uni ≥ num/den, corpus self-matches
+    *         excluded
+    */
+  def minHashGateIndexed(incoming: DataFrame, banded: DataFrame, sh: DataFrame,
+                         idCol: String, textCol: String, shingleW: Int,
+                         numHashes: Int, bands: Int,
+                         num: Int, den: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // corpus-side static artifacts (batch plans over the stored index)
+    val bandArrays = banded.groupBy(col("doc_id").as("corpus_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(band, bhash))), x -> x.bhash)")
+        .as("__cbh"))
+    val bandedC = banded.select(col("doc_id").as("corpus_id"),
+        col("band").as("__band"), col("bhash").as("__bhash"))
+      .join(bandArrays, "corpus_id")
+    val shSets = sh.groupBy(col("doc_id").as("corpus_id"))
+      .agg(collect_set(col("sh")).as("__csh"))
+    // per-row probe: shingles → signature → band hashes, all in-row
+    val probes = incoming
+      .select(col(idCol).as("in_id"), split(col(textCol), " ").as("__toks"))
+      .filter(size(col("__toks")) >= shingleW)
+      .select(col("in_id"), shingleArray(shingleW).as("__shq"))
+      .withColumn("__sig", expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  i -> array_min(transform(__shq, s -> xxhash64(i, s))))""".stripMargin))
+      .withColumn("__mbh", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $r + 1, $r), b))"))
+      .select(col("in_id"), col("__shq"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__band"), col("__mbh"))
+      .withColumn("__bhash", expr("element_at(__mbh, __band + 1)"))
+    probes
+      .join(bandedC, Seq("__band", "__bhash"))
+      .filter(col("in_id") =!= col("corpus_id"))
+      // keep the pair only at its first matching band — exactly-once
+      // emission without distinct (stateless under streaming)
+      .filter(col("__band") === expr(
+        s"""aggregate(sequence(0, ${bands - 1}), $bands,
+           |  (acc, i) -> IF(acc < $bands, acc,
+           |    IF(element_at(__mbh, i + 1) = element_at(__cbh, i + 1), i, acc)))""".stripMargin))
+      .join(shSets, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("__shq"), col("__csh"))).cast("long"))
+      .withColumn("uni",
+        (size(col("__shq")) + size(col("__csh"))).cast("long") - col("inter"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .select("in_id", "corpus_id", "inter", "uni")
+  }
+
   /** Near-dup clustering: connected components over a pair list —
     * every document joined (transitively) by a near-dup edge gets
     * `cluster_id` = the smallest doc id in its component.

@@ -438,6 +438,48 @@ object SimilarityOps {
       .drop("__h")
   }
 
+  /** X3: per-cluster OUTLIER candidates off the persisted inverted
+    * lists — the `k` rows in each cell whose cosine to their own
+    * centroid is LOWEST, i.e. the least-typical members of every
+    * cluster (what embedding-space data cleaning inspects or drops as
+    * noise/mislabeled content; the flip side of
+    * [[diversitySampleIndexed]]'s balanced keep). The sixth operator
+    * sharing the one IVF index: ANN, gate, semantic dedup, diversity
+    * sample, and now outlier surfacing all read the same stored
+    * lists + centroids.
+    *
+    * Zero-norm rows score the sentinel −2.0 (below any real cosine),
+    * matching the IVF assignment convention, so they surface first —
+    * a zero embedding IS an outlier worth inspecting.
+    *
+    * Scale shape: one broadcast join on the |K|-row centroid table
+    * (no corpus shuffle to score), then the same rank-limit window as
+    * the diversity sample — WindowGroupLimit keeps each task's local
+    * bottom-`k` per cell before the exchange, so the shuffle is
+    * bounded at tasks × cells × k rows at any cluster skew.
+    *
+    * @return (centroid_id, out_rank LONG, idCol, cosine) — rank 1 is
+    *         the cell's farthest-from-centroid row, id tiebreak
+    */
+  def cellOutliersIndexed(lists: DataFrame, centroids: DataFrame,
+                          idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cosine").asc, col(idCol))
+    lists
+      .join(broadcast(centroids.select(col("centroid_id"), col("__centq"),
+        col("__centn2"))), Seq("centroid_id"))
+      .select(col("centroid_id"), col(idCol),
+        when(col("__n2") === 0 || col("__centn2") === 0, lit(-2.0))
+          .otherwise(quantizedCosine(
+            VectorFunctions.longDot(col("__qv"), col("__centq")),
+            col("__n2"), col("__centn2"))).as("cosine"))
+      .withColumn("out_rank", row_number().over(w).cast("long"))
+      .filter(col("out_rank") <= k)
+      .select(col("centroid_id"), col("out_rank"), col(idCol), col("cosine"))
+  }
+
   /** [[diversitySampleIndexed]] with inline assignment — derives the
     * inverted lists from `centroids` first (index-once pipelines
     * should persist the lists and call the indexed form).

@@ -332,6 +332,27 @@ object StreamOps {
     graft.llm.SimilarityOps.ivfNearDupGateIndexed(incoming, lists, idCol, vecCol,
       num, den, centroids, nProbe)
 
+  /** X2/X6: streaming MinHash-LSH near-dup gate — an unbounded
+    * document stream probes the PERSISTED text index
+    * ([[graft.llm.DedupOps.loadOrBuildMinHashIndex]]); every emitted
+    * row is an exact-Jaccard-verified (incoming, corpus-match) hit.
+    * Completes the ingest-gate trio: Bloom decontamination (exact
+    * n-gram contamination), ANN gate (embedding near-dup), and this
+    * (text near-dup) — all stateless, all stream-static joins against
+    * index artifacts built once batch-side. Shingling, the MinHash
+    * signature, and band hashes all evaluate inside the incoming row
+    * (higher-order functions, no groupBy → no state store), and pairs
+    * emit exactly once via the first-matching-band rule, so nothing
+    * grows with stream length. Same output as the batch op on the
+    * same rows (spec-pinned).
+    */
+  def neardupGateStream(incoming: DataFrame, banded: DataFrame, sh: DataFrame,
+                        shingleW: Int, numHashes: Int, bands: Int,
+                        num: Int, den: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.llm.DedupOps.minHashGateIndexed(incoming, banded, sh, idCol, textCol,
+      shingleW, numHashes, bands, num, den)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)
@@ -430,6 +451,13 @@ object StreamOps {
     val bounds: Seq[Option[Long]] =
       if (withinSeconds.isEmpty) Seq.fill(steps.size - 1)(None)
       else withinSeconds.map(Some(_))
+    // MICROsecond comparisons, not Timestamp.getTime: getTime is
+    // millisecond-resolution, so events spaced closer than 1 ms (a
+    // 20k rows/s feed is 50 µs apart) tie and the strictly-after rule
+    // never fires — the stream would silently stall where the batch
+    // operator (full-precision column comparison) advances. Caught by
+    // StreamSoak scenario 11.
+    def us(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
@@ -437,14 +465,14 @@ object StreamOps {
         (uid: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
           var times = state.getOption.map(_.times).getOrElse(Seq.empty)
           val before = times.length
-          for (e <- batch.toArray.sortBy(_.ts.getTime)
+          for (e <- batch.toArray.sortBy(e => us(e.ts))
                if times.length < steps.length && steps(times.length) == e.event_type) {
             val ok =
               if (times.isEmpty) true
               else {
-                val prev = times.last.getTime
-                e.ts.getTime > prev &&
-                  bounds(times.length - 1).forall(w => e.ts.getTime <= prev + w * 1000L)
+                val prev = us(times.last)
+                us(e.ts) > prev &&
+                  bounds(times.length - 1).forall(w => us(e.ts) <= prev + w * 1000000L)
               }
             if (ok) times = times :+ e.ts
           }

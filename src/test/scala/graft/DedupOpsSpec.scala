@@ -55,6 +55,25 @@ class DedupOpsSpec extends SparkSpec {
     pairs.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
   }
 
+  test("X2/X6 minHashGateIndexed: directed expansion of the pair set, exactly once per pair") {
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
+    val banded = DedupOps.minHashBandedFromShingles(sh, 64, 16)
+    val probeIds = Set(1L, 3L, 5L)
+    val got = DedupOps.minHashGateIndexed(
+        docs.filter(col("doc_id").isin(probeIds.toSeq: _*)), banded, sh,
+        "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly-once: docs 1 and 2 collide in EVERY band, yet one row
+    got.map(t => (t._1, t._2)).distinct.length shouldBe got.length
+    // the gate is the probe-side directed expansion of the pair op
+    val expected = DedupOps.minHashLshPairsIndexed(banded, sh, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .flatMap { case (d1, d2, i, u) => Seq((d1, d2, i, u), (d2, d1, i, u)) }
+      .filter(t => probeIds(t._1)).toSet
+    expected should not be empty
+    got.toSet shouldBe expected
+  }
+
   test("X2 minHashLshPairs recovers the exact-duplicate pair with exact stats") {
     val got = DedupOps.minHashLshPairs(docs, "doc_id", "text",
         shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)

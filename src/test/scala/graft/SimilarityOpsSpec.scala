@@ -450,4 +450,38 @@ class SimilarityOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
+
+  test("cellOutliersIndexed: rank 1 is the farthest-from-centroid member of each cell") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),  // aligned with the +x centroid
+      (2L, Array(1.0f, 0.2f)),
+      (3L, Array(1.0f, 0.9f)),  // least aligned in the +x cell
+      (100L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(
+      Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2)
+    val lists = SimilarityOps.ivfInvertedLists(corpus, "vec_id", "embedding", cents)
+    val got = SimilarityOps.cellOutliersIndexed(lists, cents, "vec_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the 3-member +x cell keeps its two least-typical rows, worst first
+    val bigCell = got.filter(t => Set(1L, 2L, 3L).contains(t._3)).sortBy(_._2)
+    bigCell.map(_._3).toSeq shouldBe Seq(3L, 2L)
+    // ranks are 1..k per cell and cosine is nondecreasing with rank
+    got.groupBy(_._1).values.foreach { cell =>
+      val sorted = cell.sortBy(_._2)
+      sorted.map(_._2).toSeq shouldBe (1 to sorted.length).map(_.toLong)
+      sorted.map(_._4).toSeq shouldBe sorted.map(_._4).sorted.toSeq
+    }
+  }
+
+  test("cellOutliersIndexed plan: WindowGroupLimit rank limit, broadcast centroid join") {
+    val corpus = (0L until 50L).map(i => (i, Array((i % 7).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    val lists = SimilarityOps.ivfInvertedLists(corpus, "vec_id", "embedding", cents)
+    val plan = SimilarityOps.cellOutliersIndexed(lists, cents, "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+  }
 }

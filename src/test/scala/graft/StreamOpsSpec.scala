@@ -399,6 +399,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("neardupGateStream: stateless MinHash gate on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different text about distributed query engines here now"),
+      (3L, "yet another unrelated corpus document of moderate length overall"))
+      .toDF("doc_id", "text")
+    val sh = graft.llm.DedupOps.wordShingles(corpus, "doc_id", "text", 5)
+      .localCheckpoint() // static index artifacts: built once
+    val banded = graft.llm.DedupOps.minHashBandedFromShingles(sh, 64, 16)
+      .localCheckpoint()
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again today"),    // exact dup of 1
+      (101L, "the quick brown fox jumps over the lazy dog again tomorrow"), // near dup of 1
+      (102L, "totally novel content that matches nothing already stored anywhere"),
+      (103L, "tiny doc")) // < 5 tokens: absent by contract
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.neardupGateStream(mem.toDF().toDF("doc_id", "text"),
+        banded, sh, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+      .writeStream.format("memory").queryName("neardup_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*) // second micro-batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("neardup_gate_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = StreamOps.neardupGateStream(incoming.toDF("doc_id", "text"),
+          banded, sh, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got shouldBe want
+      got.map(t => (t._1, t._2)) should contain((100L, 1L)) // exact dup: one row despite all-band collision
+      got.map(t => (t._1, t._2)) should contain((101L, 1L)) // near dup
+      got.exists(t => t._1 == 102L || t._1 == 103L) shouldBe false
+    } finally q.stop()
+  }
+
   test("annGateStream: stateless ANN gate on a real stream equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus: two clusters; incoming rows: one near-dup of the
@@ -544,6 +582,25 @@ class StreamOpsSpec extends SparkSpec {
         .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
       got shouldBe want
       got shouldBe Array((1, "view", 3L, 100L), (2, "click", 2L, 66L), (3, "purchase", 1L, 33L))
+    } finally q.stop()
+  }
+
+  test("funnelStream advances on sub-millisecond event spacing (micros, not getTime)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.Event
+    // 50 µs apart — same millisecond, distinct microseconds, like a
+    // 20k rows/s feed; Timestamp.getTime comparisons would tie and stall
+    def tus(us: Int) = Timestamp.valueOf(f"2026-01-01 10:00:00.${us}%06d")
+    val mem = MemoryStream[Event]
+    val q = StreamOps.funnelStream(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_us_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1L, 7L, "view", 0.0, tus(100)),
+        Event(2L, 7L, "click", 0.0, tus(150)),
+        Event(3L, 7L, "purchase", 0.0, tus(200)))
+      q.processAllAvailable()
+      spark.table("funnel_us_test").agg(max("step")).collect().head.getInt(0) shouldBe 3
     } finally q.stop()
   }
 

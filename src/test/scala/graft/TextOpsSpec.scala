@@ -137,6 +137,24 @@ class TextOpsSpec extends SparkSpec {
     got shouldBe Map(0L -> (0L, 0L), 2L -> (0L, 0L), 4L -> (0L, 1L), 1L -> (1L, 0L))
   }
 
+  test("X4 paddingWaste: length-bucketed batching eliminates padding on a bimodal corpus") {
+    // one shard, batches of 2: lengths 2,100,2,100 in arrival order
+    // pair short with long (pad both batches to 100); bucketed pairs
+    // like with like (zero padding)
+    val d = Seq(1L -> 2, 2L -> 100, 3L -> 2, 4L -> 100)
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextOps.paddingWaste(d, "doc_id", "text",
+        batchSize = 2, bucketWidth = 8, shards = 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // arrival: batches (1,2) and (3,4), each padded to 2×100
+    got("arrival") shouldBe ((2L, 204L, 400L, 490000L))
+    // bucketed: batches (1,3) and (2,4) — padded == useful
+    got("bucketed") shouldBe ((2L, 204L, 204L, 0L))
+  }
+
   test("X4 repeatedNgramStats counts occurrences of within-doc repeated n-grams") {
     // "a b a b a": 3-grams = [a b a], [b a b], [a b a] -> 3 total,
     // "a b a" occurs twice -> 2 repeated occurrences

@@ -194,6 +194,43 @@ class TransformOpsSpec extends SparkSpec {
     run(df.repartition(11)) shouldBe run(df.coalesce(1))
   }
 
+  test("mixtureWeightsTemperature: alpha=1 mirrors the corpus, alpha=0 equalizes, 0.5 boosts the tail") {
+    val df = (Seq.fill(90)("en") ++ Seq.fill(9)("de") ++ Seq.fill(1)("mi")).toDF("lang")
+    def shares(a: Double) = TransformOps.mixtureWeightsTemperature(df, "lang", a)
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val a1 = shares(1.0)
+    a1("en")._2 shouldBe a1("en")._1 // temp share == raw share at alpha=1
+    a1("mi")._3 shouldBe 1.0
+    val a0 = shares(0.0)
+    a0("en")._2 shouldBe (1.0 / 3 +- 1e-6) // every group equal at alpha=0
+    a0("mi")._2 shouldBe (1.0 / 3 +- 1e-6)
+    val ah = shares(0.5)
+    // sqrt scaling: 90→9.4868, 9→3, 1→1, Σ=13.4868
+    ah("mi")._2 shouldBe (1.0 / 13.486833 +- 1e-5)
+    ah("mi")._3 should be > 7.0  // tail boosted
+    ah("en")._3 should be < 1.0  // head damped
+  }
+
+  test("epochSchedule: alpha=1 gives every source the same epoch multiplier; alpha=0 equalizes token draw") {
+    // en 900, de 90, mi 10 tokens → total 1000
+    val df = (Seq.fill(90)(("en", 10)) ++ Seq.fill(9)(("de", 10)) ++ Seq(("mi", 10)))
+      .toDF("lang", "n")
+    def run(a: Double, b: Long) = TransformOps.epochSchedule(df, "lang", col("n"), a, b)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val a1 = run(1.0, 2000L)
+    a1("en")._1 shouldBe 900L
+    a1("en")._3 shouldBe (2.0 +- 1e-6) // epochs = budget/total for EVERY source at alpha=1
+    a1("mi")._3 shouldBe (2.0 +- 1e-6)
+    val a0 = run(0.0, 3000L)
+    // p = 1/3 each: epochs = budget / (3 * n_i)
+    a0("en")._3 shouldBe (3000.0 / 3 / 900 +- 1e-6)
+    a0("mi")._3 shouldBe (100.0 +- 1e-6)
+    // temperature in between: tail repeats more than the head
+    val ah = run(0.5, 2000L)
+    ah("mi")._3 should be > ah("en")._3
+  }
+
   test("saltedJoin equals the plain inner join on a skewed key") {
     // 900 of 1000 rows under ONE key — the shape salting exists for
     val fact = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
