@@ -1275,6 +1275,60 @@ object Queries {
              |SELECT doc1, doc2, CAST(hamming AS BIGINT) AS hamming
              |FROM p WHERE hamming <= 4 ORDER BY doc1, doc2""".stripMargin)),
 
+    // ---- X5 (audio): REAL WAV decode via the JDK codec
+    // (javax.sound) reduced to per-clip stats — the decode-then-
+    // summarize screen audio curation runs before ASR. Blobs are
+    // synthesized per doc through the real RIFF writer from a pure
+    // integer waveform (even 160-sample windows silent, odd loud), so
+    // the oracle replays the DECODED samples exactly while Spark
+    // round-trips every byte through the codec
+    // (llm/AudioCodec, llm/MultimodalOps.audioStats). ----
+    ("x5_audio_stats",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.audioStats(
+            MultimodalOps.documentsAsAudio(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", "blob")
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents),
+             |g AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+             |v AS (SELECT doc_id, n,
+             |        ((doc_id * 31 + i * 7) % 2048 - 1024) * ((i // 160) % 2) AS s
+             |      FROM g)
+             |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+             |  CAST(max(n) AS BIGINT) AS n_samples,
+             |  CAST(max(n) * 1000000 // 8000 AS BIGINT) AS duration_us,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(count(CASE WHEN abs(s) < 64 THEN 1 END) * 1000000 // max(n) AS BIGINT) AS silence_ppm
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5 (audio): energy windowing / VAD shape — decode, split
+    // into 160-sample (20 ms at 8 kHz) frames, exact per-window energy
+    // + silence verdict; the one-to-many explode of diarization
+    // front-ends (llm/MultimodalOps.audioEnergyWindows). The synth
+    // waveform makes even windows digital silence and odd windows
+    // loud, so both verdict classes are exercised. ----
+    ("x5_audio_vad",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.audioEnergyWindows(
+            MultimodalOps.documentsAsAudio(
+              Tables.load(s, dir, "documents").filter(col("doc_id") % 20 === 7), "doc_id"),
+            "doc_id", "blob", windowSamples = 160)
+          .toDF().orderBy(col("doc_id"), col("win_no"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+             |           WHERE doc_id % 20 = 7),
+             |g AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+             |v AS (SELECT doc_id, i // 160 AS win_no,
+             |        ((doc_id * 31 + i * 7) % 2048 - 1024) * ((i // 160) % 2) AS s
+             |      FROM g)
+             |SELECT doc_id, CAST(win_no AS BIGINT) AS win_no,
+             |  CAST(count(*) AS BIGINT) AS n, CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+             |  max(abs(s)) < 64 AS is_silent
+             |FROM v GROUP BY doc_id, win_no ORDER BY doc_id, win_no""".stripMargin)),
+
     // ---- X6 (batch form): tumbling time-window aggregation ----
     ("x6_tumbling_window",
       (s: SparkSession, dir: String) => {

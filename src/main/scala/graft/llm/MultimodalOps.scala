@@ -252,4 +252,118 @@ object MultimodalOps {
         }
       }
   }
+
+  // ----------------------------------------------------------------
+  // Audio (REAL RIFF/WAVE codec via javax.sound — AudioCodec)
+  // ----------------------------------------------------------------
+
+  /** Deterministic synthetic WAV blob per document — the audio
+    * counterpart of [[documentsAsBlobs]]: the testdata tables carry no
+    * audio, so each doc synthesizes a mono 8 kHz PCM-s16le clip
+    * through the REAL RIFF writer ([[AudioCodec.buildWavPcm16]]) from
+    * the integer waveform
+    * {{{
+    *   n_samples = 200 + (doc_id mod 100)
+    *   sample_i  = ((doc_id·31 + i·7) mod 2048 − 1024) · ((i div 160) mod 2)
+    * }}}
+    * — even 160-sample windows are digital silence, odd ones are loud,
+    * so voice-activity shapes have both classes to find. Pure integer
+    * arithmetic: an external SQL oracle reproduces the DECODED samples
+    * exactly without parsing RIFF, while the Spark side still
+    * round-trips every byte through the codec.
+    */
+  def documentsAsAudio(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 200 + (id % 100).toInt
+        val samples = Array.tabulate(n) { i =>
+          ((((id * 31 + i.toLong * 7) % 2048) - 1024) * ((i / 160) % 2)).toShort
+        }
+        (id, AudioCodec.buildWavPcm16(8000, samples))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** Per-clip decoded audio statistics. All integer: `duration_us` and
+    * `silence_ppm` are exact integer divisions, `sum_sq` the exact
+    * energy numerator (callers derive RMS when they want floats).
+    */
+  final case class AudioStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+                              duration_us: Long, peak_abs: Long, sum_sq: Long,
+                              silence_ppm: Long)
+
+  /** X5 (audio): REAL decode of a WAV blob column via the JDK codec,
+    * reduced to per-clip stats in the same pass — the
+    * decode-then-summarize shape audio curation runs before ASR
+    * (length/clipping/silence screens). One `mapPartitions` over the
+    * blobs, O(samples) per row, no shuffle; undecodable blobs
+    * fail fast with the doc id (an ingest gate wants the error, not a
+    * silent null row).
+    */
+  def audioStats(df: DataFrame, idCol: String, blobCol: String,
+                 silenceThreshold: Int = 64): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, samples) = AudioCodec.parseWavPcm16(bytes)
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc $id: blob is not decodable mono PCM s16le WAV"))
+        var peak = 0L; var sumSq = 0L; var silent = 0L
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s * s
+          if (a < silenceThreshold) silent += 1
+          i += 1
+        }
+        val n = samples.length.toLong
+        AudioStats(id, rate.toLong, n, n * 1000000L / rate, peak, sumSq,
+          if (n == 0) 0L else silent * 1000000L / n)
+      })
+  }
+
+  /** One fixed-size analysis window of a decoded clip. */
+  final case class AudioWindow(doc_id: Long, win_no: Long, n: Long,
+                               sum_sq: Long, peak_abs: Long, is_silent: Boolean)
+
+  /** X5 (audio): energy windowing / voice-activity shape — decode via
+    * the JDK codec, split into `windowSamples`-sample frames (last
+    * partial frame kept), emit exact per-window energy and a silence
+    * verdict (`peak < silenceThreshold`). The one-to-many explode
+    * shape of VAD/diarization front-ends; partition-parallel, bounded
+    * memory per clip.
+    */
+  def audioEnergyWindows(df: DataFrame, idCol: String, blobCol: String,
+                         windowSamples: Int, silenceThreshold: Int = 64)
+      : Dataset[AudioWindow] = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val (_, samples) = AudioCodec.parseWavPcm16(bytes)
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc $id: blob is not decodable mono PCM s16le WAV"))
+        samples.grouped(windowSamples).zipWithIndex.map { case (win, w) =>
+          var peak = 0L; var sumSq = 0L
+          var i = 0
+          while (i < win.length) {
+            val s = win(i).toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumSq += s * s
+            i += 1
+          }
+          AudioWindow(id, w.toLong, win.length.toLong, sumSq, peak,
+            peak < silenceThreshold)
+        }
+      }
+  }
 }

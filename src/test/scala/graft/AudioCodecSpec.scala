@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{AudioCodec, MultimodalOps}
+
+class AudioCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV round-trip: build then parse through the JDK codec returns identical samples") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 10)
+    val wav = AudioCodec.buildWavPcm16(8000, samples)
+    // canonical RIFF container: 44-byte header + 2 bytes per sample
+    wav.length shouldBe 44 + samples.length * 2
+    new String(wav.take(4), "US-ASCII") shouldBe "RIFF"
+    val Some((rate, got)) = AudioCodec.parseWavPcm16(wav)
+    rate shouldBe 8000
+    got.toSeq shouldBe samples.toSeq
+  }
+
+  test("parseWavPcm16 returns None for undecodable bytes") {
+    AudioCodec.parseWavPcm16("not audio at all".getBytes) shouldBe None
+    AudioCodec.parseWavPcm16(Array.empty[Byte]) shouldBe None
+  }
+
+  test("audioStats: exact integer stats from decoded samples") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 10)
+    val df = Seq((7L, AudioCodec.buildWavPcm16(8000, samples))).toDF("doc_id", "blob")
+    val r = MultimodalOps.audioStats(df, "doc_id", "blob").collect().head
+    r.doc_id shouldBe 7L
+    r.sample_rate shouldBe 8000L
+    r.n_samples shouldBe 6L
+    r.duration_us shouldBe 750L // 6 * 1e6 div 8000
+    r.peak_abs shouldBe 32768L
+    r.sum_sq shouldBe (100L * 100 * 2 + 32767L * 32767 + 32768L * 32768 + 10L * 10)
+    r.silence_ppm shouldBe (2L * 1000000 / 6) // samples 0 and 10
+  }
+
+  test("audioEnergyWindows: frames of windowSamples with a kept partial tail") {
+    val samples = Array[Short](0, 0, 0, 0, 500, -500)
+    val df = Seq((1L, AudioCodec.buildWavPcm16(8000, samples))).toDF("doc_id", "blob")
+    val got = MultimodalOps.audioEnergyWindows(df, "doc_id", "blob",
+        windowSamples = 4).collect().sortBy(_.win_no)
+    got.map(w => (w.win_no, w.n, w.sum_sq, w.peak_abs, w.is_silent)).toSeq shouldBe
+      Seq((0L, 4L, 0L, 0L, true), (1L, 2L, 500000L, 500L, false))
+  }
+
+  test("documentsAsAudio → VAD: even windows are digital silence, odd windows loud") {
+    val docs = Seq((7L, "x"), (47L, "y")).toDF("doc_id", "text")
+    val wins = MultimodalOps.audioEnergyWindows(
+        MultimodalOps.documentsAsAudio(docs, "doc_id"), "doc_id", "blob",
+        windowSamples = 160).collect()
+    wins.filter(_.win_no % 2 == 0).foreach { w => w.is_silent shouldBe true }
+    wins.filter(_.win_no % 2 == 1).foreach { w =>
+      w.is_silent shouldBe false
+      w.sum_sq should be > 0L
+    }
+    // n_samples = 200 + id%100 → doc 7 has 207 samples = windows of 160 + 47
+    wins.filter(_.doc_id == 7L).map(w => w.win_no -> w.n).toMap shouldBe
+      Map(0L -> 160L, 1L -> 47L)
+  }
+}
