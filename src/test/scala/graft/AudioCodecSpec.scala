@@ -23,6 +23,31 @@ class AudioCodecSpec extends SparkSpec {
     AudioCodec.parseWavPcm16(Array.empty[Byte]) shouldBe None
   }
 
+  test("fast chunk-walk parse and the JDK codec path agree sample-for-sample") {
+    val samples = Array[Short](3, -3, 12000, -12000, 0)
+    val wav = AudioCodec.buildWavPcm16(16000, samples)
+    val fast = AudioCodec.fastParse(wav)
+    val jdk = AudioCodec.parseViaJdk(wav)
+    fast shouldBe defined
+    jdk shouldBe defined
+    fast.get._1 shouldBe jdk.get._1
+    fast.get._2.toSeq shouldBe jdk.get._2.toSeq
+  }
+
+  test("chunk walk skips unknown chunks (LIST metadata between fmt and data)") {
+    val samples = Array[Short](1, 2, 3)
+    val canonical = AudioCodec.buildWavPcm16(8000, samples)
+    // splice a 10-byte LIST chunk between "fmt " (ends at offset 36)
+    // and "data"; RIFF sizes are advisory in the walk, so only the
+    // chunk ids/lengths matter
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](10, 0, 0, 0) ++ Array.fill[Byte](10)(7)
+    val spliced = canonical.take(36) ++ list ++ canonical.drop(36)
+    val Some((rate, got)) = AudioCodec.fastParse(spliced)
+    rate shouldBe 8000
+    got.toSeq shouldBe samples.toSeq
+  }
+
   test("audioStats: exact integer stats from decoded samples") {
     val samples = Array[Short](0, 100, -100, 32767, -32768, 10)
     val df = Seq((7L, AudioCodec.buildWavPcm16(8000, samples))).toDF("doc_id", "blob")
