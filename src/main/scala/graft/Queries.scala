@@ -3499,6 +3499,47 @@ object Queries {
              |  CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_surprisal
              |FROM sq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X4: CCNet-style perplexity bucketing — score every doc
+    // with the corpus-trained LM surprisal (quantized micro-units,
+    // same replayable statistic as x4_lm_surprisal), then split the
+    // corpus into head/middle/tail TERCILES of per-token surprisal
+    // (CCNet's quality partition: head = most fluent under the LM;
+    // downstream mixtures sample head-heavy). Tiling runs on the
+    // scalable rank machinery (orderedAnalyticsScalable — O(1) reducer
+    // state, no global sort on the driver path), and the report is a
+    // 3-row rollup: doc/token mass and the quantized surprisal range
+    // per bucket — exactly what a mixture planner consumes. ----
+    ("x4_ccnet_buckets",
+      (s: SparkSession, dir: String) => {
+        val scored = TextOps.lmSurprisal(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .withColumn("avg_q", expr("sum_surprisal_q div n_tokens"))
+          .withColumn("all", lit(0))
+        WindowOps.orderedAnalyticsScalable(scored, Seq("all"),
+            Seq(col("avg_q"), col("doc_id")), "avg_q", nTiles = 3, numParts = 8)
+          .withColumn("bucket",
+            expr("CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"),
+            min(col("avg_q")).as("lo_q"), max(col("avg_q")).as("hi_q"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+             |tot AS (SELECT sum(tf) AS total FROM tf),
+             |sq AS (SELECT toks.doc_id,
+             |         CAST(round(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+             |       FROM toks JOIN tf USING (tok), tot),
+             |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(sq) AS BIGINT) AS ssq
+             |      FROM sq GROUP BY doc_id),
+             |q AS (SELECT doc_id, n_tokens, ssq // n_tokens AS avg_q FROM d),
+             |t AS (SELECT *, ntile(3) OVER (ORDER BY avg_q, doc_id) AS tile FROM q),
+             |b AS (SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+             |             n_tokens, avg_q FROM t)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+             |  CAST(min(avg_q) AS BIGINT) AS lo_q, CAST(max(avg_q) AS BIGINT) AS hi_q
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // ---- X4: DSIR importance weights (Xie et al. 2023) — hashed
     // unigram target/source log-likelihood ratio per source doc
     // (target slice = doc_id%20=0, the same exemplar split the

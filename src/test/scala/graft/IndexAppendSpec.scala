@@ -75,6 +75,39 @@ class IndexAppendSpec extends SparkSpec {
     partMTimes(s"$idx/banded") shouldBe afterAppendBd
   }
 
+  test("ingest loop: gate flags known dups, accepted novel docs append, re-submissions are then caught") {
+    val base = Files.createTempDirectory("minhash-ingest")
+    val corpusDir = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    docs(0 until 30).write.parquet(corpusDir)
+    val c0 = spark.read.parquet(corpusDir)
+    val (b0, s0) = DedupOps.loadOrBuildMinHashIndex(c0, "doc_id", "text", 3, 16, 4, idx)
+
+    // incoming batch: one exact copy of corpus doc 3, one novel doc
+    val doc3Text = docs(3 until 4).collect()(0).getString(1)
+    val novelText = "genuinely novel submission with entirely fresh vocabulary streams"
+    val incoming = Seq((200L, doc3Text), (201L, novelText)).toDF("doc_id", "text")
+    val hits0 = DedupOps.minHashGateIndexed(incoming, b0, s0, "doc_id", "text",
+        shingleW = 3, numHashes = 16, bands = 4, num = 1, den = 2)
+      .select("in_id").as[Long].collect().toSet
+    hits0 shouldBe Set(200L) // the copy is flagged, the novel doc passes
+
+    // accept the novel doc: corpus append + O(delta) index append
+    val sigBefore = IvfIndex.corpusSig(c0)
+    val accepted = Seq((201L, novelText)).toDF("doc_id", "text")
+    accepted.write.mode("append").parquet(corpusDir)
+    val grown = spark.read.parquet(corpusDir)
+    val (b1, s1) =
+      DedupOps.appendToMinHashIndex(accepted, "doc_id", "text", 3, 16, 4, grown, idx, sigBefore)
+
+    // a re-submission of the accepted doc is now caught against it
+    val resub = Seq((300L, novelText)).toDF("doc_id", "text")
+    val hits1 = DedupOps.minHashGateIndexed(resub, b1, s1, "doc_id", "text",
+        shingleW = 3, numHashes = 16, bands = 4, num = 1, den = 2)
+      .select("corpus_id").as[Long].collect().toSet
+    hits1 shouldBe Set(201L)
+  }
+
   test("appendToMinHashIndex guards freshness: missing/params/stale sidecar falls back to rebuild") {
     val base = Files.createTempDirectory("minhash-append-guard")
     val corpusDir = base.resolve("corpus").toString
