@@ -118,6 +118,9 @@ object Queries {
     DedupOps.loadOrBuildMinHashIndex(Tables.load(s, dir, "documents"),
       "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16,
       minhashIndexPath(dir))._1.count()
+    DedupOps.loadOrBuildMinHashGate(Tables.load(s, dir, "documents"),
+      "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16,
+      minhashIndexPath(dir))._1.count()
     SimilarityOps.loadOrBuildRhpIndex(Tables.load(s, dir, "embeddings"),
       "vec_id", "embedding", nBits = 8, nTables = 8, parityTag = "md5",
       signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64,
@@ -3873,10 +3876,10 @@ object Queries {
     ("x6_neardup_gate",
       (s: SparkSession, dir: String) => {
         val docs = Tables.load(s, dir, "documents")
-        val (banded, sh) = DedupOps.loadOrBuildMinHashIndex(docs, "doc_id", "text",
+        val (bandedGate, shSets) = DedupOps.loadOrBuildMinHashGate(docs, "doc_id", "text",
           shingleW = 5, numHashes = 64, bands = 16, minhashIndexPath(dir))
-        StreamOps.neardupGateStream(docs.filter(col("doc_id") % 10 === 3),
-            banded, sh, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+        StreamOps.neardupGateStreamPrepared(docs.filter(col("doc_id") % 10 === 3),
+            bandedGate, shSets, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
           .orderBy(col("in_id"), col("corpus_id"))
       },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

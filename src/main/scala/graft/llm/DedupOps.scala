@@ -602,9 +602,24 @@ object DedupOps {
                          idCol: String, textCol: String, shingleW: Int,
                          numHashes: Int, bands: Int,
                          num: Int, den: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // corpus-side static artifacts (batch plans over the stored index)
+    val (bandedC, shSets) = minHashGateArtifacts(banded, sh)
+    minHashGatePrepared(incoming, bandedC, shSets, idCol, textCol,
+      shingleW, numHashes, bands, num, den)
+  }
+
+  /** The gate's corpus-side artifacts, derived from the stored
+    * MinHash index tables: the banded buckets joined with each doc's
+    * full band-hash array (what the first-matching-band rule compares
+    * against) and the per-doc shingle sets (what exact-Jaccard verify
+    * reads). Deriving these is two corpus-sized aggregations — per
+    * GATE CALL that is the dominant cost, so the production shape
+    * persists them once via [[loadOrBuildMinHashGate]] and every
+    * batch/micro-batch pays only the probe-side work. The band table
+    * carries the bands-long hash array on every band row (~bands²
+    * longs per doc) — the classic index space-for-time trade, and why
+    * it is stored rather than carried through the per-call plan.
+    */
+  def minHashGateArtifacts(banded: DataFrame, sh: DataFrame): (DataFrame, DataFrame) = {
     val bandArrays = banded.groupBy(col("doc_id").as("corpus_id"))
       .agg(expr("transform(array_sort(collect_list(struct(band, bhash))), x -> x.bhash)")
         .as("__cbh"))
@@ -613,6 +628,46 @@ object DedupOps {
       .join(bandArrays, "corpus_id")
     val shSets = sh.groupBy(col("doc_id").as("corpus_id"))
       .agg(collect_set(col("sh")).as("__csh"))
+    (bandedC, shSets)
+  }
+
+  /** PERSISTED gate artifacts ([[minHashGateArtifacts]]) under the
+    * IndexStore lifecycle (sidecar-signed against the corpus, atomic
+    * commit, drift → rebuild), derived from — and stored beside — the
+    * [[loadOrBuildMinHashIndex]] tables. A warm load is two parquet
+    * reads; the streaming gate then probes with zero corpus-sized
+    * work per micro-batch. Returns (bandedGate, shingleSets).
+    */
+  def loadOrBuildMinHashGate(docs: DataFrame, idCol: String, textCol: String,
+                             shingleW: Int, numHashes: Int, bands: Int,
+                             indexPath: String, rebuild: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val (banded, sh) = loadOrBuildMinHashIndex(docs, idCol, textCol,
+      shingleW, numHashes, bands, indexPath, rebuild)
+    val params = s"minhash-gate:w=$shingleW,numHashes=$numHashes,bands=$bands"
+    val bandedC = IndexStore.loadOrBuild(docs, params,
+      s"$indexPath/gate_bands", rebuild) {
+      minHashGateArtifacts(banded, sh)._1
+    }
+    val shSets = IndexStore.loadOrBuild(docs, params,
+      s"$indexPath/gate_shsets", rebuild) {
+      minHashGateArtifacts(banded, sh)._2
+    }
+    (bandedC, shSets)
+  }
+
+  /** [[minHashGateIndexed]] against PREPARED corpus artifacts
+    * ([[minHashGateArtifacts]] / [[loadOrBuildMinHashGate]]) — the
+    * per-call plan is purely probe-sized: in-row shingle/signature/
+    * band-hash evaluation plus two equi-joins against the stored
+    * tables.
+    */
+  def minHashGatePrepared(incoming: DataFrame, bandedC: DataFrame, shSets: DataFrame,
+                          idCol: String, textCol: String, shingleW: Int,
+                          numHashes: Int, bands: Int,
+                          num: Int, den: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     // per-row probe: shingles → signature → band hashes, all in-row
     val probes = incoming
       .select(col(idCol).as("in_id"), split(col(textCol), " ").as("__toks"))

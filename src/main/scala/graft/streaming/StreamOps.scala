@@ -353,6 +353,21 @@ object StreamOps {
     graft.llm.DedupOps.minHashGateIndexed(incoming, banded, sh, idCol, textCol,
       shingleW, numHashes, bands, num, den)
 
+  /** [[neardupGateStream]] against the PERSISTED gate artifacts
+    * ([[graft.llm.DedupOps.loadOrBuildMinHashGate]]) — the production
+    * streaming shape: the plain form re-aggregates the corpus band
+    * arrays and shingle sets every MICRO-BATCH (two corpus-sized
+    * aggregations per trigger at 100 TB); here each batch pays only
+    * its own in-row probe work plus two stored-table equi-joins.
+    */
+  def neardupGateStreamPrepared(incoming: DataFrame, bandedGate: DataFrame,
+                                shSets: DataFrame,
+                                shingleW: Int, numHashes: Int, bands: Int,
+                                num: Int, den: Int,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.llm.DedupOps.minHashGatePrepared(incoming, bandedGate, shSets, idCol,
+      textCol, shingleW, numHashes, bands, num, den)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

@@ -108,6 +108,34 @@ class IndexAppendSpec extends SparkSpec {
     hits1 shouldBe Set(201L)
   }
 
+  test("loadOrBuildMinHashGate: stored artifacts gate equals the in-memory gate, next load reuses") {
+    val base = Files.createTempDirectory("minhash-gate-store")
+    val corpusDir = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    docs(0 until 30).write.parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val incoming = Seq(
+      (200L, docs(5 until 6).collect()(0).getString(1)),
+      (201L, "entirely unrelated probing text with distinct words only")).toDF("doc_id", "text")
+
+    val (bandedGate, shSets) =
+      DedupOps.loadOrBuildMinHashGate(corpus, "doc_id", "text", 3, 16, 4, idx)
+    val stored = DedupOps.minHashGatePrepared(incoming, bandedGate, shSets,
+      "doc_id", "text", 3, 16, 4, 1, 2)
+    val (banded, sh) = DedupOps.loadOrBuildMinHashIndex(corpus, "doc_id", "text", 3, 16, 4, idx)
+    val inMemory = DedupOps.minHashGateIndexed(incoming, banded, sh,
+      "doc_id", "text", 3, 16, 4, 1, 2)
+    sortedRows(stored) shouldBe sortedRows(inMemory)
+    stored.select("in_id").collect().map(_.getLong(0)).toSet shouldBe Set(200L)
+
+    // warm load: no rewrite of either artifact table
+    val beforeB = partMTimes(s"$idx/gate_bands")
+    val beforeS = partMTimes(s"$idx/gate_shsets")
+    DedupOps.loadOrBuildMinHashGate(corpus, "doc_id", "text", 3, 16, 4, idx)._1.count()
+    partMTimes(s"$idx/gate_bands") shouldBe beforeB
+    partMTimes(s"$idx/gate_shsets") shouldBe beforeS
+  }
+
   test("appendToMinHashIndex guards freshness: missing/params/stale sidecar falls back to rebuild") {
     val base = Files.createTempDirectory("minhash-append-guard")
     val corpusDir = base.resolve("corpus").toString
