@@ -4079,6 +4079,26 @@ object Queries {
              |       1 AS daily_ok, 1 AS cum_ok
              |FROM j ORDER BY day""".stripMargin)),
 
+    // ---- Q: rolling active users (DAU / trailing-7-day WAU /
+    // stickiness) — exact WITHOUT a day×events window self-join: the
+    // corpus collapses to distinct (day, user) once, each active pair
+    // explodes to the ≤7 window-end days it covers (expansion bounded
+    // by the window, not the data), then two hash aggregations
+    // (dfw/TimeSeriesOps.rollingActiveUsers). ----
+    ("q_rolling_active",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.TimeSeriesOps.rollingActiveUsers(Tables.load(s, dir, "events"),
+            "ts", "user_id", windowDays = 7)
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+             |wau AS (SELECT a.day, CAST(count(DISTINCT b.u) AS BIGINT) AS wau
+             |        FROM dau a JOIN du b ON b.day BETWEEN a.day - 6 AND a.day
+             |        GROUP BY a.day)
+             |SELECT a.day, a.dau, w.wau, a.dau * 1000000 // w.wau AS stickiness_ppm
+             |FROM dau a JOIN wau w USING (day) ORDER BY day""".stripMargin)),
+
     // ---- G: link-graph centrality (integer PageRank) on the
     // customer↔supplier purchase graph — the page-importance signal
     // corpus curation weights documents by. Integer micro-unit

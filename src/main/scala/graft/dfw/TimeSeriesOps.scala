@@ -111,4 +111,39 @@ object TimeSeriesOps {
       .select(col("from_state"), col("to_state"), col("n"),
         expr("n * 1000000 div tot").as("p_ppm"))
   }
+
+  /** Rolling active users — DAU, trailing-`windowDays` AU, and the
+    * stickiness ratio (DAU/WAU per million) per active day: the
+    * engagement accounting every product-analytics stack reports.
+    *
+    * EXACT at scale without a window self-join: the naive plan joins
+    * every day against `windowDays` days of raw events (w× the event
+    * scan); here the corpus first collapses to DISTINCT (day, user) —
+    * one map-side-combinable aggregation, ≤ |users|×|days| rows no
+    * matter how many raw events — and each active pair then explodes
+    * to the ≤`windowDays` window-end days it covers. The expansion is
+    * bounded by w (not by data), and both counts are plain hash
+    * aggregations. `count_distinct` here is exact; at extreme user
+    * cardinality swap the final count for `approx_count_distinct`/HLL
+    * sketches, merging daily sketches instead of re-listing users
+    * (the [[graft.llm.SketchOps]] posture).
+    *
+    * @return (day DATE, dau, wau, stickiness_ppm — all LONG), one row
+    *         per day with ≥1 active user; a window is the trailing
+    *         `windowDays` ENDING that day
+    */
+  def rollingActiveUsers(events: DataFrame, tsCol: String, userCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val du = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("__u"))
+      .distinct()
+    val covered = du.select(col("__u"),
+      explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("wday"))
+    val wau = covered.groupBy("wday").agg(countDistinct(col("__u")).as("wau"))
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    dau.join(wau.withColumnRenamed("wday", "day"), "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
 }

@@ -120,4 +120,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .collect()
     got.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(("x", "y"))
   }
+
+  test("rollingActiveUsers: trailing window counts distinct users, stickiness exact") {
+    // day 1: users {a,b}; day 2: {a}; day 5: {c} — window 3 days
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")), // same user same day: collapses
+      (1L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-05 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = TimeSeriesOps.rollingActiveUsers(ev, "ts", "user_id", windowDays = 3)
+      .collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldBe Set("2024-01-01", "2024-01-02", "2024-01-05")
+    got("2024-01-01") shouldBe ((2L, 2L, 1000000L)) // window = day 1 alone
+    got("2024-01-02") shouldBe ((1L, 2L, 500000L)) // users {1,2} over days 1-2
+    got("2024-01-05") shouldBe ((1L, 1L, 1000000L)) // days 3-5: only user 3
+  }
 }
