@@ -4614,6 +4614,31 @@ object Queries {
              |  CASE WHEN rev <= 2 THEN 'test' ELSE 'train' END AS split
              |FROM r ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- T: leave-one-out target encoding — the leakage-safe
+    // categorical encoding (enc_i = (Σ_cat y − y_i)/(n_cat−1));
+    // self-label excluded exactly, singleton categories null. One
+    // broadcast of per-category (Σ, n); the fact table never
+    // join-shuffles (dfw/TransformOps.targetEncodeLoo). ----
+    ("t_target_encode",
+      (s: SparkSession, dir: String) => {
+        TransformOps.targetEncodeLoo(
+            Tables.load(s, dir, "lineitem")
+              .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+            "l_returnflag", "l_quantity")
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity"))
+      },
+      Some("""WITH s AS (SELECT l_returnflag,
+             |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_quantity,
+             |  CASE WHEN n <= 1 THEN NULL
+             |       ELSE round(CAST(s - CAST(l_quantity AS BIGINT) AS DOUBLE) / (n - 1), 6)
+             |  END AS l_quantity_loo
+             |FROM lineitem l JOIN s USING (l_returnflag)
+             |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin)),
+
     // ---- T: per-class z-score standardization from EXACT integer
     // moment sums (dfw/TransformOps.standardizeByGroup) — built-in
     // stddev accumulates in shuffle order; integer Σx/Σx² are exact

@@ -125,6 +125,36 @@ object TransformOps {
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * encoding: replace a category value with the TARGET mean over all
+    * OTHER rows of that category, `enc_i = (Σ_cat y − y_i)/(n_cat−1)`.
+    * Including the row's own label in its feature leaks the target
+    * (memorization at high category cardinality); LOO subtracts the
+    * row exactly. Singleton categories have no "other rows" — they
+    * encode as null so callers impute deliberately (a prior / global
+    * mean) instead of receiving a silently-leaked self-mean.
+    *
+    * One map-side-combined (sum, count) per category broadcast back —
+    * the data never join-shuffles (same plan shape as
+    * [[standardizeByGroup]]). The target is summed as long (exact for
+    * integer-valued columns at any aggregation order); the encoded
+    * mean rounds to 6.
+    *
+    * @return `df` plus `<targetCol>_loo` (DOUBLE, null for singleton
+    *         categories)
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(col(targetCol).cast("long")).as("__s"), count(lit(1)).as("__n"))
+    df.join(broadcast(stats), Seq(catCol))
+      .withColumn(s"${targetCol}_loo",
+        when(col("__n") <= 1, lit(null).cast("double"))
+          .otherwise(round(
+            (col("__s") - col(targetCol).cast("long")).cast("double") / (col("__n") - 1),
+            6)))
+      .drop("__s", "__n")
+  }
+
   /** Robust (median/IQR) scaling — the outlier-resistant companion of
     * [[standardizeByGroup]]: heavy-tailed features blow up a z-score's
     * σ, while the median and quartiles have 25–50% breakdown. One

@@ -667,17 +667,20 @@ object DedupOps {
                           numHashes: Int, bands: Int,
                           num: Int, den: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // per-row probe: shingles → signature → band hashes, all in-row
+    // per-row probe: shingles → signature → band hashes, all in-row.
+    // The signature+banding runs as ONE native codegen expression
+    // (functions/MinHashBandHashes) — the HOF formulation
+    // (transform/array_min/xxhash64 nests) paid interpreted-lambda
+    // dispatch on every one of the numHashes × |shingles| hash
+    // evaluations, the measured dominant cost of the gate; the
+    // expression is spec-pinned bit-equal to those HOFs, i.e. to what
+    // minHashBandedFromShingles built the stored index with.
     val probes = incoming
       .select(col(idCol).as("in_id"), split(col(textCol), " ").as("__toks"))
       .filter(size(col("__toks")) >= shingleW)
       .select(col("in_id"), shingleArray(shingleW).as("__shq"))
-      .withColumn("__sig", expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  i -> array_min(transform(__shq, s -> xxhash64(i, s))))""".stripMargin))
-      .withColumn("__mbh", expr(
-        s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $r + 1, $r), b))"))
+      .withColumn("__mbh", graft.functions.MinHashFunctions
+        .minHashBandHashes(col("__shq"), numHashes, bands))
       .select(col("in_id"), col("__shq"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("__band"), col("__mbh"))
       .withColumn("__bhash", expr("element_at(__mbh, __band + 1)"))

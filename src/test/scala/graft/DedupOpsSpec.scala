@@ -74,6 +74,33 @@ class DedupOpsSpec extends SparkSpec {
     got.toSet shouldBe expected
   }
 
+  test("MinHashBandHashes expression is bit-equal to the HOF formulation AND the index-build band hashes") {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .filter(expr("size(__toks) >= 5"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, size(__toks) - 4), i -> concat_ws(' ', slice(__toks, i, 5))))")
+        .as("__shq"))
+    val hof = d
+      .withColumn("__sig", expr(
+        "transform(sequence(0, 63), i -> array_min(transform(__shq, s -> xxhash64(i, s))))"))
+      .withColumn("mbh", expr(
+        "transform(sequence(0, 15), b -> hash(slice(__sig, b * 4 + 1, 4), b))"))
+      .select("doc_id", "mbh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val fast = d
+      .withColumn("mbh", graft.functions.MinHashFunctions.minHashBandHashes(col("__shq"), 64, 16))
+      .select("doc_id", "mbh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    fast shouldBe hof
+    // ...and to what the PERSISTED index stores — the collision contract
+    val idxBands = DedupOps.minHashBandedFromShingles(
+        DedupOps.wordShingles(docs, "doc_id", "text", 5), 64, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val rowBands = fast.toSeq.flatMap { case (id, arr) =>
+      arr.zipWithIndex.map { case (h, b) => (id, b) -> h } }.toMap
+    rowBands shouldBe idxBands
+  }
+
   test("X2 minHashLshPairs recovers the exact-duplicate pair with exact stats") {
     val got = DedupOps.minHashLshPairs(docs, "doc_id", "text",
         shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)

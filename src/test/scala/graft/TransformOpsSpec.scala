@@ -231,6 +231,19 @@ class TransformOpsSpec extends SparkSpec {
     ah("mi")._3 should be > ah("en")._3
   }
 
+  test("targetEncodeLoo excludes the row's own label; singletons encode null") {
+    val df = Seq(("a", 10), ("a", 20), ("a", 30), ("b", 5)).toDF("cat", "y")
+    val got = TransformOps.targetEncodeLoo(df, "cat", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    got shouldBe Set(
+      ("a", 10, Some(25.0)), // (60-10)/2 — own label excluded
+      ("a", 20, Some(20.0)),
+      ("a", 30, Some(15.0)),
+      ("b", 5, None)) // singleton: no other rows to average
+  }
+
   test("saltedJoin equals the plain inner join on a skewed key") {
     // 900 of 1000 rows under ONE key — the shape salting exists for
     val fact = (1L to 1000L).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i))
