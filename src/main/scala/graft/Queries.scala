@@ -1332,6 +1332,35 @@ object Queries {
              |  max(abs(s)) < 64 AS is_silent
              |FROM v GROUP BY doc_id, win_no ORDER BY doc_id, win_no""".stripMargin)),
 
+    // ---- X5 (audio): exact 2× upsampling — sample-rate normalization
+    // before a fixed-rate model (8 kHz telephony → 16 kHz ASR): even
+    // outputs copy the input, odd ones are floor-midpoints (floorDiv,
+    // engine-exact for negative samples); the result re-encodes AND
+    // re-parses through the codec before summarizing
+    // (llm/MultimodalOps.audioUpsample2x). ----
+    ("x5_audio_resample",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.audioUpsample2x(
+            MultimodalOps.documentsAsAudio(
+              Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 6), "doc_id"),
+            "doc_id", "blob")
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+             |           WHERE doc_id % 10 = 6),
+             |g AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+             |v AS (SELECT doc_id, n, i,
+             |        ((doc_id * 31 + i * 7) % 2048 - 1024) * ((i // 160) % 2) AS s
+             |      FROM g),
+             |up AS (SELECT doc_id, n, s FROM v
+             |       UNION ALL
+             |       SELECT a.doc_id, a.n, (a.s + b.s) // 2 AS s
+             |       FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+             |SELECT doc_id, CAST(8000 AS BIGINT) AS in_rate, CAST(16000 AS BIGINT) AS out_rate,
+             |  CAST(max(n) AS BIGINT) AS n_in, CAST(2 * max(n) - 1 AS BIGINT) AS n_out,
+             |  CAST(max(abs(s)) AS BIGINT) AS out_peak, CAST(sum(s * s) AS BIGINT) AS out_sum_sq
+             |FROM up GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X6 (batch form): tumbling time-window aggregation ----
     ("x6_tumbling_window",
       (s: SparkSession, dir: String) => {

@@ -336,6 +336,62 @@ object MultimodalOps {
       })
   }
 
+  /** Resample accounting row: the clip before/after upsampling. */
+  final case class AudioResample(doc_id: Long, in_rate: Long, out_rate: Long,
+                                 n_in: Long, n_out: Long, out_peak: Long,
+                                 out_sum_sq: Long)
+
+  /** X5 (audio): EXACT 2× upsampling — the sample-rate normalization
+    * step speech pipelines run before a fixed-rate model (8 kHz
+    * telephony → 16 kHz ASR): even output samples copy the input,
+    * odd ones are the truncated midpoint of their neighbors
+    * (`(s_i + s_{i+1}) / 2` in Java semantics — truncation toward
+    * zero, the SAME rule as Spark's `div` and DuckDB's `//`, so the
+    * arithmetic is engine-exact for negative samples too; floorDiv
+    * would silently disagree with both engines' integer division on
+    * odd negative sums). The
+    * upsampled clip is re-encoded AND re-parsed through the codec —
+    * the full write/read round trip a materialized resample pays —
+    * and summarized with the same exact integer stats as
+    * [[audioStats]]. Linear in samples, one mapPartitions pass.
+    */
+  def audioUpsample2x(df: DataFrame, idCol: String, blobCol: String)
+      : Dataset[AudioResample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, s) = AudioCodec.parseWavPcm16(bytes)
+          .getOrElse(throw new IllegalArgumentException(
+            s"doc $id: blob is not decodable mono PCM s16le WAV"))
+        val n = s.length
+        val out = new Array[Short](if (n == 0) 0 else 2 * n - 1)
+        var i = 0
+        while (i < n) {
+          out(2 * i) = s(i)
+          if (i + 1 < n)
+            out(2 * i + 1) = ((s(i) + s(i + 1)) / 2).toShort
+          i += 1
+        }
+        val (outRate, parsed) = AudioCodec.parseWavPcm16(
+            AudioCodec.buildWavPcm16(rate * 2, out))
+          .getOrElse(throw new IllegalStateException(
+            s"doc $id: re-encoded resample failed to parse"))
+        var peak = 0L; var sumSq = 0L
+        i = 0
+        while (i < parsed.length) {
+          val v = parsed(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+          i += 1
+        }
+        AudioResample(id, rate.toLong, outRate.toLong, n.toLong,
+          parsed.length.toLong, peak, sumSq)
+      })
+  }
+
   /** One fixed-size analysis window of a decoded clip. */
   final case class AudioWindow(doc_id: Long, win_no: Long, n: Long,
                                sum_sq: Long, peak_abs: Long, is_silent: Boolean)

@@ -70,6 +70,20 @@ class AudioCodecSpec extends SparkSpec {
       Seq((0L, 4L, 0L, 0L, true), (1L, 2L, 500000L, 500L, false))
   }
 
+  test("audioUpsample2x: midpoint interpolation exact, truncation on negative sums") {
+    val samples = Array[Short](0, 100, -101, 3)
+    // out: 0, 50, 100, trunc(-1/2)=0, -101, -49, 3 — truncation toward
+    // zero matches Spark div and DuckDB // (floorDiv would give -1)
+    val df = Seq((1L, AudioCodec.buildWavPcm16(8000, samples))).toDF("doc_id", "blob")
+    val r = MultimodalOps.audioUpsample2x(df, "doc_id", "blob").collect().head
+    r.in_rate shouldBe 8000L
+    r.out_rate shouldBe 16000L
+    r.n_in shouldBe 4L
+    r.n_out shouldBe 7L
+    r.out_peak shouldBe 101L
+    r.out_sum_sq shouldBe (0L + 50L * 50 + 100L * 100 + 0L + 101L * 101 + 49L * 49 + 3L * 3)
+  }
+
   test("documentsAsAudio → VAD: even windows are digital silence, odd windows loud") {
     val docs = Seq((7L, "x"), (47L, "y")).toDF("doc_id", "text")
     val wins = MultimodalOps.audioEnergyWindows(
