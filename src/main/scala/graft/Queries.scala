@@ -2140,6 +2140,50 @@ object Queries {
              |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- X2: INCREMENTAL clustering — the daily-ingest path: docs
+    // with doc_id%7=0 arrive as the delta against a corpus already
+    // clustered without them. Delta pairs come from the persisted
+    // MinHash gate (probe-sized, zero corpus re-pairing), prior labels
+    // fold in as star edges, and the labels must equal the FULL
+    // recompute — the oracle below is byte-identical to
+    // x2_dup_clusters' recursive-CTE full-recompute oracle
+    // (llm/DedupOps.clusterNearDupsIncremental). ----
+    ("x2_dup_clusters_incremental",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val oldSh = DedupOps.wordShingles(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 5)
+        val oldLabels = DedupOps.clusterNearDups(
+          DedupOps.jaccardPairs(oldSh, 1, 2, maxDocFreq = Int.MaxValue))
+        val (bandedGate, shSets) = DedupOps.loadOrBuildMinHashGate(docs, "doc_id", "text",
+          shingleW = 5, numHashes = 64, bands = 16, minhashIndexPath(dir))
+        val deltaPairs = DedupOps.minHashGatePrepared(
+            docs.filter(col("doc_id") % 7 === 0), bandedGate, shSets,
+            "doc_id", "text", shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+          .select(least(col("in_id"), col("corpus_id")).as("doc1"),
+            greatest(col("in_id"), col("corpus_id")).as("doc2"))
+          .distinct()
+        DedupOps.clusterNearDupsIncremental(oldLabels, deltaPairs)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+             |p0 AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+             |       FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |p AS (SELECT doc1, doc2 FROM p0
+             |      JOIN z z1 ON z1.doc_id = doc1 JOIN z z2 ON z2.doc_id = doc2
+             |      WHERE inter * 2 >= (z1.n_sh + z2.n_sh - inter)),
+             |e AS (SELECT doc1 AS a, doc2 AS b FROM p UNION SELECT doc2, doc1 FROM p),
+             |walk(id, label) AS (
+             |  SELECT a, a FROM e
+             |  UNION
+             |  SELECT e.a, walk.label FROM e JOIN walk ON e.b = walk.id)
+             |SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- X2: END-TO-END fuzzy-dedup pipeline (RefinedWeb/FineWeb
     // flow) — near-dup pairs → transitive clusters → keep the best
     // document per cluster (longest, id tiebreak), singletons their

@@ -846,6 +846,45 @@ object DedupOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL transitive clustering — fold a DELTA of near-dup
+    * pairs into an EXISTING labeling without re-clustering the
+    * corpus: the daily-ingest path. Prior labels enter the edge set
+    * as star edges (member → its cluster_id), which preserve old
+    * connectivity exactly while replacing each old component's full
+    * pair set with a depth-1 star — so the alternating-star iteration
+    * re-converges in rounds proportional to the CHANGE's structure,
+    * and the per-round edge volume is |old components' members| +
+    * |delta|, not |all historical pairs|.
+    *
+    * Labels equal a from-scratch [[clusterNearDups]] over (old pairs
+    * ∪ delta pairs) — spec-pinned, and oracle-pinned by
+    * `x2_dup_clusters_incremental` against the full-recompute
+    * recursive-CTE oracle: every old member stays reachable from its
+    * old minimum through the star, and min-per-component does not
+    * care which spanning edges represent the component.
+    *
+    * Pairs with both ends in the old corpus must already be reflected
+    * in `oldLabels` (they are, when the delta pair source probes
+    * new docs against the full index — e.g.
+    * [[minHashGatePrepared]]'s output normalized to undirected
+    * pairs).
+    *
+    * @param oldLabels (doc_id, cluster_id) from a prior clustering
+    * @param deltaPairs (doc1, doc2) new edges touching the delta
+    */
+  def clusterNearDupsIncremental(oldLabels: DataFrame, deltaPairs: DataFrame,
+                                 maxIter: Int = 50,
+                                 localEdgeThreshold: Long = 65536): DataFrame = {
+    // the (min-member, min-member) self-star is a no-op edge; its node
+    // stays present through the other members' stars (components have
+    // >= 2 members by construction)
+    val stars = oldLabels
+      .select(col("doc_id").as("doc1"), col("cluster_id").as("doc2"))
+      .filter(col("doc1") =!= col("doc2"))
+    clusterNearDups(stars.unionByName(deltaPairs.select("doc1", "doc2")),
+      maxIter, localEdgeThreshold)
+  }
+
   /** Default SimHash token hash: xxhash64 — the fast path at scale. */
   val xxTokenHash: Column => Column = xxhash64(_)
 

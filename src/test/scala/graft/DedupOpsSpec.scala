@@ -101,6 +101,23 @@ class DedupOpsSpec extends SparkSpec {
     rowBands shouldBe idxBands
   }
 
+  test("clusterNearDupsIncremental: delta fold-in equals from-scratch clustering (both code paths)") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val deltaPairs = Seq((3L, 5L), (8L, 9L), (0L, 1L)).toDF("doc1", "doc2")
+    // 0 joins {1,2,3} and bridges to {5,6} via (3,5): min becomes 0
+    val full = DedupOps.clusterNearDups(oldPairs.unionByName(deltaPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (threshold <- Seq(65536L, 0L)) { // union-find fast path AND the star iteration
+      val oldLabels = DedupOps.clusterNearDups(oldPairs, localEdgeThreshold = threshold)
+      val inc = DedupOps.clusterNearDupsIncremental(oldLabels, deltaPairs,
+          localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      inc shouldBe full
+    }
+    full(6L) shouldBe 0L
+    full(9L) shouldBe 8L
+  }
+
   test("X2 minHashLshPairs recovers the exact-duplicate pair with exact stats") {
     val got = DedupOps.minHashLshPairs(docs, "doc_id", "text",
         shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
