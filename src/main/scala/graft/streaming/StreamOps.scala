@@ -467,11 +467,14 @@ object StreamOps {
       if (withinSeconds.isEmpty) Seq.fill(steps.size - 1)(None)
       else withinSeconds.map(Some(_))
     // MICROsecond comparisons, not Timestamp.getTime: getTime is
-    // millisecond-resolution, so events spaced closer than 1 ms (a
+    // millisecond-resolution, so sub-millisecond event times (a
     // 20k rows/s feed is 50 µs apart) tie and the strictly-after rule
     // never fires — the stream would silently stall where the batch
-    // operator (full-precision column comparison) advances. Caught by
-    // StreamSoak scenario 11.
+    // operator (full-precision column comparison) advances. Exposed by
+    // StreamSoak scenario 11; note a source that STAMPS ms-resolution
+    // times (Spark's rate source does) still ties legitimately at any
+    // comparison precision — spread per-user stages > 1 ms apart in
+    // such generators (the soak does).
     def us(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)

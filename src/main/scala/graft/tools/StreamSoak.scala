@@ -163,6 +163,28 @@ object StreamSoak {
     println(s"ann_gate_indexed: stateRows across all batches=${agiStates.sum} " +
       (if (agiStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
 
+    // 5b) the stateless MinHash text near-dup gate on the same text
+    // stream: persisted-index artifacts static, the per-row signature
+    // runs as the native MinHashBandHashes expression, pairs emit
+    // exactly once via the first-matching-band rule — same zero-state
+    // requirement as the other two ingest gates
+    val gateDocs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .limit(2000)
+    val gateSh = graft.llm.DedupOps.wordShingles(gateDocs, "doc_id", "text", 5)
+      .localCheckpoint()
+    val gateBanded = graft.llm.DedupOps.minHashBandedFromShingles(gateSh, 64, 16)
+      .localCheckpoint()
+    val (gbc0, gss0) = graft.llm.DedupOps.minHashGateArtifacts(gateBanded, gateSh)
+    val gbc = gbc0.localCheckpoint()
+    val gss = gss0.localCheckpoint()
+    val ngStates = soak("neardup_gate", StreamOps.neardupGateStreamPrepared(textStream,
+        gbc, gss, shingleW = 5, numHashes = 64, bands = 16, num = 1, den = 2)
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", s"$ckRoot/ng")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    println(s"neardup_gate: stateRows across all batches=${ngStates.sum} " +
+      (if (ngStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+
     // 6) stream-stream interval join: BOTH sides buffer in the state
     // store until the watermark passes the join bound — the time-bound
     // condition is exactly what licenses expiry, so state must plateau
@@ -296,16 +318,25 @@ object StreamSoak {
        else "FAIL state exceeds key space"))
 
     // 11) funnel with completed-user eviction on an EVER-GROWING user
-    // space: every user is new (value div 3) and completes the funnel
-    // in 3 consecutive events (value % 3 picks the stage), so without
-    // eviction state grows linearly with the stream; with
+    // space: each 3000-row epoch completes 1000 fresh users
+    // (user = epoch·1000 + value%1000, stage = (value div 1000) % 3),
+    // so without eviction state grows linearly with the stream; with
     // evictCompleted=true a completed user's provably-final row drops
-    // immediately and live state is just the per-batch in-flight tail.
+    // immediately and live state is just the in-flight tail. A user's
+    // three stages sit 1000 rows = 50 ms apart ON PURPOSE: the rate
+    // source stamps MILLISECOND-resolution timestamps, so consecutive
+    // rows (50 µs at this rate) genuinely tie — the funnel's
+    // strictly-after rule then correctly refuses to advance, no matter
+    // the comparison precision. (The first cut used value div 3 as the
+    // user — three same-millisecond events per user — and state
+    // tracked user cardinality exactly because nobody could ever
+    // complete; that run is what exposed the getTime-vs-micros
+    // comparison AND this generator bug.)
     val fneEvents = rateSrc.select(
         col("value").as("event_id"),
-        expr("value div 3").as("user_id"),
+        expr("(value div 3000) * 1000 + value % 1000").as("user_id"),
         element_at(typedLit(Seq("view", "click", "purchase")),
-          (pmod(col("value"), lit(3L)) + 1).cast("int")).as("event_type"),
+          (pmod(expr("value div 1000"), lit(3L)) + 1).cast("int")).as("event_type"),
         lit(0.0).as("value"),
         col("timestamp").as("ts"))
       .as[StreamOps.Event]
