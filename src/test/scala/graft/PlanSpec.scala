@@ -405,4 +405,30 @@ class PlanSpec extends SparkSpec {
     // (map-side combine), not a single-exchange SortAggregate
     "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
   }
+
+  test("t_target_encode: category stats broadcast back; the fact table never join-shuffles") {
+    val plan = formatted("t_target_encode")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("w_mixture_temperature + w_epoch_schedule: totals enter via broadcast, no shuffled join") {
+    for (q <- Seq("w_mixture_temperature", "w_epoch_schedule")) {
+      val plan = formatted(q)
+      plan should include("Broadcast")
+      plan should not include "SortMergeJoin"
+    }
+  }
+
+  test("x6_neardup_gate: per-call plan carries NO aggregation — corpus artifacts come from the store") {
+    val plan = formatted("x6_neardup_gate")
+    // the plain (unprepared) gate derives band arrays + shingle sets
+    // with two corpus-sized aggregations per call; the registered
+    // query must read them as stored tables instead
+    plan should not include "HashAggregate"
+    plan should not include "ObjectHashAggregate"
+    plan should not include "SortAggregate"
+    // and the probe side is the native expression, not interpreted HOFs
+    plan should include("minhash_band_hashes")
+  }
 }
