@@ -2113,6 +2113,42 @@ object Queries {
              |        / CAST(n_tokens AS DOUBLE), 6) AS epochs
              |FROM c, t ORDER BY source""".stripMargin)),
 
+    // ---- W: MATERIALIZE the mixture — the epoch schedule turned into
+    // the actual training corpus: floor(epochs) full copies per doc
+    // plus a deterministically-hashed partial epoch, so repetition
+    // (epochs>1) and subsampling (epochs<1) happen in ONE pass,
+    // reproducible on any engine/partitioning. Explode factor bounded
+    // by the schedule; epochs table broadcast
+    // (dfw/TransformOps.materializeEpochs). ----
+    ("w_mixture_materialized",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sched = TransformOps.epochSchedule(docs, "source",
+          tokens = size(split(col("text"), " ")), alpha = 0.3,
+          budgetTokens = 1000000L)
+        TransformOps.materializeEpochs(
+            docs.select("doc_id", "source"), "doc_id", "source", sched,
+            hash = DedupOps.md5TokenHash)
+          .orderBy(col("doc_id"), col("epoch_no"))
+      },
+      Some("""WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |          FROM documents GROUP BY source),
+             |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM c),
+             |q AS (SELECT source,
+             |        round(CAST(1000000 AS DOUBLE) * (pow(CAST(n_tokens AS DOUBLE), 0.3) / t.ta)
+             |              / CAST(n_tokens AS DOUBLE), 6) AS epochs
+             |      FROM c, t),
+             |d AS (SELECT doc_id, documents.source, epochs FROM documents JOIN q USING (source)),
+             |x AS (SELECT doc_id, source, epochs,
+             |        unnest(generate_series(0, CAST(floor(epochs) AS BIGINT))) AS epoch_no
+             |      FROM d)
+             |SELECT source, doc_id, CAST(epoch_no AS BIGINT) AS epoch_no
+             |FROM x
+             |WHERE epoch_no < floor(epochs)
+             |   OR CAST(('0x' || substr(md5(doc_id || ':' || epoch_no), 1, 15)) AS BIGINT) % 1000000
+             |      < CAST(round((epochs - floor(epochs)) * 1000000) AS BIGINT)
+             |ORDER BY doc_id, epoch_no""".stripMargin)),
+
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {

@@ -125,6 +125,46 @@ object TransformOps {
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** Materialize a training mixture — turn per-group epoch
+    * multipliers ([[epochSchedule]]) into the actual training corpus:
+    * every row emits `floor(epochs)` full copies plus one more with
+    * probability `frac(epochs)`, decided by a DETERMINISTIC pluggable
+    * hash of (id, epoch_no) — so epochs > 1 becomes data repetition
+    * and epochs < 1 becomes subsampling, in ONE pass, reproducible on
+    * any engine/cluster/partitioning. This is the step that turns a
+    * mixture DESIGN (shares, epochs) into the shuffled bytes a
+    * training run reads.
+    *
+    * Scale shape: the epochs table broadcasts (|groups| rows); the
+    * explode factor is `ceil(epochs)` — bounded by the schedule, not
+    * the data — and the partial-epoch membership test is a per-row
+    * hash compare. Nothing shuffles unless the caller re-orders.
+    *
+    * The fractional threshold quantizes to ppm from the (round-6)
+    * epochs value, so the per-row verdict is integer-exact and
+    * oracle-replayable.
+    *
+    * @param epochs (groupCol, ..., epochs DOUBLE) — extra columns are
+    *               ignored; [[epochSchedule]]'s output fits directly
+    * @param hash   id-string → BIGINT hash column (engine-neutral md5
+    *               for oracle-checked runs, xxhash64 at full scale)
+    * @return df's rows replicated with `epoch_no` (LONG, 0-based)
+    */
+  def materializeEpochs(df: DataFrame, idCol: String, groupCol: String,
+                        epochs: DataFrame,
+                        hash: Column => Column): DataFrame = {
+    val e = broadcast(epochs.select(col(groupCol), col("epochs")))
+    df.join(e, Seq(groupCol))
+      .withColumn("__whole", floor(col("epochs")).cast("long"))
+      .withColumn("__fppm",
+        expr("CAST(round((epochs - floor(epochs)) * 1000000) AS BIGINT)"))
+      .withColumn("epoch_no", explode(expr("sequence(CAST(0 AS BIGINT), __whole)")))
+      .filter(col("epoch_no") < col("__whole") ||
+        pmod(hash(concat_ws(":", col(idCol).cast("string"),
+          col("epoch_no").cast("string"))), lit(1000000L)) < col("__fppm"))
+      .drop("__whole", "__fppm", "epochs")
+  }
+
   /** Leave-one-out target encoding — the leakage-safe categorical
     * encoding: replace a category value with the TARGET mean over all
     * OTHER rows of that category, `enc_i = (Σ_cat y − y_i)/(n_cat−1)`.

@@ -231,6 +231,29 @@ class TransformOpsSpec extends SparkSpec {
     ah("mi")._3 should be > ah("en")._3
   }
 
+  test("materializeEpochs: whole epochs copy exactly, partial epochs hash-sample, zero drops") {
+    val df = (1L to 100L).map(i => (s"src${i % 2}", i)).toDF("grp", "id")
+    def run(e: Double) = TransformOps.materializeEpochs(df, "id", "grp",
+        Seq(("src0", e), ("src1", e)).toDF("grp", "epochs"),
+        hash = graft.llm.DedupOps.md5TokenHash)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    run(2.0).length shouldBe 200 // exactly two copies each
+    run(0.0) shouldBe empty // zero epochs: nothing survives
+    val half = run(2.5)
+    half.length should be >= 200
+    half.length should be < 300
+    // every id's epoch numbers are a 0-based prefix (full copies first)
+    half.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._2).sorted.toSeq shouldBe (0L until rows.length.toLong)
+    }
+    // deterministic under repartitioning
+    val again = TransformOps.materializeEpochs(df.repartition(7), "id", "grp",
+        Seq(("src0", 2.5), ("src1", 2.5)).toDF("grp", "epochs"),
+        hash = graft.llm.DedupOps.md5TokenHash)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    again.sorted.toSeq shouldBe half.sorted.toSeq
+  }
+
   test("targetEncodeLoo excludes the row's own label; singletons encode null") {
     val df = Seq(("a", 10), ("a", 20), ("a", 30), ("b", 5)).toDF("cat", "y")
     val got = TransformOps.targetEncodeLoo(df, "cat", "y")
