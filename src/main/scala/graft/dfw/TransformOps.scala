@@ -145,7 +145,10 @@ object TransformOps {
     * oracle-replayable.
     *
     * @param epochs (groupCol, ..., epochs DOUBLE) — extra columns are
-    *               ignored; [[epochSchedule]]'s output fits directly
+    *               ignored; [[epochSchedule]]'s output fits directly.
+    *               A group ABSENT from the schedule contributes zero
+    *               rows (the inner join IS the weight-0 semantics —
+    *               same as epochs = 0.0)
     * @param hash   id-string → BIGINT hash column (engine-neutral md5
     *               for oracle-checked runs, xxhash64 at full scale)
     * @return df's rows replicated with `epoch_no` (LONG, 0-based)
