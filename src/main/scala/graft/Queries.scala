@@ -2149,6 +2149,53 @@ object Queries {
              |      < CAST(round((epochs - floor(epochs)) * 1000000) AS BIGINT)
              |ORDER BY doc_id, epoch_no""".stripMargin)),
 
+    // ---- W: training batches end to end — temperature schedule →
+    // mixture materialization → sequence packing, ONE lazy plan (the
+    // composition story: Catalyst sees schedule, replication, and
+    // packing together, so pruning/pushdown cross what would be
+    // materialization barriers in an imperative pipeline). Instances
+    // key as doc_id·64 + epoch_no (epochs ≲ 25 at this budget, far
+    // under the encoding bound), so repeated copies of a document
+    // spread across shards instead of packing adjacently. ----
+    ("w_training_batches",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sched = TransformOps.epochSchedule(docs, "source",
+          tokens = size(split(col("text"), " ")), alpha = 0.3,
+          budgetTokens = 500000L)
+        val mix = TransformOps.materializeEpochs(
+            docs.select("doc_id", "source", "text"), "doc_id", "source", sched,
+            hash = DedupOps.md5TokenHash)
+          .withColumn("inst_id", col("doc_id") * 64 + col("epoch_no"))
+        TextOps.packGreedy(mix, "inst_id", "text", budgetTokens = 2048, shards = 8)
+          .withColumnRenamed("doc_id", "inst_id")
+          .orderBy(col("inst_id"))
+      },
+      Some("""WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |          FROM documents GROUP BY source),
+             |t AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM c),
+             |q AS (SELECT source,
+             |        round(CAST(500000 AS DOUBLE) * (pow(CAST(n_tokens AS DOUBLE), 0.3) / t.ta)
+             |              / CAST(n_tokens AS DOUBLE), 6) AS epochs
+             |      FROM c, t),
+             |d AS (SELECT doc_id, text, epochs FROM documents JOIN q USING (source)),
+             |x AS (SELECT doc_id, text, epochs,
+             |        unnest(generate_series(0, CAST(floor(epochs) AS BIGINT))) AS epoch_no
+             |      FROM d),
+             |m AS (SELECT doc_id, text, epoch_no FROM x
+             |      WHERE epoch_no < floor(epochs)
+             |         OR CAST(('0x' || substr(md5(doc_id || ':' || epoch_no), 1, 15)) AS BIGINT) % 1000000
+             |            < CAST(round((epochs - floor(epochs)) * 1000000) AS BIGINT)),
+             |i AS (SELECT doc_id * 64 + epoch_no AS inst_id,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM m),
+             |s AS (SELECT inst_id, inst_id % 8 AS shard, n_tokens FROM i),
+             |cu AS (SELECT inst_id, shard, n_tokens,
+             |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY inst_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |      FROM s)
+             |SELECT inst_id, shard, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id
+             |FROM cu ORDER BY inst_id""".stripMargin)),
+
     // ---- X2: transitive near-dup clusters (connected components) ----
     ("x2_dup_clusters",
       (s: SparkSession, dir: String) => {
@@ -2897,6 +2944,35 @@ object Queries {
              |k AS (SELECT *, row_number() OVER (PARTITION BY centroid_id ORDER BY cosine ASC, vec_id) AS out_rank FROM sc)
              |SELECT centroid_id, CAST(out_rank AS BIGINT) AS out_rank, vec_id, cosine
              |FROM k WHERE out_rank <= 10 ORDER BY centroid_id, out_rank""".stripMargin)),
+
+    // ---- X3/X2: near-dup threshold sweep — the dedup-aggressiveness
+    // curve (pairs and affected docs per candidate cosine cutoff) in
+    // one pass over the bucket-scoped candidates of the SAME persisted
+    // IVF lists (SemDeDup's epsilon decision, made with data instead
+    // of folklore). Each pair scored once with the all-integer test;
+    // explode bounded by |thresholds|
+    // (llm/SimilarityOps.nearDupThresholdSweep). ----
+    ("x3_threshold_sweep",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.nearDupThresholdSweep(embLists(s, dir, 16), "vec_id",
+            thresholdsPct = Seq(25, 30, 35, 40, 45))
+          .orderBy(col("threshold_pct"))
+      },
+      Some("""WITH ca AS (SELECT centroid_id, vec_id, "__qv" AS qv, "__n2" AS n2
+             |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |        CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS na, b.n2 AS nb
+             |      FROM ca a JOIN ca b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+             |th(t, num, den) AS (VALUES (25, 1, 4), (30, 3, 10), (35, 7, 20), (40, 2, 5), (45, 9, 20)),
+             |q AS (SELECT t, id_a, id_b FROM p, th
+             |      WHERE dot >= 0 AND dot * dot * den * den >= na * nb * num * num),
+             |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM q GROUP BY t),
+             |nd AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+             |       FROM (SELECT t, id_a AS d FROM q UNION ALL SELECT t, id_b AS d FROM q)
+             |       GROUP BY t)
+             |SELECT CAST(np.t AS BIGINT) AS threshold_pct, n_pairs, n_docs
+             |FROM np JOIN nd USING (t) ORDER BY threshold_pct""".stripMargin)),
 
     // ---- X3: IVF at full probe — nProbe = nCentroids degenerates to an
     // exhaustive search, so the SAME bucketed plan is value-exact

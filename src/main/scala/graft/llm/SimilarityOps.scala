@@ -480,6 +480,76 @@ object SimilarityOps {
       .select(col("centroid_id"), col("out_rank"), col(idCol), col("cosine"))
   }
 
+  /** X3/X2: near-dup THRESHOLD SWEEP off the persisted inverted
+    * lists — how many pairs (and how many documents) would semantic
+    * dedup remove at each candidate cosine threshold, in ONE pass:
+    * the curve a curation owner reads before committing to a cutoff
+    * (too low deletes topical diversity, too high leaves near-copies;
+    * SemDeDup's epsilon choice). Candidates are bucket-scoped (same
+    * cell ⇒ same coarse region — the scope the semantic-dedup
+    * operator itself uses), each pair scored ONCE with the
+    * all-integer dot/norm test and exploded only into the ≤
+    * |thresholds| rows it qualifies for.
+    *
+    * Thresholds are percents that must reduce to a denominator ≤ 20
+    * (multiples of 5): the exact integer test compares den²·dot²
+    * against num²·n2a·n2b, and den ≤ 20 keeps every product inside
+    * Long at quantized-norm magnitudes (den = 100 would overflow).
+    *
+    * Cost is the bucket-scoped pair count — Σ_cells n_c²/2, the same
+    * class as the semantic-dedup pass it parameterizes (measured
+    * 6.9× per 10× at FIXED cell count). At corpus scale size
+    * `nCentroids` with the data (the √N IVF sizing rule) so per-cell
+    * populations — and with them this sweep — stay bounded.
+    *
+    * @return (threshold_pct, n_pairs, n_docs) per threshold — n_docs
+    *         counts documents appearing in ≥1 qualifying pair
+    */
+  def nearDupThresholdSweep(lists: DataFrame, idCol: String,
+                            thresholdsPct: Seq[Int]): DataFrame = {
+    require(thresholdsPct.nonEmpty, "at least one threshold")
+    thresholdsPct.foreach { t =>
+      require(t > 0 && t < 100, s"threshold must be in (0,100), got $t")
+      val g = BigInt(t).gcd(BigInt(100)).toInt
+      require(100 / g <= 20,
+        s"threshold $t% reduces to denominator ${100 / g} > 20 — the integer " +
+          "comparison would overflow; use multiples of 5")
+    }
+    val a = lists.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("__qv").as("__qa"), col("__n2").as("__na"))
+    val b = lists.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("__qv").as("__qb"), col("__n2").as("__nb"))
+    val scored = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.longDot(col("__qa"), col("__qb")).as("__dot"),
+        col("__na"), col("__nb"))
+    val qualifying = scored
+      .select(col("id_a"), col("id_b"), col("__dot"), col("__na"), col("__nb"),
+        explode(typedLit(thresholdsPct.sorted)).as("threshold_pct"))
+      .filter {
+        // cosine >= num/den  <=>  dot >= 0 && den²·dot² >= num²·na·nb,
+        // with (num, den) the reduced fraction of threshold_pct/100 —
+        // computed per distinct threshold literal so the arithmetic
+        // stays integer-exact
+        thresholdsPct.sorted.map { t =>
+          val g = BigInt(t).gcd(BigInt(100)).toLong
+          val (num, den) = (t / g, 100 / g)
+          col("threshold_pct") === t && col("__dot") >= 0 &&
+            col("__dot") * col("__dot") * lit(den * den) >=
+              col("__na") * col("__nb") * lit(num * num)
+        }.reduce(_ || _)
+      }
+    val pairs = qualifying.groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = qualifying
+      .select(col("threshold_pct"), explode(array(col("id_a"), col("id_b"))).as("__d"))
+      .groupBy(col("threshold_pct")).agg(countDistinct(col("__d")).as("n_docs"))
+    pairs.join(docs, Seq("threshold_pct"))
+      .select(col("threshold_pct").cast("long").as("threshold_pct"),
+        col("n_pairs"), col("n_docs"))
+  }
+
   /** [[diversitySampleIndexed]] with inline assignment — derives the
     * inverted lists from `centroids` first (index-once pipelines
     * should persist the lists and call the indexed form).

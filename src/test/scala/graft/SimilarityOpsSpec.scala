@@ -474,6 +474,32 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("nearDupThresholdSweep: exact counts, monotone in the threshold, boundary pair included") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.05f)), // cos(1,2) ≈ 0.9988
+      (3L, Array(0.8f, 0.6f)),  // cos(1,3) = 0.8 exactly (the >= boundary)
+      (100L, Array(0.0f, 1.0f)) // alone in the +y bucket: no pairs
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(
+      Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 2)
+    val lists = SimilarityOps.ivfInvertedLists(corpus, "vec_id", "embedding", cents)
+    val got = SimilarityOps.nearDupThresholdSweep(lists, "vec_id", Seq(80, 95))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // t=80: (1,2), (1,3) at the exact boundary, (2,3) ~0.829 — 3 pairs, 3 docs
+    got(80L) shouldBe ((3L, 3L))
+    // t=95: only (1,2) survives
+    got(95L) shouldBe ((1L, 2L))
+  }
+
+  test("nearDupThresholdSweep rejects thresholds that would overflow the integer test") {
+    an[IllegalArgumentException] should be thrownBy
+      SimilarityOps.nearDupThresholdSweep(
+        Seq((0L, 1L, Seq(1L), 1L)).toDF("centroid_id", "vec_id", "__qv", "__n2"),
+        "vec_id", Seq(87))
+  }
+
   test("cellOutliersIndexed plan: WindowGroupLimit rank limit, broadcast centroid join") {
     val corpus = (0L until 50L).map(i => (i, Array((i % 7).toFloat, 1.0f)))
       .toDF("vec_id", "embedding")
