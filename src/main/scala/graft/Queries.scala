@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.dfw.{FunnelOps, MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
+import graft.dfw.{AuditOps, FunnelOps, MergeOps, SplitOps, TransformOps, GridOps, PermOps, PreProcess, SliceOps, WindowOps}
 import graft.llm.{DedupOps, GraphOps, IvfIndex, SimilarityOps, SketchOps, TextOps, MultimodalOps}
 import graft.streaming.StreamOps
 
@@ -5023,7 +5023,254 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_after,
              |  string_agg(unit, ' ' ORDER BY pos) AS dedup_text,
              |  CAST(((sum(n) - count(*)) * 1000000) // sum(n) AS BIGINT) AS rep_ratio_ppm
-             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- AUDIT: k-anonymity release gate — per threshold k, the QI
+    // equivalence classes smaller than k and the rows inside them
+    // (dfw/AuditOps.kAnonymity). QI tuple: nation × segment × 1000-wide
+    // balance band. The explode is over the CLASS table, never the
+    // data. ----
+    ("q_kanon",
+      (s: SparkSession, dir: String) => {
+        AuditOps.kAnonymity(
+          Tables.load(s, dir, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+          thresholds = Seq(2, 5, 10, 20))
+      },
+      Some("""WITH c AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM customer GROUP BY 1, 2, 3),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_classes FROM c),
+             |k AS (SELECT * FROM (VALUES (2), (5), (10), (20)) v(k))
+             |SELECT k.k,
+             |  CAST(sum(CASE WHEN c.cnt < k.k THEN 1 ELSE 0 END) AS BIGINT) AS classes_at_risk,
+             |  CAST(sum(CASE WHEN c.cnt < k.k THEN c.cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             |  t.n_classes,
+             |  round(CAST(sum(CASE WHEN c.cnt < k.k THEN c.cnt ELSE 0 END) AS DOUBLE) / t.total, 6) AS risk_frac
+             |FROM c CROSS JOIN k CROSS JOIN t
+             |GROUP BY k.k, t.n_classes, t.total ORDER BY k""".stripMargin)),
+
+    // ---- AUDIT: join fan-out profile for orders ⋈ customer, computed
+    // from two key-cardinality aggregates WITHOUT running the join —
+    // the pre-flight before a 100 TB join (dfw/AuditOps.joinProfile).
+    // Single row, no ORDER BY needed. ----
+    ("q_join_profile",
+      (s: SparkSession, dir: String) => {
+        AuditOps.joinProfile(
+          Tables.load(s, dir, "orders"), "o_custkey",
+          Tables.load(s, dir, "customer"), "c_custkey")
+      },
+      Some("""WITH l AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nl FROM orders GROUP BY 1),
+             |r AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nr FROM customer GROUP BY 1),
+             |j AS (SELECT nl, nr FROM l FULL OUTER JOIN r ON l.k = r.k)
+             |SELECT CAST(sum(coalesce(nl, 0)) AS BIGINT) AS left_rows,
+             |  CAST(sum(coalesce(nr, 0)) AS BIGINT) AS right_rows,
+             |  CAST(sum(CASE WHEN nl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_keys,
+             |  CAST(sum(CASE WHEN nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_keys,
+             |  CAST(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_both,
+             |  CAST(sum(CASE WHEN nr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_left_only,
+             |  CAST(sum(CASE WHEN nl IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_right_only,
+             |  CAST(max(coalesce(nl, 0)) AS BIGINT) AS max_left_mult,
+             |  CAST(max(coalesce(nr, 0)) AS BIGINT) AS max_right_mult,
+             |  CAST(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr ELSE 0 END) AS BIGINT) AS est_out_rows
+             |FROM j""".stripMargin)),
+
+    // ---- AUDIT: Welch's t-test between two hash-bucketed arms on a
+    // per-user engagement metric (events per user). Arm membership is
+    // the engine-neutral md5 key hash mod 2, so the oracle reproduces
+    // the exact assignment; the test itself is one conditional
+    // aggregate (dfw/AuditOps.welchTTest). ----
+    ("q_ab_test",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+          .withColumn("variant",
+            pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(2)).cast("int"))
+        AuditOps.welchTTest(perUser, col("variant"), col("n_events"))
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n_events FROM events GROUP BY 1),
+             |v AS (SELECT n_events,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant
+             |  FROM u),
+             |a AS (SELECT
+             |    CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+             |    CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+             |    avg(CASE WHEN variant = 0 THEN n_events END) AS m0,
+             |    avg(CASE WHEN variant = 1 THEN n_events END) AS m1,
+             |    var_samp(CASE WHEN variant = 0 THEN n_events END) AS v0,
+             |    var_samp(CASE WHEN variant = 1 THEN n_events END) AS v1
+             |  FROM v)
+             |SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+             |  round(v0, 4) AS var0, round(v1, 4) AS var1,
+             |  round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS t_stat,
+             |  round(((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)) /
+             |    ((v0 / n0) * (v0 / n0) / (n0 - 1) + (v1 / n1) * (v1 / n1) / (n1 - 1)), 2) AS welch_df
+             |FROM a""".stripMargin)),
+
+    // ---- MAINTENANCE: snapshot diff — two simulated versions of
+    // orders (keys %10=3 added, %10=7 removed, %5=0 repriced) classed
+    // added/removed/changed/unchanged from narrow (key, xxhash64)
+    // projections; the oracle re-derives the classes from value
+    // comparisons, pinning the fingerprint plan to the semantic truth
+    // (dfw/AuditOps.snapshotDiff). ----
+    ("m3_snapshot_diff",
+      (s: SparkSession, dir: String) => {
+        val orders = Tables.load(s, dir, "orders")
+        val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+        val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        AuditOps.snapshotDiff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_custkey", "o_orderpriority", "o_totalprice"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_custkey, o_orderpriority, o_totalprice
+             |        FROM orders WHERE o_orderkey % 10 <> 3),
+             |n AS (SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+             |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+             |      FROM orders WHERE o_orderkey % 10 <> 7),
+             |j AS (SELECT coalesce(o.k, n.k) AS k,
+             |        CASE WHEN o.k IS NULL THEN 'added'
+             |             WHEN n.k IS NULL THEN 'removed'
+             |             WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+             |                   AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+             |                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'changed'
+             |             ELSE 'unchanged' END AS status
+             |      FROM o FULL OUTER JOIN n ON o.k = n.k)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(k) AS BIGINT) AS key_checksum
+             |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- ML-PREP: per-class winsorization audit with RANK-based
+    // (discrete) percentile bounds — bounds are actual data values, so
+    // every clip decision replays exactly in any engine; interpolated
+    // bounds would put `v < bound` one ulp from flipping
+    // (dfw/TransformOps.winsorizeStats). ceil(p·n) is forced to DOUBLE
+    // on the oracle side: DuckDB's 0.05 literal is DECIMAL and its
+    // exact arithmetic rounds ceil() differently from IEEE. ----
+    ("t_winsorize",
+      (s: SparkSession, dir: String) => {
+        TransformOps.winsorizeStats(
+          Tables.load(s, dir, "lineitem")
+            .select(col("l_returnflag").as("cls"), col("l_extendedprice")),
+          Seq("cls"), "l_extendedprice", p = 0.05, numParts = 32)
+      },
+      Some("""WITH v AS (SELECT l_returnflag AS cls, CAST(l_extendedprice AS DOUBLE) AS v
+             |        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |r AS (SELECT cls, v, CAST(row_number() OVER (PARTITION BY cls ORDER BY v) AS BIGINT) AS rn FROM v),
+             |t AS (SELECT cls,
+             |        greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(0.05 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS BIGINT)) AS rlo,
+             |        CAST(count(*) AS BIGINT) + 1 - greatest(CAST(1 AS BIGINT), CAST(ceil(CAST(0.05 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS BIGINT)) AS rhi
+             |      FROM v GROUP BY cls),
+             |b AS (SELECT r.cls, min(CASE WHEN r.rn = t.rlo THEN r.v END) AS lo_bound,
+             |        min(CASE WHEN r.rn = t.rhi THEN r.v END) AS hi_bound
+             |      FROM r JOIN t ON r.cls = t.cls GROUP BY r.cls)
+             |SELECT v.cls, CAST(count(*) AS BIGINT) AS n, b.lo_bound, b.hi_bound,
+             |  CAST(sum(CASE WHEN v.v < b.lo_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+             |  CAST(sum(CASE WHEN v.v > b.hi_bound THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+             |  round(avg(v.v), 4) AS mean_raw,
+             |  round(avg(greatest(b.lo_bound, least(b.hi_bound, v.v))), 4) AS mean_wins
+             |FROM v JOIN b ON v.cls = b.cls
+             |GROUP BY v.cls, b.lo_bound, b.hi_bound ORDER BY v.cls""".stripMargin)),
+
+    // ---- CURATION: per-source quota cap — at most 50 docs per source,
+    // picked by the engine-neutral md5 key hash so membership AND the
+    // selection rank replay in the oracle; the row_number<=quota filter
+    // plans as a WindowGroupLimit (map-side top-k before the shuffle)
+    // (dfw/TransformOps.quotaSample). ----
+    ("w_quota_sample",
+      (s: SparkSession, dir: String) => {
+        TransformOps.quotaSample(
+            Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+            "source", "doc_id", quota = 50,
+            hash = k => DedupOps.md5TokenHash(k.cast("string")))
+          .orderBy(col("source"), col("pick"))
+      },
+      Some("""WITH h AS (SELECT doc_id, source, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS BIGINT) AS pick
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars, pick FROM h WHERE pick <= 50
+             |ORDER BY source, pick""".stripMargin)),
+
+    // ---- X2: blocked edit-distance similarity join on part names —
+    // the blocking-key ER shape beside x2_sorted_neighborhood: equi-
+    // join on (brand, size) blocks, length-band prefilter, then the
+    // threshold (banded-DP) levenshtein (llm/DedupOps.editDistanceJoin).
+    // ----
+    ("x2_editdist_join",
+      (s: SparkSession, dir: String) => {
+        DedupOps.editDistanceJoin(
+            Tables.load(s, dir, "part"), "p_partkey", "p_name",
+            Seq(col("p_brand"), col("p_size")), maxDist = 12)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |  AND abs(len(a.p_name) - len(b.p_name)) <= 12
+             |WHERE levenshtein(a.p_name, b.p_name) <= 12
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- X6: watermark lateness audit — replay the arrival-ordered
+    // event log's high-water mark (scalable prefix-max, never a
+    // single-task global window: dfw/WindowOps.prefixMaxScalable) and
+    // count, per candidate watermark delay, the events a streaming
+    // dedup/agg with that watermark would have dropped. ----
+    ("x6_late_arrivals",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.load(s, dir, "events").select(col("event_id"), col("ts"))
+        val lat = WindowOps
+          .prefixMaxScalable(ev, col("event_id"), col("ts"), numParts = 32)
+          .select((unix_micros(col("run_max")) - unix_micros(col("ts"))).as("lat_us"))
+        lat.agg(count(lit(1)).as("n_total"),
+            sum(when(col("lat_us") > 0L, 1L).otherwise(0L)).as("late0"),
+            sum(when(col("lat_us") > 60L * 1000000L, 1L).otherwise(0L)).as("late60"),
+            sum(when(col("lat_us") > 600L * 1000000L, 1L).otherwise(0L)).as("late600"),
+            sum(when(col("lat_us") > 3600L * 1000000L, 1L).otherwise(0L)).as("late3600"))
+          .select(expr("stack(4, 0, late0, 60, late60, 600, late600, 3600, late3600) AS (thr_s, n_late)"),
+            col("n_total"))
+          .withColumn("late_frac",
+            round(col("n_late").cast("double") / col("n_total").cast("double"), 6))
+          .orderBy(col("thr_s"))
+      },
+      Some("""WITH w AS (SELECT ts, max(ts) OVER (ORDER BY event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm FROM events),
+             |l AS (SELECT date_diff('microsecond', ts, wm) AS lat_us FROM w),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(sum(CASE WHEN lat_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS late0,
+             |    CAST(sum(CASE WHEN lat_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS late60,
+             |    CAST(sum(CASE WHEN lat_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late600,
+             |    CAST(sum(CASE WHEN lat_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS late3600
+             |  FROM l)
+             |SELECT 0 AS thr_s, late0 AS n_late, n_total, round(CAST(late0 AS DOUBLE) / n_total, 6) AS late_frac FROM a
+             |UNION ALL SELECT 60, late60, n_total, round(CAST(late60 AS DOUBLE) / n_total, 6) FROM a
+             |UNION ALL SELECT 600, late600, n_total, round(CAST(late600 AS DOUBLE) / n_total, 6) FROM a
+             |UNION ALL SELECT 3600, late3600, n_total, round(CAST(late3600 AS DOUBLE) / n_total, 6) FROM a
+             |ORDER BY thr_s""".stripMargin)),
+
+    // ---- X4: Zipf slope of the corpus frequency spectrum — regress
+    // ln(freq) on ln(rank) over the global top-300 tokens (TakeOrdered
+    // cut, single-task tail bounded by the parameter, not the corpus)
+    // (llm/TextOps.zipfSlope). ----
+    ("x4_zipf_slope",
+      (s: SparkSession, dir: String) => {
+        TextOps.zipfSlope(Tables.load(s, dir, "documents"), "text", topN = 300)
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE tok <> '' GROUP BY tok),
+             |top AS (SELECT tok, freq FROM f ORDER BY freq DESC, tok LIMIT 300),
+             |r AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank FROM top)
+             |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round(regr_slope(ln(freq), ln(rank)), 4) AS slope,
+             |  round(regr_intercept(ln(freq), ln(rank)), 4) AS intercept,
+             |  round(regr_r2(ln(freq), ln(rank)), 4) AS r2
+             |FROM r""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,155 @@
+package graft.dfw
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Data-engineering audits a training-data pipeline runs BEFORE it
+  * trusts a table: re-identification risk (k-anonymity), join fan-out
+  * profiling, snapshot diffing, and an A/B significance test. Each is
+  * a pure aggregate plan — partial-agg (map-side combine) everywhere,
+  * no windows over raw data, no driver-side loops — so every audit
+  * scales as a single shuffle over already-reduced rows.
+  */
+object AuditOps {
+
+  /** k-anonymity risk audit over a quasi-identifier (QI) tuple: for
+    * each threshold k, how many QI equivalence classes hold fewer
+    * than k rows, and how many rows sit in them (those rows are
+    * re-identifiable to better than 1-in-k). Standard release gate
+    * for user-derived training tables (Sweeney 2002 semantics).
+    *
+    * Plan shape: one partial-agg groupBy on the QI tuple (classes ≪
+    * rows), then a ×|thresholds| explode of the CLASS table — never
+    * of the data — and a second tiny aggregate. The one-row totals
+    * side rides a broadcast.
+    *
+    * @return one row per threshold: `k, classes_at_risk,
+    *         rows_at_risk, n_classes, risk_frac` (fraction of all
+    *         rows at risk, 6 dp)
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column],
+                 thresholds: Seq[Int]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.forall(_ > 1),
+      s"thresholds must be > 1, got $thresholds")
+    val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("__cnt"))
+    val totals = classes.agg(
+      sum(col("__cnt")).as("__total"), count(lit(1)).as("n_classes"))
+    classes
+      .select(explode(array(thresholds.map(k => lit(k)): _*)).as("k"), col("__cnt"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("__cnt") < col("k"), 1L).otherwise(0L)).as("classes_at_risk"),
+        sum(when(col("__cnt") < col("k"), col("__cnt")).otherwise(0L)).as("rows_at_risk"))
+      .crossJoin(broadcast(totals))
+      .select(col("k"), col("classes_at_risk"), col("rows_at_risk"),
+        col("n_classes"),
+        round(col("rows_at_risk").cast("double") /
+          col("__total").cast("double"), 6).as("risk_frac"))
+      .orderBy(col("k"))
+  }
+
+  /** Join health profile for `left ⋈ right` on a key, computed
+    * WITHOUT running the join: per-side row/key counts, worst key
+    * multiplicity, exact inner-join output size (Σ n_l·n_r), and the
+    * left-only / right-only key split. The pre-flight a pipeline runs
+    * before a 100 TB join to catch fan-out explosions (a skewed key
+    * whose n_l·n_r alone exceeds the cluster) while the cost is two
+    * partial aggs plus a keyed join of KEY-cardinality tables.
+    *
+    * @return a single row: `left_rows, right_rows, left_keys,
+    *         right_keys, keys_both, keys_left_only, keys_right_only,
+    *         max_left_mult, max_right_mult, est_out_rows`
+    */
+  def joinProfile(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__nl"))
+    val r = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nr"))
+    l.join(r, Seq("__k"), "full_outer")
+      .agg(
+        sum(coalesce(col("__nl"), lit(0L))).as("left_rows"),
+        sum(coalesce(col("__nr"), lit(0L))).as("right_rows"),
+        sum(when(col("__nl").isNotNull, 1L).otherwise(0L)).as("left_keys"),
+        sum(when(col("__nr").isNotNull, 1L).otherwise(0L)).as("right_keys"),
+        sum(when(col("__nl").isNotNull && col("__nr").isNotNull, 1L)
+          .otherwise(0L)).as("keys_both"),
+        sum(when(col("__nr").isNull, 1L).otherwise(0L)).as("keys_left_only"),
+        sum(when(col("__nl").isNull, 1L).otherwise(0L)).as("keys_right_only"),
+        max(coalesce(col("__nl"), lit(0L))).as("max_left_mult"),
+        max(coalesce(col("__nr"), lit(0L))).as("max_right_mult"),
+        sum(when(col("__nl").isNotNull && col("__nr").isNotNull,
+          col("__nl") * col("__nr")).otherwise(0L)).as("est_out_rows"))
+  }
+
+  /** Welch's unequal-variance t-test between two variants of a
+    * per-unit metric (the default A/B significance test when variance
+    * differs across arms). One pass of conditional aggregates —
+    * count/avg/var_samp FILTERed per variant — so the plan is a
+    * single map-side-combined aggregate whatever the row count; the
+    * t statistic and Welch–Satterthwaite df are closed-form column
+    * arithmetic on that one row.
+    *
+    * @param variantCol integer 0/1 arm assignment (hash-bucket it
+    *                   upstream with an engine-neutral key hash so an
+    *                   external oracle reproduces membership)
+    * @param valueCol   the per-row metric
+    * @return single row: `n0, n1, mean0, mean1, var0, var1, t_stat,
+    *         welch_df` (rounded 6/4 dp)
+    */
+  def welchTTest(df: DataFrame, variantCol: Column, valueCol: Column): DataFrame = {
+    val base = df.agg(
+      count(when(variantCol === 0, lit(1))).as("n0"),
+      count(when(variantCol === 1, lit(1))).as("n1"),
+      avg(when(variantCol === 0, valueCol)).as("__m0"),
+      avg(when(variantCol === 1, valueCol)).as("__m1"),
+      var_samp(when(variantCol === 0, valueCol)).as("__v0"),
+      var_samp(when(variantCol === 1, valueCol)).as("__v1"))
+    val se0 = col("__v0") / col("n0")
+    val se1 = col("__v1") / col("n1")
+    val se = se0 + se1
+    base.select(
+      col("n0"), col("n1"),
+      round(col("__m0"), 6).as("mean0"), round(col("__m1"), 6).as("mean1"),
+      round(col("__v0"), 4).as("var0"), round(col("__v1"), 4).as("var1"),
+      round((col("__m1") - col("__m0")) / sqrt(se), 4).as("t_stat"),
+      round((se * se) /
+        (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1)), 2)
+        .as("welch_df"))
+  }
+
+  /** Snapshot diff: classify every key across two versions of a table
+    * as `added` / `removed` / `changed` / `unchanged` and roll up
+    * counts + a key checksum per status — the validation a CDC or
+    * backfill pipeline runs after rewriting a 100 TB table.
+    *
+    * Scale posture: each side is projected down to
+    * `(key, xxhash64(row))` BEFORE the full-outer key join, so the
+    * shuffle moves 16 bytes/row no matter how wide the table is. The
+    * row fingerprint canonicalizes each compared column with an
+    * explicit NULL sentinel + field separator (xxhash64/concat_ws
+    * silently SKIP null fields, which would make `(null,"x")` collide
+    * with `("x",null)`). Both sides hash in the same engine, so the
+    * fingerprint never crosses an engine boundary; an external oracle
+    * reproduces the classification from value comparisons instead.
+    *
+    * @return one row per present status: `status, n_keys,
+    *         key_checksum` (Σ key), ordered by status
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    def fingerprint(df: DataFrame): Column = xxhash64(
+      concat_ws("\u0001",
+        compareCols.map(c => coalesce(df(c).cast("string"), lit("\u0002"))): _*))
+    val o = oldSnap.select(col(keyCol).as("__k"), fingerprint(oldSnap).as("__ho"))
+    val n = newSnap.select(col(keyCol).as("__k"), fingerprint(newSnap).as("__hn"))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__k")).as("key_checksum"))
+      .orderBy(col("status"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.dfw
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-row transforms, aggregations and set ops
@@ -456,5 +457,83 @@ object TransformOps {
     // merge hint: the whole point is the large-large shuffle-join case,
     // so keep Spark from broadcasting the replicated side in demos
     l.join(r.hint("merge"), keys :+ "__salt", "inner").drop("__salt")
+  }
+
+  /** Per-group winsorization audit: clamp `valueCol` to its per-group
+    * [p, 1-p] RANK-based percentile bounds and report how many rows
+    * each tail clipped plus the mean before/after — the standard
+    * heavy-tail taming step before features feed a trainer.
+    *
+    * The bounds are DISCRETE percentiles (the value at rank
+    * `max(1, ceil(p·n))` and its mirror), not interpolated ones:
+    * an interpolated bound is a derived double that two engines can
+    * compute one ulp apart, and a `v < bound` comparison then flips
+    * on values sitting at the bound — rank-selected bounds are actual
+    * data values, so the clip decisions replay exactly anywhere.
+    * Ranks come from [[SplitOps.rankByPermutationScalable]] (each
+    * group range-partitioned over `numParts` tasks — no per-group
+    * single-task window), the two boundary rows per group ride a
+    * broadcast, and the clip itself is scan-local arithmetic.
+    *
+    * @return one row per group: `grpCols..., n, lo_bound, hi_bound,
+    *         n_clipped_lo, n_clipped_hi, mean_raw, mean_wins` (means
+    *         4 dp; bounds are exact data values)
+    */
+  def winsorizeStats(df: DataFrame, grpCols: Seq[String], valueCol: String,
+                     p: Double, numParts: Int = 32): DataFrame = {
+    require(p > 0 && p < 0.5, s"tail fraction must be in (0, 0.5), got $p")
+    val vals = df
+      .select(grpCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val ranked = SplitOps.rankByPermutationScalable(vals, grpCols, Seq(col("__v")), numParts)
+    // rank targets per group: ceil(p·n) is evaluated in double on BOTH
+    // engines (identical IEEE result), then the bound is the value AT
+    // that rank — value-at-rank is tie-insensitive, so no tiebreak
+    // column is needed for determinism.
+    val targets = vals.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__rlo", greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")))
+      .withColumn("__rhi", col("__n") + 1L - col("__rlo"))
+      .select(grpCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__rlo"), col("__rhi")): _*)
+    val tCond = grpCols.map(c => ranked(c) === targets(s"__g_$c")).reduce(_ && _) &&
+      (ranked("rn") === targets("__rlo") || ranked("rn") === targets("__rhi"))
+    val bounds = ranked.join(broadcast(targets), tCond)
+      .groupBy(grpCols.map(col): _*)
+      .agg(min(when(col("rn") === col("__rlo"), col("__v"))).as("lo_bound"),
+        min(when(col("rn") === col("__rhi"), col("__v"))).as("hi_bound"))
+    vals.join(broadcast(bounds), grpCols)
+      .withColumn("__w", greatest(col("lo_bound"), least(col("hi_bound"), col("__v"))))
+      .groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_bound")).as("lo_bound"), first(col("hi_bound")).as("hi_bound"),
+        sum(when(col("__v") < col("lo_bound"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("__v") > col("hi_bound"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        round(avg(col("__v")), 4).as("mean_raw"),
+        round(avg(col("__w")), 4).as("mean_wins"))
+      .orderBy(grpCols.map(col): _*)
+  }
+
+  /** Per-group quota cap: keep at most `quota` rows per group, chosen
+    * deterministically by ranking on a pure hash of `keyCol` (a
+    * uniform "random" sample that re-runs, retries, and external
+    * engines reproduce exactly — same no-`rand()` discipline as
+    * [[sampleStratified]]). The source-balancing step of corpus
+    * assembly: no domain may exceed N documents regardless of its raw
+    * crawl share.
+    *
+    * The `row_number <= quota` filter directly over the window lets
+    * Spark plan a WindowGroupLimit: each map task keeps only its
+    * local top-`quota` per group BEFORE the shuffle, so the exchange
+    * moves O(groups × quota) rows, not the table. Adds `pick` (the
+    * 1-based selection rank).
+    */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                  quota: Int,
+                  hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hash(col(keyCol)), col(keyCol))
+    df.withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= quota)
   }
 }

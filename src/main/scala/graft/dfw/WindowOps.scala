@@ -117,4 +117,46 @@ object WindowOps {
       .drop("__pid", "__lrn", "__lprev", "__lnext", "__c", "__off", "__edgePrev", "__edgeNext",
         "__tb", "__tr")
   }
+
+  /** Global running maximum (`max(val) OVER (ORDER BY orderCol ROWS
+    * UNBOUNDED PRECEDING)`) without the single-task global window that
+    * a naive `Window.orderBy` plans: range-partition on `orderCol`
+    * across `numParts` tasks, take each partition's running max
+    * locally, and lift it by the strictly-preceding partitions'
+    * overall max carried on a `numParts`-row broadcast. This is the
+    * watermark replay of streaming ingestion — "what had the
+    * high-water mark reached when THIS row arrived" — evaluated over
+    * an arrival-ordered log of any size.
+    *
+    * Same freeze requirement as [[orderedAnalyticsScalable]]: the
+    * partition-id map has two consumers (the per-partition max and
+    * the final join), so the range exchange must materialize once.
+    * Adds `run_max`; `greatest` skips the first partition's NULL
+    * prefix by definition.
+    */
+  def prefixMaxScalable(df: DataFrame, orderCol: Column, valCol: Column,
+                        numParts: Int,
+                        mat: graft.sources.Materializer =
+                          graft.sources.Materializer.Local): DataFrame = {
+    require(numParts > 1, "numParts must spread the order over >1 partition")
+    require(mat.frozen,
+      "prefixMaxScalable needs a real Materializer (Lazy re-runs the " +
+        "range exchange per consumer and the partition-id map diverges)")
+    val parted = mat.freeze(
+      df.withColumn("__pv", valCol)
+        .repartitionByRange(numParts, orderCol)
+        .withColumn("__pid", spark_partition_id()),
+      Seq("__pid"), "pmax_parted")
+    val localW = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__lmax", max(col("__pv")).over(localW))
+    val prefW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = parted.groupBy(col("__pid")).agg(max(col("__pv")).as("__pmax"))
+      .withColumn("__pref", max(col("__pmax")).over(prefW))
+      .drop("__pmax")
+    local.join(broadcast(prefix), Seq("__pid"))
+      .withColumn("run_max", greatest(col("__lmax"), col("__pref")))
+      .drop("__pid", "__pv", "__lmax", "__pref")
+  }
 }

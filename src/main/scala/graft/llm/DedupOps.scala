@@ -1016,4 +1016,40 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** Blocked edit-distance similarity join: all pairs within a block
+    * whose Levenshtein distance is <= `maxDist` — the other classic
+    * entity-resolution shape beside [[sortedNeighborhoodPairs]]
+    * (blocking trades the sorted window's fixed fan-out for exact
+    * recall WITHIN blocks). The self-join is an equi-join on the
+    * block key — hash-shuffled, never a cross join — and two cheap
+    * pre-filters run before any distance evaluation: `id_a < id_b`
+    * halves the pairs, and the length band |len(a)−len(b)| <= maxDist
+    * (a lower bound on edit distance) discards most of the rest
+    * scan-locally. The distance itself uses the threshold form of
+    * `levenshtein`, whose banded DP abandons a pair the moment its
+    * distance exceeds `maxDist` (O(maxDist·len) per pair, not
+    * O(len²)).
+    *
+    * Block size bounds the quadratic term: pairs-per-block is the
+    * caller's contract (pick block columns whose classes stay small —
+    * same discipline every blocked dedup op in this file documents).
+    *
+    * @return `a_id, b_id, dist` (one row per qualifying pair)
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, strCol: String,
+                       blockCols: Seq[Column], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(blockCols.nonEmpty, "blocking columns are required (unblocked = cross join)")
+    def side(tag: String): DataFrame = df.select(
+      blockCols.zipWithIndex.map { case (c, i) => c.as(s"__b$i") } ++
+        Seq(col(idCol).as(s"${tag}_id"), col(strCol).as(s"__s_$tag")): _*)
+    val bkeys = blockCols.indices.map(i => s"__b$i")
+    side("a").join(side("b"), bkeys)
+      .filter(col("a_id") < col("b_id"))
+      .filter(abs(length(col("__s_a")) - length(col("__s_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__s_a"), col("__s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
 }

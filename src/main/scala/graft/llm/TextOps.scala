@@ -1101,4 +1101,36 @@ object TextOps {
           x => x("unit")), " ").as("dedup_text"))
       .withColumn("rep_ratio_ppm",
         expr("(n_before - n_after) * 1000000 div n_before"))
+
+  /** Zipf's-law fit over the corpus frequency spectrum: regress
+    * ln(freq) on ln(rank) for the top `topN` tokens and report the
+    * slope (natural text sits near −1; a corpus whose slope drifts
+    * far from it is boilerplate-heavy or template-generated — a cheap
+    * corpus-health indicator beside the quality classifiers).
+    *
+    * The token count is one partial-agg groupBy; the top-`topN` cut
+    * is a global `orderBy().limit()` (TakeOrderedAndProject — each
+    * map task forwards only its local top `topN`), so the single-task
+    * tail work — ranking `topN` rows and one `regr_slope` aggregate —
+    * is bounded by the parameter, not the corpus. Rank ties break on
+    * the token string for a deterministic spectrum.
+    *
+    * @return single row: `n_tokens, slope, intercept, r2` (4 dp)
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 1, "topN must exceed 1 (a regression needs >1 point)")
+    val top = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(expr("regr_slope(ln(freq), ln(rank))"), 4).as("slope"),
+        round(expr("regr_intercept(ln(freq), ln(rank))"), 4).as("intercept"),
+        round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("r2"))
+  }
 }

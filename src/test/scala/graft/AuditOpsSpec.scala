@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dfw.AuditOps
+
+/** Hand-computed fixtures for the pipeline audits: k-anonymity class
+  * accounting, the join profile vs the actually-run join, Welch's t
+  * against a closed-form replay, and snapshot-diff status classes —
+  * including the null-sentinel case a naive concat fingerprint gets
+  * wrong.
+  */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity counts classes and rows under each threshold") {
+    // classes: (a)=1 row, (b)=2 rows, (c)=4 rows, (d)=7 rows → 14 rows
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(7)("d")).toDF("qi")
+    val got = AuditOps.kAnonymity(df, Seq(col("qi")), Seq(2, 5))
+      .orderBy("k").collect()
+    got.map(_.getAs[Long]("classes_at_risk")).toSeq shouldBe Seq(1L, 3L)
+    got.map(_.getAs[Long]("rows_at_risk")).toSeq shouldBe Seq(1L, 7L)
+    got.map(_.getAs[Long]("n_classes")).toSeq shouldBe Seq(4L, 4L)
+    got.head.getAs[Double]("risk_frac") shouldBe (1.0 / 14) +- 1e-6
+  }
+
+  test("joinProfile's est_out_rows equals the join actually run") {
+    val l = Seq(1, 1, 1, 2, 3, 3, 5).toDF("k")   // key 5 left-only
+    val r = Seq(1, 2, 2, 3, 4).toDF("k")          // key 4 right-only
+    val p = AuditOps.joinProfile(l, "k", r, "k").head()
+    p.getAs[Long]("left_rows") shouldBe 7L
+    p.getAs[Long]("right_rows") shouldBe 5L
+    p.getAs[Long]("keys_both") shouldBe 3L
+    p.getAs[Long]("keys_left_only") shouldBe 1L
+    p.getAs[Long]("keys_right_only") shouldBe 1L
+    p.getAs[Long]("max_left_mult") shouldBe 3L
+    p.getAs[Long]("max_right_mult") shouldBe 2L
+    p.getAs[Long]("est_out_rows") shouldBe l.join(r, "k").count()
+  }
+
+  test("welchTTest replays the closed-form statistic") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)          // arm 0
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0)    // arm 1
+    val df = (a.map((0, _)) ++ b.map((1, _))).toDF("arm", "v")
+    val row = AuditOps.welchTTest(df, col("arm"), col("v")).head()
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def varS(xs: Seq[Double]) = {
+      val m = mean(xs); xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val (se0, se1) = (varS(a) / a.size, varS(b) / b.size)
+    val t = (mean(b) - mean(a)) / math.sqrt(se0 + se1)
+    val dfree = math.pow(se0 + se1, 2) /
+      (se0 * se0 / (a.size - 1) + se1 * se1 / (b.size - 1))
+    row.getAs[Long]("n0") shouldBe 4L
+    row.getAs[Long]("n1") shouldBe 5L
+    row.getAs[Double]("t_stat") shouldBe t +- 1e-4
+    row.getAs[Double]("welch_df") shouldBe dfree +- 1e-2
+  }
+
+  test("snapshotDiff classes added/removed/changed/unchanged") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val neu = Seq((2L, "y"), (3L, "Z"), (4L, "w")).toDF("k", "v")
+    val got = AuditOps.snapshotDiff(old, neu, "k", Seq("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe Map("added" -> (1L, 4L), "removed" -> (1L, 1L),
+      "changed" -> (1L, 3L), "unchanged" -> (1L, 2L))
+  }
+
+  test("snapshotDiff: null-shifted columns are 'changed', not a fingerprint collision") {
+    // (null,"x") vs ("x",null) — concat_ws without sentinels would
+    // fingerprint both as "x" and report unchanged
+    val old = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b")
+    val neu = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b")
+    AuditOps.snapshotDiff(old, neu, "k", Seq("a", "b"))
+      .head().getString(0) shouldBe "changed"
+  }
+}

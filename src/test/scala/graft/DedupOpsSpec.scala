@@ -348,4 +348,30 @@ class DedupOpsSpec extends SparkSpec {
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((1L, 2L))
   }
+
+  test("editDistanceJoin equals brute-force pairs within blocks") {
+    val rows = Seq(
+      (1L, "A", "kitten"), (2L, "A", "sitting"), (3L, "A", "mitten"),
+      (4L, "B", "kitten"),                       // other block: never pairs with A
+      (5L, "A", "completely unrelated string")   // length band cuts it
+    )
+    val df = rows.toDF("id", "blk", "s")
+    val got = DedupOps.editDistanceJoin(df, "id", "s", Seq(col("blk")), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, ba, sa) <- rows; (ib, bb, sb) <- rows
+      if ba == bb && ia < ib && lev(sa, sb) <= 3
+    } yield (ia, ib) -> lev(sa, sb).toLong).toMap
+    got shouldBe expect
+    expect.keySet should contain((1L, 3L))   // kitten↔mitten dist 1
+    got.keySet should not contain ((1L, 4L)) // cross-block, even though identical
+  }
 }

@@ -437,4 +437,22 @@ class TextOpsSpec extends SparkSpec {
         isTarget = col("doc_id") % 2 === 0, nBuckets = 32)
     run(docs).exceptAll(run(docs.orderBy(col("doc_id").desc))).count() shouldBe 0L
   }
+
+  test("zipfSlope recovers the exponent of a synthetic power-law corpus") {
+    // token t_r appears round(1000/r) times, r = 1..20 → slope ≈ −1
+    val text = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val row = graft.llm.TextOps.zipfSlope(docs, "text", topN = 20).head()
+    row.getAs[Long]("n_tokens") shouldBe 20L
+    row.getAs[Double]("slope") shouldBe -1.0 +- 0.01
+    row.getAs[Double]("r2") should be > 0.999
+  }
+
+  test("zipfSlope's top-N cut plans a TakeOrderedAndProject, not a global sort") {
+    val docs = Seq((1L, "a b c a b a")).toDF("doc_id", "text")
+    val plan = graft.llm.TextOps.zipfSlope(docs, "text", topN = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
 }

@@ -343,4 +343,50 @@ class TransformOpsSpec extends SparkSpec {
     df.select(SliceOps.dropLabelEntry(col("f"), labeled = true)).head().getSeq[Double](0) shouldBe Seq(1.0, 2.0)
     df.select(SliceOps.dropLabelEntry(col("f"), labeled = false)).head().getSeq[Double](0) shouldBe Seq(1.0, 2.0, 9.0)
   }
+
+  test("winsorizeStats: rank-based bounds are data values and clips count exactly") {
+    // 1..100 in one group, p=0.05 → rlo=ceil(5)=5, rhi=96: bounds 5 and 96;
+    // 4 rows clip low (1..4), 4 clip high (97..100)
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("cls", "v")
+      .repartition(5)
+    val r = TransformOps.winsorizeStats(df, Seq("cls"), "v", p = 0.05, numParts = 4).head()
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Double]("lo_bound") shouldBe 5.0
+    r.getAs[Double]("hi_bound") shouldBe 96.0
+    r.getAs[Long]("n_clipped_lo") shouldBe 4L
+    r.getAs[Long]("n_clipped_hi") shouldBe 4L
+    r.getAs[Double]("mean_raw") shouldBe 50.5
+    // winsorized mean: (4*5 + sum(5..96) + 4*96) / 100
+    val wmean = (4 * 5.0 + (5 to 96).sum + 4 * 96.0) / 100
+    r.getAs[Double]("mean_wins") shouldBe wmean +- 1e-9
+  }
+
+  test("winsorizeStats: singleton group clips nothing (bounds = the value)") {
+    val df = Seq(("g", 42.0), ("h", 1.0), ("h", 2.0), ("h", 3.0)).toDF("cls", "v")
+    val got = TransformOps.winsorizeStats(df, Seq("cls"), "v", p = 0.1, numParts = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("lo_bound"), r.getAs[Double]("hi_bound"),
+          r.getAs[Long]("n_clipped_lo") + r.getAs[Long]("n_clipped_hi")))).toMap
+    got("g") shouldBe ((42.0, 42.0, 0L))
+    got("h") shouldBe ((1.0, 3.0, 0L)) // rlo=1, rhi=3: extremes are the bounds
+  }
+
+  test("quotaSample keeps exactly quota rows per group, deterministically") {
+    val df = (1 to 200).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "id")
+    val a = TransformOps.quotaSample(df, "src", "id", quota = 10)
+    val counts = a.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.toSet shouldBe Set(10L)
+    a.agg(max(col("pick"))).head().getLong(0) shouldBe 10L
+    // re-run on shuffled input selects the same rows
+    val b = TransformOps.quotaSample(df.orderBy(col("id").desc), "src", "id", quota = 10)
+    a.select("src", "id").exceptAll(b.select("src", "id")).count() shouldBe 0L
+  }
+
+  test("quotaSample plans a WindowGroupLimit (map-side top-k before the shuffle)") {
+    val df = (1 to 50).map(i => (s"s${i % 2}", i.toLong)).toDF("src", "id")
+    val plan = TransformOps.quotaSample(df, "src", "id", quota = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
 }

@@ -81,4 +81,30 @@ class WindowOpsSpec extends SparkSpec {
     got(("A", 1L)) shouldBe ((2L, 2L, 2L))
     got(("B", 3L)) shouldBe ((1L, 1L, 1L))
   }
+
+  test("prefixMaxScalable equals the direct global running-max window") {
+    import spark.implicits._
+    // watermark-style series: mostly increasing with late dips, spread
+    // over several range partitions so the prefix lift is exercised
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (i * 13 % 97 + (if (i % 7 == 0) -40 else 0)).toLong)
+    }
+    val df = rows.toDF("id", "v").repartition(6)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val direct = df.select(col("id"), max(col("v")).over(w).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = WindowOps.prefixMaxScalable(df, col("id"), col("v"), numParts = 8)
+      .select(col("id"), col("run_max"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe direct
+  }
+
+  test("prefixMaxScalable refuses a lazy materializer") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("id", "v")
+    an[IllegalArgumentException] should be thrownBy
+      WindowOps.prefixMaxScalable(df, col("id"), col("v"), numParts = 4,
+        mat = graft.sources.Materializer.Lazy)
+  }
 }
