@@ -5270,7 +5270,253 @@ object Queries {
              |  round(regr_slope(ln(freq), ln(rank)), 4) AS slope,
              |  round(regr_intercept(ln(freq), ln(rank)), 4) AS intercept,
              |  round(regr_r2(ln(freq), ln(rank)), 4) AS r2
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // ---- DRIFT: two-sample Kolmogorov–Smirnov on l_extendedprice,
+    // early-era vs late-era shipments — empirical CDFs as scalable
+    // prefix sums over the distinct-value table, never a single-task
+    // global window (dfw/QuantileOps.ksTest on
+    // WindowOps.prefixSumScalable). ----
+    ("q_ks_test",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.ksTest(
+          Tables.load(s, dir, "lineitem").select("l_extendedprice", "l_shipdate"),
+          "l_extendedprice", col("l_shipdate") < lit("1996-01-01"), numParts = 32)
+      },
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             |    CASE WHEN l_shipdate < DATE '1996-01-01' THEN 1 ELSE 0 END AS r
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |c AS (SELECT v, CAST(sum(r) AS BIGINT) AS rn,
+             |    CAST(count(*) - sum(r) AS BIGINT) AS cn FROM s GROUP BY v),
+             |t AS (SELECT CAST(sum(rn) AS BIGINT) AS n_ref, CAST(sum(cn) AS BIGINT) AS n_cur FROM c),
+             |w AS (SELECT v, CAST(sum(rn) OVER (ORDER BY v) AS BIGINT) AS crn,
+             |    CAST(sum(cn) OVER (ORDER BY v) AS BIGINT) AS ccn FROM c),
+             |g AS (SELECT v, abs(CAST(crn AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+             |      - CAST(ccn AS DOUBLE) / CAST(t.n_cur AS DOUBLE)) AS gap FROM w, t),
+             |m AS (SELECT max(gap) AS d FROM g),
+             |a AS (SELECT min(v) AS ks_at FROM g, m WHERE g.gap = m.d)
+             |SELECT t.n_ref, t.n_cur, CAST(round(m.d * 1000000) AS BIGINT) AS d_ppm, a.ks_at,
+             |  round(2 * exp(-2 * m.d * m.d * CAST(t.n_ref * t.n_cur AS DOUBLE)
+             |    / CAST(t.n_ref + t.n_cur AS DOUBLE)), 6) AS p_value
+             |FROM t, m, a""".stripMargin)),
+
+    // ---- DRIFT: chi-squared homogeneity + Cramér's V on the
+    // o_orderpriority mix, early vs late order years — the categorical
+    // drift gate beside q_psi_drift/q_ks_test; per-category
+    // contributions quantized to micro-units before the sum
+    // (dfw/QuantileOps.chi2Drift). ----
+    ("q_chi2_drift",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.chi2Drift(Tables.load(s, dir, "orders"),
+          col("o_orderpriority"), year(col("o_orderdate")) < 1996)
+      },
+      Some("""WITH s AS (SELECT o_orderpriority AS cat,
+             |    CASE WHEN year(o_orderdate) < 1996 THEN 1 ELSE 0 END AS r FROM orders),
+             |c AS (SELECT cat, CAST(sum(r) AS BIGINT) AS rn,
+             |    CAST(count(*) - sum(r) AS BIGINT) AS cn FROM s GROUP BY cat),
+             |t AS (SELECT CAST(sum(rn) AS BIGINT) AS n_ref, CAST(sum(cn) AS BIGINT) AS n_cur,
+             |    CAST(count(*) AS BIGINT) AS n_cats FROM c),
+             |x AS (SELECT CAST(round((
+             |      (CAST(rn AS DOUBLE) - CAST(rn + cn AS DOUBLE) * CAST(t.n_ref AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |        * (CAST(rn AS DOUBLE) - CAST(rn + cn AS DOUBLE) * CAST(t.n_ref AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |        / (CAST(rn + cn AS DOUBLE) * CAST(t.n_ref AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |      + (CAST(cn AS DOUBLE) - CAST(rn + cn AS DOUBLE) * CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |        * (CAST(cn AS DOUBLE) - CAST(rn + cn AS DOUBLE) * CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |        / (CAST(rn + cn AS DOUBLE) * CAST(t.n_cur AS DOUBLE) / CAST(t.n_ref + t.n_cur AS DOUBLE))
+             |    ) * 1000000) AS BIGINT) AS cq FROM c, t)
+             |SELECT t.n_ref, t.n_cur, t.n_cats, CAST(t.n_cats - 1 AS BIGINT) AS dof,
+             |  CAST(sum(cq) AS BIGINT) AS chi2_q,
+             |  CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS chi2,
+             |  round(sqrt(CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             |    / CAST(t.n_ref + t.n_cur AS DOUBLE)), 6) AS cramers_v
+             |FROM x, t GROUP BY t.n_ref, t.n_cur, t.n_cats""".stripMargin)),
+
+    // ---- AUDIT: delete-one-block jackknife SE for the A/B mean
+    // difference — deterministic replicates (leave-one-hash-block-out)
+    // where bootstrap draws would not replay across engines; arm and
+    // block come from independent md5 key hashes so the oracle
+    // reproduces the full assignment (dfw/AuditOps.blockJackknifeDiff
+    // beside q_ab_test's Welch t). ----
+    ("q_jackknife_se",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("variant",
+            pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(2)).cast("int"))
+          .withColumn("block",
+            pmod(DedupOps.md5TokenHash(concat(lit("b:"), col("user_id").cast("string"))), lit(50)))
+        AuditOps.blockJackknifeDiff(perUser, col("variant"), col("n_events"), col("block"))
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |v AS (SELECT x,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant,
+             |    CAST(('0x' || substr(md5('b:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 50 AS b
+             |  FROM u),
+             |c AS (SELECT b,
+             |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+             |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1
+             |  FROM v GROUP BY b),
+             |t AS (SELECT CAST(sum(s0) AS BIGINT) AS t0, CAST(sum(m0) AS BIGINT) AS n0,
+             |    CAST(sum(s1) AS BIGINT) AS t1, CAST(sum(m1) AS BIGINT) AS n1,
+             |    CAST(count(*) AS BIGINT) AS nb FROM c),
+             |r AS (SELECT CAST(round((CAST(t.t1 - c.s1 AS DOUBLE) / CAST(t.n1 - c.m1 AS DOUBLE)
+             |      - CAST(t.t0 - c.s0 AS DOUBLE) / CAST(t.n0 - c.m0 AS DOUBLE)) * 1000000) AS BIGINT) AS tq
+             |  FROM c, t),
+             |a AS (SELECT CAST(sum(tq) AS BIGINT) AS sq, CAST(sum(tq * tq) AS BIGINT) AS sq2 FROM r),
+             |f AS (SELECT t.nb, t.n0, t.n1,
+             |    round(CAST(t.t1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+             |      - CAST(t.t0 AS DOUBLE) / CAST(t.n0 AS DOUBLE), 6) AS mean_diff,
+             |    sqrt(CAST(t.nb - 1 AS DOUBLE) / CAST(t.nb * t.nb AS DOUBLE)
+             |      * CAST(t.nb * a.sq2 - a.sq * a.sq AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS se
+             |  FROM t, a)
+             |SELECT nb AS n_blocks, n0, n1, mean_diff,
+             |  round(se, 6) AS se_jack, round(mean_diff / se, 4) AS z
+             |FROM f""".stripMargin)),
+
+    // ---- X4: lexical-diversity profile per source — type-token ratio
+    // and hapax share, the corpus-health companion to x4_zipf_slope
+    // (llm/TextOps.typeTokenStats). ----
+    ("x4_ttr_hapax",
+      (s: SparkSession, dir: String) => {
+        TextOps.typeTokenStats(Tables.load(s, dir, "documents"), "source", "text")
+      },
+      Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f
+             |      FROM tok WHERE tok <> '' GROUP BY 1, 2)
+             |SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+             |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  CAST(count(*) * 1000000 // sum(f) AS BIGINT) AS ttr_ppm,
+             |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS hapax_ppm
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- X2: directed shingle-containment pairs — the asymmetric
+    // near-dup relation (a doc swallowed by a larger one has tiny
+    // Jaccard but containment ≈ 1); inverted-index join, exact ppm
+    // verdicts (llm/DedupOps.containmentPairs). Uncapped df for the
+    // oracle; production passes maxDocFreq. ----
+    ("x2_containment",
+      (s: SparkSession, dir: String) => {
+        val sh = DedupOps.wordShingles(Tables.load(s, dir, "documents"), "doc_id", "text", 5)
+        DedupOps.containmentPairs(sh, minContainPpm = 200000L, maxDocFreq = Int.MaxValue)
+          .orderBy(col("doc_id"), col("container_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |s0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |       FROM t WHERE len(toks) >= 5),
+             |s AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh FROM s0),
+             |z AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS inter
+             |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |d AS (SELECT doc1 AS doc_id, doc2 AS container_id, inter FROM p
+             |      UNION ALL SELECT doc2, doc1, inter FROM p),
+             |j AS (SELECT d.doc_id, d.container_id, d.inter, z.n_sh,
+             |        CAST(d.inter * 1000000 // z.n_sh AS BIGINT) AS contain_ppm
+             |      FROM d JOIN z USING (doc_id))
+             |SELECT doc_id, container_id, inter, n_sh, contain_ppm FROM j
+             |WHERE contain_ppm >= 200000 ORDER BY doc_id, container_id""".stripMargin)),
+
+    // ---- X3: embedding-health audit per label — mean norm, mean-
+    // resultant length, and the EXACT average pairwise cosine from
+    // ‖Σû‖² − Σ‖û‖² (one linear pass, no pair join; the collapse/
+    // anisotropy gate before any ANN result is trusted)
+    // (llm/SimilarityOps.embeddingHealth). ----
+    ("x3_embed_health",
+      (s: SparkSession, dir: String) => {
+        SimilarityOps.embeddingHealth(Tables.load(s, dir, "embeddings"),
+          "label", "embedding")
+      },
+      Some("""WITH v AS (SELECT label,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |n2 AS (SELECT label, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |nz AS (SELECT * FROM n2 WHERE n2 > 0),
+             |u AS (SELECT label, n2,
+             |    list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             |      / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT)) AS u
+             |  FROM nz),
+             |un AS (SELECT label, u, CAST(list_sum(list_transform(u, x -> x * x)) AS BIGINT) AS un2,
+             |    CAST(round(sqrt(CAST(n2 AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT) AS normq
+             |  FROM u),
+             |e AS (SELECT label, u, unnest(range(0, len(u))) AS j FROM un),
+             |xx AS (SELECT label, j, u[CAST(j AS INT) + 1] AS uv FROM e),
+             |d AS (SELECT label, j, CAST(sum(uv) AS HUGEINT) AS su FROM xx GROUP BY 1, 2),
+             |m AS (SELECT label, sum(su * su) AS msq FROM d GROUP BY label),
+             |b AS (SELECT label, CAST(count(*) AS BIGINT) AS n, sum(normq) AS snorm,
+             |    sum(un2) AS sun2 FROM un GROUP BY label)
+             |SELECT b.label, b.n,
+             |  round(CAST(b.snorm AS DOUBLE) / CAST(b.n AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) AS avg_norm,
+             |  round(sqrt(CAST(m.msq AS DOUBLE)) / CAST(b.n AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS mean_resultant,
+             |  CASE WHEN b.n > 1 THEN
+             |    round((CAST(m.msq AS DOUBLE) - CAST(b.sun2 AS DOUBLE))
+             |      / CAST(b.n * (b.n - 1) AS DOUBLE) / CAST(1000000000000 AS DOUBLE), 6)
+             |  END AS avg_pair_cos
+             |FROM b JOIN m USING (label) ORDER BY label""".stripMargin)),
+
+    // ---- X4: hybrid retrieval — reciprocal-rank fusion of the BM25
+    // lexical top-50 and the dense cosine top-50 (query doc 0's
+    // embedding) into one top-20, integer nano-unit RRF scores
+    // (llm/TextOps.rrfFuse over bm25TopK + bruteForceTopK). ----
+    ("x4_hybrid_rrf",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val lex = TextOps.bm25TopK(docs, "doc_id", "text",
+            Seq("hash", "join", "merge", "window", "stream"), topK = 50)
+          .select(col("doc_id"), col("rnk"))
+        val dense = SimilarityOps.bruteForceTopK(
+            emb.filter(col("vec_id") === 0L), emb, "vec_id", "embedding", 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank").as("rnk"))
+        TextOps.rrfFuse(Seq(lex, dense), "doc_id", topK = 20).orderBy(col("rnk"))
+      },
+      Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+             |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+             |hits AS (SELECT doc_id, term FROM toks
+             |         WHERE term IN ('hash', 'join', 'merge', 'window', 'stream')),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |       FROM hits GROUP BY doc_id, term),
+             |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |       FROM hits GROUP BY term),
+             |sc AS (SELECT tf.doc_id,
+             |         ln(1.0 + (CAST(c.n_docs - dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+             |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+             |           / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / c.avgdl))
+             |           AS contrib
+             |       FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), corpus c),
+             |agg AS (SELECT doc_id,
+             |          CAST(sum(CAST(round(contrib * 1000000) AS BIGINT)) AS BIGINT) AS score_q
+             |        FROM sc GROUP BY doc_id),
+             |lex AS (SELECT doc_id, rnk FROM (SELECT doc_id,
+             |          row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk FROM agg)
+             |        WHERE rnk <= 50),
+             |v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |p AS (SELECT b.vec_id AS neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(a.q, b.q), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        a.n2 AS qa, b.n2 AS qb
+             |      FROM n a JOIN n b ON a.vec_id = 0 AND a.vec_id <> b.vec_id),
+             |r AS (SELECT neighbor_id, CAST(dot AS DOUBLE) / sqrt(CAST(qa * qb AS DOUBLE)) AS cosine FROM p),
+             |den AS (SELECT neighbor_id AS doc_id, rnk FROM (SELECT neighbor_id,
+             |          row_number() OVER (ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |        WHERE rnk <= 50),
+             |ca AS (SELECT doc_id, CAST(round(CAST(1000000000 AS DOUBLE)
+             |          / (60 + CAST(rnk AS DOUBLE))) AS BIGINT) AS c FROM lex
+             |       UNION ALL
+             |       SELECT doc_id, CAST(round(CAST(1000000000 AS DOUBLE)
+             |          / (60 + CAST(rnk AS DOUBLE))) AS BIGINT) FROM den),
+             |f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+             |        CAST(count(*) AS BIGINT) AS n_lists FROM ca GROUP BY doc_id),
+             |rk AS (SELECT doc_id, n_lists, rrf_q,
+             |        row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk FROM f)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_lists, rrf_q
+             |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -206,4 +206,92 @@ object QuantileOps {
         expr("CASE WHEN n_total = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE coalesce(cnt, 0L) * 1000000 div n_total END").as("frac_ppm"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test: D = max over observed
+    * values of |F_ref(v) − F_cur(v)|, the distribution-shape
+    * complement to [[psiDrift]]'s binned divergence (KS sees a pure
+    * location shift a coarse binning can blur, and needs no bin-count
+    * parameter).
+    *
+    * Scale shape: one partial-agg groupBy collapses rows to distinct
+    * values with per-slice counts; the two empirical CDFs are that
+    * table's running sums via [[WindowOps.prefixSumScalable]] (never a
+    * single-task global window); the max/argmax reduce and two-row
+    * totals ride broadcasts. The CDF gaps are IEEE divisions of exact
+    * integer counts, so both the statistic and its argmax location
+    * replay bit-identically in any engine.
+    *
+    * @param isRef slice predicate; NULL rows count as CURRENT (same
+    *              defined-slice rule as [[psiDrift]])
+    * @return single row: `n_ref, n_cur, d_ppm` (round(D·1e6)), `ks_at`
+    *         (smallest value attaining D), `p_value` (asymptotic
+    *         2·exp(−2D²·nm/(n+m)), 6 dp)
+    */
+  def ksTest(df: DataFrame, valueCol: String, isRef: Column,
+             numParts: Int = 32): DataFrame = {
+    val sliced = df
+      .select(col(valueCol).cast("double").as("v"),
+        when(isRef, 1L).otherwise(0L).as("__r"))
+      .where(col("v").isNotNull)
+    val counts = sliced.groupBy(col("v"))
+      .agg(sum(col("__r")).as("rn"), (count(lit(1)) - sum(col("__r"))).as("cn"))
+    val run = WindowOps.prefixSumScalable(counts, col("v"),
+      Seq("rn" -> col("rn"), "cn" -> col("cn")), numParts)
+    val totals = counts.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
+    val gaps = run.join(broadcast(totals))
+      .select(col("v"), col("n_ref"), col("n_cur"),
+        abs(col("run_rn").cast("double") / col("n_ref").cast("double") -
+          col("run_cn").cast("double") / col("n_cur").cast("double")).as("__gap"))
+    val dMax = gaps.agg(max(col("__gap")).as("__d"))
+    gaps.join(broadcast(dMax), col("__gap") === col("__d"))
+      .groupBy(col("n_ref"), col("n_cur"), col("__d"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("n_ref"), col("n_cur"),
+        round(col("__d") * 1e6).cast("long").as("d_ppm"), col("ks_at"),
+        round(lit(2.0) * exp(lit(-2.0) * col("__d") * col("__d") *
+          (col("n_ref") * col("n_cur")).cast("double") /
+          (col("n_ref") + col("n_cur")).cast("double")), 6).as("p_value"))
+  }
+
+  /** Chi-squared homogeneity test between two slices of a categorical
+    * column, with Cramér's V effect size — the categorical complement
+    * to [[psiDrift]]/[[ksTest]]. One partial-agg groupBy builds the
+    * 2×k contingency table; expectations, the statistic, and V are
+    * column arithmetic on that k-row table with one-row totals
+    * broadcast. Per-category contributions are quantized to integer
+    * micro-units BEFORE the final sum (double addition does not
+    * commute across partitions; the long sum does — same discipline
+    * as [[psiDrift]]'s psi_q).
+    *
+    * Categories observed in only one slice still contribute (expected
+    * counts are never zero when both slice totals are positive).
+    *
+    * @return single row: `n_ref, n_cur, n_cats, dof, chi2_q`
+    *         (round(χ²·1e6) integer), `chi2` (χ² as double),
+    *         `cramers_v` (6 dp; 2×k table, so V = sqrt(χ²/N))
+    */
+  def chi2Drift(df: DataFrame, catCol: Column, isRef: Column): DataFrame = {
+    val cells = df
+      .select(catCol.as("__cat"), when(isRef, 1L).otherwise(0L).as("__r"))
+      .groupBy(col("__cat"))
+      .agg(sum(col("__r")).as("rn"), (count(lit(1)) - sum(col("__r"))).as("cn"))
+    val totals = cells.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"),
+      count(lit(1)).as("n_cats"))
+    val contrib = cells.join(broadcast(totals))
+      .withColumn("__rowt", (col("rn") + col("cn")).cast("double"))
+      .withColumn("__n", (col("n_ref") + col("n_cur")).cast("double"))
+      .withColumn("__er", col("__rowt") * col("n_ref").cast("double") / col("__n"))
+      .withColumn("__ec", col("__rowt") * col("n_cur").cast("double") / col("__n"))
+      .withColumn("__c",
+        (col("rn").cast("double") - col("__er")) * (col("rn").cast("double") - col("__er")) / col("__er") +
+        (col("cn").cast("double") - col("__ec")) * (col("cn").cast("double") - col("__ec")) / col("__ec"))
+      .withColumn("__cq", round(col("__c") * 1e6).cast("long"))
+    contrib.groupBy(col("n_ref"), col("n_cur"), col("n_cats"))
+      .agg(sum(col("__cq")).as("chi2_q"))
+      .select(col("n_ref"), col("n_cur"), col("n_cats"),
+        (col("n_cats") - 1L).as("dof"), col("chi2_q"),
+        (col("chi2_q").cast("double") / 1e6).as("chi2"),
+        round(sqrt(col("chi2_q").cast("double") / 1e6 /
+          (col("n_ref") + col("n_cur")).cast("double")), 6).as("cramers_v"))
+  }
 }

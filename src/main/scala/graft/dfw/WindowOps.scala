@@ -159,4 +159,56 @@ object WindowOps {
       .withColumn("run_max", greatest(col("__lmax"), col("__pref")))
       .drop("__pid", "__pv", "__lmax", "__pref")
   }
+
+  /** Global running SUMS (`sum(val_i) OVER (ORDER BY orderCol ROWS
+    * UNBOUNDED PRECEDING)` for several value columns at once) with the
+    * same two-phase scheme as [[prefixMaxScalable]]: per-partition
+    * local running sums after a range exchange, lifted by the
+    * strictly-preceding partitions' totals on a `numParts`-row
+    * broadcast. This is the empirical-CDF builder — feed it per-value
+    * slice counts and the running sums ARE the unnormalized CDFs
+    * (KS tests, Lorenz/Gini curves, cumulative mixture shares).
+    *
+    * `orderCol` must be UNIQUE per row (group to distinct values
+    * first): with duplicate order keys the within-partition row order,
+    * and therefore each duplicate's intermediate running sum, is
+    * nondeterministic. Sums must be exact types (long/decimal —
+    * double addition would reorder across partition boundaries).
+    * Adds `run_<name>` per value column; same freeze requirement as
+    * [[prefixMaxScalable]].
+    */
+  def prefixSumScalable(df: DataFrame, orderCol: Column,
+                        valCols: Seq[(String, Column)], numParts: Int,
+                        mat: graft.sources.Materializer =
+                          graft.sources.Materializer.Local): DataFrame = {
+    require(numParts > 1, "numParts must spread the order over >1 partition")
+    require(valCols.nonEmpty, "at least one value column to sum")
+    require(mat.frozen,
+      "prefixSumScalable needs a real Materializer (Lazy re-runs the " +
+        "range exchange per consumer and the partition-id map diverges)")
+    val named = valCols.map { case (n, c) => (n, s"__pv_$n") }
+    val parted = mat.freeze(
+      valCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(s"__pv_$n", c) }
+        .repartitionByRange(numParts, orderCol)
+        .withColumn("__pid", spark_partition_id()),
+      Seq("__pid"), "psum_parted")
+    val localW = Window.partitionBy(col("__pid")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = named.foldLeft(parted) { case (d, (n, pv)) =>
+      d.withColumn(s"__l_$n", sum(col(pv)).over(localW))
+    }
+    val prefW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totalsPerPid = parted.groupBy(col("__pid"))
+      .agg(named.head match { case (n, pv) => sum(col(pv)).as(s"__t_$n") },
+        named.tail.map { case (n, pv) => sum(col(pv)).as(s"__t_$n") }: _*)
+    val prefix = named.foldLeft(totalsPerPid) { case (d, (n, _)) =>
+      d.withColumn(s"__p_$n", sum(col(s"__t_$n")).over(prefW))
+    }.select(col("__pid") +: named.map { case (n, _) => col(s"__p_$n") }: _*)
+    val joined = local.join(broadcast(prefix), Seq("__pid"))
+    named.foldLeft(joined) { case (d, (n, pv)) =>
+      d.withColumn(s"run_$n", col(s"__l_$n") + coalesce(col(s"__p_$n"), lit(0L)))
+        .drop(pv, s"__l_$n", s"__p_$n")
+    }.drop("__pid")
+  }
 }

@@ -1052,4 +1052,47 @@ object DedupOps {
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** Directed shingle CONTAINMENT pairs: |S_a ∩ S_b| / |S_a| ≥
+    * threshold — the asymmetric near-dup relation symmetric Jaccard
+    * misses (a paragraph quoted inside a 100× larger page has tiny
+    * Jaccard but containment ≈ 1; training corpora dedup on
+    * containment to catch exactly these swallowed documents).
+    *
+    * Same inverted-index shape as [[jaccardPairs]] — pairs meet on
+    * shared shingles, never doc×doc — with the same hot-shingle df
+    * cap as the scale valve. Each undirected intersection row emits
+    * both directions; the ppm division is exact-integer so the filter
+    * replays anywhere.
+    *
+    * @param shingles       `(doc_id, sh)` distinct shingles
+    *                       ([[wordShingles]])
+    * @param minContainPpm  keep directions with
+    *                       `inter·1e6 div n_contained ≥ this`
+    * @return `doc_id, container_id, inter, n_sh, contain_ppm` —
+    *         doc_id's shingle set is `contain_ppm`-contained in
+    *         container_id's
+    */
+  def containmentPairs(shingles: DataFrame, minContainPpm: Long,
+                       maxDocFreq: Int = 128): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare =
+      if (maxDocFreq == Int.MaxValue) shingles
+      else shingles
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= maxDocFreq)
+        .drop("__df")
+    val inter = rare.select(col("doc_id").as("doc1"), col("sh"))
+      .join(rare.select(col("doc_id").as("doc2"), col("sh")), Seq("sh"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .select(col("doc1").as("doc_id"), col("doc2").as("container_id"), col("inter"))
+      .unionByName(inter
+        .select(col("doc2").as("doc_id"), col("doc1").as("container_id"), col("inter")))
+    directed.join(sizes, "doc_id")
+      .withColumn("contain_ppm", expr("inter * 1000000 div n_sh"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select("doc_id", "container_id", "inter", "n_sh", "contain_ppm")
+  }
 }

@@ -1104,4 +1104,63 @@ object SimilarityOps {
         .select("query_id", "rank", "neighbor_id", "cosine")
     }
   }
+
+  /** Embedding-health audit per label/source slice: row count, mean
+    * vector norm, the mean-resultant length R̄ = ‖Σû‖/n of the UNIT
+    * vectors, and the exact average pairwise cosine — computed WITHOUT
+    * any pair join from the identity
+    * `Σ_{i≠j} û_i·û_j = ‖Σû‖² − Σ‖û‖²` (one linear pass where the
+    * naive form is quadratic). This is the collapse/anisotropy gate a
+    * pipeline runs before trusting an embedding column: a healthy
+    * spread has R̄ near 0; R̄ → 1 (avg cosine → 1) means the encoder
+    * collapsed and every downstream ANN/dedup result is noise.
+    *
+    * Exactness: vectors quantize to the engine-wide 1e3 integer grid,
+    * unit vectors re-quantize to 1e6 so every per-row value is an
+    * integer; per-dimension sums and the two quadratic sums run in
+    * DECIMAL(38,0) (exact, order-free — a long would overflow at
+    * ~3e9-row slices and a double sum would leak partition layout).
+    * Only the final normalizations are IEEE doubles, so every output
+    * digit replays in any engine.
+    *
+    * @return one row per slice: `<labelCol>, n, avg_norm` (4 dp),
+    *         `mean_resultant` (6 dp), `avg_pair_cos` (6 dp; null for
+    *         singleton slices)
+    */
+  def embeddingHealth(emb: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val q = emb
+      .withColumn("__qv", VectorFunctions.quantizeVec(col(vecCol)))
+      .withColumn("__n2", VectorFunctions.quantizedDot(col(vecCol), col(vecCol)))
+      .filter(col("__n2") > 0L)
+      // unit vector on the 1e6 grid; per-row squared norm of it (≈1e12
+      // up to rounding) as an exact long
+      .withColumn("__u", expr(
+        "transform(__qv, x -> CAST(round(x * 1000000.0D / sqrt(CAST(__n2 AS DOUBLE))) AS BIGINT))"))
+      .withColumn("__un2", expr(
+        "aggregate(__u, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("__normq", round(sqrt(col("__n2").cast("double")) * lit(1000.0)).cast("long"))
+    val perRow = q.select(col(labelCol).as("lbl"), col("__u"), col("__un2"), col("__normq"))
+    val dims = perRow
+      .select(col("lbl"), posexplode(col("__u")).as(Seq("p", "uv")))
+      .groupBy(col("lbl"), col("p"))
+      .agg(sum(col("uv").cast("decimal(38,0)")).as("su"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("su") * col("su")).cast("decimal(38,0)").as("msq"))
+    val base = perRow.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__normq").cast("decimal(38,0)")).as("snorm"),
+        sum(col("__un2").cast("decimal(38,0)")).as("sun2"))
+    base.join(dims, "lbl")
+      .select(col("lbl").as(labelCol), col("n"),
+        // __normq is norm·1e6 in original units (1e3 grid → sqrt in
+        // 1e3-units, ×1e3 again)
+        round(col("snorm").cast("double") / col("n").cast("double") / 1e6, 4).as("avg_norm"),
+        round(sqrt(col("msq").cast("double")) / col("n").cast("double") / 1e6, 6)
+          .as("mean_resultant"),
+        when(col("n") > 1L,
+          round((col("msq").cast("double") - col("sun2").cast("double")) /
+            (col("n") * (col("n") - 1L)).cast("double") / 1e12, 6))
+          .as("avg_pair_cos"))
+      .orderBy(col(labelCol))
+  }
 }

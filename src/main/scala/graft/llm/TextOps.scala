@@ -1133,4 +1133,65 @@ object TextOps {
         round(expr("regr_intercept(ln(freq), ln(rank))"), 4).as("intercept"),
         round(expr("regr_r2(ln(freq), ln(rank))"), 4).as("r2"))
   }
+
+  /** Lexical-diversity profile per corpus slice: type-token ratio and
+    * hapax-legomenon share (vocabulary words seen exactly once) — the
+    * corpus-health companion to [[zipfSlope]] (template-generated or
+    * boilerplate-heavy slices show low TTR and a thin hapax tail;
+    * natural text runs rich in both).
+    *
+    * Two partial-agg passes over the exploded tokens — (slice, token)
+    * counts, then per-slice rollup — so the plan is two hash
+    * aggregates with map-side combine and nothing proportional to
+    * corpus size crosses a single task. Ratios are ppm integer
+    * divisions of exact counts.
+    *
+    * @return one row per slice: `<sliceCol>, n_tokens, n_types,
+    *         n_hapax, ttr_ppm, hapax_ppm` (hapax share of TYPES)
+    */
+  def typeTokenStats(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(sliceCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol), col("tok")).agg(count(lit(1)).as("__f"))
+    tf.groupBy(col(sliceCol))
+      .agg(sum(col("__f")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_types"))
+      .orderBy(col(sliceCol))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of K rankings into
+    * one — the standard hybrid-retrieval combiner (BM25 lexical +
+    * dense-embedding ANN feed one ranked list without score
+    * calibration, since RRF consumes only ranks). Each input carries
+    * `(docCol, rnk)`; fused score = Σ_lists round(1e9/(k0+rnk)) in
+    * exact integer nano-units (per-list quantization BEFORE the sum —
+    * double addition order would leak engine layout), missing docs
+    * contribute 0.
+    *
+    * Scale shape: inputs are already top-N tables (bounded by their
+    * own retrieval cut), so the union/aggregate is tiny; the final
+    * top-`topK` cut is a TakeOrderedAndProject. Ties break on doc id.
+    *
+    * @return `rnk, <docCol>, n_lists, rrf_q` — fused rank, doc,
+    *         how many input lists contained it, integer RRF score
+    */
+  def rrfFuse(rankings: Seq[DataFrame], docCol: String, topK: Int,
+              k0: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    val contribs = rankings.map { r =>
+      r.select(col(docCol),
+        round(lit(1e9) / (lit(k0) + col("rnk").cast("double"))).cast("long").as("__c"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col(docCol))
+      .agg(sum(col("__c")).as("rrf_q"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_q").desc, col(docCol))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_q").desc, col(docCol))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col(docCol), col("n_lists"), col("rrf_q"))
+  }
 }

@@ -67,6 +67,20 @@ class AuditOpsSpec extends SparkSpec {
       "changed" -> (1L, 3L), "unchanged" -> (1L, 2L))
   }
 
+  test("blockJackknifeDiff replays the hand-computed jackknife variance") {
+    // 3 blocks; arm 0 values by block: (2), (4), (6); arm 1: (5), (7), (12)
+    val rows = Seq((0, 0, 2L), (1, 0, 4L), (2, 0, 6L),
+      (0, 1, 5L), (1, 1, 7L), (2, 1, 12L))
+    val df = rows.toDF("b", "arm", "x")
+    val r = AuditOps.blockJackknifeDiff(df, col("arm"), col("x"), col("b")).head()
+    r.getAs[Long]("n_blocks") shouldBe 3L
+    r.getAs[Double]("mean_diff") shouldBe 4.0 +- 1e-9 // 24/3 - 12/3
+    // replicates: drop b0 → 19/2-10/2=4.5; drop b1 → 17/2-8/2=4.5;
+    // drop b2 → 12/2-6/2=3.0; θ̄=4, var = 2/3·((.5²+.5²+1²)) = 1
+    r.getAs[Double]("se_jack") shouldBe 1.0 +- 1e-5
+    r.getAs[Double]("z") shouldBe 4.0 +- 1e-3
+  }
+
   test("snapshotDiff: null-shifted columns are 'changed', not a fingerprint collision") {
     // (null,"x") vs ("x",null) — concat_ws without sentinels would
     // fingerprint both as "x" and report unchanged

@@ -374,4 +374,29 @@ class DedupOpsSpec extends SparkSpec {
     expect.keySet should contain((1L, 3L))   // kitten↔mitten dist 1
     got.keySet should not contain ((1L, 4L)) // cross-block, even though identical
   }
+
+  test("containmentPairs: a swallowed doc has high containment, its container low") {
+    // doc 1 = the first 8 tokens of doc 2's 20: with w=5 shingles,
+    // doc1 has 4, all present in doc2's 16 → containment 1e6 vs 250000
+    val small = (1 to 8).map(i => s"t$i").mkString(" ")
+    val big = (1 to 20).map(i => s"t$i").mkString(" ")
+    val other = (100 to 110).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
+    val got = DedupOps.containmentPairs(sh, minContainPpm = 0L, maxDocFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    got((1L, 2L)) shouldBe 1000000L           // fully contained
+    got((2L, 1L)) shouldBe (4L * 1000000L / 16L) // 4 of 16 shingles
+    got.keySet.flatMap(k => Set(k._1, k._2)) should not contain 3L
+  }
+
+  test("containmentPairs honors the threshold filter") {
+    val small = (1 to 8).map(i => s"t$i").mkString(" ")
+    val big = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = DedupOps.wordShingles(docs, "doc_id", "text", 5)
+    val got = DedupOps.containmentPairs(sh, minContainPpm = 500000L, maxDocFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 2L)) // only the swallowed direction survives
+  }
 }

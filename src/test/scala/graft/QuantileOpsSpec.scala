@@ -95,4 +95,38 @@ class QuantileOpsSpec extends SparkSpec {
     got.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
     got.foreach { case (_, c, f) => c shouldBe 0L; f shouldBe 0L }
   }
+
+  test("ksTest: hand-computed D and argmax on a location-shifted pair") {
+    // ref = {1..8}, cur = {5..12}: at v=4 F_ref=4/8, F_cur=0 → D=0.5,
+    // and the smallest value attaining it is 4
+    val df = ((1 to 8).map(v => (v.toDouble, true)) ++
+      (5 to 12).map(v => (v.toDouble, false))).toDF("v", "is_ref")
+    val r = QuantileOps.ksTest(df, "v", col("is_ref"), numParts = 4).head()
+    r.getAs[Long]("n_ref") shouldBe 8L
+    r.getAs[Long]("n_cur") shouldBe 8L
+    r.getAs[Long]("d_ppm") shouldBe 500000L
+    r.getAs[Double]("ks_at") shouldBe 4.0
+    // asymptotic p = 2·exp(-2·0.25·64/16) = 2·exp(-2)
+    r.getAs[Double]("p_value") shouldBe (2 * math.exp(-2.0)) +- 1e-6
+  }
+
+  test("ksTest: identical slices give D = 0") {
+    val df = (1 to 50).flatMap(v =>
+      Seq((v.toDouble, true), (v.toDouble, false))).toDF("v", "is_ref")
+    QuantileOps.ksTest(df, "v", col("is_ref"), numParts = 4)
+      .head().getAs[Long]("d_ppm") shouldBe 0L
+  }
+
+  test("chi2Drift replays the textbook 2xk statistic") {
+    // cat a: 30 ref / 10 cur; cat b: 10 ref / 30 cur — a clean flip
+    val df = (Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("a", false)) ++
+      Seq.fill(10)(("b", true)) ++ Seq.fill(30)(("b", false))).toDF("cat", "is_ref")
+    val r = QuantileOps.chi2Drift(df, col("cat"), col("is_ref")).head()
+    r.getAs[Long]("n_ref") shouldBe 40L
+    r.getAs[Long]("n_cur") shouldBe 40L
+    r.getAs[Long]("dof") shouldBe 1L
+    // expected 20 per cell → chi2 = 4 * (10²/20) = 20
+    r.getAs[Double]("chi2") shouldBe 20.0 +- 1e-6
+    r.getAs[Double]("cramers_v") shouldBe math.sqrt(20.0 / 80) +- 1e-6
+  }
 }

@@ -510,4 +510,35 @@ class SimilarityOpsSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
     plan should include("BroadcastHashJoin")
   }
+
+  test("embeddingHealth: collapsed slice reads avg_pair_cos ≈ 1, spread slice ≈ 0") {
+    // label 0: all vectors identical direction (collapse); label 1:
+    // the four axis-aligned ± directions in 2D (perfectly spread —
+    // pairwise cosines are 0 and −1 in equal measure → avg −1/3)
+    val collapsed = (0 until 6).map(i => (0, Seq(3.0f, 4.0f)))
+    val spread = Seq((1, Seq(1.0f, 0.0f)), (1, Seq(-1.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f)), (1, Seq(0.0f, -1.0f)))
+    val df = (collapsed ++ spread).toDF("label", "embedding")
+    val got = SimilarityOps.embeddingHealth(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getAs[Double]("avg_norm"),
+          r.getAs[Double]("mean_resultant"), r.getAs[Double]("avg_pair_cos")))).toMap
+    val (n0, norm0, res0, cos0) = got(0)
+    n0 shouldBe 6L
+    norm0 shouldBe 5.0 +- 1e-3
+    res0 shouldBe 1.0 +- 1e-4
+    cos0 shouldBe 1.0 +- 1e-4
+    val (n1, norm1, res1, cos1) = got(1)
+    n1 shouldBe 4L
+    norm1 shouldBe 1.0 +- 1e-3
+    res1 shouldBe 0.0 +- 1e-4
+    cos1 shouldBe (-1.0 / 3) +- 1e-4
+  }
+
+  test("embeddingHealth skips zero vectors and nulls avg_pair_cos for singletons") {
+    val df = Seq((0, Seq(0.0f, 0.0f)), (0, Seq(1.0f, 1.0f))).toDF("label", "embedding")
+    val r = SimilarityOps.embeddingHealth(df, "label", "embedding").head()
+    r.getAs[Long]("n") shouldBe 1L
+    r.isNullAt(r.fieldIndex("avg_pair_cos")) shouldBe true
+  }
 }

@@ -455,4 +455,31 @@ class TextOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("TakeOrderedAndProject")
   }
+
+  test("typeTokenStats: hand-counted types, tokens and hapaxes per slice") {
+    val docs = Seq(
+      ("s1", "a b a c"),      // s1: 6 tokens, types {a,b,c,d}, hapaxes {b,c,d}
+      ("s1", "a d"),
+      ("s2", "x x x x"))      // s2: 4 tokens, 1 type, 0 hapax
+      .toDF("source", "text")
+    val got = graft.llm.TextOps.typeTokenStats(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got("s1") shouldBe ((6L, 4L, 3L, 666666L, 750000L))
+    got("s2") shouldBe ((4L, 1L, 0L, 250000L, 0L))
+  }
+
+  test("rrfFuse: doc on both lists outranks a higher single-list doc; ties break on id") {
+    // list A ranks: d1=1, d2=2, d3=3 ; list B: d2=1, d4=2
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val got = graft.llm.TextOps.rrfFuse(Seq(a, b), "doc_id", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.head._2 shouldBe 2L // on both lists: 1/62 + 1/61 beats 1/61 alone
+    got.head._3 shouldBe 2L
+    val expected2 = math.round(1e9 / 62) + math.round(1e9 / 61)
+    got.head._4 shouldBe expected2
+    // d1 (rank 1 on A alone) second; d4 (1/62) and d3 (1/63) after
+    got.map(_._2).toSeq shouldBe Seq(2L, 1L, 4L, 3L)
+  }
 }

@@ -100,6 +100,21 @@ class WindowOpsSpec extends SparkSpec {
     got shouldBe direct
   }
 
+  test("prefixSumScalable equals the direct running-sum window on two columns") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => (i.toLong, (i % 7).toLong, (i % 3).toLong))
+    val df = rows.toDF("id", "a", "b").repartition(6)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val direct = df.select(col("id"), sum(col("a")).over(w).as("ra"), sum(col("b")).over(w).as("rb"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = WindowOps.prefixSumScalable(df, col("id"),
+        Seq("a" -> col("a"), "b" -> col("b")), numParts = 8)
+      .select(col("id"), col("run_a"), col("run_b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got shouldBe direct
+  }
+
   test("prefixMaxScalable refuses a lazy materializer") {
     import spark.implicits._
     val df = Seq((1L, 1L)).toDF("id", "v")
