@@ -5516,7 +5516,190 @@ object Queries {
              |rk AS (SELECT doc_id, n_lists, rrf_q,
              |        row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rnk FROM f)
              |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_lists, rrf_q
-             |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
+             |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin)),
+
+    // ---- AUDIT: Gini concentration + top-decile share of per-user
+    // event counts — exact inequality from the DISTINCT-VALUE table
+    // (ties collapse: no per-row rank, one prefix-sum pass)
+    // (dfw/AuditOps.giniConcentration). ----
+    ("q_gini",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+        AuditOps.giniConcentration(perUser, col("x"))
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |c AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY x),
+             |w AS (SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x) AS BIGINT) AS run_cnt,
+             |        CAST(sum(x * cnt) OVER (ORDER BY x) AS BIGINT) AS run_vs FROM c),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(x * cnt) AS BIGINT) AS s FROM c),
+             |k AS (SELECT sum(CAST(x AS HUGEINT) *
+             |        (cnt * (run_cnt - cnt) + cnt * (cnt + 1) // 2)) AS c2 FROM w),
+             |b AS (SELECT CAST(run_vs - x * (run_cnt - (t.n - t.n // 10)) AS BIGINT) AS vs_at
+             |      FROM w, t WHERE run_cnt - cnt < t.n - t.n // 10
+             |        AND run_cnt >= t.n - t.n // 10)
+             |SELECT t.n, t.s AS total,
+             |  round(CAST(k.c2 * 2 - (CAST(t.n AS HUGEINT) + 1) * t.s AS DOUBLE)
+             |    / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)), 6) AS gini,
+             |  round(CAST(t.s - b.vs_at AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS top10_share
+             |FROM t, k, b""".stripMargin)),
+
+    // ---- X4: Dunning G² keyness — per source, the top-5 tokens most
+    // over-represented vs the rest of the corpus (characteristic-terms
+    // / slice-boilerplate report); signed by an exact integer
+    // over/under test, scores quantized per row
+    // (llm/TextOps.keynessTopK). ----
+    ("x4_keyness",
+      (s: SparkSession, dir: String) => {
+        TextOps.keynessTopK(Tables.load(s, dir, "documents"), "source", "text", k = 5)
+      },
+      Some("""WITH tokx AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+             |       FROM tokx WHERE tok <> '' GROUP BY 1, 2),
+             |tt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS ab FROM tf GROUP BY tok),
+             |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS r1 FROM tf GROUP BY source),
+             |g AS (SELECT CAST(sum(r1) AS BIGINT) AS nn FROM st),
+             |sc AS (SELECT tf.source, tf.tok, tf.a, tt.ab - tf.a AS b, st.r1, tt.ab, g.nn,
+             |    CAST(st.r1 AS DOUBLE) * CAST(tt.ab AS DOUBLE) / CAST(g.nn AS DOUBLE) AS ea,
+             |    CAST(g.nn - st.r1 AS DOUBLE) * CAST(tt.ab AS DOUBLE) / CAST(g.nn AS DOUBLE) AS eb
+             |  FROM tf JOIN tt USING (tok) JOIN st USING (source), g),
+             |g2 AS (SELECT source, tok, a, ea,
+             |    2.0 * (CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / ea) +
+             |      CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / eb)
+             |           ELSE 0.0 END) AS g2,
+             |    CASE WHEN CAST(a AS HUGEINT) * nn > CAST(r1 AS HUGEINT) * ab
+             |         THEN 1 ELSE -1 END AS sgn
+             |  FROM sc),
+             |q AS (SELECT source, tok, a AS obs, round(ea, 4) AS exp,
+             |    CASE WHEN sgn = 1 THEN CAST(round(g2 * 1000000) AS BIGINT)
+             |         ELSE -CAST(round(g2 * 1000000) AS BIGINT) END AS g2_q
+             |  FROM g2),
+             |r AS (SELECT q.*, row_number() OVER (PARTITION BY source
+             |        ORDER BY g2_q DESC, tok) AS rnk FROM q)
+             |SELECT source, CAST(rnk AS BIGINT) AS rnk, tok, obs, exp, g2_q
+             |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)),
+
+    // ---- MAINTENANCE: compaction plan for a small-files inventory
+    // (per event_type×day "files") — consecutive-by-key bins at a
+    // 256 KiB target via the exact cumulative-offset rule on scalable
+    // prefix sums; clustering survives the rewrite so min/max pruning
+    // still works (sources/LayoutOps.compactionPlan). ----
+    ("m4_compaction_plan",
+      (s: SparkSession, dir: String) => {
+        val files = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg((count(lit(1)) * 200L).as("bytes"))
+          .select(concat_ws(":", col("event_type"), col("day")).as("fkey"), col("bytes"))
+        graft.sources.LayoutOps.compactionPlan(files, col("fkey"), col("bytes"),
+          targetBytes = 256L * 1024)
+      },
+      Some("""WITH f AS (SELECT event_type || ':' || strftime(ts, '%Y-%m-%d') AS fkey,
+             |      CAST(count(*) * 200 AS BIGINT) AS b FROM events GROUP BY 1),
+             |w AS (SELECT fkey, b, CAST(sum(b) OVER (ORDER BY fkey) AS BIGINT) AS run FROM f),
+             |p AS (SELECT fkey, b, CAST((run - 1) // 262144 AS BIGINT) AS bin FROM w)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_files, CAST(sum(b) AS BIGINT) AS bin_bytes,
+             |  min(fkey) AS key_min, max(fkey) AS key_max
+             |FROM p GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // ---- CURRICULUM: easy→hard schedule in 4 equal-TOKEN phases,
+    // difficulty = corpus-trained LM surprisal (the same replayable
+    // statistic as x4_lm_surprisal); phase cut by cumulative token
+    // budget on scalable prefix sums
+    // (dfw/TransformOps.curriculumPhases). ----
+    ("w_curriculum",
+      (s: SparkSession, dir: String) => {
+        val scored = TextOps.lmSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        TransformOps.curriculumPhases(scored, "doc_id",
+          col("avg_surprisal"), col("n_tokens"), nPhases = 4)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+             |tot AS (SELECT sum(tf) AS total FROM tf),
+             |sq AS (SELECT toks.doc_id,
+             |         CAST(round(-ln(CAST(tf.tf AS DOUBLE) / tot.total) * 1000000) AS BIGINT) AS sq
+             |       FROM toks JOIN tf USING (tok), tot),
+             |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        CAST(sum(sq) AS DOUBLE) / 1000000.0 / count(*) AS avg_s
+             |      FROM sq GROUP BY doc_id),
+             |w AS (SELECT doc_id, n_tokens, avg_s,
+             |        CAST(sum(n_tokens) OVER (ORDER BY avg_s, doc_id) AS BIGINT) AS run FROM d),
+             |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS s FROM d),
+             |p AS (SELECT w.*, CAST((run - 1)
+             |        // CAST(ceil(CAST(t.s AS DOUBLE) / 4) AS BIGINT) AS BIGINT) AS phase
+             |      FROM w, t)
+             |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             |  round(min(avg_s), 6) AS min_difficulty,
+             |  round(max(avg_s), 6) AS max_difficulty
+             |FROM p GROUP BY phase ORDER BY phase""".stripMargin)),
+
+    // ---- ML-PREP: mutual-information feature ranking — I(bin(f);
+    // returnflag) per lineitem feature in one melted pass, nano-unit
+    // quantized cell contributions (dfw/TransformOps
+    // .mutualInfoRanking). ----
+    ("t_mutual_info",
+      (s: SparkSession, dir: String) => {
+        TransformOps.mutualInfoRanking(
+          Tables.load(s, dir, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          "l_returnflag", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), nb = 8)
+      },
+      Some("""WITH m AS (
+             |  SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS y
+             |    FROM lineitem WHERE l_quantity IS NOT NULL
+             |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE), l_returnflag
+             |    FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE), l_returnflag
+             |    FROM lineitem WHERE l_discount IS NOT NULL
+             |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE), l_returnflag
+             |    FROM lineitem WHERE l_tax IS NOT NULL),
+             |st AS (SELECT feature, min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n
+             |       FROM m GROUP BY feature),
+             |bb AS (SELECT m.feature, st.n, m.y,
+             |    CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+             |         ELSE least(CAST(7 AS BIGINT),
+             |           CAST(floor((m.v - st.mn) / (st.mx - st.mn) * 8) AS BIGINT)) END AS b
+             |  FROM m JOIN st USING (feature)),
+             |cells AS (SELECT feature, n, b, y, CAST(count(*) AS BIGINT) AS c
+             |          FROM bb GROUP BY 1, 2, 3, 4),
+             |rt AS (SELECT feature, b, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1, 2),
+             |ct AS (SELECT feature, y, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1, 2),
+             |mi AS (SELECT cells.feature, cells.n,
+             |    CAST(sum(CAST(round(CAST(c AS DOUBLE) / CAST(cells.n AS DOUBLE)
+             |      * ln(CAST(c AS DOUBLE) * CAST(cells.n AS DOUBLE)
+             |          / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+             |      * CAST(1000000000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS mi_q
+             |  FROM cells JOIN rt USING (feature, b) JOIN ct USING (feature, y)
+             |  GROUP BY cells.feature, cells.n)
+             |SELECT feature, n, mi_q,
+             |  round(CAST(mi_q AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS mi,
+             |  CAST(row_number() OVER (ORDER BY mi_q DESC, feature) AS BIGINT) AS rnk
+             |FROM mi ORDER BY rnk""".stripMargin)),
+
+    // ---- AUDIT: Benford first-digit spectrum of o_totalprice —
+    // leading digit extracted in exact integer space (cents → decimal
+    // rendering), per-digit chi-squared contributions vs log10(1+1/d)
+    // (dfw/AuditOps.benfordAudit). ----
+    ("q_benford",
+      (s: SparkSession, dir: String) => {
+        AuditOps.benfordAudit(Tables.load(s, dir, "orders"), col("o_totalprice"))
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+             |        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |      FROM orders WHERE CAST(o_totalprice AS DOUBLE) * 100 > 0),
+             |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM c),
+             |e AS (SELECT digit, cnt, t.tt,
+             |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE))
+             |      / ln(CAST(10 AS DOUBLE)) AS p
+             |  FROM c, t)
+             |SELECT digit, cnt, CAST(cnt * 1000000 // tt AS BIGINT) AS obs_ppm,
+             |  CAST(round(p * CAST(1000000 AS DOUBLE)) AS BIGINT) AS exp_ppm,
+             |  CAST(round((CAST(cnt AS DOUBLE) - CAST(tt AS DOUBLE) * p)
+             |    * (CAST(cnt AS DOUBLE) - CAST(tt AS DOUBLE) * p)
+             |    / (CAST(tt AS DOUBLE) * p) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS chi2_q
+             |FROM e ORDER BY digit""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -206,4 +206,92 @@ object AuditOps {
         round(sqrt(col("__varq")) / 1e6, 6).as("se_jack"),
         round(col("mean_diff") / (sqrt(col("__varq")) / 1e6), 4).as("z"))
   }
+
+  /** Gini concentration of a non-negative integer metric across units
+    * (events per user, tokens per source, bytes per partition) plus
+    * the top-decile share — the inequality audit that tells a corpus
+    * builder whether 1% of sources dominate the data, or an ops team
+    * whether one tenant is the load.
+    *
+    * Exact at any scale WITHOUT a per-row rank: ties contribute the
+    * same Σ rank·x under any tie order, so the sorted-rank Gini
+    * formula collapses onto the DISTINCT-VALUE table — one groupBy,
+    * running (count, value·count) totals via
+    * [[WindowOps.prefixSumScalable]], and per-distinct-value closed
+    * forms (`x·(cnt·R + cnt(cnt+1)/2)` in DECIMAL — exact and
+    * order-free where a double sum would leak partition layout). The
+    * top-decile cut lands inside a tie group in general; the bracket
+    * row's linear interpolation `run_vs − x·(run_cnt − r90)` is exact
+    * there because all straddling units hold the same x.
+    *
+    * @param valueCol non-negative integer metric per row (one row =
+    *                 one unit)
+    * @return single row: `n, total, gini` (6 dp),
+    *         `top10_share` (6 dp; share of `total` held by the
+    *         largest ⌈n/10⌉ units)
+    */
+  def giniConcentration(df: DataFrame, valueCol: Column,
+                        numParts: Int = 32): DataFrame = {
+    val vals = df.select(valueCol.cast("long").as("__x")).where(col("__x").isNotNull)
+    val counts = vals.groupBy(col("__x")).agg(count(lit(1)).as("__cnt"))
+    val run = WindowOps.prefixSumScalable(counts, col("__x"),
+      Seq("cnt" -> col("__cnt"), "vs" -> (col("__x") * col("__cnt"))), numParts)
+    val totals = counts.agg(sum(col("__cnt")).as("n"),
+      sum(col("__x") * col("__cnt")).as("total"))
+    val rankSum = run.select(
+        (col("__x").cast("decimal(38,0)") *
+          (col("__cnt") * (col("run_cnt") - col("__cnt")) +
+            expr("__cnt * (__cnt + 1) div 2"))).as("__c"))
+      .agg(sum(col("__c")).as("__c2"))
+    val bracket = run.join(broadcast(totals))
+      .withColumn("__r90", col("n") - expr("n div 10"))
+      .filter(col("run_cnt") - col("__cnt") < col("__r90") &&
+        col("run_cnt") >= col("__r90"))
+      .select((col("run_vs") - col("__x") * (col("run_cnt") - col("__r90"))).as("__vs_at"))
+    totals.crossJoin(broadcast(rankSum)).crossJoin(broadcast(bracket))
+      .select(col("n"), col("total"),
+        round((col("__c2") * 2 - (col("n") + 1).cast("decimal(38,0)") * col("total"))
+          .cast("double") /
+          (col("n").cast("double") * col("total").cast("double")), 6).as("gini"),
+        round((col("total") - col("__vs_at")).cast("double") /
+          col("total").cast("double"), 6).as("top10_share"))
+  }
+
+  /** Benford first-digit audit: the observed leading-digit spectrum of
+    * a positive amount column vs Benford's law `p(d) = log10(1+1/d)`,
+    * with per-digit chi-squared contributions — the classic
+    * fabricated-data / synthetic-column screen for financial and
+    * measurement fields (naturally-grown magnitudes follow Benford;
+    * hand-typed or uniformly-generated ones don't).
+    *
+    * The leading digit is extracted in exact integer space (amount →
+    * cents → first character of the decimal rendering — scale-
+    * invariant, and both engines render integers identically;
+    * a float log10 at a power-of-10 boundary could round either way).
+    * One partial-agg groupBy to 9 rows; expectations and χ²
+    * contributions are per-row IEEE arithmetic on those exact counts.
+    *
+    * @return one row per digit 1-9: `digit, cnt, obs_ppm, exp_ppm,
+    *         chi2_q` (round of the digit's (O−E)²/E · 1e6)
+    */
+  def benfordAudit(df: DataFrame, amountCol: Column): DataFrame = {
+    val digits = df
+      .select((amountCol.cast("double") * 100).as("__cents"))
+      .where(col("__cents") > 0)
+      .select(substring(round(col("__cents")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(sum(col("cnt")).as("__t"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("__p",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .withColumn("__e", col("__t").cast("double") * col("__p"))
+      .select(col("digit"), col("cnt"),
+        expr("cnt * 1000000 div __t").as("obs_ppm"),
+        round(col("__p") * 1e6).cast("long").as("exp_ppm"),
+        round((col("cnt").cast("double") - col("__e")) *
+          (col("cnt").cast("double") - col("__e")) / col("__e") * 1e6)
+          .cast("long").as("chi2_q"))
+      .orderBy(col("digit"))
+  }
 }

@@ -536,4 +536,100 @@ object TransformOps {
     df.withColumn("pick", row_number().over(w).cast("long"))
       .filter(col("pick") <= quota)
   }
+
+  /** Curriculum schedule: order the corpus easy→hard by a difficulty
+    * score and cut it into `nPhases` EQUAL-TOKEN phases (Bengio et al.
+    * 2009 curriculum learning, planned the way a trainer consumes it —
+    * by token budget, not document count, since hard docs tend long
+    * and a count split would front-load the budget).
+    *
+    * Phase assignment is the cumulative-offset rule over the exact
+    * running token total ([[WindowOps.prefixSumScalable]] on the
+    * (difficulty, id) total order — corpus-sized, so never a
+    * single-task window): `phase = (run_tokens − 1) div
+    * ceil(total/nPhases)`. The report is one partial-agg rollup.
+    *
+    * @param difficultyCol replayable per-doc score (e.g. LM surprisal
+    *                      micro-units); ties break on `idCol`
+    * @return one row per phase: `phase, n_docs, tokens, min_difficulty,
+    *         max_difficulty` (6 dp), ordered by phase
+    */
+  def curriculumPhases(df: DataFrame, idCol: String, difficultyCol: Column,
+                       tokensCol: Column, nPhases: Int,
+                       numParts: Int = 32): DataFrame = {
+    require(nPhases > 0, "nPhases must be positive")
+    val base = df.select(col(idCol).as("__id"), difficultyCol.as("__d"),
+      tokensCol.cast("long").as("__t"))
+    val run = WindowOps.prefixSumScalable(base,
+      struct(col("__d"), col("__id")), Seq("t" -> col("__t")), numParts)
+    val total = base.agg(sum(col("__t")).as("__s"))
+    run.join(broadcast(total))
+      .withColumn("__budget",
+        ceil(col("__s").cast("double") / nPhases).cast("long"))
+      .withColumn("phase", expr("(run_t - 1) div __budget"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens"),
+        round(min(col("__d")), 6).as("min_difficulty"),
+        round(max(col("__d")), 6).as("max_difficulty"))
+      .orderBy(col("phase"))
+  }
+
+  /** Mutual-information feature ranking: I(bin(feature); label) in
+    * nats for each candidate feature, highest first — the
+    * model-agnostic feature-selection screen (captures the nonlinear
+    * dependence a correlation matrix misses) run before a trainer
+    * sees the table.
+    *
+    * Features melt to (feature, value, label) rows in one projection
+    * (an in-row array explode, not one pass per feature); each
+    * feature bins equi-width over its broadcast min/max (same rule as
+    * [[QuantileOps.psiDrift]]); the MI sum runs over the tiny
+    * (feature × bin × label) cell table with per-cell contributions
+    * quantized to NANO-units before the sum (order-free, and 1e9
+    * resolution because MI of a near-independent pair is ~1e-5 nats —
+    * micro-units would round it to noise).
+    *
+    * @return one row per feature: `feature, n, mi_q`
+    *         (round(I·1e9)), `mi` (6 dp), `rnk` (1 = most informative)
+    */
+  def mutualInfoRanking(df: DataFrame, labelCol: String,
+                        featureCols: Seq[String], nb: Int): DataFrame = {
+    require(nb >= 2, "need at least 2 bins")
+    require(featureCols.nonEmpty, "need at least one feature")
+    val melted = df.select(col(labelCol).as("__y"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("double").as("__v"))): _*)).as("__fv"))
+      .select(col("__fv.feature").as("feature"), col("__fv.__v").as("__v"), col("__y"))
+      .where(col("__v").isNotNull)
+    val stats = melted.groupBy(col("feature"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("n"))
+    val cells = melted.join(broadcast(stats), "feature")
+      .select(col("feature"), col("n"), col("__y"),
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(lit(nb - 1).cast("long"),
+            floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn")) * nb)))
+          .as("__b"))
+      .groupBy(col("feature"), col("n"), col("__b"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val rowTot = cells.groupBy(col("feature"), col("__b"))
+      .agg(sum(col("__c")).as("__r"))
+    val colTot = cells.groupBy(col("feature"), col("__y"))
+      .agg(sum(col("__c")).as("__s"))
+    val mi = cells
+      .join(rowTot, Seq("feature", "__b"))
+      .join(colTot, Seq("feature", "__y"))
+      .withColumn("__contrib",
+        col("__c").cast("double") / col("n").cast("double") *
+          log(col("__c").cast("double") * col("n").cast("double") /
+            (col("__r").cast("double") * col("__s").cast("double"))))
+      .withColumn("__cq", round(col("__contrib") * 1e9).cast("long"))
+      .groupBy(col("feature"), col("n"))
+      .agg(sum(col("__cq")).as("mi_q"))
+    val w = Window.orderBy(col("mi_q").desc, col("feature"))
+    mi.withColumn("mi", round(col("mi_q").cast("double") / 1e9, 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("feature", "n", "mi_q", "mi", "rnk")
+      .orderBy(col("rnk"))
+  }
 }

@@ -1194,4 +1194,63 @@ object TextOps {
     fused.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col(docCol), col("n_lists"), col("rrf_q"))
   }
+
+  /** Dunning log-likelihood keyness (G², Dunning 1993): for each
+    * corpus slice, the top-k tokens most over-represented vs the REST
+    * of the corpus — the corpus-linguistics "characteristic terms"
+    * report (what makes this source/language/time-slice read the way
+    * it does), and the standard signal for slice-specific boilerplate.
+    *
+    * `G² = 2·(a·ln(a/E_a) + b·ln(b/E_b))` over the 2×2 token/slice
+    * table, signed by over/under-representation — the sign test
+    * `a·N > R₁·(a+b)` runs in exact DECIMAL, never a float ratio.
+    * Scores are per-row IEEE arithmetic on exact counts (quantized to
+    * micro-units, no cross-row float sums), so ranks replay anywhere.
+    *
+    * Plan shape: (slice, token) counts join token totals on the token
+    * key (both already reduced); per-slice totals and the grand total
+    * ride broadcasts; the top-k rank is slice-partitioned
+    * (WindowGroupLimit keeps it partial map-side).
+    *
+    * @return `<sliceCol>, rnk, tok, obs` (count in slice), `exp`
+    *         (expected under homogeneity, 4 dp), `g2_q` (signed
+    *         round(G²·1e6))
+    */
+  def keynessTopK(docs: DataFrame, sliceCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0)
+    val tf = docs
+      .select(col(sliceCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol), col("tok")).agg(count(lit(1)).as("a"))
+    val tokTot = tf.groupBy(col("tok")).agg(sum(col("a")).as("ab"))
+    val sliceTot = tf.groupBy(col(sliceCol)).agg(sum(col("a")).as("r1"))
+    val grand = sliceTot.agg(sum(col("r1")).as("nn"))
+    val scored = tf
+      .join(tokTot, "tok")
+      .join(broadcast(sliceTot), sliceCol)
+      .join(broadcast(grand))
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("r2", col("nn") - col("r1"))
+      .withColumn("__ea",
+        col("r1").cast("double") * col("ab").cast("double") / col("nn").cast("double"))
+      .withColumn("__eb",
+        col("r2").cast("double") * col("ab").cast("double") / col("nn").cast("double"))
+      .withColumn("__g2",
+        lit(2.0) * (col("a").cast("double") * log(col("a").cast("double") / col("__ea")) +
+          when(col("b") > 0L,
+            col("b").cast("double") * log(col("b").cast("double") / col("__eb")))
+            .otherwise(lit(0.0))))
+      .withColumn("g2_q",
+        when(col("a").cast("decimal(38,0)") * col("nn") > col("r1").cast("decimal(38,0)") * col("ab"),
+          round(col("__g2") * 1e6).cast("long"))
+          .otherwise(-round(col("__g2") * 1e6).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sliceCol)).orderBy(col("g2_q").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(sliceCol), col("rnk"), col("tok"), col("a").as("obs"),
+        round(col("__ea"), 4).as("exp"), col("g2_q"))
+      .orderBy(col(sliceCol), col("rnk"))
+  }
 }

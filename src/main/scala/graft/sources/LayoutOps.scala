@@ -64,4 +64,35 @@ object LayoutOps {
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     per.filter(col("mx") >= lo && col("mn") <= hi).count()
   }
+
+  /** Compaction planner for the small-files problem: given a file
+    * inventory `(key, bytes)` in layout-key order, assign consecutive
+    * files to output bins of ~`targetBytes` each (the OPTIMIZE /
+    * rewrite-manifest planning step — consecutive-by-key bins keep the
+    * table's clustering, so min/max pruning survives the rewrite).
+    *
+    * Bin assignment is the cumulative-offset rule `bin =
+    * (run_bytes − 1) div target` over the exact integer running total
+    * ([[graft.dfw.WindowOps.prefixSumScalable]] — an inventory of
+    * millions of files never meets a single-task window). Every bin
+    * lands in [1 file, target + largest-file) bytes; the report is
+    * one partial-agg rollup.
+    *
+    * @param keyCol UNIQUE orderable layout key (e.g. partition path)
+    * @return one row per bin: `bin, n_files, bin_bytes, key_min,
+    *         key_max`, ordered by bin
+    */
+  def compactionPlan(files: DataFrame, keyCol: Column, bytesCol: Column,
+                     targetBytes: Long, numParts: Int = 32): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val run = graft.dfw.WindowOps.prefixSumScalable(
+      files.select(keyCol.as("__k"), bytesCol.cast("long").as("__b")),
+      col("__k"), Seq("b" -> col("__b")), numParts)
+    run
+      .withColumn("bin", expr(s"(run_b - 1) div ${targetBytes}L"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("__b")).as("bin_bytes"),
+        min(col("__k")).as("key_min"), max(col("__k")).as("key_max"))
+      .orderBy(col("bin"))
+  }
 }

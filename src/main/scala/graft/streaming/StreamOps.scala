@@ -372,6 +372,54 @@ object StreamOps {
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)
 
+  /** Arrival row for the streaming quota gate. */
+  final case class DocArrival(doc_id: Long, source: String)
+
+  /** Admission decision: `pick` is the 1-based admission rank within
+    * the source at the moment the document arrived.
+    */
+  final case class Admission(doc_id: Long, source: String, pick: Long)
+
+  /** Streaming per-source quota ADMISSION gate: the ingest-time
+    * counterpart of [[graft.dfw.TransformOps.quotaSample]] — admit at
+    * most `quota` documents per source, first-arrival-wins, drop the
+    * rest at the door. Where the batch operator picks a deterministic
+    * hash-ranked sample from a corpus it can see whole, the stream
+    * can only rank by arrival; the two compose as plan (batch) vs
+    * enforce (ingest), the same pairing as the near-dup gate and its
+    * batch index build.
+    *
+    * State is ONE counter per source — bounded by source cardinality
+    * forever, regardless of stream length (StreamSoak scenario 13
+    * measures the plateau), and a source's counter stops changing
+    * once it hits `quota`. Admissions are exactly-once per document:
+    * a document either gets a `pick` rank or is silently dropped, and
+    * re-running the same single-partition arrival order replays the
+    * identical decisions (multi-partition arrival interleaving is
+    * nondeterministic by nature — the quota itself is still never
+    * exceeded).
+    */
+  def quotaGateStream(docs: Dataset[DocArrival], quota: Long): Dataset[Admission] = {
+    require(quota > 0, "quota must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admission](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[DocArrival], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admission]
+          batch.foreach { d =>
+            if (admitted < quota) {
+              admitted += 1
+              out += Admission(d.doc_id, src, admitted)
+            }
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
+  }
+
   /** Per-user running totals held in the state store. */
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -354,6 +354,25 @@ object StreamSoak {
         "PASS completed-user eviction keeps state at the in-flight tail, not user cardinality"
        else "FAIL state tracks user cardinality despite eviction"))
 
+    // 13) quota admission gate: 200 sources on an unbounded document
+    // stream — state is ONE counter per source, so rows must plateau
+    // at the source cardinality however long the stream runs (and
+    // most counters freeze at the quota within the first seconds).
+    val nSources = 200
+    val qgDocs = rateSrc.select(
+        col("value").as("doc_id"),
+        concat(lit("src"), pmod(col("value"), lit(nSources.toLong))).as("source"))
+      .as[StreamOps.DocArrival]
+    val qgRows = soak("quota_gate", StreamOps.quotaGateStream(qgDocs, quota = 1000L)
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/qg")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val qgFinal = qgRows.lastOption.getOrElse(0L)
+    println(s"quota_gate: final stateRows=$qgFinal (bound=$nSources) " +
+      (if (qgFinal > 0 && qgFinal <= nSources)
+        "PASS state plateaus at source cardinality (one counter per source)"
+       else "FAIL state exceeds the source space"))
+
     spark.stop()
   }
 }

@@ -81,6 +81,46 @@ class AuditOpsSpec extends SparkSpec {
     r.getAs[Double]("z") shouldBe 4.0 +- 1e-3
   }
 
+  test("giniConcentration: perfect equality reads 0, near-total concentration near 1") {
+    val equal = Seq.fill(20)(5L).toDF("x")
+    val g1 = AuditOps.giniConcentration(equal, col("x"), numParts = 4).head()
+    g1.getAs[Long]("n") shouldBe 20L
+    g1.getAs[Double]("gini") shouldBe 0.0
+    g1.getAs[Double]("top10_share") shouldBe 0.1 +- 1e-9 // top 2 of 20 equal units
+
+    // one unit holds everything: gini = (n-1)/n
+    val skew = (Seq.fill(9)(0L) :+ 1000L).toDF("x")
+    val g2 = AuditOps.giniConcentration(skew, col("x"), numParts = 4).head()
+    g2.getAs[Double]("gini") shouldBe 0.9 +- 1e-9
+    g2.getAs[Double]("top10_share") shouldBe 1.0
+  }
+
+  test("giniConcentration matches the per-row rank formula on a mixed fixture") {
+    val vals = Seq(1L, 1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L)
+    val df = vals.toDF("x").repartition(3)
+    val got = AuditOps.giniConcentration(df, col("x"), numParts = 4).head()
+    val sorted = vals.sorted
+    val n = sorted.size
+    val s = sorted.sum.toDouble
+    val c = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum.toDouble
+    got.getAs[Double]("gini") shouldBe ((2 * c - (n + 1) * s) / (n * s)) +- 1e-6
+    // top decile = the single largest unit (55)
+    got.getAs[Double]("top10_share") shouldBe (55.0 / s) +- 1e-6
+  }
+
+  test("benfordAudit: exact digit extraction and Benford expectations") {
+    // leading digits by construction: 1.00→1, 19.99→1, 25.50→2, 999.99→9,
+    // 0.07→7 (cents=7); zero and negative amounts drop
+    val df = Seq(1.00, 19.99, 25.50, 999.99, 0.07, 0.0, -5.0).toDF("amt")
+    val got = AuditOps.benfordAudit(df, col("amt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got.keySet shouldBe Set(1L, 2L, 7L, 9L)
+    got(1L)._1 shouldBe 2L
+    got(1L)._2 shouldBe 400000L // 2 of 5
+    got(1L)._3 shouldBe math.round(math.log10(2.0) * 1e6) // 301030
+    got(9L)._3 shouldBe math.round(math.log10(10.0 / 9) * 1e6)
+  }
+
   test("snapshotDiff: null-shifted columns are 'changed', not a fingerprint collision") {
     // (null,"x") vs ("x",null) — concat_ws without sentinels would
     // fingerprint both as "x" and report unchanged

@@ -640,4 +640,44 @@ class StreamOpsSpec extends SparkSpec {
         Array((1, 2L), (2, 1L), (3, 1L))
     } finally q.stop()
   }
+
+  test("quotaGateStream admits first-quota arrivals per source across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.DocArrival]
+    val q = StreamOps.quotaGateStream(mem.toDS().repartition(1), quota = 2)
+      .writeStream.format("memory").queryName("quota_gate_test").outputMode("update").start()
+    try {
+      // batch 1: s1 gets two admissions, s2 one
+      mem.addData(StreamOps.DocArrival(1L, "s1"), StreamOps.DocArrival(2L, "s1"),
+        StreamOps.DocArrival(3L, "s2"))
+      q.processAllAvailable()
+      // batch 2: s1 over quota (4 dropped), s2 fills (5), then over (6)
+      mem.addData(StreamOps.DocArrival(4L, "s1"), StreamOps.DocArrival(5L, "s2"),
+        StreamOps.DocArrival(6L, "s2"))
+      q.processAllAvailable()
+      val got = spark.table("quota_gate_test")
+        .select("doc_id", "source", "pick").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      got shouldBe Set((1L, "s1", 1L), (2L, "s1", 2L), (3L, "s2", 1L), (5L, "s2", 2L))
+    } finally q.stop()
+  }
+
+  test("quotaGateStream never exceeds quota under many arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.DocArrival]
+    val q = StreamOps.quotaGateStream(mem.toDS().repartition(1), quota = 5)
+      .writeStream.format("memory").queryName("quota_gate_vol").outputMode("update").start()
+    try {
+      (1 to 4).foreach { b =>
+        mem.addData((1 to 50).map(i =>
+          StreamOps.DocArrival(b * 100L + i, s"src${i % 3}")): _*)
+        q.processAllAvailable()
+      }
+      val counts = spark.table("quota_gate_vol")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.values.foreach(_ shouldBe 5L)
+      counts.keySet shouldBe Set("src0", "src1", "src2")
+    } finally q.stop()
+  }
 }

@@ -482,4 +482,24 @@ class TextOpsSpec extends SparkSpec {
     // d1 (rank 1 on A alone) second; d4 (1/62) and d3 (1/63) after
     got.map(_._2).toSeq shouldBe Seq(2L, 1L, 4L, 3L)
   }
+
+  test("keynessTopK surfaces the slice-exclusive token first, signed positive") {
+    // 'zebra' appears only in s1 and often; 'the' is uniform background
+    val docs = Seq(
+      ("s1", "zebra zebra zebra the the"),
+      ("s1", "zebra the the"),
+      ("s2", "the the the the"),
+      ("s2", "the the the the"))
+      .toDF("source", "text")
+    val got = graft.llm.TextOps.keynessTopK(docs, "source", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getString(2), r.getLong(5))))
+      .toMap
+    val (tok1, g1) = got(("s1", 1L))
+    tok1 shouldBe "zebra"
+    g1 should be > 0L // over-represented → positive sign
+    // 'the' is UNDER-represented in s1 (its share there is below corpus rate)
+    val (tok2, g2) = got(("s1", 2L))
+    tok2 shouldBe "the"
+    g2 should be < 0L
+  }
 }

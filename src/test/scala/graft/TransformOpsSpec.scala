@@ -383,6 +383,49 @@ class TransformOpsSpec extends SparkSpec {
     a.select("src", "id").exceptAll(b.select("src", "id")).count() shouldBe 0L
   }
 
+  test("curriculumPhases: equal-token phases in difficulty order, every doc placed once") {
+    // 12 docs, difficulty = id, tokens = 10 each → 120 tokens, 4 phases
+    // of 30 → 3 docs per phase in id order
+    val df = (1 to 12).map(i => (i.toLong, i.toDouble, 10L))
+      .toDF("id", "diff", "tok").repartition(3)
+    val got = TransformOps.curriculumPhases(df, "id", col("diff"), col("tok"),
+        nPhases = 4, numParts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("min_difficulty"),
+          r.getAs[Double]("max_difficulty")))).toMap
+    got.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    got(0L) shouldBe ((3L, 30L, 1.0, 3.0))
+    got(3L) shouldBe ((3L, 30L, 10.0, 12.0))
+    got.values.map(_._1).sum shouldBe 12L
+  }
+
+  test("curriculumPhases: uneven token lengths never split a doc across phases") {
+    val df = Seq((1L, 1.0, 50L), (2L, 2.0, 50L), (3L, 3.0, 5L), (4L, 4.0, 95L))
+      .toDF("id", "diff", "tok")
+    val got = TransformOps.curriculumPhases(df, "id", col("diff"), col("tok"),
+        nPhases = 2, numParts = 2).collect()
+    got.map(_.getAs[Long]("n_docs")).sum shouldBe 4L
+    got.map(_.getAs[Long]("tokens")).sum shouldBe 200L
+    // budget 100: docs 1,2 fill phase 0 exactly; 3,4 land in phase 1
+    got.find(_.getLong(0) == 0L).get.getAs[Long]("tokens") shouldBe 100L
+  }
+
+  test("mutualInfoRanking: a label-determined feature outranks an independent one") {
+    // f1 = label exactly (MI = H(label) = ln 2); f2 constant (MI = 0);
+    // f3 independent-ish alternation
+    val rows = (0 until 64).map { i =>
+      val y = i % 2
+      (y.toString, y.toDouble * 10, 7.0, (i % 4 < 2).compareTo(false).toDouble)
+    }
+    val df = rows.toDF("y", "f1", "f2", "f3")
+    val got = TransformOps.mutualInfoRanking(df, "y", Seq("f1", "f2", "f3"), nb = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getAs[Double]("mi")))).toMap
+    got("f1")._1 shouldBe 1L
+    got("f1")._2 shouldBe math.log(2.0) +- 1e-6
+    got("f2")._2 shouldBe 0.0 +- 1e-9 // constant → single bin → MI 0
+    got("f3")._2 should be < 0.01     // near-independent
+  }
+
   test("quotaSample plans a WindowGroupLimit (map-side top-k before the shuffle)") {
     val df = (1 to 50).map(i => (s"s${i % 2}", i.toLong)).toDF("src", "id")
     val plan = TransformOps.quotaSample(df, "src", "id", quota = 5)

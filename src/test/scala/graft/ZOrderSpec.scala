@@ -85,4 +85,31 @@ class ZOrderSpec extends SparkSpec {
     prunedN shouldBe 8L // no pruning at all
     prunedZ should be < prunedN
   }
+
+  test("compactionPlan: consecutive-by-key bins, sizes in [1 file, target+max)") {
+    import spark.implicits._
+    // 26 files of 10..260 bytes keyed a..z; target 300
+    val files = ('a' to 'z').zipWithIndex
+      .map { case (k, i) => (k.toString, (i + 1) * 10L) }.toDF("k", "b")
+    val plan = LayoutOps.compactionPlan(files, col("k"), col("b"), targetBytes = 300L,
+      numParts = 4).collect()
+    plan.map(_.getAs[Long]("n_files")).sum shouldBe 26L
+    plan.map(_.getAs[Long]("bin_bytes")).sum shouldBe (10L to 260L by 10).sum
+    // bins are consecutive: each bin's key_min follows the previous key_max
+    val ordered = plan.sortBy(_.getAs[Long]("bin"))
+    ordered.sliding(2).foreach { case Array(p, q) =>
+      p.getAs[String]("key_max") should be < q.getAs[String]("key_min")
+    }
+    // no bin exceeds target + largest file
+    all(ordered.map(_.getAs[Long]("bin_bytes"))) should be < (300L + 260L)
+  }
+
+  test("compactionPlan groups many small files into one bin") {
+    import spark.implicits._
+    val files = (1 to 100).map(i => (f"f$i%03d", 10L)).toDF("k", "b")
+    val plan = LayoutOps.compactionPlan(files, col("k"), col("b"), targetBytes = 500L,
+      numParts = 4).collect()
+    plan.length shouldBe 2
+    all(plan.map(_.getAs[Long]("n_files"))) shouldBe 50L
+  }
 }
