@@ -5699,7 +5699,77 @@ object Queries {
              |  CAST(round((CAST(cnt AS DOUBLE) - CAST(tt AS DOUBLE) * p)
              |    * (CAST(cnt AS DOUBLE) - CAST(tt AS DOUBLE) * p)
              |    / (CAST(tt AS DOUBLE) * p) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS chi2_q
-             |FROM e ORDER BY digit""".stripMargin))
+             |FROM e ORDER BY digit""".stripMargin)),
+
+    // ---- G5: bounded-round k-core peeling on the customer⋈supplier
+    // link graph — per round, drop degree<k nodes with their edges and
+    // report the shrinking core; all-integer rows replayed by the
+    // unrolled oracle (llm/GraphOps.kCoreProbe, same bounded-probe
+    // contract as g4_label_prop). ----
+    ("g5_kcore",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        GraphOps.kCoreProbe(cs, "src", "dst", k = 10, rounds = 3)
+      },
+      Some("""WITH cs AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+             |      CAST(l_suppkey AS BIGINT) + 1000000 AS b
+             |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e0 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM cs WHERE a <> b
+             |       UNION ALL SELECT b, a FROM cs WHERE a <> b)),
+             |d1 AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a),
+             |k1 AS (SELECT a FROM d1 WHERE deg >= 10),
+             |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN k1 x ON e0.a = x.a JOIN k1 y ON e0.b = y.a),
+             |d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+             |k2 AS (SELECT a FROM d2 WHERE deg >= 10),
+             |e2 AS (SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a),
+             |d3 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+             |k3 AS (SELECT a FROM d3 WHERE deg >= 10),
+             |e3 AS (SELECT e2.a, e2.b FROM e2 JOIN k3 x ON e2.a = x.a JOIN k3 y ON e2.b = y.a),
+             |n1 AS (SELECT DISTINCT a FROM e1), n2 AS (SELECT DISTINCT a FROM e2),
+             |n3 AS (SELECT DISTINCT a FROM e3)
+             |SELECT CAST(1 AS BIGINT) AS round,
+             |  CAST((SELECT count(*) FROM n1) AS BIGINT) AS n_nodes,
+             |  CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges,
+             |  CAST(coalesce((SELECT sum(a) FROM n1), 0) AS BIGINT) AS node_checksum
+             |UNION ALL SELECT 2, CAST((SELECT count(*) FROM n2) AS BIGINT),
+             |  CAST((SELECT count(*) FROM e2) AS BIGINT),
+             |  CAST(coalesce((SELECT sum(a) FROM n2), 0) AS BIGINT)
+             |UNION ALL SELECT 3, CAST((SELECT count(*) FROM n3) AS BIGINT),
+             |  CAST((SELECT count(*) FROM e3) AS BIGINT),
+             |  CAST(coalesce((SELECT sum(a) FROM n3), 0) AS BIGINT)
+             |ORDER BY round""".stripMargin)),
+
+    // ---- ML-PREP: feature-hashing collision audit — distinct
+    // (feature, value) pairs onto 16 hashed slots with the
+    // engine-neutral md5 key hash; the dimensionality-vs-collision
+    // check before a hashed feature space ships
+    // (dfw/TransformOps.featureHashAudit). ----
+    ("t_feature_hash",
+      (s: SparkSession, dir: String) => {
+        TransformOps.featureHashAudit(
+          Tables.load(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), nBuckets = 16,
+          hash = c => DedupOps.md5TokenHash(c))
+      },
+      Some("""WITH m AS (SELECT 'c_mktsegment' AS feature, CAST(c_mktsegment AS VARCHAR) AS v
+             |    FROM customer WHERE c_mktsegment IS NOT NULL
+             |  UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+             |    FROM customer WHERE c_nationkey IS NOT NULL),
+             |d AS (SELECT DISTINCT feature, v FROM m),
+             |b AS (SELECT feature, v,
+             |    CAST(('0x' || substr(md5(feature || ':' || v), 1, 15)) AS BIGINT) % 16 AS bucket
+             |  FROM d),
+             |l AS (SELECT feature, bucket, CAST(count(*) AS BIGINT) AS load
+             |      FROM b GROUP BY 1, 2)
+             |SELECT feature, CAST(sum(load) AS BIGINT) AS n_values,
+             |  CAST(count(*) AS BIGINT) AS n_buckets_used,
+             |  CAST(sum(load) - count(*) AS BIGINT) AS n_collisions,
+             |  CAST(max(load) AS BIGINT) AS max_bucket_load
+             |FROM l GROUP BY feature ORDER BY feature""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -632,4 +632,46 @@ object TransformOps {
       .select("feature", "n", "mi_q", "mi", "rnk")
       .orderBy(col("rnk"))
   }
+
+  /** Hashing-trick featurization audit (Weinberger et al. 2009): map
+    * each categorical feature's values onto `nBuckets` hashed slots
+    * and report the collision profile — how many distinct values, how
+    * many slots they land in, how many collide, and the worst slot's
+    * load. This is the dimensionality-vs-collision tradeoff check run
+    * BEFORE shipping a hashed feature space to a trainer (a
+    * high-cardinality id column at small nBuckets silently merges
+    * unrelated values into one weight).
+    *
+    * The hash input is `feature ':' value`, so identical values under
+    * DIFFERENT features occupy independent slots; the default hash is
+    * the engine-neutral md5 key hash ([[graft.llm.DedupOps.md5TokenHash]]-
+    * shaped), replayable by any engine. Cost: one distinct over
+    * (feature, value) — already reduced — then two tiny aggregates.
+    *
+    * @return one row per feature: `feature, n_values, n_buckets_used,
+    *         n_collisions, max_bucket_load`, ordered by feature
+    */
+  def featureHashAudit(df: DataFrame, featureCols: Seq[String], nBuckets: Int,
+                       hash: Column => Column): DataFrame = {
+    require(nBuckets > 0 && featureCols.nonEmpty)
+    val distinctVals = df.select(
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("string").as("__v"))): _*)).as("__fv"))
+      .select(col("__fv.feature").as("feature"), col("__fv.__v").as("__v"))
+      .where(col("__v").isNotNull)
+      .distinct()
+      .withColumn("__bucket", pmod(hash(concat_ws(":", col("feature"), col("__v"))),
+        lit(nBuckets.toLong)))
+    distinctVals
+      .groupBy(col("feature"), col("__bucket"))
+      .agg(count(lit(1)).as("__load"))
+      .groupBy(col("feature"))
+      .agg(sum(col("__load")).as("n_values"),
+        count(lit(1)).as("n_buckets_used"),
+        max(col("__load")).as("max_bucket_load"))
+      .select(col("feature"), col("n_values"), col("n_buckets_used"),
+        (col("n_values") - col("n_buckets_used")).as("n_collisions"),
+        col("max_bucket_load"))
+      .orderBy(col("feature"))
+  }
 }

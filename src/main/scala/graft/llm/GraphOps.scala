@@ -275,4 +275,50 @@ object GraphOps {
         when(col("n_wedges") === 0, lit(0L))
           .otherwise(expr("(3 * n_triangles * 1000000) div n_wedges")).as("gcc_ppm"))
   }
+
+  /** Bounded-round k-core peeling probe: each round drops every node
+    * of degree < k (with its edges) and reports the shrinking graph —
+    * the density-core extraction that separates a link graph's
+    * load-bearing web from its pendant fringe (spam/SEO link farms
+    * peel off in early rounds; true k-core membership is the
+    * fixpoint, which bounded rounds approach monotonically — same
+    * bounded-probe contract as [[minLabelPropagate]]).
+    *
+    * Per round: one degree aggregate and two LEFT-SEMI joins against
+    * the surviving-node set (never materializing a node×node
+    * structure), with the edge set frozen per round so the next
+    * round's two consumers re-read files rather than re-deriving the
+    * peel. All-integer output — replayable by an unrolled oracle.
+    *
+    * @param edges undirected edge list; both directions are derived
+    *              internally, self-loops dropped
+    * @return one row per round: `round, n_nodes, n_edges,
+    *         node_checksum` (Σ surviving node ids) AFTER that round's
+    *         peel, ordered by round
+    */
+  def kCoreProbe(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, rounds: Int,
+                 mat: Materializer = Materializer.Local): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val raw = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var e = mat.freeze(
+      raw.union(raw.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      Seq("a"), "kcore_e0")
+    val perRound = (1 to rounds).map { r =>
+      val deg = e.groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+      val keep = deg.filter(col("__deg") >= k).select(col("a").as("__n"))
+      val e2 = e
+        .join(keep.withColumnRenamed("__n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("__n", "b"), Seq("b"), "left_semi")
+      e = mat.freeze(e2, Seq("a"), s"kcore_e$r")
+      e.agg(
+          countDistinct(col("a")).as("n_nodes"),
+          count(lit(1)).as("n_edges"),
+          coalesce(sum_distinct(col("a")), lit(0L)).as("node_checksum"))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"),
+          col("node_checksum"))
+    }
+    perRound.reduce(_ unionByName _).orderBy(col("round"))
+  }
 }

@@ -146,4 +146,24 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     lpa shouldBe cc
   }
+
+  test("kCoreProbe peels the pendant chain and keeps the triangle at k=2") {
+    // triangle 1-2-3 plus chain 3-4-5: round 1 drops 5 (deg 1), round 2
+    // drops 4 (its degree fell to 1), round 3 is the fixpoint triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.kCoreProbe(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got(1L) shouldBe ((4L, 8L, 10L)) // 1,2,3,4 survive; 4 sym. edges
+    got(2L) shouldBe ((3L, 6L, 6L))  // triangle only
+    got(3L) shouldBe ((3L, 6L, 6L))  // fixpoint reached
+  }
+
+  test("kCoreProbe: a graph below k empties, rows still report zeros") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // path: max deg 2
+    val got = GraphOps.kCoreProbe(edges, "src", "dst", k = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 0L)
+  }
 }

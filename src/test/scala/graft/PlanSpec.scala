@@ -431,4 +431,32 @@ class PlanSpec extends SparkSpec {
     // and the probe side is the native expression, not interpreted HOFs
     plan should include("minhash_band_hashes")
   }
+
+  test("x4_keyness: top-k per slice plans a WindowGroupLimit, slice totals broadcast") {
+    val plan = formatted("x4_keyness")
+    plan should include("WindowGroupLimit")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("q_ks_test: CDF totals and prefix offsets ride broadcasts, no sort-merge join") {
+    val plan = formatted("q_ks_test")
+    plan should include("BroadcastNestedLoopJoin") // one-row totals
+    plan should not include "SortMergeJoin"
+  }
+
+  test("w_quota_sample: the quota filter is a WindowGroupLimit (map-side top-k)") {
+    formatted("w_quota_sample") should include("WindowGroupLimit")
+  }
+
+  test("q_join_profile: single full-outer key join of reduced tables, partial aggs") {
+    val plan = formatted("q_join_profile")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("FullOuter")
+  }
+
+  test("x2_editdist_join: equi-join on the block key, never a cartesian product") {
+    val plan = formatted("x2_editdist_join")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -426,6 +426,25 @@ class TransformOpsSpec extends SparkSpec {
     got("f3")._2 should be < 0.01     // near-independent
   }
 
+  test("featureHashAudit: exact collision accounting, features hash independently") {
+    // 40 distinct ids into 8 buckets must collide (pigeonhole: ≥ 32
+    // collisions); a 2-value feature into 8 buckets collides iff the
+    // two hashes agree mod 8 — check exact bookkeeping instead
+    val df = (1 to 40).map(i => (i.toString, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "flag")
+    val got = TransformOps.featureHashAudit(df, Seq("id", "flag"), nBuckets = 8,
+        hash = c => graft.llm.DedupOps.md5TokenHash(c))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nv, used, coll, maxLoad) = got("id")
+    nv shouldBe 40L
+    used should be <= 8L
+    coll shouldBe nv - used
+    maxLoad should be >= (40L + 7) / 8 // pigeonhole lower bound on the worst slot
+    got("flag")._1 shouldBe 2L
+    got("flag")._3 shouldBe (2L - got("flag")._2) // collisions = values − slots
+  }
+
   test("quotaSample plans a WindowGroupLimit (map-side top-k before the shuffle)") {
     val df = (1 to 50).map(i => (s"s${i % 2}", i.toLong)).toDF("src", "id")
     val plan = TransformOps.quotaSample(df, "src", "id", quota = 5)
