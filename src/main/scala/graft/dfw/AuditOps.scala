@@ -65,20 +65,23 @@ object AuditOps {
                   right: DataFrame, rightKey: String): DataFrame = {
     val l = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__nl"))
     val r = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nr"))
+    // coalesce every aggregate: on two EMPTY inputs the joined table
+    // has zero rows and bare sum/max would report NULL, not 0 — the
+    // routine-empty-input rule (DegenerateInputSpec)
     l.join(r, Seq("__k"), "full_outer")
       .agg(
-        sum(coalesce(col("__nl"), lit(0L))).as("left_rows"),
-        sum(coalesce(col("__nr"), lit(0L))).as("right_rows"),
-        sum(when(col("__nl").isNotNull, 1L).otherwise(0L)).as("left_keys"),
-        sum(when(col("__nr").isNotNull, 1L).otherwise(0L)).as("right_keys"),
-        sum(when(col("__nl").isNotNull && col("__nr").isNotNull, 1L)
-          .otherwise(0L)).as("keys_both"),
-        sum(when(col("__nr").isNull, 1L).otherwise(0L)).as("keys_left_only"),
-        sum(when(col("__nl").isNull, 1L).otherwise(0L)).as("keys_right_only"),
-        max(coalesce(col("__nl"), lit(0L))).as("max_left_mult"),
-        max(coalesce(col("__nr"), lit(0L))).as("max_right_mult"),
-        sum(when(col("__nl").isNotNull && col("__nr").isNotNull,
-          col("__nl") * col("__nr")).otherwise(0L)).as("est_out_rows"))
+        coalesce(sum(coalesce(col("__nl"), lit(0L))), lit(0L)).as("left_rows"),
+        coalesce(sum(coalesce(col("__nr"), lit(0L))), lit(0L)).as("right_rows"),
+        coalesce(sum(when(col("__nl").isNotNull, 1L).otherwise(0L)), lit(0L)).as("left_keys"),
+        coalesce(sum(when(col("__nr").isNotNull, 1L).otherwise(0L)), lit(0L)).as("right_keys"),
+        coalesce(sum(when(col("__nl").isNotNull && col("__nr").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("keys_both"),
+        coalesce(sum(when(col("__nr").isNull, 1L).otherwise(0L)), lit(0L)).as("keys_left_only"),
+        coalesce(sum(when(col("__nl").isNull, 1L).otherwise(0L)), lit(0L)).as("keys_right_only"),
+        coalesce(max(coalesce(col("__nl"), lit(0L))), lit(0L)).as("max_left_mult"),
+        coalesce(max(coalesce(col("__nr"), lit(0L))), lit(0L)).as("max_right_mult"),
+        coalesce(sum(when(col("__nl").isNotNull && col("__nr").isNotNull,
+          col("__nl") * col("__nr")).otherwise(0L)), lit(0L)).as("est_out_rows"))
   }
 
   /** Welch's unequal-variance t-test between two variants of a

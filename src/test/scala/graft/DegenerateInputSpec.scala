@@ -72,4 +72,46 @@ class DegenerateInputSpec extends SparkSpec {
       Seq("train" -> 0.8, "test" -> 0.2), DedupOps.md5TokenHash)
       .collect() shouldBe empty
   }
+
+  test("round-13 close audits/drift tests return empty on empty input") {
+    import graft.dfw.AuditOps
+    val noVals = Seq.empty[(Double, Boolean)].toDF("v", "is_ref")
+    AuditOps.kAnonymity(noCat, Seq(col("cat")), Seq(2, 5)).collect() shouldBe empty
+    AuditOps.joinProfile(noCat, "cat", noCat, "cat").head().getAs[Long]("left_rows") shouldBe 0L
+    AuditOps.snapshotDiff(noDocs, noDocs, "doc_id", Seq("text")).collect() shouldBe empty
+    AuditOps.giniConcentration(noCat.select(col("y")), col("y")).collect() shouldBe empty
+    AuditOps.benfordAudit(noCat.select(col("y").cast("double").as("amt")), col("amt"))
+      .collect() shouldBe empty
+    AuditOps.blockJackknifeDiff(Seq.empty[(Int, Int, Long)].toDF("b", "arm", "x"),
+      col("arm"), col("x"), col("b")).collect() shouldBe empty
+    QuantileOps.ksTest(noVals, "v", col("is_ref"), numParts = 4).collect() shouldBe empty
+    QuantileOps.chi2Drift(noVals, col("v"), col("is_ref")).collect() shouldBe empty
+  }
+
+  test("round-13 close text/prep operators return empty on empty input") {
+    val noSrc = Seq.empty[(String, String)].toDF("source", "text")
+    TextOps.typeTokenStats(noSrc, "source", "text").collect() shouldBe empty
+    TextOps.zipfSlope(noDocs, "text", 50).head().getAs[Long]("n_tokens") shouldBe 0L
+    TextOps.keynessTopK(noSrc, "source", "text", 5).collect() shouldBe empty
+    TransformOps.quotaSample(noSrc, "source", "text", 5).collect() shouldBe empty
+    TransformOps.winsorizeStats(noCat.select(col("cat"), col("y").cast("double").as("v")),
+      Seq("cat"), "v", p = 0.1, numParts = 4).collect() shouldBe empty
+    TransformOps.curriculumPhases(Seq.empty[(Long, Double, Long)].toDF("id", "d", "t"),
+      "id", col("d"), col("t"), 4, numParts = 4).collect() shouldBe empty
+    TransformOps.mutualInfoRanking(noCat.select(col("cat"),
+      col("y").cast("double").as("f")), "cat", Seq("f"), 4).collect() shouldBe empty
+    TransformOps.featureHashAudit(noCat, Seq("cat"), 16,
+      DedupOps.md5TokenHash).collect() shouldBe empty
+    DedupOps.containmentPairs(DedupOps.wordShingles(noDocs, "doc_id", "text", 5),
+      0L, Int.MaxValue).collect() shouldBe empty
+    DedupOps.editDistanceJoin(noSrc.withColumn("id", lit(1L)), "id", "text",
+      Seq(col("source")), 5).collect() shouldBe empty
+    SimilarityOps.embeddingHealth(Seq.empty[(Int, Array[Float])]
+      .toDF("label", "embedding"), "label", "embedding").collect() shouldBe empty
+    graft.sources.LayoutOps.compactionPlan(Seq.empty[(String, Long)].toDF("k", "b"),
+      col("k"), col("b"), 1000L, numParts = 4).collect() shouldBe empty
+    graft.llm.GraphOps.kCoreProbe(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst", k = 2, rounds = 2)
+      .collect().map(_.getAs[Long]("n_nodes")).toSeq shouldBe Seq(0L, 0L)
+  }
 }
