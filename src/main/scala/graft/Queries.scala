@@ -5769,7 +5769,215 @@ object Queries {
              |  CAST(count(*) AS BIGINT) AS n_buckets_used,
              |  CAST(sum(load) - count(*) AS BIGINT) AS n_collisions,
              |  CAST(max(load) AS BIGINT) AS max_bucket_load
-             |FROM l GROUP BY feature ORDER BY feature""".stripMargin))
+             |FROM l GROUP BY feature ORDER BY feature""".stripMargin)),
+
+    // ---- TIME-SERIES: per-type OLS trend of the daily mean event
+    // value on the day index — "is this metric drifting" as one
+    // map-side-combinable aggregate over exact milli-quantized daily
+    // means; slope/intercept/R² are doubles over exact int64 sums
+    // (dfw/TimeSeriesOps.trendOls). ----
+    ("q_trend_ols",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(sum(round(col("value") * 1000).cast("long")).as("__sq"),
+            count(lit(1)).as("__cnt"))
+          .select(col("event_type"),
+            datediff(col("__day"), lit("2024-01-01")).cast("long").as("__x"),
+            expr("__sq div __cnt").as("__y"))
+        graft.dfw.TimeSeriesOps.trendOls(daily, "event_type", col("__x"), col("__y"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             |      // CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM d GROUP BY 1)
+             |SELECT event_type, n AS n_points,
+             |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             |  END AS slope,
+             |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+             |    round((CAST(sy AS DOUBLE)
+             |      - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+             |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             |  END AS intercept,
+             |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS r2
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // ---- TIME-SERIES: lag-1 autocorrelation of the same daily-mean
+    // series — seasonality probe beside q_trend_ols's monotone drift;
+    // consecutive pairs come from a keyed self equi-join on (type,
+    // day+1), never a window (dfw/TimeSeriesOps.lagAutocorr). ----
+    ("q_autocorr",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(sum(round(col("value") * 1000).cast("long")).as("__sq"),
+            count(lit(1)).as("__cnt"))
+          .select(col("event_type"),
+            datediff(col("__day"), lit("2024-01-01")).cast("long").as("__x"),
+            expr("__sq div __cnt").as("__y"))
+        graft.dfw.TimeSeriesOps.lagAutocorr(daily, "event_type", col("__x"), col("__y"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+             |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             |      // CAST(count(*) AS BIGINT) AS v
+             |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+             |pr AS (SELECT a.event_type, a.v AS x, b.v AS y
+             |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.t = a.t + 1),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM pr GROUP BY 1)
+             |SELECT event_type, n AS n_pairs,
+             |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS r_lag
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // ---- TIME-SERIES: CUSUM changepoint on the daily event-count
+    // series — the day maximizing |Σ(x_i − x̄)|, located by exact
+    // integer comparison on a scaled scan statistic (T·run − t·total)
+    // built from the distributed prefix sum, never a driver loop
+    // (dfw/TimeSeriesOps.cusumChangepoint). ----
+    ("q_cusum",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("__day"))
+          .agg(count(lit(1)).as("__cnt"))
+          .select(datediff(col("__day"), lit("2024-01-01")).cast("long").as("__t"),
+            col("__cnt"))
+        graft.dfw.TimeSeriesOps.cusumChangepoint(daily, col("__t"), col("__cnt"),
+          numParts = 8)
+      },
+      Some("""WITH d AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+             |    CAST(count(*) AS BIGINT) AS v FROM events GROUP BY 1),
+             |tt AS (SELECT CAST(sum(v) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS tn FROM d),
+             |r AS (SELECT t, CAST(sum(v) OVER (ORDER BY t) AS BIGINT) AS rv,
+             |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn FROM d),
+             |g AS (SELECT t, rv, rn, tt.tn * rv - rn * tt.tot AS g FROM r, tt),
+             |m AS (SELECT max(abs(g)) AS gm FROM g),
+             |p AS (SELECT g.t, g.rv, g.rn, g.g FROM g, m WHERE abs(g.g) = m.gm
+             |      ORDER BY g.t LIMIT 1)
+             |SELECT tt.tn AS n_ticks, tt.tot AS total, p.t AS cp_tick,
+             |  CAST(abs(p.g) AS BIGINT) AS g_abs_max,
+             |  round(CAST(p.rv AS DOUBLE) / CAST(p.rn AS DOUBLE), 6) AS mean_before,
+             |  CASE WHEN p.rn < tt.tn THEN
+             |    round(CAST(tt.tot - p.rv AS DOUBLE) / CAST(tt.tn - p.rn AS DOUBLE), 6)
+             |  END AS mean_after
+             |FROM tt, p""".stripMargin)),
+
+    // ---- AUDIT: CUPED variance-reduced A/B readout (Deng et al.
+    // 2013) — per-user pre-period event count as the covariate for
+    // the post-period count; pooled θ and per-arm adjusted means from
+    // exact int64 sums, arm membership by the engine-neutral md5 key
+    // hash (dfw/AuditOps.cupedAdjust beside q_ab_test/q_jackknife_se).
+    // ----
+    ("q_cuped",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("ts") < lit("2024-01-16"), 1L).otherwise(0L)).as("x_pre"),
+            sum(when(col("ts") >= lit("2024-01-16"), 1L).otherwise(0L)).as("y_post"))
+          .withColumn("variant",
+            pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(2)).cast("int"))
+        AuditOps.cupedAdjust(perUser, col("variant"), col("x_pre"), col("y_post"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |v AS (SELECT x, y,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS variant
+             |  FROM u),
+             |p AS (SELECT CAST(count(*) AS BIGINT) AS pn,
+             |    CAST(sum(x) AS BIGINT) AS psx, CAST(sum(y) AS BIGINT) AS psy,
+             |    CAST(sum(x * y) AS BIGINT) AS psxy, CAST(sum(x * x) AS BIGINT) AS psxx,
+             |    CAST(sum(y * y) AS BIGINT) AS psyy FROM v),
+             |a AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+             |  FROM v GROUP BY 1),
+             |f AS (SELECT a.variant, a.n, a.sx, a.sy, p.pn, p.psx,
+             |    CASE WHEN p.pn * p.psxx - p.psx * p.psx <> 0 THEN
+             |      CAST(p.pn * p.psxy - p.psx * p.psy AS DOUBLE)
+             |        / CAST(p.pn * p.psxx - p.psx * p.psx AS DOUBLE)
+             |    ELSE 0 END AS theta,
+             |    p.pn * p.psxx - p.psx * p.psx AS dxx,
+             |    p.pn * p.psyy - p.psy * p.psy AS dyy,
+             |    p.pn * p.psxy - p.psx * p.psy AS dxy
+             |  FROM a, p)
+             |SELECT variant, n,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_pre,
+             |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+             |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+             |      - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)), 6) AS mean_y_adj,
+             |  round(theta, 6) AS theta,
+             |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
+             |    round(CAST(dxy AS DOUBLE) * CAST(dxy AS DOUBLE)
+             |      / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6)
+             |  ELSE 0 END AS rho2
+             |FROM f ORDER BY variant""".stripMargin)),
+
+    // ---- X1/X2: URL canonicalization + canonical-URL dedup — messy
+    // crawl URLs (case-shifted scheme/host, :443, tracking params,
+    // trailing slash, fragments) synthesized deterministically from
+    // doc_id, collapsed by the codegen regexp canonicalizer; the
+    // oracle derives each row's canonical form DIRECTLY from the
+    // synthesis parameters, pinning the regex chain to the semantic
+    // truth rather than to another regex engine
+    // (llm/DedupOps.canonicalizeUrl/urlCanonDedup). ----
+    ("x2_url_canon",
+      (s: SparkSession, dir: String) => {
+        val host = concat(lit("www."), col("source"), lit(".com"))
+        val url = concat(
+          when(col("doc_id") % 7 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 6 === 0, upper(host)).otherwise(host),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), (col("doc_id") % 500).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&utm_campaign=x&id="),
+              (col("doc_id") % 50).cast("string")))
+            .otherwise(concat(lit("?id="), (col("doc_id") % 50).cast("string"))),
+          when(col("doc_id") % 11 === 0, lit("#sec2")).otherwise(lit("")))
+        val raw = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("raw_url"))
+        DedupOps.urlCanonDedup(raw, col("raw_url"), col("doc_id"))
+          .orderBy(col("canon_url"))
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 7 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             |    (CASE WHEN doc_id % 6 = 0 THEN upper('www.' || source || '.com')
+             |          ELSE 'www.' || source || '.com' END) ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+             |    '/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 2 = 0
+             |          THEN '?utm_source=feed&utm_campaign=x&id=' || CAST(doc_id % 50 AS VARCHAR)
+             |          ELSE '?id=' || CAST(doc_id % 50 AS VARCHAR) END) ||
+             |    (CASE WHEN doc_id % 11 = 0 THEN '#sec2' ELSE '' END) AS raw_url,
+             |    'https://www.' || source || '.com/docs/' || CAST(doc_id % 500 AS VARCHAR)
+             |      || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS canon_url
+             |  FROM documents)
+             |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

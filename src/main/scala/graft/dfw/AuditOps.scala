@@ -297,4 +297,57 @@ object AuditOps {
           .cast("long").as("chi2_q"))
       .orderBy(col("digit"))
   }
+
+  /** CUPED variance-reduced A/B comparison (Deng et al., WSDM 2013):
+    * adjust each arm's post-period mean with the pooled pre-period
+    * covariate, Y_adj = Ȳ_arm − θ·(X̄_arm − X̄), where
+    * θ = cov(X,Y)/var(X) over ALL units. The experimentation-platform
+    * companion to [[welchTTest]] — same metric, tighter confidence.
+    *
+    * Determinism: X and Y must be exact integers (counts or quantized
+    * metrics); the five pooled cross-sums and the per-arm sums all
+    * accumulate in int64 (associative), and θ / ρ² / the adjusted
+    * means are single double expressions over those exact sums,
+    * rounded. ρ² is the achieved variance-reduction fraction.
+    *
+    * Plan shape: TWO aggregations over the unit table — one unkeyed
+    * (pooled, 1 row, broadcast back) and one keyed by arm (≤ #arms
+    * rows) — both map-side combinable; no joins over unit-level data.
+    * Degenerate pre-period (var(X)=0) leaves θ=0 so the adjustment is
+    * a no-op rather than a NaN.
+    *
+    * @return one row per arm: `variant, n, mean_pre, mean_y,
+    *         mean_y_adj, theta, rho2` (pooled θ/ρ² repeated per row)
+    */
+  def cupedAdjust(df: DataFrame, variantCol: Column, preCol: Column,
+                  postCol: Column): DataFrame = {
+    val x = preCol.cast("long")
+    val y = postCol.cast("long")
+    val pooled = df.agg(
+      count(lit(1)).as("__pn"),
+      sum(x).as("__psx"), sum(y).as("__psy"),
+      sum(x * y).as("__psxy"), sum(x * x).as("__psxx"),
+      sum(y * y).as("__psyy"))
+    val arms = df.groupBy(variantCol.as("variant"))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"))
+    val dxx = col("__pn") * col("__psxx") - col("__psx") * col("__psx")
+    val dyy = col("__pn") * col("__psyy") - col("__psy") * col("__psy")
+    val dxy = col("__pn") * col("__psxy") - col("__psx") * col("__psy")
+    val theta = when(dxx =!= 0, dxy.cast("double") / dxx.cast("double"))
+      .otherwise(lit(0.0))
+    val meanPre = col("__sx").cast("double") / col("n").cast("double")
+    val meanY = col("__sy").cast("double") / col("n").cast("double")
+    val pooledMeanPre = col("__psx").cast("double") / col("__pn").cast("double")
+    arms.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n"),
+        round(meanPre, 6).as("mean_pre"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - theta * (meanPre - pooledMeanPre), 6).as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        when(dxx =!= 0 && dyy =!= 0, round(
+          dxy.cast("double") * dxy.cast("double")
+            / (dxx.cast("double") * dyy.cast("double")), 6))
+          .otherwise(lit(0.0)).as("rho2"))
+      .orderBy(col("variant"))
+  }
 }

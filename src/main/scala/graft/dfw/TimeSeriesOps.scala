@@ -146,4 +146,131 @@ object TimeSeriesOps {
       .select(col("day"), col("dau"), col("wau"),
         expr("dau * 1000000 div wau").as("stickiness_ppm"))
   }
+
+  /** Pearson r / OLS pieces from exact integer sums — shared by
+    * [[trendOls]] and [[lagAutocorr]]. All five/six sums are LONG
+    * (callers pre-quantize values so products stay in int64 range);
+    * only the final ratios go through IEEE doubles, so the rounded
+    * outputs replay bit-for-bit in any engine.
+    */
+  private def sxxCols(x: Column, y: Column): Seq[Column] = Seq(
+    count(lit(1)).as("__n"),
+    sum(x).as("__sx"), sum(y).as("__sy"),
+    sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+
+  /** Per-series OLS trend (slope / intercept / R²) of an integer-
+    * quantized metric `yCol` on an integer time index `xCol` — the
+    * "is this metric drifting" regression every monitoring stack runs.
+    *
+    * Determinism: inputs must be exact integers (quantize doubles to
+    * milli/micro-units first); the five cross-sums accumulate in int64
+    * where addition is associative, so no shuffle order can perturb
+    * them. Slope/intercept/R² are then single double expressions over
+    * those exact sums, rounded — the q_ab_test discipline.
+    *
+    * Plan shape: ONE map-side-combinable hash aggregate keyed by
+    * series (constant state per group), nothing else — linear in rows
+    * at any series cardinality. Degenerate guards: a singleton or
+    * constant-x series has no slope (null); constant y yields R² null.
+    *
+    * @param xCol integer time index (e.g. day number); keep |x·y| and
+    *             |y²| sums inside int64 at the target scale
+    * @param yCol pre-quantized long metric
+    */
+  def trendOls(df: DataFrame, seriesCol: String, xCol: Column,
+               yCol: Column): DataFrame = {
+    val cs = sxxCols(xCol.cast("long"), yCol.cast("long"))
+    val agg = df.groupBy(col(seriesCol)).agg(cs.head, cs.tail: _*)
+    val dxx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val dxy = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = dxy.cast("double") / dxx.cast("double")
+    agg.select(col(seriesCol), col("__n").as("n_points"),
+        when(dxx =!= 0, round(slope, 6)).as("slope"),
+        when(dxx =!= 0, round(
+          (col("__sy").cast("double") - slope * col("__sx").cast("double"))
+            / col("__n").cast("double"), 6)).as("intercept"),
+        when(dxx =!= 0 && dyy =!= 0, round(
+          dxy.cast("double") * dxy.cast("double")
+            / (dxx.cast("double") * dyy.cast("double")), 6)).as("r2"))
+  }
+
+  /** Per-series lag-`k` autocorrelation of an integer-quantized metric
+    * over an integer time index — the "is today predictive of
+    * tomorrow" seasonality probe beside [[trendOls]]'s monotone drift.
+    *
+    * Scalable shape: NO window — consecutive pairs come from a keyed
+    * self equi-join on (series, t+k), which is a plain shuffled hash
+    * join on the already-reduced per-tick table. Missing ticks simply
+    * contribute no pair (the series need not be gap-free). Pearson r
+    * over the pairs uses the same exact-int64-sums discipline as
+    * [[trendOls]]; constant slices yield null.
+    */
+  def lagAutocorr(df: DataFrame, seriesCol: String, tCol: Column,
+                  vCol: Column, k: Int = 1): DataFrame = {
+    require(k > 0, "lag must be positive")
+    val cur = df.select(col(seriesCol), tCol.cast("long").as("__t"),
+      vCol.cast("long").as("__x"))
+    val nxt = df.select(col(seriesCol), (tCol.cast("long") - k).as("__t"),
+      vCol.cast("long").as("__y"))
+    val pairs = cur.join(nxt, Seq(seriesCol, "__t"))
+    val cs = sxxCols(col("__x"), col("__y"))
+    val agg = pairs.groupBy(col(seriesCol)).agg(cs.head, cs.tail: _*)
+    val dxx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val dxy = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    agg.select(col(seriesCol), col("__n").as("n_pairs"),
+      when(dxx =!= 0 && dyy =!= 0, round(
+        dxy.cast("double")
+          / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r_lag"))
+  }
+
+  /** CUSUM changepoint locator over a per-tick integer metric: the
+    * tick t maximizing |Σ_{i≤t}(x_i − x̄)| — the standard single
+    * mean-shift detector (Page 1954 / Pettitt-style scan), run here as
+    * an exact distributed prefix sum instead of a driver loop.
+    *
+    * Integer-exact argmax: the scan statistic is scaled by T
+    * (G_t = T·run_x − t·total — both terms int64), so the maximizing
+    * tick is found by integer comparison with no float tie hazards;
+    * ties break to the earliest tick via `min_by`. Only the reported
+    * before/after means are doubles (rounded, from exact sums).
+    *
+    * Plan shape: one 1-row total broadcast, one
+    * [[WindowOps.prefixSumScalable]] pass (range exchange + numParts-
+    * row broadcast — never a single-reducer global window), one final
+    * all-reduce to a single row. `tickCol` must be unique per row
+    * (aggregate to per-tick totals first).
+    *
+    * @return one row: n_ticks, total, cp_tick (last tick of the
+    *         "before" regime), g_abs_max (scaled scan stat),
+    *         mean_before, mean_after (null when the argmax is the
+    *         final tick — no "after" regime to average)
+    */
+  def cusumChangepoint(df: DataFrame, tickCol: Column, vCol: Column,
+                       numParts: Int,
+                       mat: graft.sources.Materializer =
+                         graft.sources.Materializer.Local): DataFrame = {
+    val base = df.select(tickCol.as("__tick"), vCol.cast("long").as("__v"))
+    val tot = base.agg(sum(col("__v")).as("__tot"),
+      count(lit(1)).as("__T"))
+    val run = WindowOps.prefixSumScalable(base, col("__tick"),
+      Seq(("v", col("__v")), ("one", lit(1L))), numParts, mat)
+    val g = run.crossJoin(broadcast(tot))
+      .withColumn("__g", col("__T") * col("run_v") - col("run_one") * col("__tot"))
+    g.groupBy()
+      .agg(min_by(
+        struct(col("__tick"), col("__g"), col("run_v"), col("run_one"),
+          col("__tot"), col("__T")),
+        struct(-abs(col("__g")), col("__tick"))).as("__r"))
+      .select(col("__r.__T").as("n_ticks"), col("__r.__tot").as("total"),
+        col("__r.__tick").as("cp_tick"),
+        abs(col("__r.__g")).as("g_abs_max"),
+        round(col("__r.run_v").cast("double")
+          / col("__r.run_one").cast("double"), 6).as("mean_before"),
+        when(col("__r.run_one") < col("__r.__T"), round(
+          (col("__r.__tot") - col("__r.run_v")).cast("double")
+            / (col("__r.__T") - col("__r.run_one")).cast("double"), 6))
+          .as("mean_after"))
+  }
 }

@@ -1095,4 +1095,55 @@ object DedupOps {
       .filter(col("contain_ppm") >= minContainPpm)
       .select("doc_id", "container_id", "inter", "n_sh", "contain_ppm")
   }
+
+  /** URL canonicalization — the dedup key normalizer every web-crawl
+    * curation pipeline applies before exact URL dedup (the same page
+    * arrives as `HTTPS://Host:443/path/?utm_source=x` and
+    * `https://host/path`). Light, lossless-intent canonical form:
+    *
+    *  1. fragment dropped (`#…` is client-side only);
+    *  2. scheme + host lowercased (case-insensitive per RFC 3986);
+    *  3. default ports `:80`/`:443` dropped;
+    *  4. tracking parameters removed (`utm_*`, `fbclid`, `gclid`)
+    *     with separator repair (`?&`→`?`, trailing `?`/`&` dropped);
+    *  5. one trailing path slash dropped.
+    *
+    * Query parameters are NOT reordered — param order can be
+    * semantic, and light canonicalizers (e.g. the common crawl-dedup
+    * configuration) leave it alone.
+    *
+    * Pure builtin `regexp_replace`/`regexp_extract` chain → stays
+    * inside whole-stage codegen, no UDF; the patterns avoid
+    * lookaround/backrefs so the SAME regexes replay in RE2-based
+    * engines (the DuckDB oracle re-implements the chain).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val head = lower(regexp_extract(noFrag, "^([^:/?#]+://[^/?#]*)", 1))
+    val headNoPort = regexp_replace(head, ":(443|80)$", "")
+    val rest = regexp_replace(noFrag, "^[^:/?#]+://[^/?#]*", "")
+    val noTrack =
+      regexp_replace(rest, "(utm_[a-z0-9]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidied =
+      regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    val noSlash = regexp_replace(tidied, "/(\\?|$)", "$1")
+    concat(headNoPort, noSlash)
+  }
+
+  /** X1 over canonicalized URLs: collapse raw crawl URLs to canonical
+    * form and report, per canonical URL, the row count, the number of
+    * distinct raw spellings, and the kept (minimum) id — exact dedup
+    * where the KEY is [[canonicalizeUrl]]'s output.
+    *
+    * Plan shape: the canonical key is computed in the scan projection
+    * (codegen), then ONE map-side-combinable hash aggregate — no
+    * window, no join; output cardinality = |canonical URLs|.
+    */
+  def urlCanonDedup(df: DataFrame, urlCol: Column, idCol: Column): DataFrame =
+    df.select(canonicalizeUrl(urlCol).as("canon_url"), urlCol.as("__raw"),
+        idCol.as("__id"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__raw")).as("n_raw_forms"),
+        min(col("__id")).as("keep_id"))
 }

@@ -129,4 +129,33 @@ class AuditOpsSpec extends SparkSpec {
     AuditOps.snapshotDiff(old, neu, "k", Seq("a", "b"))
       .head().getString(0) shouldBe "changed"
   }
+
+  test("cupedAdjust: pooled theta shrinks the arm gap; hand-computed exact values") {
+    // pooled: n=4 sx=10 sy=26 sxy=77 sxx=30 syy=198 →
+    // dxx=20 dxy=48 dyy=116, θ=2.4, ρ²=2304/2320
+    val units = Seq((0, 1L, 3L), (0, 2L, 5L), (1, 3L, 8L), (1, 4L, 10L))
+      .toDF("variant", "x", "y")
+    val got = AuditOps.cupedAdjust(units, col("variant"), col("x"), col("y"))
+      .collect()
+    got.length shouldBe 2
+    val v0 = got(0); val v1 = got(1)
+    v0.getAs[Double]("mean_pre") shouldBe 1.5
+    v0.getAs[Double]("mean_y") shouldBe 4.0
+    v0.getAs[Double]("mean_y_adj") shouldBe 6.4 // 4 − 2.4·(1.5 − 2.5)
+    v1.getAs[Double]("mean_y_adj") shouldBe 6.6 // 9 − 2.4·(3.5 − 2.5)
+    v0.getAs[Double]("theta") shouldBe 2.4
+    v0.getAs[Double]("rho2") shouldBe math.rint(2304.0 / 2320.0 * 1e6) / 1e6
+    // CUPED pulled the raw gap of 5 down to 0.2
+    (v1.getAs[Double]("mean_y_adj") - v0.getAs[Double]("mean_y_adj"))
+      .abs should be < 0.2001
+  }
+
+  test("cupedAdjust: constant pre-period covariate degrades to a no-op (theta 0)") {
+    val units = Seq((0, 2L, 3L), (0, 2L, 5L), (1, 2L, 8L)).toDF("variant", "x", "y")
+    val got = AuditOps.cupedAdjust(units, col("variant"), col("x"), col("y"))
+      .collect()
+    got(0).getAs[Double]("theta") shouldBe 0.0
+    got(0).getAs[Double]("mean_y_adj") shouldBe got(0).getAs[Double]("mean_y")
+    got(1).getAs[Double]("mean_y_adj") shouldBe 8.0
+  }
 }

@@ -399,4 +399,46 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((1L, 2L)) // only the swallowed direction survives
   }
+
+  test("canonicalizeUrl: case, port, tracking params, slash and fragment normalize") {
+    val cases = Seq(
+      ("HTTPS://Www.Ex.COM:443/a/b/?utm_source=x&id=1#frag",
+        "https://www.ex.com/a/b?id=1"),
+      ("http://ex.com:80/", "http://ex.com"),
+      ("https://ex.com/p?id=1&utm_campaign=z", "https://ex.com/p?id=1"),
+      ("https://ex.com/p?utm_only=1", "https://ex.com/p"),
+      ("https://ex.com/p/", "https://ex.com/p"),
+      ("https://ex.com:8080/p", "https://ex.com:8080/p"), // non-default port kept
+      ("https://ex.com/p?b=2&a=1", "https://ex.com/p?b=2&a=1"), // order untouched
+      ("https://ex.com/p?fbclid=abc&gclid=x&id=3", "https://ex.com/p?id=3"),
+      ("https://ex.com", "https://ex.com"))
+    val got = cases.map(_._1).toDF("u")
+      .select(DedupOps.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    got shouldBe cases.map(_._2)
+  }
+
+  test("canonicalizeUrl is idempotent (canonical forms are fixed points)") {
+    val raw = Seq("HTTPS://Www.Ex.COM:443/a/b/?utm_source=x&id=1#frag",
+      "http://ex.com:80/", "https://ex.com/p?b=2&a=1").toDF("u")
+    val once = raw.select(DedupOps.canonicalizeUrl(col("u")).as("c"))
+    val twice = once.select(DedupOps.canonicalizeUrl(col("c")))
+      .as[String].collect().toSeq
+    twice shouldBe once.as[String].collect().toSeq
+  }
+
+  test("urlCanonDedup groups raw spellings under the canonical key") {
+    val raw = Seq(
+      (1L, "https://ex.com/p?id=1"),
+      (2L, "HTTPS://EX.COM/p/?id=1"),
+      (3L, "https://ex.com:443/p?utm_source=z&id=1"),
+      (4L, "https://ex.com/q?id=2")).toDF("doc_id", "url")
+    val got = DedupOps.urlCanonDedup(raw, col("url"), col("doc_id"))
+      .orderBy("canon_url").collect()
+    got.length shouldBe 2
+    got(0).getAs[String]("canon_url") shouldBe "https://ex.com/p?id=1"
+    got(0).getAs[Long]("n_rows") shouldBe 3L
+    got(0).getAs[Long]("n_raw_forms") shouldBe 3L
+    got(0).getAs[Long]("keep_id") shouldBe 1L
+    got(1).getAs[Long]("n_rows") shouldBe 1L
+  }
 }

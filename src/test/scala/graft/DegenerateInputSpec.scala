@@ -114,4 +114,23 @@ class DegenerateInputSpec extends SparkSpec {
       "src", "dst", k = 2, rounds = 2)
       .collect().map(_.getAs[Long]("n_nodes")).toSeq shouldBe Seq(0L, 0L)
   }
+
+  test("round-13 time-series/experiment operators tolerate empty input") {
+    import graft.dfw.AuditOps
+    val noSeries = Seq.empty[(String, Long, Long)].toDF("series", "t", "v")
+    TimeSeriesOps.trendOls(noSeries, "series", col("t"), col("v"))
+      .collect() shouldBe empty
+    TimeSeriesOps.lagAutocorr(noSeries, "series", col("t"), col("v"))
+      .collect() shouldBe empty
+    AuditOps.cupedAdjust(Seq.empty[(Int, Long, Long)].toDF("variant", "x", "y"),
+      col("variant"), col("x"), col("y")).collect() shouldBe empty
+    DedupOps.urlCanonDedup(Seq.empty[(Long, String)].toDF("id", "u"),
+      col("u"), col("id")).collect() shouldBe empty
+    // unkeyed final reduce: one all-null row rather than a throw
+    val cs = TimeSeriesOps.cusumChangepoint(
+      Seq.empty[(Long, Long)].toDF("t", "v"), col("t"), col("v"), numParts = 2)
+      .collect()
+    cs.length shouldBe 1
+    cs(0).isNullAt(cs(0).fieldIndex("cp_tick")) shouldBe true
+  }
 }

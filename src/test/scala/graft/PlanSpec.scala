@@ -459,4 +459,38 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("q_trend_ols: pure aggregate chain — no join, no window, partial sums") {
+    val plan = formatted("q_trend_ols")
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("partial_sum")
+  }
+
+  test("q_autocorr: lag pairs come from a keyed equi-join of reduced tables, no window") {
+    val plan = formatted("q_autocorr")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q_cusum: prefix offsets and totals ride broadcasts, no sort-merge join") {
+    val plan = formatted("q_cusum")
+    plan should include("BroadcastHashJoin")        // numParts-row prefix table
+    plan should include("BroadcastNestedLoopJoin")  // 1-row totals
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_cuped: pooled moments enter via a 1-row broadcast; no shuffled join, no window") {
+    val plan = formatted("q_cuped")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("x2_url_canon: canonicalization is a scan-side projection feeding one aggregate — no join") {
+    val plan = formatted("x2_url_canon")
+    plan should not include "Join"
+    plan should include("HashAggregate")
+  }
 }

@@ -138,4 +138,74 @@ class TimeSeriesOpsSpec extends SparkSpec {
     got("2024-01-02") shouldBe ((1L, 2L, 500000L)) // users {1,2} over days 1-2
     got("2024-01-05") shouldBe ((1L, 1L, 1000000L)) // days 3-5: only user 3
   }
+
+  // series a: perfect line y = 10 + 2x; b: constant; c: singleton
+  private val trendPts = Seq(
+    ("a", 0L, 10L), ("a", 1L, 12L), ("a", 2L, 14L),
+    ("b", 0L, 5L), ("b", 1L, 5L),
+    ("c", 0L, 7L)
+  ).toDF("series", "x", "y")
+
+  test("trendOls: exact slope/intercept/r2 on a perfect line; degenerate guards") {
+    val got = TimeSeriesOps.trendOls(trendPts, "series", col("x"), col("y"))
+      .orderBy("series").collect()
+    got.length shouldBe 3
+    got(0).getAs[Long]("n_points") shouldBe 3L
+    got(0).getAs[Double]("slope") shouldBe 2.0
+    got(0).getAs[Double]("intercept") shouldBe 10.0
+    got(0).getAs[Double]("r2") shouldBe 1.0
+    got(1).getAs[Double]("slope") shouldBe 0.0 // constant y: slope 0...
+    got(1).isNullAt(got(1).fieldIndex("r2")) shouldBe true // ...but r2 undefined
+    got(2).isNullAt(got(2).fieldIndex("slope")) shouldBe true // singleton: dxx=0
+  }
+
+  test("trendOls: shuffle-order invariant (exact integer sums)") {
+    val a = TimeSeriesOps.trendOls(trendPts, "series", col("x"), col("y"))
+      .orderBy("series").collect().toSeq
+    val b = TimeSeriesOps.trendOls(trendPts.repartition(7, col("y")),
+      "series", col("x"), col("y")).orderBy("series").collect().toSeq
+    a shouldBe b
+  }
+
+  test("lagAutocorr: perfect lag-1 correlation on a ramp; gaps drop pairs; constant is null") {
+    val pts = Seq(
+      ("r", 0L, 1L), ("r", 1L, 2L), ("r", 2L, 3L), ("r", 3L, 4L),
+      ("g", 0L, 1L), ("g", 1L, 5L), ("g", 3L, 9L), // gap at t=2: only (0,1) pairs
+      ("k", 0L, 5L), ("k", 1L, 5L) // constant: dxx=dyy=0
+    ).toDF("series", "t", "v")
+    val got = TimeSeriesOps.lagAutocorr(pts, "series", col("t"), col("v"))
+      .orderBy("series").collect()
+    got.map(_.getAs[String]("series")).toSeq shouldBe Seq("g", "k", "r")
+    got(0).getAs[Long]("n_pairs") shouldBe 1L
+    got(1).isNullAt(got(1).fieldIndex("r_lag")) shouldBe true
+    got(2).getAs[Long]("n_pairs") shouldBe 3L
+    got(2).getAs[Double]("r_lag") shouldBe 1.0
+  }
+
+  test("cusumChangepoint: locates a clean mean shift with exact integer argmax") {
+    // [10,10,10,20,20,20]: the scan stat peaks at tick 2 (last of the
+    // low regime); G = T·run − t·total = [-30,-60,-90,-60,-30,0]
+    val d = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L), (5L, 20L))
+      .toDF("t", "v")
+    val got = TimeSeriesOps.cusumChangepoint(d, col("t"), col("v"), numParts = 3)
+      .collect()
+    got.length shouldBe 1
+    val r = got(0)
+    r.getAs[Long]("n_ticks") shouldBe 6L
+    r.getAs[Long]("total") shouldBe 90L
+    r.getAs[Long]("cp_tick") shouldBe 2L
+    r.getAs[Long]("g_abs_max") shouldBe 90L
+    r.getAs[Double]("mean_before") shouldBe 10.0
+    r.getAs[Double]("mean_after") shouldBe 20.0
+  }
+
+  test("cusumChangepoint: all-constant series ties break to the earliest tick") {
+    val d = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("t", "v")
+    val r = TimeSeriesOps.cusumChangepoint(d, col("t"), col("v"), numParts = 2)
+      .collect()(0)
+    r.getAs[Long]("g_abs_max") shouldBe 0L
+    r.getAs[Long]("cp_tick") shouldBe 0L
+    r.getAs[Double]("mean_before") shouldBe 5.0
+    r.getAs[Double]("mean_after") shouldBe 5.0
+  }
 }
