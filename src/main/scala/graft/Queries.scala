@@ -5977,7 +5977,43 @@ object Queries {
              |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
              |  CAST(min(doc_id) AS BIGINT) AS keep_id
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- X6: per-day categorical-mix PSI against a fixed uniform
+    // reference — the batch twin of the streaming ingest drift gate
+    // (streaming/StreamOps.mixDriftWindowed; the stream runs the SAME
+    // body with a watermark, state = live windows × k+2 counters).
+    // Per-category (p−q)·ln(p/q) terms quantize to micro-units BEFORE
+    // the k-term sum, the q_psi_drift discipline. ----
+    ("x6_mix_drift",
+      (s: SparkSession, dir: String) => {
+        val ref = Seq("click", "error", "purchase", "signup", "view")
+          .map(_ -> 200000L)
+        StreamOps.mixDriftWindowed(Tables.load(s, dir, "events"),
+            "event_type", ref, "1 day")
+          .orderBy(col("ws"))
+      },
+      Some("""WITH w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+             |t AS (SELECT ws, CAST(sum(c) AS BIGINT) AS n_rows,
+             |    CAST(sum(c) AS BIGINT) AS n_invocab FROM w GROUP BY 1),
+             |r AS (SELECT * FROM (VALUES ('click', 200000), ('error', 200000),
+             |    ('purchase', 200000), ('signup', 200000), ('view', 200000))
+             |    AS r(cat, qppm)),
+             |j AS (SELECT t.ws, t.n_rows, t.n_invocab, r.qppm,
+             |    CAST(coalesce(w.c, 0) AS BIGINT) AS c
+             |  FROM t CROSS JOIN r
+             |  LEFT JOIN w ON w.ws = t.ws AND w.event_type = r.cat),
+             |q AS (SELECT ws, n_rows, n_invocab,
+             |    CAST(round((
+             |      (CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(n_invocab AS DOUBLE) + CAST(5 AS DOUBLE))
+             |        - CAST(qppm + 1 AS DOUBLE) / CAST(1000005 AS DOUBLE))
+             |      * ln(((CAST(c AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(n_invocab AS DOUBLE) + CAST(5 AS DOUBLE)))
+             |        / (CAST(qppm + 1 AS DOUBLE) / CAST(1000005 AS DOUBLE)))
+             |      * 1000000) AS BIGINT) AS tq
+             |  FROM j)
+             |SELECT ws, n_rows, n_invocab, CAST(sum(tq) AS BIGINT) AS psi_q
+             |FROM q GROUP BY 1, 2, 3 ORDER BY ws""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

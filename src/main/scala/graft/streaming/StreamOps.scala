@@ -100,6 +100,61 @@ object StreamOps {
     distinctUsersWindowed(events.withWatermark("ts", watermark),
       windowDuration, lgK)
 
+  /** X6: per-window categorical-mix PSI against a STATIC reference
+    * distribution — the live drift gate for an ingest stream ("the
+    * event/type/language mix this hour no longer looks like the
+    * training corpus"), the streaming twin of the batch
+    * [[graft.dfw.QuantileOps.psiDrift]] posture.
+    *
+    * The reference mix arrives as a driver-side `(category, ppm)` list
+    * (vocabulary-bounded — it IS the schema of the monitored mix), so
+    * each window aggregates to ONE state row of k+1 counters via
+    * conditional sums: state is live windows × (k+2) scalars, never
+    * event volume, and the watermark evicts finalized windows. Rows
+    * outside the vocabulary count toward `n_rows` but not the mix
+    * (they are reported, not silently folded into a share).
+    *
+    * PSI discipline mirrors the batch op: Laplace-smoothed shares
+    * ((n+1)/(N+k); the reference side smooths its ppm over the 1e6
+    * base), each category's (p−q)·ln(p/q) term quantized to integer
+    * micro-units BEFORE the k-term sum, so the reported `psi_q` is an
+    * order-free integer total the batch twin reproduces exactly
+    * (StreamOpsSpec pins stream == batch on a staged file source).
+    *
+    * @param refPpm reference share per category in parts-per-million;
+    *               order fixes the counter layout
+    * @return per window: `ws, n_rows, n_invocab, psi_q` (micro-units)
+    */
+  def mixDriftWindowed(events: DataFrame, catCol: String,
+                       refPpm: Seq[(String, Long)],
+                       windowDuration: String): DataFrame = {
+    require(refPpm.nonEmpty, "reference mix must name at least one category")
+    val k = refPpm.size
+    val counters = refPpm.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val agg = events
+      .groupBy(window(col("ts"), windowDuration).as("w"))
+      .agg(counters.head, (counters.tail :+ count(lit(1)).as("n_rows")): _*)
+      .withColumn("n_invocab",
+        refPpm.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val psiQ = refPpm.zipWithIndex.map { case ((_, qppm), i) =>
+      val p = (col(s"__c$i").cast("double") + 1.0) /
+        (col("n_invocab").cast("double") + k)
+      val q = (lit(qppm).cast("double") + 1.0) / (1000000.0 + k)
+      round((p - q) * log(p / q) * 1000000).cast("long")
+    }.reduce(_ + _)
+    agg.select(col("w.start").as("ws"), col("n_rows"), col("n_invocab"),
+      psiQ.as("psi_q"))
+  }
+
+  /** [[mixDriftWindowed]] for append-mode streams. */
+  def mixDriftStream(events: DataFrame, catCol: String,
+                     refPpm: Seq[(String, Long)], windowDuration: String,
+                     watermark: String): DataFrame =
+    mixDriftWindowed(events.withWatermark("ts", watermark), catCol,
+      refPpm, windowDuration)
+
   /** Streaming OHLC downsampling: [[graft.dfw.TimeSeriesOps.ohlcBarsAgg]]
     * is a pure hash aggregate (min_by/max_by over the unique
     * (ts, tie) struct — no window function), so the SAME body runs as

@@ -25,7 +25,9 @@ import graft.streaming.StreamOps
   *  - decontam_gate / ann_gate: the plan must contain NO state
   *    operator at all (stream-static joins + per-row probes only).
   *
-  * `tools/run.sh graft.tools.StreamSoak [soakSec] [rowsPerSec]`
+  * `tools/run.sh graft.tools.StreamSoak [soakSec] [rowsPerSec]
+  *   [scenario...]` — trailing args select scenarios by name (e.g.
+  * `mix_drift funnel_evict`); no trailing args runs all of them.
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
@@ -55,6 +57,12 @@ object StreamSoak {
     def rateSrc = spark.readStream.format("rate")
       .option("rowsPerSecond", rate).load() // (timestamp, value)
 
+    // trailing args select scenarios by name; empty selection = all
+    val only = args.drop(2).toSet
+    def scenario(name: String)(body: => Unit): Unit =
+      if (only.isEmpty || only.contains(name)) body
+      else println(s"--- $name: skipped ---")
+
     /** Run `q` for soakSec, then dump per-batch state metrics and
       * return (stateRows per batch, max throughput).
       */
@@ -81,9 +89,22 @@ object StreamSoak {
       stateRows
     }
 
+    // shared across scenarios (hoisted so any selection subset works)
+    val nUsers = 10000
+    val wmSec = 10
+    def textStream = rateSrc.select(col("value").as("doc_id"),
+      concat_ws(" ", (0 until 8).map(j =>
+        concat(lit("tok"), pmod(hash(col("value"), lit(j)), lit(1000)))): _*).as("text"))
+    lazy val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    lazy val cents = graft.llm.SimilarityOps
+      .ivfCentroids(corpus, "vec_id", "embedding", 16).localCheckpoint()
+    def vecStream = rateSrc.select(col("value").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> cast(pmod(hash(value, j), 1000) as float) / 1000.0)")
+        .as("embedding"))
+
     // 1) flatMapGroupsWithState running per-user stats: key space is
     // nUsers — state must plateau there regardless of input volume
-    val nUsers = 10000
+    scenario("user_stats") {
     val events = rateSrc.select(
         col("value").as("event_id"), pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
         lit("evt").as("event_type"), (col("value") % 100).cast("double").as("value"),
@@ -95,11 +116,12 @@ object StreamSoak {
     val usPlateau = usRows.lastOption.getOrElse(0L)
     println(s"user_stats: final stateRows=$usPlateau (bound=$nUsers) " +
       (if (usPlateau <= nUsers) "PASS bounded by key cardinality" else "FAIL state exceeds key space"))
+    }
 
     // 2) watermarked dedup, EVERY key unique — the hard case: without
     // watermark expiry state grows linearly forever; with it, state
     // plateaus at ~rate x (watermark + batch cadence)
-    val wmSec = 10
+    scenario("dedup_watermark") {
     val docsStream = rateSrc.select(col("value").as("k"), col("timestamp").as("ts"))
     val ddRows = soak("dedup_watermark", StreamOps.dedupStream(docsStream, Seq("k"), s"$wmSec seconds")
       .writeStream.format("noop").outputMode("append")
@@ -118,42 +140,39 @@ object StreamSoak {
       s"(linear-growth would be ~${soakSec.toLong * rate}) " +
       (if (flat && subLinear) "PASS watermark-bounded (plateau, input continuing)"
        else "FAIL state still growing at end of soak"))
+    }
 
     // 3) stateless Bloom decontamination gate: static eval-set bitmap,
     // per-row probes — the PLAN must carry no state operator
+    scenario("decontam_gate") {
     val evalDocs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .limit(500)
     val bm = graft.llm.DedupOps.bloomBitmap(evalDocs,
       w = 5, mBits = 1 << 20, k = 3).localCheckpoint()
-    val textStream = rateSrc.select(col("value").as("doc_id"),
-      concat_ws(" ", (0 until 8).map(j =>
-        concat(lit("tok"), pmod(hash(col("value"), lit(j)), lit(1000)))): _*).as("text"))
     val dgStates = soak("decontam_gate", StreamOps.decontaminateStream(textStream, bm,
         w = 5, mBits = 1 << 20, k = 3)
       .writeStream.format("noop").outputMode("append")
       .option("checkpointLocation", s"$ckRoot/dg").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"decontam_gate: stateRows across all batches=${dgStates.sum} " +
       (if (dgStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+    }
 
     // 4) stateless ANN ingest gate: static IVF-bucketed corpus,
     // stream-static joins only — same zero-state requirement
-    val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
-    val cents = graft.llm.SimilarityOps
-      .ivfCentroids(corpus, "vec_id", "embedding", 16).localCheckpoint()
-    val vecStream = rateSrc.select(col("value").as("vec_id"),
-      expr("transform(sequence(0, 63), j -> cast(pmod(hash(value, j), 1000) as float) / 1000.0)")
-        .as("embedding"))
+    scenario("ann_gate") {
     val agStates = soak("ann_gate", StreamOps.annGateStream(vecStream, corpus,
         "vec_id", "embedding", num = 9, den = 10, centroids = cents, nProbe = 2)
       .writeStream.format("noop").outputMode("append")
       .option("checkpointLocation", s"$ckRoot/ag").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"ann_gate: stateRows across all batches=${agStates.sum} " +
       (if (agStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+    }
 
     // 5) the INDEXED ANN gate on the same stream: corpus side is the
     // precomputed list table, so each micro-batch assigns only its own
     // rows — same zero-state requirement, higher sustained throughput
     // (the plain gate re-buckets the corpus every batch)
+    scenario("ann_gate_indexed") {
     val lists = graft.llm.SimilarityOps
       .ivfInvertedLists(corpus, "vec_id", "embedding", cents).localCheckpoint()
     val agiStates = soak("ann_gate_indexed", StreamOps.annGateStreamIndexed(vecStream, lists,
@@ -162,12 +181,14 @@ object StreamSoak {
       .option("checkpointLocation", s"$ckRoot/agi").trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"ann_gate_indexed: stateRows across all batches=${agiStates.sum} " +
       (if (agiStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+    }
 
     // 5b) the stateless MinHash text near-dup gate on the same text
     // stream: persisted-index artifacts static, the per-row signature
     // runs as the native MinHashBandHashes expression, pairs emit
     // exactly once via the first-matching-band rule — same zero-state
     // requirement as the other two ingest gates
+    scenario("neardup_gate") {
     val gateDocs = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .limit(2000)
     val gateSh = graft.llm.DedupOps.wordShingles(gateDocs, "doc_id", "text", 5)
@@ -184,6 +205,7 @@ object StreamSoak {
       .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
     println(s"neardup_gate: stateRows across all batches=${ngStates.sum} " +
       (if (ngStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+    }
 
     // 6) stream-stream interval join: BOTH sides buffer in the state
     // store until the watermark passes the join bound — the time-bound
@@ -192,6 +214,7 @@ object StreamSoak {
     // stream length. Sub-minute bound (15 s) so expiry is observable
     // within the soak; left side thinned 20× (attribution shape:
     // sparse impressions joined to dense events, keyed per user).
+    scenario("interval_join") {
     def evStream = rateSrc.select(
       col("value").as("event_id"),
       pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
@@ -214,6 +237,7 @@ object StreamSoak {
       s"(linear-growth would be ~${2L * soakSec * rate}) " +
       (if (ijFlat && ijSubLinear) "PASS watermark-bounded join state (plateau, input continuing)"
        else "FAIL join state still growing at end of soak"))
+    }
 
     // 7) windowed distinct users via HLL sketch agg, EVERY user id
     // unique — the worst case for distinct counting: any id-holding
@@ -222,6 +246,7 @@ object StreamSoak {
     // keeps ONE state row per (window × event_type) holding a fixed
     // register block, so state rows must track live GROUPS (single
     // digits), not id cardinality.
+    scenario("distinct_users_hll") {
     val duStream = rateSrc.select(
       col("value").as("user_id"),
       concat(lit("t"), pmod(col("value"), lit(3L))).as("event_type"),
@@ -240,12 +265,14 @@ object StreamSoak {
       (if (duFinal > 0 && duFinal <= duBound)
         "PASS sketch-bounded state (rows = live groups, not ids)"
        else "FAIL state exceeds group bound"))
+    }
 
     // 8) streaming CDC apply: foreachBatch merge into a persisted
     // snapshot — state lives in the SNAPSHOT TABLE, not the state
     // store. Two claims to measure: (a) the streaming plan carries no
     // state operator at all; (b) the snapshot is bounded by KEY
     // cardinality (LWW winners + tombstones), never by stream length.
+    scenario("cdc_apply") {
     val nKeys = 10000L
     val cdcStream = rateSrc.select(
       pmod(col("value"), lit(nKeys)).as("k"),
@@ -267,11 +294,13 @@ object StreamSoak {
       (if (cdcStates.sum == 0 && versioned > 0 && versioned <= nKeys)
         "PASS snapshot-bounded (no state store, rows = keys not stream length)"
        else "FAIL state store used or snapshot exceeds key space"))
+    }
 
     // 9) streaming OHLC downsampling: one six-scalar aggregate row per
     // (window × series) — state rows must track LIVE BARS (window
     // buckets inside the watermark horizon × series), never event
     // volume; watermark expiry must evict finalized bars.
+    scenario("ohlc_bars") {
     val ohlcStream0 = rateSrc.select(
       col("value").as("event_id"),
       concat(lit("s"), pmod(col("value"), lit(4L))).as("event_type"),
@@ -291,6 +320,7 @@ object StreamSoak {
       (if (obFinal > 0 && obFinal <= obBound)
         "PASS bar-bounded state (rows = live bars, not events)"
        else "FAIL state exceeds live-bar bound"))
+    }
 
     // 10) streaming funnel: per-user FunnelProgress state — one row of
     // ≤ |steps| timestamps per user. The rate source cycles each user
@@ -298,6 +328,7 @@ object StreamSoak {
     // so users keep advancing while ids repeat forever; state rows
     // must plateau at the key cardinality like user_stats, NEVER track
     // event volume.
+    scenario("funnel") {
     val fnEvents = rateSrc.select(
         col("value").as("event_id"),
         pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
@@ -316,6 +347,7 @@ object StreamSoak {
       (if (fnFinal > 0 && fnFinal <= nUsers)
         "PASS bounded by key cardinality (one FunnelProgress row per user)"
        else "FAIL state exceeds key space"))
+    }
 
     // 11) funnel with completed-user eviction on an EVER-GROWING user
     // space: each 3000-row epoch completes 1000 fresh users
@@ -332,6 +364,7 @@ object StreamSoak {
     // tracked user cardinality exactly because nobody could ever
     // complete; that run is what exposed the getTime-vs-micros
     // comparison AND this generator bug.)
+    scenario("funnel_evict") {
     val fneEvents = rateSrc.select(
         col("value").as("event_id"),
         expr("(value div 3000) * 1000 + value % 1000").as("user_id"),
@@ -353,11 +386,13 @@ object StreamSoak {
       (if (fneFinal >= 0 && fneFinal < fneUsers / 10)
         "PASS completed-user eviction keeps state at the in-flight tail, not user cardinality"
        else "FAIL state tracks user cardinality despite eviction"))
+    }
 
     // 13) quota admission gate: 200 sources on an unbounded document
     // stream — state is ONE counter per source, so rows must plateau
     // at the source cardinality however long the stream runs (and
     // most counters freeze at the quota within the first seconds).
+    scenario("quota_gate") {
     val nSources = 200
     val qgDocs = rateSrc.select(
         col("value").as("doc_id"),
@@ -372,6 +407,32 @@ object StreamSoak {
       (if (qgFinal > 0 && qgFinal <= nSources)
         "PASS state plateaus at source cardinality (one counter per source)"
        else "FAIL state exceeds the source space"))
+    }
+
+    // 14) categorical-mix drift gate: per-window PSI against a static
+    // reference — state is ONE row of k+2 counters per live window
+    // (the conditional-sum aggregate), so rows must track live windows
+    // inside the watermark horizon, never event volume or category
+    // arrival counts.
+    scenario("mix_drift") {
+    val mixRef = (0 until 5).map(i => s"c$i" -> 200000L)
+    val mixStream = rateSrc.select(
+      concat(lit("c"), pmod(col("value"), lit(5L))).as("event_type"),
+      col("timestamp").as("ts"))
+    val mdRows = soak("mix_drift", StreamOps.mixDriftStream(
+        mixStream, "event_type", mixRef, "10 seconds", s"$wmSec seconds")
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", s"$ckRoot/md")
+      .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    val mdFinal = mdRows.lastOption.getOrElse(0L)
+    // live windows in the horizon (+ trigger slack), one state row each
+    val mdBound = (wmSec + 10L) / 10 + 3
+    println(s"mix_drift: final stateRows=$mdFinal (window bound=$mdBound; " +
+      s"event-holding state would be ~${rate.toLong * (wmSec + 10)}) " +
+      (if (mdFinal > 0 && mdFinal <= mdBound)
+        "PASS window-bounded state (one counter row per live window)"
+       else "FAIL state exceeds the live-window bound"))
+    }
 
     spark.stop()
   }

@@ -133,6 +133,54 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixDriftStream: per-window PSI on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // window 1: 3 click + 1 view + 1 out-of-vocab; window 2: 2 error —
+    // heavy drift from the reference mix in both windows
+    val rows = Seq(
+      (1L, "click", ts(1)), (2L, "click", ts(7)), (3L, "view", ts(12)),
+      (4L, "bogus", ts(14)), (5L, "click", ts(20)),
+      (6L, "error", ts(40)), (7L, "error", ts(45)))
+    val ref = Seq("click" -> 500000L, "view" -> 300000L, "error" -> 200000L)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "event_type", "ts")
+    val q = StreamOps.mixDriftStream(streamDf, "event_type", ref,
+        "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("mix_drift_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+      val got = spark.table("mix_drift_test")
+        .select("ws", "n_rows", "n_invocab", "psi_q").collect().map(key).toMap
+      val batch = StreamOps.mixDriftWindowed(
+          rows.toDF("event_id", "event_type", "ts"), "event_type", ref,
+          "30 minutes")
+        .select("ws", "n_rows", "n_invocab", "psi_q").collect().map(key).toMap
+      got shouldBe batch // integer psi_q: exact under any batching
+      val w1 = batch(Timestamp.valueOf("2026-01-01 10:00:00"))
+      w1._1 shouldBe 5L // all rows counted...
+      w1._2 shouldBe 4L // ...but 'bogus' is not in the mix
+      val w2 = batch(Timestamp.valueOf("2026-01-01 10:30:00"))
+      w2._2 shouldBe 2L
+      w2._3 should be > 0L // all-error window: strong positive PSI
+    } finally q.stop()
+  }
+
+  test("mixDriftWindowed: a window matching the reference mix scores ~zero PSI") {
+    val ref = Seq("a" -> 500000L, "b" -> 500000L)
+    val rows = (1 to 10).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", ts(i))).toDF("event_id", "event_type", "ts")
+    val got = StreamOps.mixDriftWindowed(rows, "event_type", ref, "30 minutes")
+      .collect()
+    got.length shouldBe 1
+    math.abs(got(0).getAs[Long]("psi_q")) should be < 100L // smoothing-only residual
+  }
+
   test("intervalJoin runs as a stream-stream join and matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, String, Double, Timestamp)]
