@@ -6013,7 +6013,122 @@ object Queries {
              |      * 1000000) AS BIGINT) AS tq
              |  FROM j)
              |SELECT ws, n_rows, n_invocab, CAST(sum(tq) AS BIGINT) AS psi_q
-             |FROM q GROUP BY 1, 2, 3 ORDER BY ws""".stripMargin))
+             |FROM q GROUP BY 1, 2, 3 ORDER BY ws""".stripMargin)),
+
+    // ---- X4: top-k bigram collocations by PMI (Church & Hanks 1990)
+    // — vocabulary-keyed count aggregates, one quantized ln over exact
+    // counts, and a TakeOrderedAndProject cut with a total order
+    // (llm/TextOps.pmiCollocations beside x4_bigram_surprisal's LM).
+    // ----
+    ("x4_pmi_collocations",
+      (s: SparkSession, dir: String) => {
+        TextOps.pmiCollocations(Tables.load(s, dir, "documents"),
+          "doc_id", "text", minCount = 5L, topK = 40)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+             |tk AS (SELECT a[i] AS w, CASE WHEN i > 1 THEN a[i - 1] END AS v
+             |       FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM t)),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS uw FROM tk GROUP BY w),
+             |ut AS (SELECT CAST(sum(uw) AS BIGINT) AS ut FROM uni),
+             |bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM tk WHERE v IS NOT NULL),
+             |bi AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM tk
+             |       WHERE v IS NOT NULL GROUP BY v, w HAVING count(*) >= 5),
+             |p AS (SELECT bi.v, bi.w, bi.c_vw,
+             |    CAST(round(ln((CAST(bi.c_vw AS DOUBLE) / bt.bt)
+             |      / ((CAST(u1.uw AS DOUBLE) / ut.ut) * (CAST(u2.uw AS DOUBLE) / ut.ut)))
+             |      * 1000000) AS BIGINT) AS pmi_q
+             |  FROM bi JOIN uni u1 ON bi.v = u1.w JOIN uni u2 ON bi.w = u2.w
+             |  CROSS JOIN ut CROSS JOIN bt)
+             |SELECT v, w, c_vw, pmi_q FROM p
+             |ORDER BY pmi_q DESC, v, w LIMIT 40""".stripMargin)),
+
+    // ---- AUDIT: classifier-score calibration — reliability bins,
+    // integer-exact ECE, micro-quantized Brier; score synthesized as
+    // hash-noise + a label shift so bins overlap realistically
+    // (dfw/AuditOps.calibrationAudit). ----
+    ("q_calibration",
+      (s: SparkSession, dir: String) => {
+        val label = when(col("lang") === "en", 1L).otherwise(0L)
+        val score = pmod(DedupOps.md5TokenHash(col("doc_id").cast("string")),
+            lit(700)).cast("double") / lit(1000.0) +
+          label.cast("double") * lit(0.3)
+        AuditOps.calibrationAudit(
+          Tables.load(s, dir, "documents")
+            .select(score.as("score"), label.as("y")),
+          col("score"), col("y"), nb = 10)
+      },
+      Some("""WITH d AS (SELECT
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 700 AS h,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+             |s AS (SELECT CAST(h AS DOUBLE) / CAST(1000 AS DOUBLE)
+             |    + CAST(y AS DOUBLE) * CAST(0.3 AS DOUBLE) AS sc, y FROM d),
+             |b AS (SELECT least(CAST(9 AS BIGINT), CAST(floor(sc * 10) AS BIGINT)) AS bucket,
+             |    CAST(y AS BIGINT) AS y,
+             |    CAST(round(sc * 1000000) AS BIGINT) AS sq,
+             |    CAST(round((sc - CAST(y AS DOUBLE)) * (sc - CAST(y AS DOUBLE)) * 1000000) AS BIGINT) AS bq
+             |  FROM s),
+             |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+             |    CAST(sum(sq) AS BIGINT) AS ssq, CAST(sum(bq) AS BIGINT) AS sbq FROM b GROUP BY 1),
+             |g2 AS (SELECT bucket, n, n_pos, ssq // n AS mean_pred_ppm,
+             |    n_pos * 1000000 // n AS obs_ppm, sbq FROM g),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             |    CAST(sum(n * abs(mean_pred_ppm - obs_ppm)) AS BIGINT) AS ecen,
+             |    CAST(sum(sbq) AS BIGINT) AS briern FROM g2)
+             |SELECT bucket, n, n_pos, CAST(mean_pred_ppm AS BIGINT) AS mean_pred_ppm,
+             |  CAST(obs_ppm AS BIGINT) AS obs_ppm,
+             |  CAST(t.ecen // t.nn AS BIGINT) AS ece_ppm,
+             |  CAST(t.briern // t.nn AS BIGINT) AS brier_ppm
+             |FROM g2, t ORDER BY bucket""".stripMargin)),
+
+    // ---- AUDIT: Cohen's kappa between the event label and a
+    // hash-corrupted second annotation (every 5th label collapsed to
+    // 'error') — chance-corrected agreement from exact integer
+    // marginals, the labeled-data acceptance gate
+    // (dfw/AuditOps.cohenKappa). ----
+    ("q_cohen_kappa",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type").as("r1"),
+            when(pmod(DedupOps.md5TokenHash(
+              concat(lit("k:"), col("event_id").cast("string"))), lit(5)) === 0,
+              lit("error")).otherwise(col("event_type")).as("r2"))
+        AuditOps.cohenKappa(ev, col("r1"), col("r2"))
+      },
+      Some("""WITH p AS (SELECT event_type AS r1,
+             |    CASE WHEN CAST(('0x' || substr(md5('k:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0
+             |      THEN 'error' ELSE event_type END AS r2 FROM events),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS agree FROM p),
+             |m1 AS (SELECT r1 AS cat, CAST(count(*) AS BIGINT) AS n1 FROM p GROUP BY 1),
+             |m2 AS (SELECT r2 AS cat, CAST(count(*) AS BIGINT) AS n2 FROM p GROUP BY 1),
+             |e AS (SELECT sum(n1 * n2) AS pev FROM m1 JOIN m2 USING (cat)),
+             |f AS (SELECT t.n, t.agree,
+             |    CAST(t.agree AS DOUBLE) / CAST(t.n AS DOUBLE) AS po,
+             |    CAST(e.pev AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) AS pe
+             |  FROM t, e)
+             |SELECT n, agree AS n_agree, round(po, 6) AS po, round(pe, 6) AS pe,
+             |  CASE WHEN pe <> 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+             |FROM f""".stripMargin)),
+
+    // ---- ML-PREP: exact-size weighted sample without replacement —
+    // Efraimidis–Spirakis priorities from the engine-neutral md5 key
+    // hash, nano-quantized, cut by TakeOrderedAndProject with a total
+    // order (dfw/TransformOps.sampleWeightedTopK beside the Bernoulli
+    // t_sample_weighted). ----
+    ("w_sample_topk_weighted",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleWeightedTopK(
+          Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", k = 100,
+          hash = c => DedupOps.md5TokenHash(c.cast("string")))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, n_chars,
+             |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 + 1 AS DOUBLE)
+             |      / CAST(1000000 AS DOUBLE) AS u
+             |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+             |SELECT doc_id, source, n_chars,
+             |  CAST(round(-ln(u) / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS es_key_q
+             |FROM d ORDER BY es_key_q, doc_id LIMIT 100""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -298,6 +298,94 @@ object AuditOps {
       .orderBy(col("digit"))
   }
 
+  /** Classifier-score calibration audit: reliability bins + expected
+    * calibration error + Brier score — the check a curation pipeline
+    * runs before gating documents on a quality-classifier probability
+    * ("does score 0.8 actually mean 80%?").
+    *
+    * Determinism: bucket assignment is `min(nb−1, floor(score·nb))`
+    * (IEEE ops in fixed order); per-bin mean prediction and observed
+    * rate come from integer-division ppm over exact counts and
+    * micro-quantized score sums; ECE is an integer expression
+    * (Σ n·|pred−obs| over bins, div N) and the Brier numerator
+    * quantizes each (score−y)² to micro-units BEFORE summing. No
+    * bare float aggregate crosses an engine boundary.
+    *
+    * Plan shape: one ≤nb-key hash aggregate over the scored rows
+    * (map-side combinable), then bin-level arithmetic on ≤nb rows
+    * with the 1-row totals broadcast back. Empty bins are omitted
+    * (a reliability diagram plots observed bins).
+    *
+    * @param scoreCol predicted probability in [0,1]
+    * @param labelCol binary outcome (0/1)
+    * @return one row per non-empty bin: `bucket, n, n_pos,
+    *         mean_pred_ppm, obs_ppm, ece_ppm, brier_ppm` (the last
+    *         two global, repeated per row), ordered by bucket
+    */
+  def calibrationAudit(df: DataFrame, scoreCol: Column, labelCol: Column,
+                       nb: Int = 10): DataFrame = {
+    require(nb >= 1, "need at least one bin")
+    val s = scoreCol.cast("double")
+    val y = labelCol.cast("long")
+    val base = df.select(
+      least(lit(nb - 1).cast("long"), floor(s * nb).cast("long")).as("bucket"),
+      y.as("__y"),
+      round(s * 1000000).cast("long").as("__sq"),
+      round((s - y.cast("double")) * (s - y.cast("double")) * 1000000)
+        .cast("long").as("__bq"))
+    val bins = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__sq")).as("__ssq"), sum(col("__bq")).as("__sbq"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("__ssq div n").as("mean_pred_ppm"),
+        expr("n_pos * 1000000 div n").as("obs_ppm"),
+        col("__sbq"))
+    val totals = bins.agg(sum(col("n")).as("__N"),
+      sum(col("n") * abs(col("mean_pred_ppm") - col("obs_ppm"))).as("__eceN"),
+      sum(col("__sbq")).as("__brierN"))
+    bins.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        col("mean_pred_ppm"), col("obs_ppm"),
+        expr("__eceN div __N").as("ece_ppm"),
+        expr("__brierN div __N").as("brier_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Cohen's kappa between two categorical raters — chance-corrected
+    * inter-annotator agreement, the acceptance gate for labeled
+    * training data (κ > 0.6 substantial, > 0.8 near-perfect).
+    *
+    * Determinism: observed agreement and both marginal count tables
+    * are exact integer aggregates; the expected-agreement numerator
+    * Σ_k n1_k·n2_k accumulates in DECIMAL(38,0) (the per-category
+    * product overflows int64 once both marginals pass ~3·10⁹ — real
+    * at 100 TB row counts); p_o/p_e/κ are single double expressions
+    * over those exact values, rounded.
+    *
+    * Plan shape: one unkeyed count pass and two category-keyed
+    * aggregates (≤ |label vocabulary| rows) inner-joined on category
+    * (a category one rater never uses contributes 0 to p_e exactly as
+    * the formula says); everything after the three aggregates is
+    * ≤vocab-row arithmetic.
+    *
+    * @return one row: `n, n_agree, po, pe, kappa` (doubles rounded 6)
+    */
+  def cohenKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val tot = df.agg(count(lit(1)).as("__n"),
+      sum(when(rater1 === rater2, 1L).otherwise(0L)).as("__agree"))
+    val m1 = df.groupBy(rater1.as("cat")).agg(count(lit(1)).as("__n1"))
+    val m2 = df.groupBy(rater2.as("cat")).agg(count(lit(1)).as("__n2"))
+    val pev = m1.join(m2, "cat")
+      .agg(sum(col("__n1").cast("decimal(38,0)") * col("__n2")).as("__pev"))
+    val po = col("__agree").cast("double") / col("__n").cast("double")
+    val pe = col("__pev").cast("double") /
+      (col("__n").cast("double") * col("__n").cast("double"))
+    tot.crossJoin(broadcast(pev))
+      .select(col("__n").as("n"), col("__agree").as("n_agree"),
+        round(po, 6).as("po"), round(pe, 6).as("pe"),
+        when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** CUPED variance-reduced A/B comparison (Deng et al., WSDM 2013):
     * adjust each arm's post-period mean with the pooled pre-period
     * covariate, Y_adj = Ȳ_arm − θ·(X̄_arm − X̄), where

@@ -287,6 +287,39 @@ object TransformOps {
       .drop("__maxw")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, exact size
+    * k — the Efraimidis–Spirakis (2006) reservoir rule: each row gets
+    * priority `−ln(u)/w` with u uniform in (0,1], and the k SMALLEST
+    * priorities are the sample (equivalent to taking the k largest
+    * `u^(1/w)`). Where [[sampleWeighted]]'s Bernoulli rule yields a
+    * RANDOM sample size, this returns exactly k — the "pick the best
+    * k documents, weight-proportionally" shape of corpus curation.
+    *
+    * Determinism: u derives from a pure hash of `keyCol`
+    * (u = (hash mod 1e6 + 1)/1e6 — never rand(), which breaks under
+    * stage retry), the priority is quantized to integer nano-units,
+    * and the cut orders by (priority_q, key) — a total order, so the
+    * selected set replays across runs, partitionings, and engines.
+    *
+    * Plan shape: a scan-local priority expression and ONE
+    * TakeOrderedAndProject (map-side top-k, k rows per partition then
+    * k at the driver) — no global sort, no shuffle of the data.
+    * Rows with weight ≤ 0 or NULL are excluded (they cannot win a
+    * weighted draw).
+    */
+  def sampleWeightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                         k: Int,
+                         hash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val u = (pmod(hash(col(keyCol)), lit(1000000L)) + 1).cast("double") /
+      lit(1000000.0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key_q",
+        round(-log(u) / col(weightCol).cast("double") * 1e9).cast("long"))
+      .orderBy(col("es_key_q"), col(keyCol))
+      .limit(k)
+  }
+
   /** Domain-mixture sampling — the "data mixing" stage of corpus
     * curation: down-sample each group (domain/source/language) so its
     * expected share of a total `budget` (in `weightCol` units — tokens,

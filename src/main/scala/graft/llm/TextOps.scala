@@ -470,6 +470,51 @@ object TextOps {
         col("sum_surprisal_q").cast("double") / lit(1000000.0) / col("n_tokens"))
   }
 
+  /** X4: top-k bigram collocations by pointwise mutual information
+    * (Church & Hanks 1990) — `PMI(v,w) = ln(p(v,w) / (p(v)·p(w)))`
+    * with maximum-likelihood corpus estimates — the standard
+    * collocation miner ("New York", "machine learning") beside the
+    * [[bigramSurprisal]] LM.
+    *
+    * Determinism: PMI is one ln over a ratio of exact int64 counts
+    * (every cast and operator order pinned), quantized to integer
+    * micro-units; the top-k cut orders by (pmi_q desc, v, w) — a
+    * total order, so the selected set and its emission order replay
+    * in any engine. `minCount` floors the bigram count (unit-count
+    * pairs dominate raw PMI — the documented failure mode).
+    *
+    * Plan shape: the (w, prev) pairing is in-row array arithmetic (no
+    * per-document window); unigram/bigram models are vocabulary-keyed
+    * hash aggregates; totals ride 1-row broadcasts; the cut is a
+    * TakeOrderedAndProject (map-side top-k), never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be positive")
+    val a = split(col(textCol), " ")
+    val prevArr = concat(array(lit(null).cast("string")), slice(a, lit(1), size(a) - 1))
+    val toks = docs
+      .select(explode(arrays_zip(a.as("w"), prevArr.as("v"))).as("p"))
+      .select(col("p.w").as("w"), col("p.v").as("v"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("__uw"))
+    val utot = uni.agg(sum(col("__uw")).as("__ut"))
+    val btot = toks.filter(col("v").isNotNull).agg(count(lit(1)).as("__bt"))
+    val bi = toks.filter(col("v").isNotNull)
+      .groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+      .filter(col("c_vw") >= minCount)
+    bi
+      .join(uni.select(col("w").as("v"), col("__uw").as("__cv")), "v")
+      .join(uni.select(col("w"), col("__uw").as("__cw")), "w")
+      .join(broadcast(utot)).join(broadcast(btot))
+      .withColumn("pmi_q", expr(
+        """CAST(round(ln((CAST(c_vw AS DOUBLE) / __bt)
+          |  / ((CAST(__cv AS DOUBLE) / __ut) * (CAST(__cw AS DOUBLE) / __ut)))
+          |  * 1000000) AS BIGINT)""".stripMargin))
+      .select(col("v"), col("w"), col("c_vw"), col("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("v"), col("w"))
+      .limit(topK)
+  }
+
   /** X4 (DSIR shape — Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): per-document importance
     * weights `log(p_target(x) / p_source(x))` under hashed

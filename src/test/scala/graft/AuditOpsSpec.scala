@@ -158,4 +158,45 @@ class AuditOpsSpec extends SparkSpec {
     got(0).getAs[Double]("mean_y_adj") shouldBe got(0).getAs[Double]("mean_y")
     got(1).getAs[Double]("mean_y_adj") shouldBe 8.0
   }
+
+  test("calibrationAudit: hand-computed bins, ECE and Brier") {
+    val rows = Seq((0.1, 0L), (0.15, 0L), (0.9, 1L), (0.85, 0L)).toDF("s", "y")
+    val got = AuditOps.calibrationAudit(rows, col("s"), col("y"), nb = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    got.keySet shouldBe Set(1L, 8L, 9L)
+    got(1L) shouldBe ((2L, 0L, 125000L, 0L, 300000L, 191250L))
+    got(9L) shouldBe ((1L, 1L, 900000L, 1000000L, 300000L, 191250L))
+    // bucket 8: score .85, label 0 → pure miscalibration contribution
+    got(8L)._3 shouldBe 850000L
+    got(8L)._4 shouldBe 0L
+  }
+
+  test("calibrationAudit: perfectly calibrated constant predictor has ECE 0") {
+    // score 0.5 everywhere, half the labels positive
+    val rows = Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L)).toDF("s", "y")
+    val got = AuditOps.calibrationAudit(rows, col("s"), col("y"), nb = 10).collect()
+    got.length shouldBe 1
+    got(0).getAs[Long]("ece_ppm") shouldBe 0L
+    got(0).getAs[Long]("brier_ppm") shouldBe 250000L // (0.5)^2 everywhere
+  }
+
+  test("cohenKappa: hand-computed chance-corrected agreement") {
+    // n=4, agree=3, po=.75; marginals a:3/b:1 vs a:2/b:2 → pe=.5 → κ=.5
+    val rows = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("a", "b")).toDF("r1", "r2")
+    val got = AuditOps.cohenKappa(rows, col("r1"), col("r2")).collect()(0)
+    got.getAs[Long]("n") shouldBe 4L
+    got.getAs[Long]("n_agree") shouldBe 3L
+    got.getAs[Double]("po") shouldBe 0.75
+    got.getAs[Double]("pe") shouldBe 0.5
+    got.getAs[Double]("kappa") shouldBe 0.5
+  }
+
+  test("cohenKappa: a constant rater pair has pe 1 and undefined kappa") {
+    val rows = Seq(("a", "a"), ("a", "a")).toDF("r1", "r2")
+    val got = AuditOps.cohenKappa(rows, col("r1"), col("r2")).collect()(0)
+    got.getAs[Double]("pe") shouldBe 1.0
+    got.isNullAt(got.fieldIndex("kappa")) shouldBe true
+  }
 }

@@ -132,5 +132,14 @@ class DegenerateInputSpec extends SparkSpec {
       .collect()
     cs.length shouldBe 1
     cs(0).isNullAt(cs(0).fieldIndex("cp_tick")) shouldBe true
+    TextOps.pmiCollocations(noDocs, "doc_id", "text", 1L, 5).collect() shouldBe empty
+    graft.dfw.AuditOps.calibrationAudit(
+      Seq.empty[(Double, Long)].toDF("s", "y"), col("s"), col("y")).collect() shouldBe empty
+    TransformOps.sampleWeightedTopK(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 5).collect() shouldBe empty
+    val ck = graft.dfw.AuditOps.cohenKappa(
+      Seq.empty[(String, String)].toDF("r1", "r2"), col("r1"), col("r2")).collect()
+    ck.length shouldBe 1 // unkeyed reduce row; n=0, ratios null
+    ck(0).getAs[Long]("n") shouldBe 0L
   }
 }

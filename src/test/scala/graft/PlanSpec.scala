@@ -493,4 +493,31 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
     plan should include("HashAggregate")
   }
+
+  test("x4_pmi_collocations: the top-k cut is a TakeOrdered, never a global sort") {
+    val plan = formatted("x4_pmi_collocations")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
+  test("w_sample_topk_weighted: scan-local priorities + TakeOrdered — no shuffle, no window") {
+    val plan = formatted("w_sample_topk_weighted")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_calibration: one <=nb-key aggregate; totals ride a 1-row broadcast") {
+    val plan = formatted("q_calibration")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("q_cohen_kappa: vocab-row marginals join small; totals broadcast; no window") {
+    val plan = formatted("q_cohen_kappa")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
 }

@@ -502,4 +502,27 @@ class TextOpsSpec extends SparkSpec {
     tok2 shouldBe "the"
     g2 should be < 0L
   }
+
+  test("pmiCollocations: hand-computed PMI, minCount floor, total-order top-k") {
+    // unigrams: new 3, york 3, a 1, b 1 (N=8); bigrams: (new,york) 3,
+    // (york,new) 1, (a,b) 1 (Nb=5)
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "new york"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got: Seq[((String, String), (Long, Long))] =
+      graft.llm.TextOps.pmiCollocations(docs, "doc_id", "text",
+          minCount = 1L, topK = 10)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+    def q(x: Double): Long = math.round(math.log(x) * 1e6)
+    got.map(_._1) shouldBe Seq(("a", "b"), ("new", "york"), ("york", "new"))
+    val m = got.toMap
+    m(("a", "b")) shouldBe ((1L, q((1.0 / 5) / ((1.0 / 8) * (1.0 / 8)))))
+    m(("new", "york")) shouldBe ((3L, q((3.0 / 5) / ((3.0 / 8) * (3.0 / 8)))))
+    // minCount=2 keeps only the repeated pair
+    graft.llm.TextOps.pmiCollocations(docs, "doc_id", "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("new", "york"))
+  }
 }

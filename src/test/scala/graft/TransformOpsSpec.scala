@@ -451,4 +451,30 @@ class TransformOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include("WindowGroupLimit")
   }
+
+  test("sampleWeightedTopK: exactly k rows, deterministic across partitionings, weight>0 only") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i % 7 == 0) 0L else (i % 10 + 1).toLong)).toDF("id", "w")
+    val a = TransformOps.sampleWeightedTopK(df, "id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    a.length shouldBe 20
+    val b = TransformOps.sampleWeightedTopK(df.repartition(13, col("w")), "id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    b shouldBe a // same set, same order, any partitioning
+    // zero-weight ids can never be drawn
+    a.map(_._1).exists(_ % 7 == 0) shouldBe false
+    // k >= surviving rows returns them all
+    TransformOps.sampleWeightedTopK(df, "id", "w", k = 1000)
+      .count() shouldBe df.filter(col("w") > 0).count()
+  }
+
+  test("sampleWeightedTopK: heavier rows are overrepresented in the draw") {
+    // two weight classes, 1 vs 50, equal population — the 50s should
+    // dominate any reasonably-sized sample
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) 50L else 1L)).toDF("id", "w")
+    val heavy = TransformOps.sampleWeightedTopK(df, "id", "w", k = 40)
+      .collect().count(_.getLong(1) == 50L)
+    heavy should be >= 30 // E[heavy] ≈ 40·(50/51); even loose, >> half
+  }
 }
