@@ -6128,7 +6128,88 @@ object Queries {
              |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
              |SELECT doc_id, source, n_chars,
              |  CAST(round(-ln(u) / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT) AS es_key_q
-             |FROM d ORDER BY es_key_q, doc_id LIMIT 100""".stripMargin))
+             |FROM d ORDER BY es_key_q, doc_id LIMIT 100""".stripMargin)),
+
+    // ---- MAINTENANCE: column-profile diff across the same simulated
+    // table rewrite m3_snapshot_diff classifies row-wise — per-column
+    // counts/nulls/distincts/min/max on both sides from ONE aggregation
+    // pass per side (dfw/AuditOps.profileDiff). ----
+    ("m4_profile_diff",
+      (s: SparkSession, dir: String) => {
+        val orders = Tables.load(s, dir, "orders")
+        val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_custkey"), col("o_totalprice"))
+        val newSnap = orders.filter(col("o_orderkey") % 10 =!= 7)
+          .select(col("o_custkey"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        AuditOps.profileDiff(oldSnap, newSnap, Seq("o_custkey", "o_totalprice"))
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3),
+             |nn AS (SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 10 <> 7),
+             |p1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul1,
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS d1,
+             |    CAST(min(o_custkey) AS DOUBLE) AS mn1, CAST(max(o_custkey) AS DOUBLE) AS mx1,
+             |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul2,
+             |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d2,
+             |    CAST(min(o_totalprice) AS DOUBLE) AS mn2, CAST(max(o_totalprice) AS DOUBLE) AS mx2
+             |  FROM o),
+             |p2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul1,
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS d1,
+             |    CAST(min(o_custkey) AS DOUBLE) AS mn1, CAST(max(o_custkey) AS DOUBLE) AS mx1,
+             |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul2,
+             |    CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d2,
+             |    CAST(min(o_totalprice) AS DOUBLE) AS mn2, CAST(max(o_totalprice) AS DOUBLE) AS mx2
+             |  FROM nn)
+             |SELECT 'o_custkey' AS col_name, p1.n AS n_old, p2.n AS n_new,
+             |  p1.nul1 AS nulls_old, p2.nul1 AS nulls_new,
+             |  p1.d1 AS distinct_old, p2.d1 AS distinct_new,
+             |  p1.mn1 AS min_old, p2.mn1 AS min_new, p1.mx1 AS max_old, p2.mx1 AS max_new
+             |FROM p1, p2
+             |UNION ALL
+             |SELECT 'o_totalprice', p1.n, p2.n, p1.nul2, p2.nul2, p1.d2, p2.d2,
+             |  p1.mn2, p2.mn2, p1.mx2, p2.mx2
+             |FROM p1, p2
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---- FUNNEL: last-touch attribution — every purchase credited to
+    // the user's most recent preceding click/view via the as-of join's
+    // union-and-carry-forward shape (one user-keyed shuffle, no range
+    // join), rolled up per synthesized channel
+    // (dfw/FunnelOps.lastTouchAttribution over dfw/AsofOps.asofJoin).
+    // ----
+    ("q_attribution",
+      (s: SparkSession, dir: String) => {
+        FunnelOps.lastTouchAttribution(Tables.load(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id", "value",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          channel = concat(lit("ch"),
+            pmod(DedupOps.md5TokenHash(
+              concat(lit("c:"), col("event_id").cast("string"))), lit(3))
+              .cast("string")))
+      },
+      Some("""WITH t AS (SELECT user_id, ts, event_id, 0 AS side,
+             |    'ch' || CAST(CAST(('0x' || substr(md5('c:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 AS VARCHAR) AS channel,
+             |    CAST(NULL AS DOUBLE) AS value
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |c AS (SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS VARCHAR) AS channel, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |u AS (SELECT * FROM t UNION ALL SELECT * FROM c),
+             |f AS (SELECT side, value,
+             |    last_value(channel IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+             |  FROM u),
+             |g AS (SELECT coalesce(ch, 'unattributed') AS channel, CAST(count(*) AS BIGINT) AS n_conv,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |  FROM f WHERE side = 1 GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_conv) AS BIGINT) AS tot FROM g)
+             |SELECT channel, n_conv, sum_value_cents,
+             |  CAST(n_conv * 1000000 // tt.tot AS BIGINT) AS share_ppm
+             |FROM g, tt ORDER BY channel""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -298,6 +298,49 @@ object AuditOps {
       .orderBy(col("digit"))
   }
 
+  /** Column-profile diff between two versions of a table: per numeric
+    * column, row count, null count, exact distinct count, and min/max
+    * on each side — the COLUMN-level companion to the ROW-level
+    * [[snapshotDiff]], and the check a backfill runs before swapping a
+    * rewritten 100 TB table in ("did the rewrite shift a
+    * distribution?").
+    *
+    * Determinism: counts and distincts are exact integers; min/max
+    * are SELECTIONS (never sums), so the doubles are bit-exact in any
+    * engine and shuffle order. One aggregation pass per side computes
+    * every column's metrics together (no per-column scans); the two
+    * 1-row profiles cross-join and unpivot to one row per column.
+    * N-column distinct counts expand the aggregate N-fold — the known
+    * cost of exact profiling; swap `countDistinct` for HLL sketches
+    * past profiling-budget scale (the [[graft.llm.SketchOps]]
+    * posture).
+    *
+    * @return one row per profiled column: `col_name, n_old, n_new,
+    *         nulls_old, nulls_new, distinct_old, distinct_new,
+    *         min_old, min_new, max_old, max_new`, ordered by col_name
+    */
+  def profileDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"__n_$tag") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_${tag}_$c"),
+        countDistinct(col(c)).as(s"__d_${tag}_$c"),
+        min(col(c).cast("double")).as(s"__min_${tag}_$c"),
+        max(col(c).cast("double")).as(s"__max_${tag}_$c")))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val joined = profile(oldSnap, "o").crossJoin(broadcast(profile(newSnap, "n")))
+    cols.map { c =>
+      joined.select(lit(c).as("col_name"),
+        col("__n_o").as("n_old"), col("__n_n").as("n_new"),
+        col(s"__null_o_$c").as("nulls_old"), col(s"__null_n_$c").as("nulls_new"),
+        col(s"__d_o_$c").as("distinct_old"), col(s"__d_n_$c").as("distinct_new"),
+        col(s"__min_o_$c").as("min_old"), col(s"__min_n_$c").as("min_new"),
+        col(s"__max_o_$c").as("max_old"), col(s"__max_n_$c").as("max_new"))
+    }.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
   /** Classifier-score calibration audit: reliability bins + expected
     * calibration error + Brier score — the check a curation pipeline
     * runs before gating documents on a quality-classifier probability

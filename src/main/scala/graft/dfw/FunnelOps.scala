@@ -1,6 +1,6 @@
 package graft.dfw
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequential funnel analysis over an event log: how many users
@@ -153,6 +153,49 @@ object FunnelOps {
           round(col("__p").getItem(0), 4).as("p50_s"),
           round(col("__p").getItem(1), 4).as("p90_s"))
     }.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
+  /** Last-touch attribution: credit every conversion event to the
+    * most recent preceding touch (same user, `touch.ts <= conv.ts`)
+    * and roll up per-channel conversions, value, and share — the
+    * default attribution model of every marketing/product analytics
+    * stack, and the canonical CONSUMER of an as-of join.
+    *
+    * Built on [[AsofOps.asofJoin]]'s union-and-carry-forward shape:
+    * ONE shuffle on the user key, linear in events, no per-pair range
+    * join (a naive touch×conversion range join is quadratic per user).
+    * Equal-timestamp semantics are the as-of join's: the touch sorts
+    * before the conversion (inclusive), ties within a side break by
+    * `tieCol`. Conversions with no preceding touch land in the
+    * 'unattributed' channel — reported, never dropped.
+    *
+    * Value sums quantize to integer cents before aggregation
+    * (order-free); the share is integer ppm of conversion COUNT.
+    *
+    * @return one row per channel: `channel, n_conv, sum_value_cents,
+    *         share_ppm`, ordered by channel
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+                           typeCol: String, tsCol: String, tieCol: String,
+                           valueCol: String, convType: String,
+                           touchTypes: Seq[String],
+                           channel: Column): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    val touches = events.filter(col(typeCol).isInCollection(touchTypes))
+      .select(col(userCol), col(tsCol), col(tieCol), channel.as("channel"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol), col(tieCol), col(valueCol))
+    val attributed = AsofOps.asofJoin(convs, touches, Seq(userCol),
+      tsCol, tieCol, Seq("channel"))
+    val perChannel = attributed
+      .groupBy(coalesce(col("channel_asof"), lit("unattributed")).as("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_value_cents"))
+    val total = perChannel.agg(sum(col("n_conv")).as("__t"))
+    perChannel.join(broadcast(total))
+      .withColumn("share_ppm", expr("n_conv * 1000000 div __t"))
+      .drop("__t")
+      .orderBy(col("channel"))
   }
 
   /** Cohort retention matrix: users grouped by first-seen day, and for

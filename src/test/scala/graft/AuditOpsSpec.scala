@@ -199,4 +199,21 @@ class AuditOpsSpec extends SparkSpec {
     got.getAs[Double]("pe") shouldBe 1.0
     got.isNullAt(got.fieldIndex("kappa")) shouldBe true
   }
+
+  test("profileDiff: per-column counts, nulls, distincts and bounds across versions") {
+    val old = Seq((Some(1L), Some(10.0)), (Some(2L), Some(20.0)), (Some(2L), None))
+      .toDF("k", "v")
+    val neu = Seq((Some(1L), Some(10.0)), (Some(3L), Some(99.0)))
+      .toDF("k", "v")
+    val got = AuditOps.profileDiff(old, neu, Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    (k.getLong(1), k.getLong(2)) shouldBe ((3L, 2L))       // n_old, n_new
+    (k.getLong(3), k.getLong(4)) shouldBe ((0L, 0L))       // nulls
+    (k.getLong(5), k.getLong(6)) shouldBe ((2L, 2L))       // distinct
+    (k.getDouble(7), k.getDouble(10)) shouldBe ((1.0, 3.0)) // min_old, max_new
+    val v = got("v")
+    (v.getLong(3), v.getLong(4)) shouldBe ((1L, 0L))       // the null dropped out
+    (v.getDouble(9), v.getDouble(10)) shouldBe ((20.0, 99.0)) // max_old, max_new
+  }
 }

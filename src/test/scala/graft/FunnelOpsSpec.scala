@@ -168,4 +168,39 @@ class FunnelOpsSpec extends SparkSpec {
           ("2024-02-02", 1, 1L, 100L))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("lastTouchAttribution: most recent preceding touch wins; no touch → unattributed") {
+    import org.apache.spark.sql.functions._
+    // user 1: touch A @1, purchase @2 (→A), touch B @3, purchase @4 (→B);
+    // user 2: purchase @1 with no touch (→unattributed);
+    // user 3: touch A @5 AFTER their purchase @4 (→unattributed)
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, ts(1)), (2L, 1L, "purchase", 100.0, ts(2)),
+      (3L, 1L, "view", 0.0, ts(3)), (4L, 1L, "purchase", 50.0, ts(4)),
+      (5L, 2L, "purchase", 7.5, ts(1)),
+      (6L, 3L, "purchase", 20.0, ts(4)), (7L, 3L, "click", 0.0, ts(5))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    // channel = the touch's own type, so credit is readable
+    val got = FunnelOps.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", convType = "purchase",
+        touchTypes = Seq("click", "view"), channel = col("event_type"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    got.keySet shouldBe Set("click", "view", "unattributed")
+    got("click") shouldBe ((1L, 10000L, 250000L))        // purchase @2: 100.00
+    got("view") shouldBe ((1L, 5000L, 250000L))          // purchase @4: 50.00
+    got("unattributed") shouldBe ((2L, 2750L, 500000L))  // 7.50 + 20.00
+  }
+
+  test("lastTouchAttribution: an equal-timestamp touch is inclusive (as-of semantics)") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 1L, "click", 0.0, ts(2)), (2L, 1L, "purchase", 30.0, ts(2))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = FunnelOps.lastTouchAttribution(ev, "user_id", "event_type",
+        "ts", "event_id", "value", "purchase", Seq("click"), col("event_type"))
+      .collect()
+    got.length shouldBe 1
+    got(0).getString(0) shouldBe "click"
+  }
 }

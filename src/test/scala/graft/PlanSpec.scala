@@ -520,4 +520,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     plan should not include "Window"
   }
+
+  test("m4_profile_diff: two 1-row profiles cross as broadcasts — no shuffled join") {
+    val plan = formatted("m4_profile_diff")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  test("q_attribution: as-of carry-forward is one user-keyed window — no range join") {
+    val plan = formatted("q_attribution")
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
 }
