@@ -6209,7 +6209,43 @@ object Queries {
              |tt AS (SELECT CAST(sum(n_conv) AS BIGINT) AS tot FROM g)
              |SELECT channel, n_conv, sum_value_cents,
              |  CAST(n_conv * 1000000 // tt.tot AS BIGINT) AS share_ppm
-             |FROM g, tt ORDER BY channel""".stripMargin))
+             |FROM g, tt ORDER BY channel""".stripMargin)),
+
+    // ---- TIME-SERIES: truncated-kernel EWMA (α=0.3, W=10) of the
+    // daily mean series as an exact bounded convolution — the
+    // sequential recurrence cannot distribute, the FIR form is one
+    // order-free integer aggregate; the same quantized taps are
+    // inlined into the oracle (dfw/TimeSeriesOps.firFilter /
+    // ewmaKernelPpm). ----
+    ("q_ewma",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(sum(round(col("value") * 1000).cast("long")).as("__sq"),
+            count(lit(1)).as("__cnt"))
+          .select(col("event_type"),
+            datediff(col("__day"), lit("2024-01-01")).cast("long").as("__x"),
+            expr("__sq div __cnt").as("__y"))
+        graft.dfw.TimeSeriesOps.firFilter(daily, "event_type",
+          col("__x"), col("__y"),
+          graft.dfw.TimeSeriesOps.ewmaKernelPpm(0.3, 10))
+      },
+      Some {
+        val taps = graft.dfw.TimeSeriesOps.ewmaKernelPpm(0.3, 10).zipWithIndex
+          .map { case (w, i) => s"($i, $w)" }.mkString(", ")
+        s"""WITH d AS (SELECT event_type,
+           |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS t,
+           |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+           |      // CAST(count(*) AS BIGINT) AS v
+           |  FROM events GROUP BY 1, CAST(ts AS DATE)),
+           |k AS (SELECT * FROM (VALUES $taps) AS k(i, w)),
+           |c AS (SELECT d.event_type, d.t + k.i AS out_tick, d.v * k.w AS c
+           |      FROM d CROSS JOIN k)
+           |SELECT event_type, CAST(out_tick AS BIGINT) AS out_tick,
+           |  CAST(sum(c) // 1000000 AS BIGINT) AS out_q,
+           |  CAST(count(*) AS BIGINT) AS n_terms
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      })
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

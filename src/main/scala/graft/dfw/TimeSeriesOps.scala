@@ -225,6 +225,60 @@ object TimeSeriesOps {
           / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r_lag"))
   }
 
+  /** Finite-impulse-response filter over a per-tick integer series —
+    * `out_t = (Σ_i w_i · x_{t−i}) / 1e6` with an integer-ppm kernel —
+    * which is how EWMA/exponential smoothing runs EXACTLY in a
+    * distributed engine. The textbook EWMA recurrence
+    * (s_t = αx_t + (1−α)s_{t−1}) cannot distribute: it is inherently
+    * sequential, and any segment-composition scheme reorders float
+    * ops (last-ulp drift vs the sequential truth). Truncating the
+    * kernel (w_i = α(1−α)^i for i < W — the weights a real EWMA puts
+    * beyond W ticks are negligible by construction) turns it into a
+    * bounded convolution: each input tick contributes `x·w_i` to the
+    * W ticks it influences, and the output is one hash aggregate of
+    * exact int64 terms — order-free, engine-exact, linear in rows.
+    *
+    * Scale shape: the explode is a fixed W-fold expansion (the
+    * [[rollingActiveUsers]] pattern — bounded by the kernel, not the
+    * data) feeding one map-side-combinable aggregate keyed by
+    * (series, tick): no window, no recurrence, no shuffle wider than
+    * the output itself.
+    *
+    * Leading ticks carry a partial kernel (fewer than W terms) —
+    * `n_terms` is emitted so callers can gate on full-kernel outputs;
+    * ticks past the last input tick also appear (the kernel's decay
+    * tail) with their honest partial sums. Gaps in the tick sequence
+    * contribute nothing (missing = zero, the FIR convention).
+    *
+    * @param weightsPpm kernel in parts-per-million, index 0 = current
+    *   tick (e.g. `ewmaKernelPpm(alpha, w)`); keep Σ|x·w| in int64
+    * @return per (series, out_tick): `out_q = Σ x·w div 1e6` (input
+    *   units), `n_terms` — ordered by (series, out_tick)
+    */
+  def firFilter(df: DataFrame, seriesCol: String, tCol: Column, vCol: Column,
+                weightsPpm: Seq[Long]): DataFrame = {
+    require(weightsPpm.nonEmpty, "kernel must have at least one tap")
+    val contribs = weightsPpm.zipWithIndex.map { case (w, i) =>
+      struct((tCol.cast("long") + i).as("out_tick"),
+        (vCol.cast("long") * w).as("__c"))
+    }
+    df.select(col(seriesCol), explode(array(contribs: _*)).as("__e"))
+      .select(col(seriesCol), col("__e.out_tick"), col("__e.__c"))
+      .groupBy(col(seriesCol), col("out_tick"))
+      .agg(expr("sum(__c) div 1000000").as("out_q"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col(seriesCol), col("out_tick"))
+  }
+
+  /** Truncated EWMA kernel in integer ppm: w_i = round(α(1−α)^i·1e6)
+    * for i < w — quantized ONCE here so engine and oracle share the
+    * exact same integer taps.
+    */
+  def ewmaKernelPpm(alpha: Double, w: Int): Seq[Long] = {
+    require(alpha > 0 && alpha <= 1 && w >= 1, "alpha in (0,1], w >= 1")
+    (0 until w).map(i => math.round(alpha * math.pow(1 - alpha, i) * 1e6))
+  }
+
   /** CUSUM changepoint locator over a per-tick integer metric: the
     * tick t maximizing |Σ_{i≤t}(x_i − x̄)| — the standard single
     * mean-shift detector (Page 1954 / Pettitt-style scan), run here as

@@ -534,4 +534,12 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "SortMergeJoin"
   }
+
+  test("q_ewma: the FIR convolution is explode + one aggregate — no window, no join, no recurrence") {
+    val plan = formatted("q_ewma")
+    plan should not include "Window"
+    plan should not include "Join"
+    plan should include("Generate") // the bounded W-fold explode
+    plan should include("partial_sum")
+  }
 }

@@ -199,6 +199,41 @@ class TimeSeriesOpsSpec extends SparkSpec {
     r.getAs[Double]("mean_after") shouldBe 20.0
   }
 
+  test("firFilter: identity kernel reproduces the input; EWMA taps convolve exactly") {
+    val d = Seq(("m", 0L, 1000L), ("m", 1L, 2000L), ("m", 2L, 3000L)).toDF("s", "t", "v")
+    val ident = TimeSeriesOps.firFilter(d, "s", col("t"), col("v"), Seq(1000000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    ident.toSeq shouldBe Seq((0L, 1000L, 1L), (1L, 2000L, 1L), (2L, 3000L, 1L))
+    // two-tap kernel [700000, 300000]: out_t = (0.7·x_t + 0.3·x_{t−1})
+    val two = TimeSeriesOps.firFilter(d, "s", col("t"), col("v"),
+        Seq(700000L, 300000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    two.toSeq shouldBe Seq(
+      (0L, 700L, 1L),            // partial kernel at the head
+      (1L, 1700L, 2L),           // .7·2000 + .3·1000
+      (2L, 2700L, 2L),           // .7·3000 + .3·2000
+      (3L, 900L, 1L))            // decay tail past the last tick
+  }
+
+  test("firFilter: gaps contribute nothing; result is shuffle-order invariant") {
+    val d = Seq(("m", 0L, 1000L), ("m", 5L, 1000L)).toDF("s", "t", "v")
+    val got = TimeSeriesOps.firFilter(d, "s", col("t"), col("v"),
+        Seq(500000L, 500000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((0L, 500L), (1L, 500L), (5L, 500L), (6L, 500L))
+    val re = TimeSeriesOps.firFilter(d.repartition(7, col("v")), "s",
+        col("t"), col("v"), Seq(500000L, 500000L))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    re.toSeq shouldBe got.toSeq
+  }
+
+  test("ewmaKernelPpm: geometric decay taps, quantized once") {
+    val k = TimeSeriesOps.ewmaKernelPpm(0.5, 4)
+    k shouldBe Seq(500000L, 250000L, 125000L, 62500L)
+    TimeSeriesOps.ewmaKernelPpm(0.3, 2) shouldBe
+      Seq(300000L, math.round(0.3 * 0.7 * 1e6))
+  }
+
   test("cusumChangepoint: all-constant series ties break to the earliest tick") {
     val d = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("t", "v")
     val r = TimeSeriesOps.cusumChangepoint(d, col("t"), col("v"), numParts = 2)
