@@ -6245,7 +6245,170 @@ object Queries {
            |  CAST(sum(c) // 1000000 AS BIGINT) AS out_q,
            |  CAST(count(*) AS BIGINT) AS n_terms
            |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // ---- AUDIT: k-arm pairwise z-tests with an explicit Bonferroni
+    // critical value (4 arms → 6 pairs → z* = Φ⁻¹(1−0.05/12) ≈
+    // 2.6383) — multi-variant experiments read uncorrected pairwise
+    // tests at their peril (dfw/AuditOps.pairwiseZTests beside
+    // q_ab_test). ----
+    ("q_ab_multi",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("variant",
+            pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(4)).cast("int"))
+        AuditOps.pairwiseZTests(perUser, col("variant"), col("n_events"),
+          zCrit = 2.6383)
+      },
+      Some("""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+             |v AS (SELECT x,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS v
+             |  FROM u),
+             |a AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx FROM v GROUP BY 1),
+             |p AS (SELECT a.v AS variant_a, b.v AS variant_b, a.n AS n_a, b.n AS n_b,
+             |    CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+             |    CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+             |    (CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE) - CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE))
+             |      / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+             |          / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) / a.n
+             |        + CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE)
+             |          / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)) / b.n) AS z
+             |  FROM a, a AS b WHERE a.v < b.v)
+             |SELECT variant_a, variant_b, n_a, n_b,
+             |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round(z, 4) AS z,
+             |  abs(z) > CAST(2.6383 AS DOUBLE) AS significant
+             |FROM p ORDER BY variant_a, variant_b""".stripMargin)),
+
+    // ---- AUDIT: pairwise Pearson correlation matrix over per-user
+    // engagement metrics — ONE aggregation pass computes every
+    // cross-sum, each r is a rounded double over exact int64 sums
+    // (dfw/AuditOps.corrMatrix). ----
+    ("q_corr_matrix",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+        AuditOps.corrMatrix(perUser, Seq("n_click", "n_view", "n_purchase"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(a * a) AS BIGINT) AS saa,
+             |    CAST(sum(b) AS BIGINT) AS sb, CAST(sum(b * b) AS BIGINT) AS sbb,
+             |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc,
+             |    CAST(sum(a * b) AS BIGINT) AS sab, CAST(sum(a * c) AS BIGINT) AS sac,
+             |    CAST(sum(b * c) AS BIGINT) AS sbc
+             |  FROM u)
+             |SELECT 'n_click' AS col_a, 'n_view' AS col_b, n,
+             |  CASE WHEN n * saa - sa * sa <> 0 AND n * sbb - sb * sb <> 0 THEN
+             |    round(CAST(n * sab - sa * sb AS DOUBLE)
+             |      / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+             |  END AS r FROM s
+             |UNION ALL
+             |SELECT 'n_click', 'n_purchase', n,
+             |  CASE WHEN n * saa - sa * sa <> 0 AND n * scc - sc * sc <> 0 THEN
+             |    round(CAST(n * sac - sa * sc AS DOUBLE)
+             |      / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * scc - sc * sc AS DOUBLE)), 6)
+             |  END FROM s
+             |UNION ALL
+             |SELECT 'n_view', 'n_purchase', n,
+             |  CASE WHEN n * sbb - sb * sb <> 0 AND n * scc - sc * sc <> 0 THEN
+             |    round(CAST(n * sbc - sb * sc AS DOUBLE)
+             |      / sqrt(CAST(n * sbb - sb * sb AS DOUBLE) * CAST(n * scc - sc * sc AS DOUBLE)), 6)
+             |  END FROM s
+             |ORDER BY col_a, col_b""".stripMargin)),
+
+    // ---- TIME-SERIES: Kaplan–Meier survival over per-user activity
+    // spans (churn = last seen before day 23, else censored) — the
+    // sequential survival product as a log-domain scalable prefix sum,
+    // hazard terms micro-quantized from exact at-risk counts
+    // (dfw/TimeSeriesOps.kaplanMeier on WindowOps.prefixSumScalable).
+    // ----
+    ("q_kaplan_meier",
+      (s: SparkSession, dir: String) => {
+        val spans = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("__d"))
+          .groupBy(col("user_id"))
+          .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+          .select((col("__l") - col("__f")).as("dur"),
+            when(col("__l") < 23, 1L).otherwise(0L).as("ev"))
+        graft.dfw.TimeSeriesOps.kaplanMeier(spans, col("dur"), col("ev"),
+          numParts = 8)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS f,
+             |    CAST(max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) AS BIGINT) AS l
+             |  FROM events GROUP BY 1),
+             |sp AS (SELECT l - f AS duration, CASE WHEN l < 23 THEN 1 ELSE 0 END AS e FROM u),
+             |b AS (SELECT duration, CAST(sum(e) AS BIGINT) AS d,
+             |    CAST(count(*) - sum(e) AS BIGINT) AS c FROM sp GROUP BY 1),
+             |t AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM b),
+             |r AS (SELECT duration, d, c,
+             |    CAST(sum(d + c) OVER (ORDER BY duration) AS BIGINT) AS runrem FROM b),
+             |a AS (SELECT r.duration, r.d, r.c,
+             |    t.nn - (r.runrem - (r.d + r.c)) AS n_at_risk FROM r, t),
+             |tm AS (SELECT duration, d, c, n_at_risk,
+             |    CASE WHEN d = 0 THEN 0
+             |         WHEN d < n_at_risk THEN CAST(round(
+             |           ln(CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+             |         ELSE -1000000000000 END AS tq
+             |  FROM a),
+             |f AS (SELECT duration, n_at_risk, d, c,
+             |    CAST(sum(tq) OVER (ORDER BY duration) AS BIGINT) AS runln FROM tm)
+             |SELECT duration, CAST(n_at_risk AS BIGINT) AS n_at_risk, d, c,
+             |  CAST(round(exp(CAST(runln AS DOUBLE) / CAST(1000000 AS DOUBLE)) * 1000000) AS BIGINT) AS surv_ppm
+             |FROM f ORDER BY duration""".stripMargin)),
+
+    // ---- TIME-SERIES: weekly-seasonality strength — one-way variance
+    // decomposition of the daily mean by weekday (η² + F), per-group
+    // within-SS micro-quantized before the ≤7-term sum; weekday() =
+    // isodow−1 on both engines, dodging the 1=Sunday dayofweek trap
+    // (dfw/TimeSeriesOps.weekdaySeasonality beside q_trend_ols /
+    // q_autocorr). ----
+    ("q_seasonality",
+      (s: SparkSession, dir: String) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+          .agg(sum(round(col("value") * 1000).cast("long")).as("__sq"),
+            count(lit(1)).as("__cnt"))
+          .select(col("event_type"), col("__day"),
+            expr("__sq div __cnt").as("__y"))
+        graft.dfw.TimeSeriesOps.weekdaySeasonality(daily, "event_type",
+          col("__day"), col("__y"))
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+             |      // CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, isodow(day) - 1 AS g, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(y) AS BIGINT) AS sg, CAST(sum(y * y) AS BIGINT) AS ssg
+             |  FROM d GROUP BY 1, 2),
+             |gq AS (SELECT *, CAST(round((CAST(ssg AS DOUBLE)
+             |    - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) * 1000000) AS BIGINT) AS sswq
+             |  FROM g),
+             |p AS (SELECT event_type, CAST(sum(ng) AS BIGINT) AS n_days,
+             |    CAST(count(*) AS BIGINT) AS n_groups,
+             |    CAST(sum(sg) AS BIGINT) AS sy, CAST(sum(ssg) AS BIGINT) AS syy,
+             |    CAST(sum(sswq) AS BIGINT) AS sswq FROM gq GROUP BY 1),
+             |e AS (SELECT event_type, n_days, n_groups,
+             |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) AS sst,
+             |    CAST(sswq AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ssw FROM p)
+             |SELECT event_type, n_days, n_groups,
+             |  CASE WHEN sst <> 0.0 THEN round(1.0 - ssw / sst, 6) END AS eta2,
+             |  CASE WHEN n_groups > 1 AND ssw <> 0.0 AND n_days > n_groups THEN
+             |    round(((sst - ssw) / CAST(n_groups - 1 AS DOUBLE))
+             |      / (ssw / CAST(n_days - n_groups AS DOUBLE)), 4)
+             |  END AS f_stat
+             |FROM e ORDER BY event_type""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

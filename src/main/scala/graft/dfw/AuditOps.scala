@@ -298,6 +298,83 @@ object AuditOps {
       .orderBy(col("digit"))
   }
 
+  /** Pairwise z-tests across MANY experiment arms with a
+    * caller-supplied (Bonferroni-adjusted) critical value — real
+    * experiments run k variants, and reading k·(k−1)/2 uncorrected
+    * pairwise tests is the classic false-positive factory this op
+    * makes explicit.
+    *
+    * Determinism: per-arm n/Σx/Σx² are exact int64 aggregates; means,
+    * variances (n·Σx²−(Σx)² over n(n−1)) and z are single double
+    * expressions over those sums, rounded. The significance flag
+    * compares |z| to `zCrit` — pass the Bonferroni value for your α
+    * and pair count (e.g. α=0.05, 6 pairs → Φ⁻¹(1−0.05/12) ≈ 2.6383).
+    *
+    * Plan shape: ONE map-side-combinable aggregate to k rows, then a
+    * k×k self-join of that tiny table (a.variant < b.variant) —
+    * nothing pairwise ever touches unit-level data.
+    *
+    * @return one row per ordered pair: `variant_a, variant_b, n_a,
+    *         n_b, mean_a, mean_b, z, significant`, ordered by (a, b)
+    */
+  def pairwiseZTests(df: DataFrame, variantCol: Column, valueCol: Column,
+                     zCrit: Double): DataFrame = {
+    val x = valueCol.cast("long")
+    val arms = df.groupBy(variantCol.as("v"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+    def mean(p: String) = col(s"${p}sx").cast("double") / col(s"${p}n").cast("double")
+    def variance(p: String) =
+      (col(s"${p}n") * col(s"${p}sxx") - col(s"${p}sx") * col(s"${p}sx")).cast("double") /
+        (col(s"${p}n").cast("double") * (col(s"${p}n") - 1).cast("double"))
+    val a = arms.select(col("v").as("variant_a"), col("n").as("a_n"),
+      col("sx").as("a_sx"), col("sxx").as("a_sxx"))
+    val b = arms.select(col("v").as("variant_b"), col("n").as("b_n"),
+      col("sx").as("b_sx"), col("sxx").as("b_sxx"))
+    val z = (mean("b_") - mean("a_")) /
+      sqrt(variance("a_") / col("a_n") + variance("b_") / col("b_n"))
+    a.join(b, col("variant_a") < col("variant_b"))
+      .select(col("variant_a"), col("variant_b"),
+        col("a_n").as("n_a"), col("b_n").as("n_b"),
+        round(mean("a_"), 6).as("mean_a"), round(mean("b_"), 6).as("mean_b"),
+        round(z, 4).as("z"),
+        (abs(z) > zCrit).as("significant"))
+      .orderBy(col("variant_a"), col("variant_b"))
+  }
+
+  /** Pairwise Pearson correlation matrix over integer metric columns
+    * — the feature-redundancy screen before model training ("clicks
+    * and views are 0.98 correlated, drop one"). ONE aggregation pass
+    * computes every pairwise cross-sum together; each r is then a
+    * single double expression over exact int64 sums, rounded — the
+    * [[graft.dfw.TimeSeriesOps.trendOls]] discipline, k(k−1)/2-wide.
+    *
+    * @return one row per unordered pair: `col_a, col_b, n, r` (null
+    *         for a constant column), ordered by (col_a, col_b)
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(col(c).cast("long")).as(s"__s_$c"),
+        sum(col(c).cast("long") * col(c).cast("long")).as(s"__ss_$c"))) ++
+        pairs.map { case (a, bc) =>
+          sum(col(a).cast("long") * col(bc).cast("long")).as(s"__p_${a}_$bc")
+        })
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, bc) =>
+      val dxx = col("__n") * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val dyy = col("__n") * col(s"__ss_$bc") - col(s"__s_$bc") * col(s"__s_$bc")
+      val dxy = col("__n") * col(s"__p_${a}_$bc") - col(s"__s_$a") * col(s"__s_$bc")
+      one.select(lit(a).as("col_a"), lit(bc).as("col_b"), col("__n").as("n"),
+        when(dxx =!= 0 && dyy =!= 0, round(
+          dxy.cast("double") / sqrt(dxx.cast("double") * dyy.cast("double")), 6))
+          .as("r"))
+    }.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Column-profile diff between two versions of a table: per numeric
     * column, row count, null count, exact distinct count, and min/max
     * on each side — the COLUMN-level companion to the ROW-level

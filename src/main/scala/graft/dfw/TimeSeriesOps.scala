@@ -225,6 +225,109 @@ object TimeSeriesOps {
           / sqrt(dxx.cast("double") * dyy.cast("double")), 6)).as("r_lag"))
   }
 
+  /** Kaplan–Meier survival curve over right-censored durations — the
+    * retention/churn estimator (S(t) = Π_{t_i ≤ t} (1 − d_i/n_i))
+    * run distributed: the sequential PRODUCT becomes a prefix SUM in
+    * log domain, which [[WindowOps.prefixSumScalable]] already
+    * computes without a single-reducer window.
+    *
+    * Determinism: the per-duration hazard term ln(1 − d/n) =
+    * ln((n−d)/n) is computed from exact integer counts and quantized
+    * to integer micro-units BEFORE the prefix sum (order-free); the
+    * final exp runs per row on an exact integer. A duration where
+    * EVERYONE at risk exits (d = n) sends survival to exactly 0 via
+    * an integer sentinel (ln would be −∞).
+    *
+    * Plan shape: one hash aggregate to ≤|distinct durations| rows,
+    * a 1-row total broadcast, and two scalable prefix passes over the
+    * duration-keyed table — subject-level data is touched exactly
+    * once.
+    *
+    * @param durCol  per-subject duration (integer ticks)
+    * @param eventCol 1 = the event (churn/death) was observed at
+    *   `durCol`; 0 = censored there (still alive at last sight)
+    * @return per distinct duration: `duration, n_at_risk, d, c,
+    *         surv_ppm`, ordered by duration
+    */
+  def kaplanMeier(df: DataFrame, durCol: Column, eventCol: Column,
+                  numParts: Int,
+                  mat: graft.sources.Materializer =
+                    graft.sources.Materializer.Local): DataFrame = {
+    val byDur = df
+      .select(durCol.cast("long").as("duration"),
+        eventCol.cast("long").as("__e"))
+      .groupBy(col("duration"))
+      .agg(sum(col("__e")).as("d"),
+        sum(lit(1L) - col("__e")).as("c"))
+    val total = byDur.agg(sum(col("d") + col("c")).as("__N"))
+    val run = WindowOps.prefixSumScalable(byDur, col("duration"),
+      Seq(("rem", col("d") + col("c"))), numParts, mat)
+    val atRisk = run.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("__N") - (col("run_rem") - (col("d") + col("c"))))
+      .drop("run_rem", "__N")
+    val termed = atRisk.withColumn("__term_q",
+      when(col("d") === 0, lit(0L))
+        .when(col("d") < col("n_at_risk"),
+          round(log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double")) * 1000000).cast("long"))
+        .otherwise(lit(-1000000000000L))) // d = n: survival exactly 0
+    WindowOps.prefixSumScalable(termed, col("duration"),
+        Seq(("lnS", col("__term_q"))), numParts, mat)
+      .withColumn("surv_ppm",
+        round(exp(col("run_lnS").cast("double") / 1000000.0) * 1000000).cast("long"))
+      .select(col("duration"), col("n_at_risk"), col("d"), col("c"), col("surv_ppm"))
+      .orderBy(col("duration"))
+  }
+
+  /** Weekly-seasonality strength per series: one-way variance
+    * decomposition of the per-tick metric by day-of-week —
+    * η² = 1 − SSW/SST ("how much of the daily variation is just
+    * which weekday it is") plus the one-way-ANOVA F statistic. The
+    * "is this metric seasonal" probe beside [[trendOls]] (drift) and
+    * [[lagAutocorr]] (persistence).
+    *
+    * Determinism: group sums are exact int64; each weekday's
+    * within-group SS quantizes to integer micro-units before the
+    * ≤7-term sum (a bare double sum over groups would be
+    * order-dependent); SST and the final ratios are single double
+    * expressions over exact values, rounded. Day-of-week is
+    * `weekday()` (0=Monday — matches DuckDB `isodow−1`, avoiding the
+    * 1=Sunday `dayofweek` trap).
+    *
+    * Plan shape: one hash aggregate to (series × ≤7) rows, one rollup
+    * to series rows — map-side combinable, nothing wider.
+    *
+    * @return per series: `n_days, n_groups, eta2, f_stat` (f null
+    *         when SSW=0 or a single group), ordered by series
+    */
+  def weekdaySeasonality(df: DataFrame, seriesCol: String, dayCol: Column,
+                         vCol: Column): DataFrame = {
+    val g = df.select(col(seriesCol), weekday(dayCol).as("__g"),
+      vCol.cast("long").as("__y"))
+      .groupBy(col(seriesCol), col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__y")).as("__sg"),
+        sum(col("__y") * col("__y")).as("__ssg"))
+      .withColumn("__ssw_q",
+        round((col("__ssg").cast("double") -
+          col("__sg").cast("double") * col("__sg").cast("double") /
+            col("__ng").cast("double")) * 1000000).cast("long"))
+    val per = g.groupBy(col(seriesCol))
+      .agg(sum(col("__ng")).as("n_days"), count(lit(1)).as("n_groups"),
+        sum(col("__sg")).as("__sy"), sum(col("__ssg")).as("__syy"),
+        sum(col("__ssw_q")).as("__sswq"))
+    val sst = per("__syy").cast("double") -
+      per("__sy").cast("double") * per("__sy").cast("double") /
+        per("n_days").cast("double")
+    val ssw = col("__sswq").cast("double") / 1000000.0
+    val f = ((sst - ssw) / (col("n_groups") - 1).cast("double")) /
+      (ssw / (col("n_days") - col("n_groups")).cast("double"))
+    per.select(col(seriesCol), col("n_days"), col("n_groups"),
+        when(sst =!= 0.0, round(lit(1.0) - ssw / sst, 6)).as("eta2"),
+        when(col("n_groups") > 1 && ssw =!= 0.0 &&
+          col("n_days") > col("n_groups"), round(f, 4)).as("f_stat"))
+      .orderBy(col(seriesCol))
+  }
+
   /** Finite-impulse-response filter over a per-tick integer series —
     * `out_t = (Σ_i w_i · x_{t−i}) / 1e6` with an integer-ppm kernel —
     * which is how EWMA/exponential smoothing runs EXACTLY in a

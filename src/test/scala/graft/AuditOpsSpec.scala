@@ -200,6 +200,34 @@ class AuditOpsSpec extends SparkSpec {
     got.isNullAt(got.fieldIndex("kappa")) shouldBe true
   }
 
+  test("pairwiseZTests: hand-computed z on separated arms; flag obeys zCrit") {
+    // arm 0: {1,2,3} (m=2, v=1); arm 1: {11,12,13} (m=12, v=1);
+    // arm 2: {2,3,4} (m=3, v=1) — z(0,1) huge, z(0,2) small
+    val units = Seq((0, 1L), (0, 2L), (0, 3L), (1, 11L), (1, 12L), (1, 13L),
+      (2, 2L), (2, 3L), (2, 4L)).toDF("variant", "x")
+    val got = AuditOps.pairwiseZTests(units, col("variant"), col("x"), zCrit = 2.6383)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getAs[Double]("z"), r.getAs[Boolean]("significant")))).toMap
+    got.keySet shouldBe Set((0, 1), (0, 2), (1, 2))
+    // z = 10 / sqrt(1/3 + 1/3) = 12.2474
+    got((0, 1))._1 shouldBe 12.2474
+    got((0, 1))._2 shouldBe true
+    got((0, 2))._1 shouldBe 1.2247 // 1 / sqrt(2/3)
+    got((0, 2))._2 shouldBe false
+  }
+
+  test("corrMatrix: perfect, inverse and constant columns") {
+    val rows = Seq((1L, 2L, 5L, 7L), (2L, 4L, 4L, 7L), (3L, 6L, 3L, 7L))
+      .toDF("a", "b", "c", "k")
+    val got = AuditOps.corrMatrix(rows, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.getAs[java.lang.Double]("r"))).toMap
+    got.size shouldBe 6
+    got(("a", "b")) shouldBe Some(1.0)  // b = 2a
+    got(("a", "c")) shouldBe Some(-1.0) // c = 6 − a
+    got(("a", "k")) shouldBe None       // constant column: undefined
+  }
+
   test("profileDiff: per-column counts, nulls, distincts and bounds across versions") {
     val old = Seq((Some(1L), Some(10.0)), (Some(2L), Some(20.0)), (Some(2L), None))
       .toDF("k", "v")

@@ -542,4 +542,30 @@ class PlanSpec extends SparkSpec {
     plan should include("Generate") // the bounded W-fold explode
     plan should include("partial_sum")
   }
+
+  test("q_ab_multi: pairwise work joins only the k-row arm table") {
+    val plan = formatted("q_ab_multi")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+    plan should include("partial_sum") // unit rows aggregate map-side
+  }
+
+  test("q_corr_matrix: every cross-sum in ONE aggregation pass — no join, no window") {
+    val plan = formatted("q_corr_matrix")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("q_kaplan_meier: prefix offsets broadcast; no sort-merge join") {
+    val plan = formatted("q_kaplan_meier")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_seasonality: two stacked aggregates, nothing else") {
+    val plan = formatted("q_seasonality")
+    plan should not include "Join"
+    plan should not include "Window"
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+  }
 }

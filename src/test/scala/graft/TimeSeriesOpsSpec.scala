@@ -199,6 +199,42 @@ class TimeSeriesOpsSpec extends SparkSpec {
     r.getAs[Double]("mean_after") shouldBe 20.0
   }
 
+  test("kaplanMeier: the textbook 4-subject curve, exact at-risk counts") {
+    // events at t=1,2,3; one censor at t=2:
+    // S(1)=3/4, S(2)=3/4·2/3=1/2, S(3)=0 (everyone at risk exits)
+    val subjects = Seq((1L, 1L), (2L, 1L), (2L, 0L), (3L, 1L)).toDF("dur", "ev")
+    val got = TimeSeriesOps.kaplanMeier(subjects, col("dur"), col("ev"), numParts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.toSeq shouldBe Seq(
+      (1L, 4L, 1L, 0L, 750000L),
+      (2L, 3L, 1L, 1L, 500000L),
+      (3L, 1L, 1L, 0L, 0L))
+  }
+
+  test("kaplanMeier: a censor-only duration leaves survival unchanged") {
+    val subjects = Seq((1L, 0L), (2L, 1L)).toDF("dur", "ev")
+    val got = TimeSeriesOps.kaplanMeier(subjects, col("dur"), col("ev"), numParts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    got.toSeq shouldBe Seq((1L, 1000000L), (2L, 0L)) // d=0 at t=1; d=n=1 at t=2
+  }
+
+  test("weekdaySeasonality: a weekday-determined metric has eta2 = 1; constant is null") {
+    import java.sql.Date
+    // 2024-01-01 is a Monday; value = weekday·100 over two full weeks
+    val rows = (0 until 14).map { i =>
+      ("m", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        (i % 7) * 100L)
+    } ++ (0 until 14).map { i =>
+      ("k", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), 42L)
+    }
+    val got = TimeSeriesOps.weekdaySeasonality(rows.toDF("s", "day", "v"),
+        "s", col("day"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("eta2"))))).toMap
+    got("m") shouldBe ((14L, 7L, Some(1.0))) // within-group variance is zero
+    got("k")._3 shouldBe None                // constant series: SST = 0
+  }
+
   test("firFilter: identity kernel reproduces the input; EWMA taps convolve exactly") {
     val d = Seq(("m", 0L, 1000L), ("m", 1L, 2000L), ("m", 2L, 3000L)).toDF("s", "t", "v")
     val ident = TimeSeriesOps.firFilter(d, "s", col("t"), col("v"), Seq(1000000L))
