@@ -6408,8 +6408,323 @@ object Queries {
              |    round(((sst - ssw) / CAST(n_groups - 1 AS DOUBLE))
              |      / (ssw / CAST(n_days - n_groups AS DOUBLE)), 4)
              |  END AS f_stat
-             |FROM e ORDER BY event_type""".stripMargin))
+             |FROM e ORDER BY event_type""".stripMargin)),
+
+    // ---- STATS: Mann–Whitney U rank-sum test, purchase vs click
+    // event values — the nonparametric A/B complement to q_ab_test's
+    // Welch t; midranks via the value-grouped prefix-sum table,
+    // doubled-U and tie term exact integers
+    // (dfw/QuantileOps.mannWhitney beside ksTest). ----
+    ("q_mannwhitney",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.mannWhitney(
+          Tables.load(s, dir, "events")
+            .where(col("event_type").isin("purchase", "click")),
+          "value", col("event_type") === "purchase", numParts = 32)
+      },
+      Some("""WITH s AS (SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r
+             |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+             |c AS (SELECT v, CAST(sum(r) AS BIGINT) AS rn,
+             |    CAST(count(*) - sum(r) AS BIGINT) AS cn FROM s GROUP BY v),
+             |w AS (SELECT rn, cn, rn + cn AS tt,
+             |    CAST(sum(rn + cn) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+             |t AS (SELECT CAST(sum(rn) AS BIGINT) AS n_ref, CAST(sum(cn) AS BIGINT) AS n_cur FROM c),
+             |a AS (SELECT CAST(sum(rn * (2 * (cum - tt) + tt + 1)) AS BIGINT) AS r2,
+             |    CAST(sum(tt * tt * tt - tt) AS BIGINT) AS tie_term FROM w),
+             |f AS (SELECT t.n_ref, t.n_cur, a.r2 - t.n_ref * (t.n_ref + 1) AS u2, a.tie_term,
+             |    CAST(t.n_ref * t.n_cur AS DOUBLE) AS nn,
+             |    CAST(t.n_ref + t.n_cur AS DOUBLE) AS bn FROM t, a)
+             |SELECT n_ref, n_cur, u2 AS u2_ref, tie_term,
+             |  CASE WHEN nn > 0 THEN round(CAST(u2 AS DOUBLE) / (2.0 * nn), 6) END AS auc,
+             |  CASE WHEN nn > 0 AND bn > 1.0
+             |      AND nn / 12.0 * (bn + 1.0 - CAST(tie_term AS DOUBLE) / (bn * (bn - 1.0))) > 0.0
+             |    THEN round((CAST(u2 AS DOUBLE) - nn) / (2.0 * sqrt(
+             |      nn / 12.0 * (bn + 1.0 - CAST(tie_term AS DOUBLE) / (bn * (bn - 1.0))))), 4)
+             |  END AS z
+             |FROM f""".stripMargin)),
+
+    // ---- STATS: quantile treatment effect — per-quantile gap of the
+    // per-user engagement value between two md5-hash arms; both arms'
+    // quantiles from the rank-select exact path, metric quantized to
+    // micro-units before the per-user sum so the quantile inputs are
+    // bit-identical across engines (dfw/QuantileOps
+    // .quantileTreatmentEffect on exactQuantiles). ----
+    ("q_quantile_te",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg((sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+            .as("x"))
+          .withColumn("arm",
+            pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(2)))
+        graft.dfw.QuantileOps.quantileTreatmentEffect(perUser, col("arm"), "x",
+          Seq(0.25, 0.5, 0.75, 0.9), numParts = 16)
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS x
+             |  FROM events GROUP BY 1),
+             |v AS (SELECT x,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm
+             |  FROM u WHERE x IS NOT NULL),
+             |s AS (SELECT arm, quantile_cont(x, 0.25) AS q25, quantile_cont(x, 0.5) AS q50,
+             |    quantile_cont(x, 0.75) AS q75, quantile_cont(x, 0.9) AS q90
+             |  FROM v GROUP BY arm),
+             |f AS (SELECT
+             |    max(CASE WHEN arm = 0 THEN q25 END) AS c25, max(CASE WHEN arm = 1 THEN q25 END) AS t25,
+             |    max(CASE WHEN arm = 0 THEN q50 END) AS c50, max(CASE WHEN arm = 1 THEN q50 END) AS t50,
+             |    max(CASE WHEN arm = 0 THEN q75 END) AS c75, max(CASE WHEN arm = 1 THEN q75 END) AS t75,
+             |    max(CASE WHEN arm = 0 THEN q90 END) AS c90, max(CASE WHEN arm = 1 THEN q90 END) AS t90
+             |  FROM s)
+             |SELECT * FROM (
+             |  SELECT CAST(0.25 AS DOUBLE) AS q, round(c25, 6) AS ctrl, round(t25, 6) AS treat, round(t25 - c25, 6) AS diff FROM f
+             |  UNION ALL SELECT CAST(0.5 AS DOUBLE), round(c50, 6), round(t50, 6), round(t50 - c50, 6) FROM f
+             |  UNION ALL SELECT CAST(0.75 AS DOUBLE), round(c75, 6), round(t75, 6), round(t75 - c75, 6) FROM f
+             |  UNION ALL SELECT CAST(0.9 AS DOUBLE), round(c90, 6), round(t90, 6), round(t90 - c90, 6) FROM f)
+             |ORDER BY q""".stripMargin)),
+
+    // ---- STATS: Poisson bootstrap CI for the mean event value — the
+    // resampling scheme that distributes (each row draws R Poisson(1)
+    // weights; replicate r never exists as data, only as a running
+    // (Σwx, Σw) partial); weights from md5(key:rep) against fixed ppm
+    // thresholds, so every replicate mean replays bit-identically
+    // (dfw/AuditOps.poissonBootstrapMean). ----
+    ("q_bootstrap_ci",
+      (s: SparkSession, dir: String) => {
+        AuditOps.poissonBootstrapMean(Tables.load(s, dir, "events"),
+          col("event_id"), col("value"), reps = 200)
+      },
+      Some("""WITH b AS (SELECT CAST(event_id AS VARCHAR) AS k,
+             |    CAST(round(value * 1000000) AS BIGINT) AS xq
+             |  FROM events WHERE value IS NOT NULL),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx FROM b),
+             |r AS (SELECT b.k, b.xq, g.rep FROM b CROSS JOIN (SELECT unnest(range(200)) AS rep) g),
+             |w AS (SELECT rep, xq,
+             |    CAST(('0x' || substr(md5(k || ':' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+             |  FROM r),
+             |pw AS (SELECT rep, xq,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+             |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END AS wt
+             |  FROM w),
+             |rm AS (SELECT rep, CAST(sum(wt * xq) AS BIGINT) AS swx, CAST(sum(wt) AS BIGINT) AS sw
+             |  FROM pw GROUP BY rep HAVING sum(wt) > 0),
+             |mq AS (SELECT rep, CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) AS m FROM rm),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rr FROM mq),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS ru, CAST(sum(m) AS HUGEINT) AS s1,
+             |    CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS s2 FROM mq),
+             |bd AS (SELECT ru, s1, s2, CAST(ceil(ru * 0.025) AS BIGINT) AS rlo,
+             |    CAST(ceil(ru * 0.975) AS BIGINT) AS rhi FROM st),
+             |ci AS (SELECT bd.ru, bd.s1, bd.s2,
+             |    min(CASE WHEN rk.rr = bd.rlo THEN rk.m END) AS lo,
+             |    min(CASE WHEN rk.rr = bd.rhi THEN rk.m END) AS hi
+             |  FROM rk, bd GROUP BY 1, 2, 3)
+             |SELECT t.n, ci.ru AS reps_used,
+             |  round(CAST(t.sx AS DOUBLE) / 1000000 / CAST(t.n AS DOUBLE), 6) AS mean,
+             |  CASE WHEN ci.ru > 1 THEN round(sqrt(CAST(ci.s2 * ci.ru - ci.s1 * ci.s1 AS DOUBLE)
+             |    / (CAST(ci.ru AS DOUBLE) * (CAST(ci.ru AS DOUBLE) - 1.0))) / 1000000, 6) END AS se_boot,
+             |  round(CAST(ci.lo AS DOUBLE) / 1000000, 6) AS ci_lo,
+             |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
+             |FROM ci, t""".stripMargin)),
+
+    // ---- STATS: FDR-controlled drift sweep — per-event-type KS test
+    // (early vs late fortnight) then Benjamini–Hochberg step-up over
+    // the 5 hypotheses; the multiple-comparison discipline every
+    // k-way drift dashboard needs (dfw/QuantileOps.ksTestByGroup +
+    // dfw/AuditOps.bhAdjust). ----
+    ("q_bh_fdr",
+      (s: SparkSession, dir: String) => {
+        val ks = graft.dfw.QuantileOps.ksTestByGroup(
+          Tables.load(s, dir, "events"), col("event_type"), "value",
+          to_date(col("ts")) < lit("2024-01-15"))
+        AuditOps.bhAdjust(ks, col("p_value"), Seq(col("grp")), alpha = 0.1)
+      },
+      Some("""WITH s AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 1 ELSE 0 END AS r
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT grp, v, CAST(sum(r) AS BIGINT) AS rn,
+             |    CAST(count(*) - sum(r) AS BIGINT) AS cn FROM s GROUP BY 1, 2),
+             |w AS (SELECT grp, v,
+             |    CAST(sum(rn) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS crn,
+             |    CAST(sum(cn) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS ccn,
+             |    CAST(sum(rn) OVER (PARTITION BY grp) AS BIGINT) AS n_ref,
+             |    CAST(sum(cn) OVER (PARTITION BY grp) AS BIGINT) AS n_cur
+             |  FROM c),
+             |g AS (SELECT grp, v, n_ref, n_cur,
+             |    abs(CAST(crn AS DOUBLE) / CAST(n_ref AS DOUBLE)
+             |      - CAST(ccn AS DOUBLE) / CAST(n_cur AS DOUBLE)) AS gap FROM w),
+             |d AS (SELECT grp, max(gap) AS dm FROM g GROUP BY 1),
+             |a AS (SELECT g.grp, g.n_ref, g.n_cur, d.dm, min(g.v) AS ks_at
+             |  FROM g JOIN d ON g.grp = d.grp AND g.gap = d.dm GROUP BY 1, 2, 3, 4),
+             |k AS (SELECT grp, n_ref, n_cur, CAST(round(dm * 1000000) AS BIGINT) AS d_ppm, ks_at,
+             |    round(2 * exp(-2 * dm * dm * CAST(n_ref * n_cur AS DOUBLE)
+             |      / CAST(n_ref + n_cur AS DOUBLE)), 6) AS p_value FROM a),
+             |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value, grp) AS BIGINT) AS p_rank,
+             |    CAST(count(*) OVER () AS BIGINT) AS m_tests FROM k),
+             |adj AS (SELECT *, least(1.0, min(p_value * CAST(m_tests AS DOUBLE)
+             |      / CAST(p_rank AS DOUBLE))
+             |    OVER (ORDER BY p_rank ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS padj
+             |  FROM rk)
+             |SELECT grp, n_ref, n_cur, d_ppm, ks_at, p_value, p_rank, m_tests,
+             |  round(padj, 6) AS p_adj, padj <= 0.1 AS reject
+             |FROM adj ORDER BY p_rank""".stripMargin)),
+
+    // ---- PATHS: top-20 3-step journey sequences by (user, day) —
+    // lead over per-journey windows, global top-k as
+    // TakeOrderedAndProject (dfw/PathOps.topPaths). ----
+    ("q_event_paths",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.PathOps.topPaths(Tables.load(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq(col("ts"), col("event_id")), n = 3, k = 20)
+      },
+      Some("""WITH p AS (SELECT event_type AS c0,
+             |    lead(event_type, 1) OVER w AS c1, lead(event_type, 2) OVER w AS c2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id))
+             |SELECT c0 || '>' || c1 || '>' || c2 AS path, CAST(count(*) AS BIGINT) AS cnt
+             |FROM p WHERE c2 IS NOT NULL
+             |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin)),
+
+    // ---- PATHS: first-order Markov removal-effect attribution over
+    // journey-day touch sequences (truncated at first purchase) —
+    // 40 exact integer-ppm Jacobi sweeps per chain, one chain per
+    // knocked-out channel; the oracle unrolls the same sweeps as
+    // generated CTEs (dfw/PathOps.markovAttribution; Anderl et al.
+    // 2014 semantics). ----
+    ("q_markov_attribution",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.PathOps.markovAttribution(Tables.load(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), "purchase",
+          Seq(col("ts"), col("event_id")), iters = 40)
+      },
+      Some(markovOracleSql(40))),
+
+    // ---- MAINTENANCE: incremental aggregate (materialized-view)
+    // refresh — stored per-(event_type, day) partials folded with a
+    // delta's partials, then rolled up; the oracle recomputes from
+    // raw rows, proving merge-equals-recompute (dfw/MergeOps
+    // .aggPartials/mergePartials). Day 365 costs the same as day 2.
+    // ----
+    ("m5_incremental_agg",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            round(col("value") * 1e6).cast("long").as("vq"))
+        val cutoff = to_date(lit("2024-01-25"))
+        val state = MergeOps.aggPartials(ev.where(col("day") < cutoff),
+          Seq("event_type", "day"), Seq("sum_vq" -> col("vq")))
+        val delta = MergeOps.aggPartials(ev.where(col("day") >= cutoff),
+          Seq("event_type", "day"), Seq("sum_vq" -> col("vq")))
+        MergeOps.mergePartials(state, delta, Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("cnt"),
+            sum(col("sum_vq")).as("sum_vq"))
+          .select(col("event_type"), col("n_days"), col("cnt"), col("sum_vq"),
+            round(col("sum_vq").cast("double") / 1e6 / col("cnt").cast("double"), 6)
+              .as("mean_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(round(value * 1000000) AS BIGINT) AS vq FROM events),
+             |p AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(vq) AS BIGINT) AS sum_vq FROM e GROUP BY 1, 2)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(cnt) AS BIGINT) AS cnt, CAST(sum(sum_vq) AS BIGINT) AS sum_vq,
+             |  round(CAST(sum(sum_vq) AS DOUBLE) / 1000000 / CAST(sum(cnt) AS DOUBLE), 6) AS mean_value
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- GRAPH: Adamic–Adar link prediction on the part
+    // co-occurrence graph (same edge set as g3_triangles) — wedge
+    // pairing per common neighbor under the degree-64 hub cut,
+    // per-wedge 1/ln(deg) micro-quantized before the order-free sum
+    // (llm/GraphOps.adamicAdar). ----
+    ("g6_adamic_adar",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity") > 25)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").cast("long").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        GraphOps.adamicAdar(e, "src", "dst", maxDeg = 64, topK = 50)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+             |            FROM lineitem WHERE l_quantity > 25),
+             |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+             |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+             |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+             |pa AS (SELECT a.node, a.nbr,
+             |    CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT) AS aa_q
+             |  FROM adj a JOIN deg d ON a.node = d.node WHERE d.deg BETWEEN 2 AND 64),
+             |sc AS (SELECT p1.nbr AS x, p2.nbr AS y, CAST(count(*) AS BIGINT) AS common_cnt,
+             |    CAST(sum(p1.aa_q) AS BIGINT) AS score_q
+             |  FROM pa p1 JOIN pa p2 ON p1.node = p2.node AND p1.nbr < p2.nbr GROUP BY 1, 2),
+             |ne AS (SELECT sc.* FROM sc LEFT JOIN e ON sc.x = e.u AND sc.y = e.v WHERE e.u IS NULL)
+             |SELECT x, y, common_cnt, score_q FROM ne
+             |ORDER BY score_q DESC, x, y LIMIT 50""".stripMargin))
   )
+
+  /** DuckDB oracle for [[graft.dfw.PathOps.markovAttribution]]: the
+    * journey/transition construction mirrors the Spark plan, and the
+    * fixed-point solve unrolls the SAME `iters` integer-ppm Jacobi
+    * sweeps as chained CTEs (it0..itN) — floor division on
+    * non-negative Longs both sides, so every ppm bit matches.
+    */
+  private def markovOracleSql(iters: Int): String = {
+    val sweeps = (1 to iters).map { k =>
+      s"""it$k AS MATERIALIZED (SELECT o.rem, o.src AS state,
+         |    CAST((COALESCE(cs.cv, 0) + COALESCE(vv.s, 0)) // o.o AS BIGINT) AS pv
+         |  FROM outs o
+         |  LEFT JOIN cst cs ON cs.rem = o.rem AND cs.src = o.src
+         |  LEFT JOIN (SELECT mc.rem, mc.src, CAST(sum(mc.c * pp.pv) AS BIGINT) AS s
+         |             FROM mchan mc JOIN it${k - 1} pp
+         |               ON pp.rem = mc.rem AND pp.state = mc.dst
+         |             GROUP BY 1, 2) vv ON vv.rem = o.rem AND vv.src = o.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type AS ch, ts, event_id FROM events),
+       |p AS (SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS pos FROM b),
+       |cp AS (SELECT *, min(CASE WHEN ch = 'purchase' THEN pos END)
+       |    OVER (PARTITION BY user_id, day) AS cpos FROM p),
+       |kept AS (SELECT user_id, day, ch, cpos,
+       |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn,
+       |    lead(ch) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS nxt
+       |  FROM cp WHERE ch <> 'purchase' AND (cpos IS NULL OR pos < cpos)),
+       |tr AS (
+       |  SELECT '(start)' AS src, ch AS dst FROM kept WHERE rn = 1
+       |  UNION ALL
+       |  SELECT ch AS src, COALESCE(nxt, CASE WHEN cpos IS NOT NULL THEN '(conv)' ELSE '(null)' END) AS dst FROM kept
+       |  UNION ALL
+       |  SELECT '(start)' AS src, '(conv)' AS dst FROM cp WHERE pos = 1 AND ch = 'purchase'),
+       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+       |chans AS (SELECT DISTINCT src AS ch FROM cnt WHERE src <> '(start)'),
+       |chains AS (SELECT '(base)' AS rem UNION ALL SELECT ch FROM chans),
+       |m AS (SELECT ch.rem, c.src, CASE WHEN c.dst = ch.rem THEN '(null)' ELSE c.dst END AS dst,
+       |    CAST(sum(c.c) AS BIGINT) AS c
+       |  FROM chains ch JOIN cnt c ON c.src <> ch.rem GROUP BY 1, 2, 3),
+       |outs AS (SELECT rem, src, CAST(sum(c) AS BIGINT) AS o FROM m GROUP BY 1, 2),
+       |cst AS (SELECT rem, src,
+       |    CAST(sum(CASE WHEN dst = '(conv)' THEN c * 1000000 ELSE 0 END) AS BIGINT) AS cv
+       |  FROM m WHERE dst IN ('(conv)', '(null)') GROUP BY 1, 2),
+       |mchan AS (SELECT rem, src, dst, c FROM m WHERE dst NOT IN ('(conv)', '(null)')),
+       |it0 AS (SELECT rem, src AS state, CAST(0 AS BIGINT) AS pv FROM outs),
+       |$sweeps,
+       |fin AS (SELECT rem, pv FROM it$iters WHERE state = '(start)'),
+       |bs AS (SELECT pv AS pb FROM fin WHERE rem = '(base)'),
+       |res AS (SELECT ch.ch AS channel, bs.pb AS p_base_ppm,
+       |    COALESCE(f.pv, 0) AS p_removed_ppm,
+       |    CASE WHEN bs.pb > 0
+       |      THEN GREATEST(bs.pb - COALESCE(f.pv, 0), 0) * 1000000 // bs.pb
+       |      ELSE CAST(0 AS BIGINT) END AS removal_ppm
+       |  FROM chans ch LEFT JOIN fin f ON f.rem = ch.ch CROSS JOIN bs),
+       |tot AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS sr FROM res)
+       |SELECT channel, p_base_ppm, p_removed_ppm, removal_ppm,
+       |  CASE WHEN tot.sr > 0 THEN removal_ppm * 1000000 // tot.sr
+       |       ELSE CAST(0 AS BIGINT) END AS attr_ppm
+       |FROM res, tot ORDER BY channel""".stripMargin
+  }
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     queries.map { case (n, f, _) => n -> f }.toMap

@@ -2,6 +2,7 @@ package graft.dfw
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-engineering audits a training-data pipeline runs BEFORE it
@@ -557,5 +558,136 @@ object AuditOps {
             / (dxx.cast("double") * dyy.cast("double")), 6))
           .otherwise(lit(0.0)).as("rho2"))
       .orderBy(col("variant"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds in ppm: a uniform draw
+    * u ∈ [0, 1e6) maps to the weight k whose cumulative probability
+    * first exceeds it. Shared constants between the Spark plan and
+    * any SQL oracle — the whole bootstrap is deterministic integer
+    * arithmetic on top of them.
+    */
+  private val PoissonPpmThresholds: Seq[(Int, Int)] = Seq(
+    367879 -> 0, 735759 -> 1, 919699 -> 2, 981012 -> 3,
+    996340 -> 4, 999406 -> 5, 999917 -> 6, 999990 -> 7)
+
+  private def poissonWeight(uPpm: Column): Column =
+    PoissonPpmThresholds.foldRight(lit(8): Column) { case ((thr, k), rest) =>
+      when(uPpm < thr, lit(k)).otherwise(rest)
+    }
+
+  /** Poisson bootstrap for the mean — the resampling scheme that
+    * actually distributes (Chamandy et al., "Estimating uncertainty
+    * for massive data streams", Google 2012): instead of drawing R
+    * resamples WITH replacement (impossible without materializing the
+    * data R times or coordinating a global multinomial), every row
+    * independently draws R Poisson(1) weights, and each replicate's
+    * mean is a weighted aggregate. Resample r never exists as data —
+    * only as R running (Σwx, Σw) partials.
+    *
+    * Plan shape: the ×R explode feeds straight into a hash aggregate
+    * keyed by replicate id, so partial aggregation collapses every
+    * partition to ≤ R rows before the shuffle — the shuffle carries
+    * R·partitions tiny rows no matter how big the input. The R-row
+    * replicate table then takes one bounded-by-construction window
+    * (nearest-rank CI) and a one-row reduce.
+    *
+    * Determinism: weights come from md5(key:rep) mod 1e6 against
+    * fixed ppm thresholds — integer-exact in any engine with md5();
+    * values quantize to micro-units before summation, replicate means
+    * re-quantize after the (exact-integer) division, and the CI picks
+    * quantized means by rank, so the entire output replays
+    * bit-identically. Replicate-mean second moments promote to
+    * decimal(38,0) (micro-unit squares overflow int64).
+    *
+    * @param keyCol unique row key (drives the per-row randomness)
+    * @param reps   number of replicates (R ≈ 200 gives stable 95% CIs)
+    * @return single row: `n, reps_used, mean, se_boot, ci_lo, ci_hi`
+    *         (nearest-rank 2.5%/97.5% of replicate means, 6 dp)
+    */
+  def poissonBootstrapMean(df: DataFrame, keyCol: Column, valueCol: Column,
+                           reps: Int = 200): DataFrame = {
+    require(reps >= 40, s"need >= 40 replicates for a 95% CI, got $reps")
+    val base = df
+      .select(keyCol.cast("string").as("__k"),
+        round(valueCol.cast("double") * 1e6).cast("long").as("__xq"))
+      .where(col("__xq").isNotNull)
+    val totals = base.agg(count(lit(1)).as("n"), sum(col("__xq")).as("__sx"))
+    val repMeans = base
+      .select(col("__k"), col("__xq"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("__u", pmod(graft.llm.DedupOps.md5TokenHash(
+        concat(col("__k"), lit(":"), col("rep"))), lit(1000000L)))
+      .withColumn("__w", poissonWeight(col("__u")).cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(col("__w") * col("__xq")).as("__swx"), sum(col("__w")).as("__sw"))
+      .where(col("__sw") > 0)
+      .select(col("rep"),
+        round(col("__swx").cast("double") / col("__sw").cast("double"))
+          .cast("long").as("__mq"))
+    // R rows from here on: the single-partition window is bounded by
+    // construction (|reps|), same discipline as the fold/grid tables
+    val ranked = repMeans
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("__mq"), col("rep"))))
+    val rStats = ranked.agg(
+      count(lit(1)).as("reps_used"),
+      sum(col("__mq")).cast("decimal(38,0)").as("__s1"),
+      sum(col("__mq").cast("decimal(38,0)") * col("__mq").cast("decimal(38,0)"))
+        .as("__s2"))
+    val bounds = rStats.select(col("reps_used"), col("__s1"), col("__s2"),
+      ceil(col("reps_used") * 0.025).cast("long").as("__rlo"),
+      ceil(col("reps_used") * 0.975).cast("long").as("__rhi"))
+    val ci = ranked.join(broadcast(bounds),
+        col("__r") === col("__rlo") || col("__r") === col("__rhi"))
+      .groupBy(col("reps_used"), col("__s1"), col("__s2"))
+      .agg(min(when(col("__r") === col("__rlo"), col("__mq"))).as("__lo"),
+        min(when(col("__r") === col("__rhi"), col("__mq"))).as("__hi"))
+    val r = col("reps_used").cast("double")
+    val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
+      .cast("double")
+    ci.crossJoin(broadcast(totals))
+      .select(col("n"), col("reps_used"),
+        round(col("__sx").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("mean"),
+        when(col("reps_used") > 1,
+          round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
+        round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
+        round(col("__hi").cast("double") / 1e6, 6).as("ci_hi"))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a (small) table of test
+    * results — the multiple-comparison guard every k-hypothesis sweep
+    * needs before acting on its p-values ("5 of 40 event types
+    * drifted at p<.05" is expected noise; BH holds the FALSE DISCOVERY
+    * rate at α). Step-up: sort p ascending, p̃ᵢ = min_{j≥i}(pⱼ·m/j)
+    * capped at 1, reject where p̃ ≤ α.
+    *
+    * The input is one row per HYPOTHESIS — bounded by the test-family
+    * size (event types, arms, features), never by data — so the two
+    * whole-table windows here are bounded by construction, the same
+    * discipline as the fold/grid tables.
+    *
+    * @param idCols deterministic tiebreak for equal p-values
+    * @return input columns + `p_rank, m_tests, p_adj` (6 dp),
+    *         `reject`, ordered by ascending p
+    */
+  def bhAdjust(tests: DataFrame, pCol: Column, idCols: Seq[Column],
+               alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val ordered = Window.orderBy(pCol +: idCols: _*)
+    val all = Window.partitionBy()
+    val ranked = tests
+      .withColumn("p_rank", row_number().over(ordered).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(all))
+    val stepUp = Window.orderBy(col("p_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("__padj", least(lit(1.0),
+        min(pCol * col("m_tests").cast("double") /
+          col("p_rank").cast("double")).over(stepUp)))
+      .withColumn("p_adj", round(col("__padj"), 6))
+      .withColumn("reject", col("__padj") <= alpha)
+      .drop("__padj")
+      .orderBy(col("p_rank"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.dfw
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,43 @@ object MergeOps {
       .withColumn("valid_from", col(versionCol).cast("long"))
       .withColumn("valid_to", col("valid_to").cast("long"))
       .drop(versionCol)
+  }
+
+  /** Partial-aggregate state for incremental (materialized-view)
+    * maintenance: keys + `cnt` + the named integer sums. The stored
+    * grain IS the merge algebra — counts and sums are associative, so
+    * a later [[mergePartials]] of this table with a delta's partials
+    * equals recomputing from all raw rows (averages and variances
+    * derive from (cnt, Σx, Σx²) at read time).
+    *
+    * @param sums (name, integer column) pairs; quantize doubles to a
+    *             fixed grid BEFORE passing (micro-units) — double
+    *             sums are order-dependent and break the
+    *             merge-equals-recompute contract
+    */
+  def aggPartials(rows: DataFrame, keyCols: Seq[String],
+                  sums: Seq[(String, Column)]): DataFrame = {
+    require(sums.nonEmpty, "at least one sum column")
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sums.map { case (n, c) => sum(c).as(n) }: _*)
+  }
+
+  /** Fold a delta's partials into stored aggregate state: UNION +
+    * one re-aggregate summing every non-key column. This is the
+    * refresh step a daily pipeline runs instead of a full recompute —
+    * the scan cost is |state partials| + |delta rows-as-partials|,
+    * independent of how much history the state already summarizes
+    * (the point at 100 TB: day 365 costs the same as day 2). Both
+    * inputs must share the [[aggPartials]] schema.
+    */
+  def mergePartials(state: DataFrame, delta: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    val valueCols = state.columns.filterNot(keyCols.contains)
+    require(valueCols.nonEmpty, "state has no value columns to merge")
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 }

@@ -294,4 +294,148 @@ object QuantileOps {
         round(sqrt(col("chi2_q").cast("double") / 1e6 /
           (col("n_ref") + col("n_cur")).cast("double")), 6).as("cramers_v"))
   }
+
+  /** Per-group two-sample KS drift tests — one [[ksTest]] row per
+    * value of `grpCol`, the input shape a multiple-comparison sweep
+    * ([[graft.dfw.AuditOps.bhAdjust]]) wants ("which event types'
+    * value distributions drifted, FDR-controlled").
+    *
+    * Scale shape: the partial-agg groupBy collapses raw rows to
+    * distinct (group, value) pairs; the CDFs are windows PARTITIONED
+    * BY GROUP over that reduced table — parallel across groups, and
+    * each partition holds a group's distinct VALUES, not its rows.
+    * For a group whose value domain is itself near-unique at extreme
+    * scale, run [[ksTest]] (prefix-sum path) per group instead; for
+    * the drift-sweep grain (metric values per category) the reduced
+    * table is the right tool.
+    *
+    * @return one row per group: `grp, n_ref, n_cur, d_ppm, ks_at,
+    *         p_value` — same statistics as [[ksTest]]
+    */
+  def ksTestByGroup(df: DataFrame, grpCol: Column, valueCol: String,
+                    isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(grpCol.as("grp"), col(valueCol).cast("double").as("v"),
+        when(isRef, 1L).otherwise(0L).as("__r"))
+      .where(col("v").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(col("__r")).as("rn"), (count(lit(1)) - sum(col("__r"))).as("cn"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = Window.partitionBy(col("grp"))
+    val gaps = counts
+      .withColumn("__crn", sum(col("rn")).over(w))
+      .withColumn("__ccn", sum(col("cn")).over(w))
+      .withColumn("n_ref", sum(col("rn")).over(g))
+      .withColumn("n_cur", sum(col("cn")).over(g))
+      .withColumn("__gap",
+        abs(col("__crn").cast("double") / col("n_ref").cast("double") -
+          col("__ccn").cast("double") / col("n_cur").cast("double")))
+    val dMax = gaps.groupBy(col("grp").as("__g")).agg(max(col("__gap")).as("__d"))
+    gaps.join(broadcast(dMax),
+        col("grp") === col("__g") && col("__gap") === col("__d"))
+      .groupBy(col("grp"), col("n_ref"), col("n_cur"), col("__d"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("grp"), col("n_ref"), col("n_cur"),
+        round(col("__d") * 1e6).cast("long").as("d_ppm"), col("ks_at"),
+        round(lit(2.0) * exp(lit(-2.0) * col("__d") * col("__d") *
+          (col("n_ref") * col("n_cur")).cast("double") /
+          (col("n_ref") + col("n_cur")).cast("double")), 6).as("p_value"))
+      .orderBy(col("grp"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between two slices —
+    * the nonparametric complement to [[graft.dfw.AuditOps.welchTTest]]:
+    * compares the whole distributions through ranks, so a heavy tail
+    * or an outlier that would swamp a mean test moves U by at most
+    * its rank. Ties get midranks (the standard definition), and the
+    * normal approximation uses the tie-corrected variance.
+    *
+    * Scale shape (same skeleton as [[ksTest]]): one partial-agg
+    * groupBy collapses rows to distinct values with per-slice counts;
+    * midranks come from the value table's running total via
+    * [[WindowOps.prefixSumScalable]] — never a single-task global
+    * window; everything after is a one-row reduce.
+    *
+    * Exactness: midranks live on the half-integer grid, so the
+    * DOUBLED rank sum 2R = Σ rn·(2·cum_before + t + 1) is an exact
+    * integer, as is the doubled statistic u2 = 2R − n_ref·(n_ref+1)
+    * and the tie term Σ(t³−t) — both replay bit-identically in any
+    * engine. (Long arithmetic bounds: Σ rn·2N ≈ 2N², exact to
+    * N ≈ 2×10⁹ total rows; beyond that promote the two sums to
+    * decimal(38,0).) AUC = U/(n₁n₂) is the two-sample
+    * probability-of-superiority, P(X_ref > X_cur) + ½P(=).
+    *
+    * @param isRef slice predicate; NULL value rows are dropped
+    *              (rank tests have no place for them), NULL
+    *              predicate rows count as CURRENT (the defined-slice
+    *              rule of [[psiDrift]]/[[ksTest]])
+    * @return single row: `n_ref, n_cur, u2_ref` (2·U for the ref
+    *         slice, exact integer), `tie_term` (Σ t³−t), `auc`
+    *         (6 dp), `z` (tie-corrected normal approximation, 4 dp;
+    *         NULL when either slice is empty or N < 2)
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, isRef: Column,
+                  numParts: Int = 32): DataFrame = {
+    val sliced = df
+      .select(col(valueCol).cast("double").as("v"),
+        when(isRef, 1L).otherwise(0L).as("__r"))
+      .where(col("v").isNotNull)
+    val counts = sliced.groupBy(col("v"))
+      .agg(sum(col("__r")).as("rn"), (count(lit(1)) - sum(col("__r"))).as("cn"))
+      .withColumn("t", col("rn") + col("cn"))
+    val run = WindowOps.prefixSumScalable(counts, col("v"),
+      Seq("t" -> col("t")), numParts)
+    val totals = counts.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
+    val reduced = run
+      .select(
+        (col("rn") * (lit(2L) * (col("run_t") - col("t")) + col("t") + 1L)).as("__rp"),
+        (col("t") * col("t") * col("t") - col("t")).as("__tp"))
+      .agg(sum(col("__rp")).cast("long").as("__r2"),
+        sum(col("__tp")).cast("long").as("tie_term"))
+    val nn = col("n_ref") * col("n_cur")
+    val bigN = (col("n_ref") + col("n_cur")).cast("double")
+    val u2 = col("__r2") - col("n_ref") * (col("n_ref") + 1L)
+    val variance = nn.cast("double") / 12.0 *
+      (bigN + 1.0 - col("tie_term").cast("double") / (bigN * (bigN - 1.0)))
+    reduced.crossJoin(broadcast(totals))
+      .select(col("n_ref"), col("n_cur"), u2.as("u2_ref"), col("tie_term"),
+        when(nn > 0, round(u2.cast("double") / (lit(2.0) * nn.cast("double")), 6))
+          .as("auc"),
+        when(nn > 0 && bigN > 1.0 && variance > 0.0,
+          round((u2.cast("double") - nn.cast("double")) /
+            (lit(2.0) * sqrt(variance)), 4)).as("z"))
+  }
+
+  /** Quantile treatment effect: the per-quantile gap between a
+    * treatment and a control arm — where a mean difference says "the
+    * average moved", the QTE curve says WHERE the distribution moved
+    * (a p90-only lift is invisible to the median and vice versa).
+    * Both arms' quantiles come from [[exactQuantiles]]' rank-select
+    * path, so the result is the exact `quantile_cont` value at any
+    * group size, never a sketch.
+    *
+    * Plan shape: one ranked pass over the value column with the arm
+    * as the group key (two groups share the same range exchange),
+    * then a ≤2·|qs|-row pivot — nothing after the rank join exceeds
+    * |qs| rows.
+    *
+    * @param armCol 0/1 column (0 = control, 1 = treatment); rows with
+    *               other values are ignored
+    * @return one row per q, ordered: `q, ctrl, treat, diff` (6 dp)
+    */
+  def quantileTreatmentEffect(df: DataFrame, armCol: Column, valueCol: String,
+                              qs: Seq[Double], numParts: Int = 32): DataFrame = {
+    val tagged = df.withColumn("__arm", armCol.cast("int"))
+      .where(col("__arm").isin(0, 1))
+    val quants = exactQuantiles(tagged, Seq("__arm"), valueCol, qs, numParts)
+    quants.groupBy(col("q"))
+      .agg(min(when(col("__arm") === 0, col("value"))).as("__c"),
+        min(when(col("__arm") === 1, col("value"))).as("__t"))
+      .select(col("q"), round(col("__c"), 6).as("ctrl"),
+        round(col("__t"), 6).as("treat"),
+        round(col("__t") - col("__c"), 6).as("diff"))
+      .orderBy(col("q"))
+  }
 }

@@ -244,4 +244,40 @@ class AuditOpsSpec extends SparkSpec {
     (v.getLong(3), v.getLong(4)) shouldBe ((1L, 0L))       // the null dropped out
     (v.getDouble(9), v.getDouble(10)) shouldBe ((20.0, 99.0)) // max_old, max_new
   }
+
+  test("poissonBootstrapMean: CI brackets the mean, se near sd/sqrt(n), deterministic") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "x")
+    val r = AuditOps.poissonBootstrapMean(df, col("k"), col("x"), reps = 60).head()
+    r.getAs[Long]("n") shouldBe 1000L
+    r.getAs[Long]("reps_used") shouldBe 60L
+    r.getAs[Double]("mean") shouldBe 500.5 +- 1e-9
+    r.getAs[Double]("ci_lo") should be < 500.5
+    r.getAs[Double]("ci_hi") should be > 500.5
+    // sd = 288.8, n = 1000 → analytic se ≈ 9.13; bootstrap in that band
+    r.getAs[Double]("se_boot") shouldBe 9.13 +- 4.0
+    // md5-driven weights: a rerun reproduces every bit
+    val again = AuditOps.poissonBootstrapMean(df, col("k"), col("x"), reps = 60).head()
+    again.toSeq shouldBe r.toSeq
+  }
+
+  test("bhAdjust: hand-computed step-up adjustments and rejections") {
+    val tests = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.5))
+      .toDF("id", "p")
+    val got = AuditOps.bhAdjust(tests, col("p"), Seq(col("id")), alpha = 0.05)
+      .select("id", "p_rank", "p_adj", "reject")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    // sorted p: .01 .03 .04 .5 → padj: .04, min(.06,.0533)=.053333,
+    // .053333, .5 — only the first rejects at α=.05
+    got shouldBe Seq(("t1", 1L, 0.04, true), ("t3", 2L, 0.053333, false),
+      ("t2", 3L, 0.053333, false), ("t4", 4L, 0.5, false))
+  }
+
+  test("bhAdjust: all-null-effect p-values survive (nothing rejected, padj capped at 1)") {
+    val tests = Seq(("a", 0.9), ("b", 0.8), ("c", 0.95)).toDF("id", "p")
+    val got = AuditOps.bhAdjust(tests, col("p"), Seq(col("id")), alpha = 0.05)
+      .select("p_adj", "reject").as[(Double, Boolean)].collect()
+    got.map(_._2).toSet shouldBe Set(false)
+    // step-up: every min_{j≥i} lands on the top rank's 0.95·3/3
+    got.map(_._1).toSet shouldBe Set(0.95)
+  }
 }

@@ -166,4 +166,28 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe Map(1L -> 0L, 2L -> 0L)
   }
+
+  test("adamicAdar: triangle + pendant — only non-edges score, 1/ln(deg) quantized") {
+    // edges: 1-2, 1-3, 2-3, 3-4. Non-edges: (1,4), (2,4) — both share
+    // only neighbor 3 (deg 3): score = round(1e6/ln 3) = 910239.
+    // (2,3)/(1,3)/(1,2) are edges → excluded despite shared neighbors.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.adamicAdar(edges, "src", "dst", maxDeg = 64, topK = 10)
+      .select("x", "y", "common_cnt", "score_q")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 4L, 1L, 910239L), (2L, 4L, 1L, 910239L))
+  }
+
+  test("adamicAdar: the hub cut drops pairings through high-degree neighbors") {
+    // star: 0 connected to 1..9 (deg 9 hub) plus edge 1-2; with
+    // maxDeg=5 the hub pairs nothing, so only wedge 1-2 via... none:
+    // 1 and 2 have deg 2 each; their common neighbor is the hub only.
+    val edges = ((1L to 9L).map(i => (0L, i)) :+ (1L, 2L)).toDF("src", "dst")
+    GraphOps.adamicAdar(edges, "src", "dst", maxDeg = 5, topK = 10)
+      .count() shouldBe 0L
+    // raising the cap reinstates the hub's wedges: C(9,2) = 36 pairs
+    // of its spokes, minus the existing edge 1-2
+    GraphOps.adamicAdar(edges, "src", "dst", maxDeg = 16, topK = 100)
+      .count() shouldBe 35L
+  }
 }

@@ -94,4 +94,33 @@ class MergeOpsSpec extends SparkSpec {
     // union + max_by resolves to an aggregate with a partial phase
     plan should include("Aggregate")
   }
+
+  test("incremental refresh: merging split partials equals recomputing from all rows") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", i % 11, rng.nextInt(1000).toLong)
+    }.toDF("g", "day", "vq")
+    val keys = Seq("g", "day")
+    val state = MergeOps.aggPartials(rows.filter(col("day") < 8), keys,
+      Seq("sum_vq" -> col("vq")))
+    val delta = MergeOps.aggPartials(rows.filter(col("day") >= 8), keys,
+      Seq("sum_vq" -> col("vq")))
+    val merged = MergeOps.mergePartials(state, delta, keys)
+      .orderBy("g", "day").collect().toSeq
+    val full = MergeOps.aggPartials(rows, keys, Seq("sum_vq" -> col("vq")))
+      .orderBy("g", "day").collect().toSeq
+    merged shouldBe full
+  }
+
+  test("mergePartials folds repeated deltas associatively (three-way split)") {
+    val rows = (1 to 90).map(i => (s"k${i % 4}", i.toLong)).toDF("g", "vq")
+    val parts = (0 to 2).map(p => MergeOps.aggPartials(
+      rows.filter(pmod(col("vq"), lit(3)) === p), Seq("g"),
+      Seq("s" -> col("vq"))))
+    val folded = parts.reduce(MergeOps.mergePartials(_, _, Seq("g")))
+      .orderBy("g").collect().toSeq
+    val full = MergeOps.aggPartials(rows, Seq("g"), Seq("s" -> col("vq")))
+      .orderBy("g").collect().toSeq
+    folded shouldBe full
+  }
 }

@@ -568,4 +568,53 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
     "HashAggregate".r.findAllIn(plan).size should be >= 4
   }
+
+  test("q_mannwhitney: prefix-sum ranks (frozen pid scan), totals broadcast, no sort-merge") {
+    val plan = formatted("q_mannwhitney")
+    // prefixSumScalable's range exchange sits behind the Materializer
+    // freeze: what's visible is the frozen scan + pid-local windows
+    plan should include("Scan ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // one-row totals cross
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_bootstrap_ci: the ×R explode collapses into a partial agg — no wide shuffle") {
+    val plan = formatted("q_bootstrap_ci")
+    plan should include("Generate") // the replicate explode
+    plan should include("partial_sum") // map-side combine to ≤R rows per task
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q_bh_fdr: windows only over the reduced value table and the 5-row test table") {
+    val plan = formatted("q_bh_fdr")
+    plan should include("Window")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_event_paths: per-journey window, top-k via TakeOrderedAndProject") {
+    val plan = formatted("q_event_paths")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Join"
+  }
+
+  test("q_quantile_te: rank-select quantiles — needed-rank table broadcast") {
+    val plan = formatted("q_quantile_te")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("m5_incremental_agg: pure stacked aggregates, no join/window anywhere") {
+    val plan = formatted("m5_incremental_agg")
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("Union")
+  }
+
+  test("g6_adamic_adar: top-k is a heap, not a global sort; wedge join is hash-equi") {
+    val plan = formatted("g6_adamic_adar")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -117,6 +117,52 @@ class QuantileOpsSpec extends SparkSpec {
       .head().getAs[Long]("d_ppm") shouldBe 0L
   }
 
+  test("mannWhitney: hand-ranked midrank fixture with ties") {
+    // ref {1,2,2}, cur {2,3}: ranks 1 | 3,3,3 (midrank) | 5
+    // R_ref = 1+3+3 = 7 → u2 = 14 − 3·4 = 2 (U = 1, checked pairwise)
+    // tie_term = 0 + (27−3) + 0 = 24
+    // var = 6/12·(6 − 24/20) = 2.4; z = (2−6)/(2√2.4) = −1.2910
+    val df = Seq((1.0, true), (2.0, true), (2.0, true), (2.0, false),
+      (3.0, false)).toDF("v", "is_ref")
+    val r = QuantileOps.mannWhitney(df, "v", col("is_ref"), numParts = 2).head()
+    r.getAs[Long]("n_ref") shouldBe 3L
+    r.getAs[Long]("n_cur") shouldBe 2L
+    r.getAs[Long]("u2_ref") shouldBe 2L
+    r.getAs[Long]("tie_term") shouldBe 24L
+    r.getAs[Double]("auc") shouldBe (2.0 / 12) +- 1e-6
+    r.getAs[Double]("z") shouldBe -1.2910 +- 1e-4
+  }
+
+  test("mannWhitney: identical slices give U at its null mean (z 0, auc 0.5)") {
+    val df = (1 to 40).flatMap(v =>
+      Seq((v.toDouble, true), (v.toDouble, false))).toDF("v", "is_ref")
+    val r = QuantileOps.mannWhitney(df, "v", col("is_ref"), numParts = 4).head()
+    r.getAs[Double]("auc") shouldBe 0.5 +- 1e-9
+    r.getAs[Double]("z") shouldBe 0.0 +- 1e-9
+  }
+
+  test("ksTestByGroup: a single group reproduces ksTest exactly") {
+    val df = (Seq.tabulate(8)(v => ((v + 1).toDouble, true)) ++
+      (5 to 12).map(v => (v.toDouble, false)))
+      .map { case (v, r) => ("g", v, r) }.toDF("grp", "v", "is_ref")
+    val per = QuantileOps.ksTestByGroup(df, col("grp"), "v", col("is_ref")).head()
+    val ref = QuantileOps.ksTest(df, "v", col("is_ref"), numParts = 4).head()
+    per.getAs[Long]("d_ppm") shouldBe ref.getAs[Long]("d_ppm")
+    per.getAs[Double]("ks_at") shouldBe ref.getAs[Double]("ks_at")
+    per.getAs[Double]("p_value") shouldBe ref.getAs[Double]("p_value")
+  }
+
+  test("quantileTreatmentEffect: a constant shift shows at every quantile") {
+    val df = ((1 to 9).map(v => (0, v.toDouble)) ++
+      (1 to 9).map(v => (1, v.toDouble + 10))).toDF("arm", "x")
+    val got = QuantileOps.quantileTreatmentEffect(df, col("arm"), "x",
+        Seq(0.25, 0.5, 0.75), numParts = 2)
+      .select("q", "diff").as[(Double, Double)].collect().toMap
+    got(0.25) shouldBe 10.0
+    got(0.5) shouldBe 10.0
+    got(0.75) shouldBe 10.0
+  }
+
   test("chi2Drift replays the textbook 2xk statistic") {
     // cat a: 30 ref / 10 cur; cat b: 10 ref / 30 cur — a clean flip
     val df = (Seq.fill(30)(("a", true)) ++ Seq.fill(10)(("a", false)) ++
