@@ -6664,8 +6664,161 @@ object Queries {
              |  FROM pa p1 JOIN pa p2 ON p1.node = p2.node AND p1.nbr < p2.nbr GROUP BY 1, 2),
              |ne AS (SELECT sc.* FROM sc LEFT JOIN e ON sc.x = e.u AND sc.y = e.v WHERE e.u IS NULL)
              |SELECT x, y, common_cnt, score_q FROM ne
-             |ORDER BY score_q DESC, x, y LIMIT 50""".stripMargin))
+             |ORDER BY score_q DESC, x, y LIMIT 50""".stripMargin)),
+
+    // ---- GRAPH: integer HITS hubs/authorities on the bipartite
+    // customer→supplier purchase graph — 3 exact max-normalized
+    // rounds, every score on the ppm grid; the oracle unrolls the
+    // same half-steps as materialized CTEs (llm/GraphOps.hitsInt;
+    // Kleinberg 1999). Node ids disambiguate the two sides (cust·2,
+    // supp·2+1). ----
+    ("g7_hits",
+      (s: SparkSession, dir: String) => {
+        val e = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        GraphOps.hitsInt(e, "src", "dst", rounds = 3)
+      },
+      Some(hitsOracleSql(3))),
+
+    // ---- X4: RAKE keyword extraction — stopword-delimited candidate
+    // phrases, word deg/freq scores in integer ppm, corpus top-25
+    // (llm/TextOps.rakeKeywords; Rose et al. 2010). ----
+    ("x4_rake",
+      (s: SparkSession, dir: String) => {
+        TextOps.rakeKeywords(Tables.load(s, dir, "documents"),
+          "doc_id", "text", topK = 25)
+      },
+      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tok0 AS (SELECT doc_id, i AS pos,
+             |    regexp_replace(lower(toks[i]), '[^a-z0-9]', '', 'g') AS tok
+             |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t0)),
+             |tok1 AS (SELECT doc_id, pos, tok,
+             |    (tok IN (${TextOps.RakeStopwords.map(w => s"'$w'").mkString(", ")})
+             |      OR tok = '') AS stop FROM tok0),
+             |tok2 AS (SELECT doc_id, pos, tok, stop,
+             |    sum(CASE WHEN stop THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM tok1),
+             |ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen,
+             |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+             |  FROM tok2 WHERE NOT stop GROUP BY 1, 2 HAVING count(*) <= 4),
+             |pw AS (SELECT doc_id, pid, phrase, plen,
+             |    unnest(string_split(phrase, ' ')) AS tok FROM ph),
+             |ws AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1),
+             |ws2 AS (SELECT tok, (deg * 1000000) // freq AS wscore FROM ws),
+             |inst AS (SELECT pw.doc_id, pw.pid, pw.phrase, pw.plen,
+             |    CAST(sum(w.wscore) AS BIGINT) AS score_q
+             |  FROM pw JOIN ws2 w ON w.tok = pw.tok GROUP BY 1, 2, 3, 4)
+             |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             |  CAST(plen AS BIGINT) AS n_words, CAST(min(score_q) AS BIGINT) AS score_q
+             |FROM inst GROUP BY phrase, plen
+             |ORDER BY score_q DESC, phrase LIMIT 25""".stripMargin)),
+
+    // ---- X4: n-gram novelty vs a reference slice — the memorization/
+    // freshness audit: per source, the share of distinct 5-gram mass
+    // the reference corpus does not contain; exact anti-join anchor,
+    // Bloom gate is the 100 TB twin (llm/TextOps.ngramNoveltyBySource
+    // on DedupOps.wordShingles). ----
+    ("x4_ngram_novelty",
+      (s: SparkSession, dir: String) => {
+        TextOps.ngramNoveltyBySource(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", col("doc_id") % 10 === 0, w = 5)
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+             |refg AS (SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS sh
+             |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |        FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 5)),
+             |candd AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+             |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+             |        FROM t WHERE doc_id % 10 <> 0 AND len(toks) >= 5)),
+             |per AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS grams,
+             |    CAST(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel
+             |  FROM candd c LEFT JOIN refg r ON c.sh = r.sh GROUP BY 1)
+             |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(p.grams) AS BIGINT) AS n_grams,
+             |  CAST(sum(p.novel) AS BIGINT) AS n_novel,
+             |  (CAST(sum(p.novel) AS BIGINT) * 1000000) // CAST(sum(p.grams) AS BIGINT) AS novel_ppm
+             |FROM per p JOIN t d ON d.doc_id = p.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- W: Neyman-allocation stratified sample — a 1000-row budget
+    // split across o_orderpriority strata ∝ N_h·S_h (the
+    // variance-optimal eval-set allocation); exact integer moments,
+    // ppm-quantized weights, md5 hash-rank row selection
+    // (dfw/SplitOps.neymanAllocationSample; Neyman 1934). ----
+    ("w_neyman_sample",
+      (s: SparkSession, dir: String) => {
+        SplitOps.neymanAllocationSample(Tables.load(s, dir, "orders"),
+          col("o_orderpriority"), round(col("o_totalprice") * 100),
+          col("o_orderkey"), totalN = 1000L)
+      },
+      Some("""WITH b AS (SELECT o_orderpriority AS stratum,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS xq, o_orderkey AS k FROM orders),
+             |st AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_pop,
+             |    CAST(sum(xq) AS HUGEINT) AS sx,
+             |    CAST(sum(CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT)) AS HUGEINT) AS sxx
+             |  FROM b GROUP BY 1),
+             |sd AS (SELECT stratum, n_pop,
+             |    CASE WHEN n_pop > 1 THEN sqrt(CAST(sxx * n_pop - sx * sx AS DOUBLE)
+             |      / (CAST(n_pop AS DOUBLE) * CAST(n_pop - 1 AS DOUBLE))) ELSE 0.0 END AS sdv
+             |  FROM st),
+             |wq AS (SELECT stratum, n_pop, sdv,
+             |    CAST(round(CAST(n_pop AS DOUBLE) * sdv) AS BIGINT) AS w FROM sd),
+             |tw AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM wq),
+             |al AS (SELECT stratum, n_pop, sdv,
+             |    LEAST(n_pop, CASE WHEN tw.t > 0 THEN (w * 1000) // tw.t
+             |                      ELSE CAST(0 AS BIGINT) END) AS alloc_n
+             |  FROM wq, tw),
+             |rk AS (SELECT b.stratum, b.k, row_number()
+             |    OVER (PARTITION BY b.stratum
+             |          ORDER BY md5('ns:' || CAST(b.k AS VARCHAR)), b.k) AS rn FROM b),
+             |sm AS (SELECT rk.stratum, CAST(count(*) AS BIGINT) AS sampled_n,
+             |    CAST(sum(rk.k) AS BIGINT) AS key_checksum
+             |  FROM rk JOIN al ON al.stratum = rk.stratum
+             |  WHERE rk.rn <= al.alloc_n GROUP BY 1)
+             |SELECT al.stratum, al.n_pop, round(al.sdv, 4) AS sd_q,
+             |  CAST(al.alloc_n AS BIGINT) AS alloc_n,
+             |  COALESCE(sm.sampled_n, CAST(0 AS BIGINT)) AS sampled_n,
+             |  COALESCE(sm.key_checksum, CAST(0 AS BIGINT)) AS key_checksum
+             |FROM al LEFT JOIN sm ON sm.stratum = al.stratum
+             |ORDER BY al.stratum""".stripMargin))
   )
+
+  /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the
+    * customer→supplier purchase graph: the same integer half-steps
+    * (Σ neighbor scores, then `s·1e6 div max`) unrolled as
+    * materialized CTEs — floor division on non-negative Longs both
+    * sides, every score bit-equal.
+    */
+  private def hitsOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""asum$k AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+         |  FROM e JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+         |am$k AS (SELECT GREATEST(max(s), 1) AS mx FROM asum$k),
+         |a$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(COALESCE(x.s, 0) * 1000000 // am.mx AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN asum$k x ON x.node = n.node CROSS JOIN am$k am),
+         |hsum$k AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         |hm$k AS (SELECT GREATEST(max(s), 1) AS mx FROM hsum$k),
+         |h$k AS MATERIALIZED (SELECT n.node,
+         |    CAST(COALESCE(x.s, 0) * 1000000 // hm.mx AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN hsum$k x ON x.node = n.node CROSS JOIN hm$k hm)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+       |    CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |$steps
+       |SELECT h.node, h.hub, a.auth
+       |FROM h$rounds h JOIN a$rounds a ON a.node = h.node ORDER BY h.node""".stripMargin
+  }
 
   /** DuckDB oracle for [[graft.dfw.PathOps.markovAttribution]]: the
     * journey/transition construction mirrors the Spark plan, and the

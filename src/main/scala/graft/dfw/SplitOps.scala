@@ -300,4 +300,66 @@ object SplitOps {
       .withColumn("split", when(col("__rev") <= k, lit("test")).otherwise(lit("train")))
       .drop("__rev")
   }
+
+  /** Neyman-allocation stratified sample (Neyman 1934): a fixed
+    * budget of `totalN` rows split across strata proportional to
+    * N_h·S_h — high-variance strata get MORE than their population
+    * share, which minimizes the variance of the estimated mean at
+    * fixed budget (proportional allocation is what
+    * [[graft.dfw.TransformOps]]' plain stratified sample does; this
+    * is the optimal-for-estimation variant an eval-set builder
+    * wants).
+    *
+    * Determinism: S_h comes from exact integer moments of the
+    * micro-quantized metric; allocation weights quantize to ppm
+    * before the integer `n·w_h div Σw` split, so every n_h replays
+    * in any engine. Row selection is the hash-rank rule: the
+    * per-stratum limit n_h is a COLUMN, which WindowGroupLimit can't
+    * push, so the filter carries a constant `rank ≤ totalN` conjunct
+    * — n_h ≤ totalN always — letting each map task keep only its
+    * local top-totalN per stratum before the shuffle.
+    *
+    * @param valueQ integer-quantized metric column (quantize doubles
+    *               upstream — exact Σx² needs integers)
+    * @param keyCol unique row key: hash-rank order and checksum
+    * @return one row per stratum: `stratum, n_pop, sd_q` (std-dev on
+    *         the input's quantized grid, 4 dp), `alloc_n, sampled_n,
+    *         key_checksum`, ordered by stratum
+    */
+  def neymanAllocationSample(df: DataFrame, stratumCol: Column,
+                             valueQ: Column, keyCol: Column,
+                             totalN: Long): DataFrame = {
+    require(totalN >= 1)
+    val base = df.select(stratumCol.as("stratum"), valueQ.cast("long").as("xq"),
+      keyCol.cast("long").as("k"))
+    val stats = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("xq")).as("__sx"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq").cast("decimal(38,0)"))
+          .as("__sxx"))
+      .withColumn("__sd", when(col("n_pop") > 1,
+        sqrt((col("__sxx") * col("n_pop") - col("__sx").cast("decimal(38,0)")
+          * col("__sx").cast("decimal(38,0)")).cast("double")
+          / (col("n_pop").cast("double") * (col("n_pop") - 1).cast("double"))))
+        .otherwise(lit(0.0)))
+      // weight N_h·S_h on the integer ppm grid BEFORE the ratio split
+      .withColumn("__wq", round(col("n_pop").cast("double") * col("__sd")).cast("long"))
+    val totalW = stats.agg(sum(col("__wq")).as("__tw"))
+    val alloc = stats.crossJoin(broadcast(totalW))
+      .withColumn("alloc_n", least(col("n_pop"),
+        when(col("__tw") > 0, expr("(__wq * " + totalN + "L) div __tw"))
+          .otherwise(lit(0L))))
+      .select(col("stratum").as("__st"), col("n_pop"), col("__sd"), col("alloc_n"))
+    val ranked = base.join(broadcast(alloc), col("stratum") === col("__st"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(md5(concat(lit("ns:"), col("k").cast("string"))), col("k"))))
+      .where(col("__rn") <= lit(totalN) && col("__rn") <= col("alloc_n"))
+    ranked.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("sampled_n"), sum(col("k")).as("key_checksum"))
+      .join(alloc.withColumnRenamed("__st", "stratum"), Seq("stratum"), "right")
+      .select(col("stratum"), col("n_pop"), round(col("__sd"), 4).as("sd_q"),
+        col("alloc_n"), coalesce(col("sampled_n"), lit(0L)).as("sampled_n"),
+        coalesce(col("key_checksum"), lit(0L)).as("key_checksum"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -322,6 +322,69 @@ object GraphOps {
     perRound.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Integer HITS (Kleinberg 1999): hub and authority scores on a
+    * DIRECTED graph — authorities are endorsed by good hubs, hubs
+    * endorse good authorities. On a bipartite purchase graph
+    * (customer → supplier) the two sides get separately meaningful
+    * rankings, which PageRank's single score conflates.
+    *
+    * Bit-replayable like [[pageRankInt]]: scores live on the integer
+    * `scale` grid; each half-step is Σ neighbor scores followed by
+    * max-normalization `s·scale div max` — exact Long arithmetic, so
+    * an unrolled SQL oracle reproduces every value. Standard update
+    * order within a round: authorities from the PREVIOUS hubs, then
+    * hubs from the NEW authorities. (Long bound: Σ in-scores ≤
+    * deg·scale and the normalize multiply adds ×scale — exact to
+    * deg ≈ 9×10⁶ at scale 10⁶; promote to decimal beyond.)
+    *
+    * Scale shape mirrors [[pageRankInt]]: the edge table freezes once
+    * (bucketed by the join side), per-round score tables carry the
+    * `broadcastScores` hint while |V| is broadcastable, flip it false
+    * past that and rounds run as keyed shuffle joins.
+    *
+    * @return one row per node: `node, hub, auth` (both on the scale
+    *         grid; a node with no out-edges has hub 0, no in-edges
+    *         auth 0), ordered by node
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              rounds: Int, scale: Long = 1000000L,
+              mat: Materializer = Materializer.Local,
+              broadcastScores: Boolean = true): DataFrame = {
+    require(rounds >= 1 && scale > 0)
+    def hint(df: DataFrame) = if (broadcastScores) broadcast(df) else df
+    val e = mat.freeze(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct(),
+      Seq("src"), "hits_edges")
+    val nodes = mat.freeze(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(),
+      Seq("node"), "hits_nodes")
+
+    def normalized(summed: DataFrame, out: String): DataFrame = {
+      // max over ≤|V| rows — one-row broadcast; all-zero degenerates
+      // to max 1 (scores stay 0)
+      val mx = summed.agg(greatest(max(col("s")), lit(1L)).as("mx"))
+      nodes.join(hint(summed), Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(coalesce(s, 0L) * $scale) div mx").as(out))
+    }
+
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth"))
+    for (_ <- 1 to rounds) {
+      val aSum = e.join(hint(hub.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("s"))
+      auth = normalized(aSum, "auth")
+      val hSum = e.join(hint(auth.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("s"))
+      hub = normalized(hSum, "hub")
+    }
+    hub.join(hint(auth), "node").select(col("node"), col("hub"), col("auth"))
+      .orderBy(col("node"))
+  }
+
   /** Adamic–Adar link prediction: score every non-adjacent node pair
     * by Σ over common neighbors w of 1/ln(deg(w)) — shared obscure
     * neighbors count more than shared hubs (Adamic & Adar 2003). The

@@ -1298,4 +1298,118 @@ object TextOps {
         round(col("__ea"), 4).as("exp"), col("g2_q"))
       .orderBy(col(sliceCol), col("rnk"))
   }
+
+  /** Default RAKE stopword list (function-word delimiters). Small on
+    * purpose — RAKE degrades gracefully with a short list, and a
+    * short fixed list keeps the oracle replay trivial.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "it", "this", "that", "be",
+    "are", "was", "from")
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic keyword
+    * extraction from individual documents"): candidate phrases are
+    * maximal stopword-free token runs; a word scores deg/freq (deg =
+    * Σ length of phrases containing it — words that travel in long
+    * phrases score high); a phrase scores the sum of its words. The
+    * corpus-level top-k is the "what is this corpus about" digest.
+    *
+    * Determinism: tokenization is a single-space split + lowercase +
+    * `[^a-z0-9]` strip (no locale, no regex-engine divergence); word
+    * scores quantize to integer ppm (deg·1e6 div freq) BEFORE the
+    * phrase sum, so phrase scores are order-free integer sums.
+    *
+    * Scale shape: one token explode (linear), ONE per-doc window for
+    * the phrase-id prefix count (partition = one document), two
+    * vocabulary-bounded word aggregates broadcast back onto the
+    * linear token stream, a phrase-text aggregate, and a top-k heap
+    * (TakeOrderedAndProject). Nothing holds more than a vocabulary.
+    *
+    * @return top-k rows: `phrase, n_occ, n_words, score_q` ordered
+    *         (score_q desc, phrase)
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = RakeStopwords,
+                   maxLen: Int = 4, topK: Int = 25): DataFrame = {
+    require(maxLen >= 1 && topK >= 1 && stopwords.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")))
+      .select(col("doc_id"), col("pos"),
+        regexp_replace(lower(col("col")), "[^a-z0-9]", "").as("tok"))
+      .withColumn("stop",
+        col("tok").isin(stopwords: _*) || col("tok") === "")
+      // phrase id = stop delimiters seen so far (own flag is 0 for
+      // every token that survives the filter below)
+      .withColumn("pid", sum(col("stop").cast("long")).over(w))
+      .where(!col("stop"))
+    val phrases = toks
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x("tok"))).as("phrase"))
+      .where(col("plen") <= maxLen)
+    val wordStats = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"), expr("(deg * 1000000) div freq").as("wscore_q"))
+    val instScores = phrases
+      .select(col("doc_id"), col("pid"), col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .join(broadcast(wordStats), "tok")
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("plen"))
+      .agg(sum(col("wscore_q")).as("score_q")) // exact integer per instance
+    instScores
+      .groupBy(col("phrase"), col("plen"))
+      // every instance of a phrase text has the same words, hence the
+      // same exact score — min is just the dedup
+      .agg(count(lit(1)).as("n_occ"), min(col("score_q")).as("score_q"))
+      .select(col("phrase"), col("n_occ"), col("plen").as("n_words"),
+        col("score_q"))
+      .orderBy(col("score_q").desc, col("phrase")).limit(topK)
+  }
+
+  /** N-gram novelty vs a reference slice — the memorization /
+    * freshness audit (the flip side of decontamination: instead of
+    * dropping overlap, MEASURE it): what fraction of each source's
+    * distinct `w`-gram mass does the reference corpus not contain?
+    * New crawl snapshots with low novelty are paying storage for
+    * text the model already has.
+    *
+    * Exact anti-join form (the test-scale oracle anchor); at 100 TB
+    * swap the reference side for the Bloom gate
+    * ([[DedupOps]] decontam path) — same per-source ratios within
+    * the filter's false-positive rate.
+    *
+    * @return one row per source: `source, n_docs, n_grams (distinct
+    *         per doc, summed), n_novel, novel_ppm` ordered by source
+    */
+  def ngramNoveltyBySource(docs: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String, isRef: Column,
+                           w: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("__ref", when(isRef, true).otherwise(false))
+    val refGrams = DedupOps
+      .wordShingles(tagged.where(col("__ref")), idCol, textCol, w)
+      .select(col("sh")).distinct()
+    val candGrams = DedupOps
+      .wordShingles(tagged.where(!col("__ref")), idCol, textCol, w)
+    val perDoc = candGrams
+      .join(refGrams, Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__novel"))
+    val base = candGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("__grams"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .join(tagged.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__grams")).as("n_grams"),
+        sum(coalesce(col("__novel"), lit(0L))).as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novel_ppm"))
+      .orderBy(col("source"))
+  }
 }

@@ -190,4 +190,28 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.adamicAdar(edges, "src", "dst", maxDeg = 16, topK = 100)
       .count() shouldBe 35L
   }
+
+  test("hitsInt: hand-iterated bipartite fixture, exact integer scores") {
+    // 1→10, 2→10, 2→11. Three max-normalized rounds by hand:
+    // r1: auth 10=1e6, 11=5e5; hub 1=666666, 2=1e6
+    // r2: auth 11=600000; hub 1=625000
+    // r3: auth 11=615384; hub 1=floor(1e12/1615384)=619047
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val got = GraphOps.hitsInt(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 619047L, 0L), (2L, 1000000L, 0L),
+      (10L, 0L, 1000000L), (11L, 0L, 615384L))
+  }
+
+  test("hitsInt: symmetric graph converges to equal scores round 1") {
+    // complete bipartite 2×2: every hub/auth identical
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.hitsInt(edges, "src", "dst", rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 1000000L, 0L), (2L, 1000000L, 0L),
+      (10L, 0L, 1000000L), (11L, 0L, 1000000L))
+  }
 }

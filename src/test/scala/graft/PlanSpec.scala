@@ -617,4 +617,29 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("g7_hits: per-round score joins broadcast; no sort-merge anywhere") {
+    val plan = formatted("g7_hits")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("x4_rake: word scores broadcast onto the token stream; top-k heap") {
+    val plan = formatted("x4_rake")
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("x4_ngram_novelty: reference grams anti-join; no cartesian") {
+    val plan = formatted("x4_ngram_novelty")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+  }
+
+  test("w_neyman_sample: constant rank conjunct keeps the group-limit pushdown") {
+    val plan = formatted("w_neyman_sample")
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+  }
 }

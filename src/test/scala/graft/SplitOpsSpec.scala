@@ -182,4 +182,30 @@ class SplitOpsSpec extends SparkSpec {
     got shouldBe Map((1L, 1L) -> "train", (1L, 2L) -> "train",
       (1L, 3L) -> "test", (1L, 4L) -> "test", (2L, 5L) -> "test")
   }
+
+  test("neymanAllocationSample: zero-variance stratum gets nothing, budget flows to the varied one") {
+    val rows = ((1 to 10).map(i => ("A", 500L, i.toLong)) ++
+      (1 to 10).map(i => ("B", (i * 100).toLong, (100 + i).toLong)))
+      .toDF("st", "xq", "k")
+    val got = SplitOps.neymanAllocationSample(rows, col("st"), col("xq"),
+        col("k"), totalN = 5L)
+      .select("stratum", "n_pop", "alloc_n", "sampled_n")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(("A", 10L, 0L, 0L), ("B", 10L, 5L, 5L))
+  }
+
+  test("neymanAllocationSample: allocation is capped at the stratum population") {
+    val rows = ((1 to 3).map(i => ("A", (i * 1000).toLong, i.toLong)) ++
+      (1 to 20).map(i => ("B", (i % 2 * 10).toLong, (100 + i).toLong)))
+      .toDF("st", "xq", "k")
+    val got = SplitOps.neymanAllocationSample(rows, col("st"), col("xq"),
+        col("k"), totalN = 20L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    val (nA, allocA, sampledA) = got("A")
+    nA shouldBe 3L
+    allocA shouldBe 3L // N_h·S_h would ask for more; capped at population
+    sampledA shouldBe 3L
+    got("B")._2 should be <= 20L
+  }
 }

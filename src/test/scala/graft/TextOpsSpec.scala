@@ -525,4 +525,41 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
       Seq(("new", "york"))
   }
+
+  test("rakeKeywords: stopword-delimited phrases, deg/freq word scores, exact ppm") {
+    // phrases: [deep learning] ×2 (docs 1, 2), [deep networks] ×1.
+    // deep: freq 3, deg 6 → 2e6; learning: 2/4 → 2e6; networks: 1/2 → 2e6.
+    // both phrases score 4e6; tie breaks on phrase text.
+    val docs = Seq(
+      (1L, "deep learning of the deep networks"),
+      (2L, "deep learning")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("deep learning", 2L, 2L, 4000000L),
+      ("deep networks", 1L, 2L, 4000000L))
+  }
+
+  test("rakeKeywords: phrases over maxLen drop; punctuation strips into the token") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "Alpha, beta!"))
+      .toDF("doc_id", "text")
+    // doc1 is one 5-token phrase — dropped at maxLen 4; doc2 lowers and
+    // strips punctuation into the same [alpha beta] phrase
+    val got = graft.llm.TextOps.rakeKeywords(docs, "doc_id", "text",
+        maxLen = 4, topK = 10)
+      .select("phrase").as[String].collect().toSeq
+    got shouldBe Seq("alpha beta")
+  }
+
+  test("ngramNoveltyBySource: exact novel-bigram share vs the reference slice") {
+    val docs = Seq(
+      (0L, "a b c", "ref"),    // reference: bigrams {a b, b c}
+      (1L, "a b x", "s1"),     // {a b (seen), b x (novel)} → 500000 ppm
+      (2L, "a b c", "s2"))     // both seen → 0 ppm
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.TextOps.ngramNoveltyBySource(docs, "doc_id", "text",
+        "source", col("doc_id") === 0, w = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(("s1", 1L, 2L, 1L, 500000L), ("s2", 1L, 2L, 0L, 0L))
+  }
 }
