@@ -6786,7 +6786,94 @@ object Queries {
              |  COALESCE(sm.sampled_n, CAST(0 AS BIGINT)) AS sampled_n,
              |  COALESCE(sm.key_checksum, CAST(0 AS BIGINT)) AS key_checksum
              |FROM al LEFT JOIN sm ON sm.stratum = al.stratum
-             |ORDER BY al.stratum""".stripMargin))
+             |ORDER BY al.stratum""".stripMargin)),
+
+    // ---- X3: contrastive hard-negative mining — per anchor, top-5
+    // candidates with cosine in the hard band [0.30, 0.85): the
+    // SimCSE/DPR training-pair builder, seventh operator off the one
+    // shared persisted IVF index; same probed-bucket scan as
+    // x3_ann_ivf_indexed (llm/SimilarityOps.hardNegativesIndexed). ----
+    ("x3_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.hardNegativesIndexed(queries, embLists(s, dir, 16),
+            "vec_id", "embedding", k = 5,
+            centroids = embCentroids(s, dir, 16), nProbe = 4,
+            loCos = 0.30, hiCos = 0.85)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CASE WHEN na = 0 OR nb = 0 THEN -2.0
+             |             ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS cosine FROM p),
+             |b AS (SELECT * FROM r WHERE cosine >= 0.30 AND cosine < 0.85),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM b)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X4: tokenizer-fit audit — per-source fertility (tokens per
+    // word) and char-fallback share under the merge-rank-faithful
+    // encoder; the "was this vocabulary trained for this domain"
+    // gate (llm/TextOps.vocabFitBySource over bpeEncodeRanked). ----
+    ("x4_vocab_fit",
+      (s: SparkSession, dir: String) => {
+        TextOps.vocabFitBySource(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source")
+      },
+      Some {
+        val sep = "\u001f"
+        def wrap(t: String) = sep + t + sep
+        val chain = TextOps.DemoBpeMerges.foldLeft("enc") { case (e, (x, y)) =>
+          s"replace($e, '${wrap(x) + wrap(y)}', '${wrap(x + y)}')"
+        }
+        s"""WITH bws AS (SELECT doc_id, string_split(lower(text), ' ') AS sw FROM documents),
+           |bw AS (SELECT doc_id, wpos, sw[wpos] AS w
+           |       FROM (SELECT doc_id, sw, unnest(generate_series(1, len(sw))) AS wpos FROM bws)
+           |       WHERE sw[wpos] <> ''),
+           |dw AS (SELECT DISTINCT w FROM bw),
+           |e0 AS (SELECT w, '$sep' || array_to_string(string_split(w, ''), '$sep$sep') || '$sep' AS enc FROM dw),
+           |ek AS (SELECT w, $chain AS enc FROM e0),
+           |wt AS (SELECT w, string_split(substr(enc, 2, len(enc) - 2), '$sep$sep') AS toks FROM ek),
+           |j AS (SELECT doc_id, wpos, toks FROM bw JOIN wt USING (w)),
+           |tokc AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM j GROUP BY 1),
+           |fl AS (SELECT doc_id, unnest(toks) AS tok FROM j),
+           |ch AS (SELECT doc_id, CAST(sum(CASE WHEN len(tok) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_char FROM fl GROUP BY 1),
+           |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM bw GROUP BY 1),
+           |per AS (SELECT d.source, d.doc_id,
+           |    COALESCE(wc.n_words, 0) AS n_words, COALESCE(tokc.n_tokens, 0) AS n_tokens,
+           |    COALESCE(ch.n_char, 0) AS n_char
+           |  FROM documents d LEFT JOIN wc USING (doc_id)
+           |  LEFT JOIN tokc USING (doc_id) LEFT JOIN ch USING (doc_id))
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  CASE WHEN sum(n_words) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE (CAST(sum(n_tokens) AS BIGINT) * 1000000) // CAST(sum(n_words) AS BIGINT) END AS fertility_ppm,
+           |  CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE (CAST(sum(n_char) AS BIGINT) * 1000000) // CAST(sum(n_tokens) AS BIGINT) END AS char_tok_ppm
+           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 
   /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the

@@ -236,6 +236,50 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Contrastive hard-negative mining off the persisted IVF lists —
+    * the training-pair builder for embedding models (SimCSE/DPR
+    * recipes): for each anchor, the top-k candidates whose cosine
+    * falls in the HARD band `[loCos, hiCos)` — similar enough to be
+    * informative, below the near-duplicate zone that would make them
+    * false negatives. Random negatives are trivially easy; mining the
+    * band is what moves retrieval metrics.
+    *
+    * Same probed-bucket shape as [[ivfTopKIndexed]] (seventh operator
+    * off the one shared IVF index): only `nProbe` buckets per anchor
+    * scan, each (anchor, candidate) scored once with the quantized
+    * integer dot. The band keeps recall semantics honest: a hard
+    * negative missed because it lives outside every probed bucket is
+    * the standard IVF recall trade, measured for this index in
+    * BASELINE.md's banding/recall tables.
+    *
+    * @return per anchor up to k rows: `query_id, rank, neighbor_id,
+    *         cosine` (rank 1 = hardest), ordered by the caller
+    */
+  def hardNegativesIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
+                           vecCol: String, k: Int, centroids: DataFrame,
+                           nProbe: Int, loCos: Double, hiCos: Double): DataFrame = {
+    require(loCos < hiCos, s"band [$loCos, $hiCos) is empty")
+    val bucketed = lists
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"),
+        col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"),
+        col("__qv").as("__qa"), col("__n2").as("__qn2"))
+    val scored = probes.join(bucketed, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")),
+          col("__qn2"), col("__cn2")).as("cosine"))
+      // the band test runs on the SAME quantized-integer-derived
+      // double both engines compute — one IEEE op sequence, exact
+      .filter(col("cosine") >= loCos && col("cosine") < hiCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** X2 (embedding variant): near-duplicate pairs by cosine >=
     * `num/den` over all `id_a < id_b` pairs. The threshold test is done
     * on the all-integer dot/norms (den²·dot² vs num²·n2a·n2b, guarded

@@ -1374,6 +1374,45 @@ object TextOps {
       .orderBy(col("score_q").desc, col("phrase")).limit(topK)
   }
 
+  /** Tokenizer-fit audit per source: FERTILITY (tokens per
+    * whitespace word — the cost multiplier a tokenizer imposes on a
+    * domain; >2 means the vocabulary wasn't trained for it) and the
+    * CHARACTER-FALLBACK share (single-char tokens ≈ byte-fallback
+    * rate — the "vocabulary doesn't know these words" signal). Runs
+    * the merge-rank-faithful encoder ([[bpeEncodeRanked]]), so the
+    * numbers reflect the segmentation training would actually see.
+    *
+    * Same scale shape as the encoder: the replace-chain runs over
+    * DISTINCT words, the corpus side is map-only, and the report is
+    * one partial-agg rollup per source.
+    *
+    * @return one row per source: `source, n_docs, n_words, n_tokens,
+    *         fertility_ppm, char_tok_ppm`, ordered by source
+    */
+  def vocabFitBySource(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String,
+                       merges: Seq[(String, String)] = DemoBpeMerges): DataFrame = {
+    val enc = bpeEncodeRanked(docs, idCol, textCol, merges)
+    val meta = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      size(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
+        .cast("long").as("n_words"))
+    val toks = enc.select(col("doc_id"), col("n_tokens"),
+      size(filter(split(col("toks"), "\\|"), t => length(t) === 1))
+        .cast("long").as("n_char_toks"))
+    meta.join(toks, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_char_toks")).as("n_char_toks"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("CASE WHEN n_words = 0 THEN 0L ELSE (n_tokens * 1000000) div n_words END")
+          .as("fertility_ppm"),
+        expr("CASE WHEN n_tokens = 0 THEN 0L ELSE (n_char_toks * 1000000) div n_tokens END")
+          .as("char_tok_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** N-gram novelty vs a reference slice — the memorization /
     * freshness audit (the flip side of decontamination: instead of
     * dropping overlap, MEASURE it): what fraction of each source's

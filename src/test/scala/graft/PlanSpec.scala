@@ -642,4 +642,16 @@ class PlanSpec extends SparkSpec {
     plan should include("WindowGroupLimit")
     plan should not include "CartesianProduct"
   }
+
+  test("x3_hard_negatives: probed-bucket equi-join off the stored lists; no cartesian") {
+    val plan = formatted("x3_hard_negatives")
+    plan should not include "CartesianProduct"
+    plan should include("Window") // per-anchor rank over band survivors
+  }
+
+  test("x4_vocab_fit: distinct-word replace-chain broadcasts back; corpus never sort-merges") {
+    val plan = formatted("x4_vocab_fit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }

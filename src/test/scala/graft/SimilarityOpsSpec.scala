@@ -541,4 +541,24 @@ class SimilarityOpsSpec extends SparkSpec {
     r.getAs[Long]("n") shouldBe 1L
     r.isNullAt(r.fieldIndex("avg_pair_cos")) shouldBe true
   }
+
+  test("hardNegativesIndexed: only the band survives, ranked hardest-first") {
+    // anchor (1,0); corpus: near-dup (2,0) cos 1.0 (over the band),
+    // (1,1) cos .7071 and (3,4) cos .6 (in [0.3,.85)), (0,1) cos 0
+    val corpus = Seq(
+      (10L, Seq(2.0f, 0.0f)), (11L, Seq(1.0f, 1.0f)),
+      (12L, Seq(3.0f, 4.0f)), (13L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val anchors = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 1)
+    val lists = SimilarityOps.ivfInvertedLists(corpus, "vec_id", "embedding", cents)
+    val got = SimilarityOps.hardNegativesIndexed(anchors, lists, "vec_id",
+        "embedding", k = 5, centroids = cents, nProbe = 1,
+        loCos = 0.30, hiCos = 0.85)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.map(t => (t._1, t._2)).toSeq shouldBe Seq((1L, 11L), (2L, 12L))
+    got(0)._3 shouldBe 0.7071 +- 1e-3
+    got(1)._3 shouldBe 0.6 +- 1e-9
+  }
 }

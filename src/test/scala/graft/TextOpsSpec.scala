@@ -551,6 +551,26 @@ class TextOpsSpec extends SparkSpec {
     got shouldBe Seq("alpha beta")
   }
 
+  test("vocabFitBySource: fertility and char-fallback from the ranked encoder") {
+    // "the" merges to ONE token (t,h → th; th,e → the);
+    // "cat" → c|at (a,t merge; no c-merge) — 2 tokens, one single-char
+    val docs = Seq((1L, "the cat", "a")).toDF("doc_id", "text", "source")
+    val r = graft.llm.TextOps.vocabFitBySource(docs, "doc_id", "text", "source")
+      .head()
+    r.getAs[Long]("n_words") shouldBe 2L
+    r.getAs[Long]("n_tokens") shouldBe 3L
+    r.getAs[Long]("fertility_ppm") shouldBe 1500000L
+    r.getAs[Long]("char_tok_ppm") shouldBe 333333L
+  }
+
+  test("vocabFitBySource: empty text keeps its doc row with zero ratios") {
+    val docs = Seq((1L, "", "a")).toDF("doc_id", "text", "source")
+    val r = graft.llm.TextOps.vocabFitBySource(docs, "doc_id", "text", "source")
+      .head()
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+      r.getAs[Long]("fertility_ppm")) shouldBe ((1L, 0L, 0L))
+  }
+
   test("ngramNoveltyBySource: exact novel-bigram share vs the reference slice") {
     val docs = Seq(
       (0L, "a b c", "ref"),    // reference: bigrams {a b, b c}
