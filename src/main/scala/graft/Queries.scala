@@ -6873,7 +6873,61 @@ object Queries {
            |  CASE WHEN sum(n_tokens) = 0 THEN CAST(0 AS BIGINT)
            |       ELSE (CAST(sum(n_char) AS BIGINT) * 1000000) // CAST(sum(n_tokens) AS BIGINT) END AS char_tok_ppm
            |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // ---- STATS: minimum detectable effect per event type — the
+    // experiment-DESIGN gate ("how small a lift could a 50/50 test on
+    // this metric even see at 80% power"); exact integer moments,
+    // standard rounded normal quantiles (dfw/AuditOps
+    // .minDetectableEffect). Metric: per-user event count. ----
+    ("q_power_mde",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x"))
+        AuditOps.minDetectableEffect(perUser, col("event_type"), col("x"))
+          .withColumnRenamed("grp", "event_type")
+      },
+      Some("""WITH u AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+             |  FROM u GROUP BY 1),
+             |f AS (SELECT event_type, n, sx, n // 2 AS n_per_arm,
+             |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |    CASE WHEN n > 1 THEN sqrt(CAST(sxx * n - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sd
+             |  FROM st),
+             |m AS (SELECT *, CASE WHEN n_per_arm > 0
+             |    THEN (1.96 + 0.8416) * sd * sqrt(2.0 / CAST(n_per_arm AS DOUBLE)) END AS mde
+             |  FROM f)
+             |SELECT event_type, n, CAST(n_per_arm AS BIGINT) AS n_per_arm,
+             |  round(mean, 6) AS mean, round(sd, 6) AS sd, round(mde, 6) AS mde_abs,
+             |  CASE WHEN sx > 0 THEN CAST(round(mde / mean * 1000000) AS BIGINT) END AS mde_rel_ppm
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // ---- MAINTENANCE: partition-skew audit on the ingest-day layout
+    // key — max/avg row skew on the exact integer grid, the check a
+    // capacity planner runs before making a column the partition key
+    // (dfw/AuditOps.partitionSkew). ----
+    ("m6_partition_skew",
+      (s: SparkSession, dir: String) => {
+        AuditOps.partitionSkew(Tables.load(s, dir, "events"),
+          to_date(col("ts")))
+      },
+      Some("""WITH p AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+             |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(c) AS BIGINT) AS total_rows,
+             |    CAST(min(c) AS BIGINT) AS min_rows, CAST(max(c) AS BIGINT) AS max_rows
+             |  FROM p),
+             |h AS (SELECT k AS heaviest_key FROM p, a
+             |  WHERE p.c = a.max_rows ORDER BY k LIMIT 1)
+             |SELECT a.n_keys, a.total_rows, a.min_rows, a.max_rows,
+             |  (a.max_rows * a.n_keys * 1000000) // a.total_rows AS skew_ppm,
+             |  h.heaviest_key
+             |FROM a, h""".stripMargin))
   )
 
   /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the

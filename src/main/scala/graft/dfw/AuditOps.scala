@@ -667,6 +667,69 @@ object AuditOps {
         round(col("__hi").cast("double") / 1e6, 6).as("ci_hi"))
   }
 
+  /** Minimum detectable effect (MDE) at 80% power / 5% two-sided α,
+    * per group — the experiment-DESIGN half of the A/B toolkit (the
+    * tests above answer "did it move"; this answers "how small a move
+    * could next week's test even see"). Classic two-sample normal
+    * approximation: MDE = (z_{α/2} + z_β) · σ · √(2/n) with n the
+    * per-arm size a 50/50 split of the group would give.
+    *
+    * One partial-agg pass of exact integer moments per group; σ and
+    * the MDE are a fixed IEEE sequence over those integers. Constants
+    * 1.96 / 0.8416 are the standard rounded normal quantiles, shared
+    * with any replaying engine.
+    *
+    * @param valueQ integer metric column (quantize upstream)
+    * @return per group: `n, n_per_arm, mean, sd, mde_abs` (6 dp),
+    *         `mde_rel_ppm` (vs the mean; NULL when mean is 0),
+    *         ordered by group
+    */
+  def minDetectableEffect(df: DataFrame, groupCol: Column,
+                          valueQ: Column): DataFrame = {
+    val x = valueQ.cast("long")
+    val z = 1.96 + 0.8416
+    val stats = df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"),
+        sum(x.cast("decimal(38,0)") * x.cast("decimal(38,0)")).as("__sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("__sx").cast("double") / nD
+    val sd = when(col("n") > 1,
+      sqrt((col("__sxx") * col("n") - col("__sx").cast("decimal(38,0)")
+        * col("__sx").cast("decimal(38,0)")).cast("double") /
+        (nD * (nD - 1.0))))
+    val nArm = (col("n") / lit(2L)).cast("long")
+    val mde = when(nArm > 0, lit(z) * sd * sqrt(lit(2.0) / nArm.cast("double")))
+    stats.select(col("grp"), col("n"), nArm.as("n_per_arm"),
+      round(mean, 6).as("mean"), round(sd, 6).as("sd"),
+      round(mde, 6).as("mde_abs"),
+      when(col("__sx") > 0, round(mde / mean * 1e6).cast("long"))
+        .as("mde_rel_ppm"))
+      .orderBy(col("grp"))
+  }
+
+  /** Partition-skew audit over a layout key (ingest day, tenant,
+    * shard): per-key row counts reduced to the skew summary a
+    * capacity planner reads before the key becomes a partition
+    * column — `skew_ppm = max·k·1e6 div total` (max/avg on the exact
+    * integer grid; 1e6 = perfectly uniform). One partial-agg groupBy
+    * to key cardinality, one one-row reduce, an argmax for the
+    * heaviest key.
+    *
+    * @return single row: `n_keys, total_rows, min_rows, max_rows,
+    *         skew_ppm, heaviest_key` (smallest key attaining max)
+    */
+  def partitionSkew(df: DataFrame, keyCol: Column): DataFrame = {
+    val perKey = df.groupBy(keyCol.cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("total_rows"),
+      min(col("c")).as("min_rows"), max(col("c")).as("max_rows"),
+      min_by(col("k"), struct(-col("c"), col("k"))).as("heaviest_key"))
+      .select(col("n_keys"), col("total_rows"), col("min_rows"),
+        col("max_rows"),
+        expr("(max_rows * n_keys * 1000000) div total_rows").as("skew_ppm"),
+        col("heaviest_key"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a (small) table of test
     * results — the multiple-comparison guard every k-hypothesis sweep
     * needs before acting on its p-values ("5 of 40 event types

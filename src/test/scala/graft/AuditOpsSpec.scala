@@ -280,4 +280,33 @@ class AuditOpsSpec extends SparkSpec {
     // step-up: every min_{j≥i} lands on the top rank's 0.95·3/3
     got.map(_._1).toSet shouldBe Set(0.95)
   }
+
+  test("minDetectableEffect: hand-computed MDE on a 0/2 alternating metric") {
+    // n=100, mean 1, var = (100·200 − 100²)/9900 → sd 1.00504;
+    // per-arm 50 → mde = 2.8016 · sd · √(2/50) ≈ 0.563145
+    val df = (1 to 100).map(i => ("g", (i % 2) * 2L)).toDF("grp", "x")
+    val r = AuditOps.minDetectableEffect(df, col("grp"), col("x")).head()
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Long]("n_per_arm") shouldBe 50L
+    r.getAs[Double]("mean") shouldBe 1.0
+    r.getAs[Double]("mde_abs") shouldBe 0.563145 +- 1e-4
+    r.getAs[Long]("mde_rel_ppm") shouldBe 563145L +- 200L
+  }
+
+  test("minDetectableEffect: singleton group has no sd/mde (never NaN)") {
+    val df = Seq(("g", 5L)).toDF("grp", "x")
+    val r = AuditOps.minDetectableEffect(df, col("grp"), col("x")).head()
+    r.isNullAt(r.fieldIndex("sd")) shouldBe true
+    r.isNullAt(r.fieldIndex("mde_abs")) shouldBe true
+  }
+
+  test("partitionSkew: max/avg on the integer grid, heaviest key ties break low") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c"))
+      .toDF("k")
+    val r = AuditOps.partitionSkew(df, col("k")).head()
+    (r.getAs[Long]("n_keys"), r.getAs[Long]("total_rows")) shouldBe ((3L, 20L))
+    (r.getAs[Long]("min_rows"), r.getAs[Long]("max_rows")) shouldBe ((5L, 10L))
+    r.getAs[Long]("skew_ppm") shouldBe 1500000L // 10·3·1e6/20
+    r.getAs[String]("heaviest_key") shouldBe "b"
+  }
 }

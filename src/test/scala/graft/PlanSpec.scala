@@ -654,4 +654,17 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("q_power_mde: two stacked aggregates, nothing else") {
+    val plan = formatted("q_power_mde")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("m6_partition_skew: key-cardinality aggregate then a one-row reduce") {
+    val plan = formatted("m6_partition_skew")
+    plan should not include "Join"
+    plan should not include "Window"
+    "HashAggregate".r.findAllIn(plan).size should be >= 4
+  }
 }
