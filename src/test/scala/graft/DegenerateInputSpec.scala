@@ -142,4 +142,52 @@ class DegenerateInputSpec extends SparkSpec {
     ck.length shouldBe 1 // unkeyed reduce row; n=0, ratios null
     ck(0).getAs[Long]("n") shouldBe 0L
   }
+
+  test("round-13 continuation operators tolerate empty input") {
+    import graft.dfw.{AuditOps, MergeOps, PathOps}
+    val noVals = Seq.empty[(Double, Boolean)].toDF("v", "is_ref")
+    // unkeyed reduce: mannWhitney emits no row (empty cross of two
+    // empty aggregates is fine either way — the pin is "no throw")
+    noException should be thrownBy
+      QuantileOps.mannWhitney(noVals, "v", col("is_ref"), numParts = 2).collect()
+    QuantileOps.ksTestByGroup(noVals.withColumn("g", lit("a")), col("g"),
+      "v", col("is_ref")).collect() shouldBe empty
+    QuantileOps.quantileTreatmentEffect(
+      Seq.empty[(Int, Double)].toDF("arm", "x"), col("arm"), "x",
+      Seq(0.5), numParts = 2).collect() shouldBe empty
+    AuditOps.poissonBootstrapMean(Seq.empty[(Long, Double)].toDF("k", "x"),
+      col("k"), col("x"), reps = 40).collect() shouldBe empty
+    AuditOps.bhAdjust(Seq.empty[(String, Double)].toDF("id", "p"),
+      col("p"), Seq(col("id")), 0.05).collect() shouldBe empty
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    PathOps.topPaths(noEv, col("user_id"), col("ts"), col("event_type"),
+      Seq(col("ts"), col("event_id"))).collect() shouldBe empty
+    PathOps.markovAttribution(noEv, col("user_id"), col("ts"),
+      col("event_type"), "purchase",
+      Seq(col("ts"), col("event_id"))).collect() shouldBe empty
+    val noParts = Seq.empty[(String, Long, Long)].toDF("g", "cnt", "s")
+    MergeOps.mergePartials(noParts, noParts, Seq("g")).collect() shouldBe empty
+    graft.llm.GraphOps.adamicAdar(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst").collect() shouldBe empty
+    graft.llm.GraphOps.hitsInt(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst", rounds = 2).collect() shouldBe empty
+    TextOps.rakeKeywords(noDocs, "doc_id", "text").collect() shouldBe empty
+    TextOps.ngramNoveltyBySource(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", col("doc_id") % 2 === 0).collect() shouldBe empty
+    TextOps.vocabFitBySource(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source").collect() shouldBe empty
+    SplitOps.neymanAllocationSample(Seq.empty[(String, Long, Long)]
+      .toDF("st", "x", "k"), col("st"), col("x"), col("k"), 10L)
+      .collect() shouldBe empty
+    AuditOps.minDetectableEffect(Seq.empty[(String, Long)].toDF("g", "x"),
+      col("g"), col("x")).collect() shouldBe empty
+    // unkeyed reduce over zero keys: one row, null stats, no throw
+    val sk = AuditOps.partitionSkew(Seq.empty[(String, Long)].toDF("k", "x"),
+      col("k")).collect()
+    sk.length shouldBe 1
+    sk(0).getAs[Long]("n_keys") shouldBe 0L
+  }
 }
