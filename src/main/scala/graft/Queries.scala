@@ -6927,7 +6927,71 @@ object Queries {
              |SELECT a.n_keys, a.total_rows, a.min_rows, a.max_rows,
              |  (a.max_rows * a.n_keys * 1000000) // a.total_rows AS skew_ppm,
              |  h.heaviest_key
-             |FROM a, h""".stripMargin))
+             |FROM a, h""".stripMargin)),
+
+    // ---- STATS: sample-ratio-mismatch check — the first diagnostic
+    // every experiment platform runs daily: does the observed arm
+    // split match the design? One-dof chi-squared over exact counts,
+    // alarm at the conventional p < 0.001 (dfw/AuditOps
+    // .sampleRatioCheck). Arm = md5(user) mod 3 == 0, design 1/3. ----
+    ("q_srm",
+      (s: SparkSession, dir: String) => {
+        val users = Tables.load(s, dir, "events")
+          .select(col("user_id")).distinct()
+        AuditOps.sampleRatioCheck(users,
+          pmod(DedupOps.md5TokenHash(col("user_id").cast("string")), lit(3)) === 0,
+          expectedAPpm = 333333L)
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0
+             |             THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+             |  FROM u),
+             |f AS (SELECT n, n_a, n - n_a AS n_b,
+             |    CAST(n AS DOUBLE) * (333333 / 1000000.0) AS ea,
+             |    CAST(n AS DOUBLE) * ((1000000 - 333333) / 1000000.0) AS eb FROM c)
+             |SELECT n, n_a, n_b, CAST(333333 AS BIGINT) AS expected_a_ppm,
+             |  CASE WHEN n > 0 THEN (n_a * 1000000) // n END AS observed_a_ppm,
+             |  CASE WHEN n > 0 THEN round(
+             |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+             |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb, 4) END AS chi2,
+             |  CASE WHEN n > 0 THEN
+             |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+             |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb > 10.8276 END AS srm
+             |FROM f""".stripMargin)),
+
+    // ---- STATS: distribution-free median CI from order statistics
+    // (sign/binomial construction) — the honest interval when the
+    // metric is skewed enough that the median was chosen over the
+    // mean; all four order stats from ONE rank-select pass
+    // (dfw/QuantileOps.medianCi). ----
+    ("q_median_ci",
+      (s: SparkSession, dir: String) => {
+        graft.dfw.QuantileOps.medianCi(
+          Tables.load(s, dir, "lineitem").select("l_extendedprice"),
+          "l_extendedprice", numParts = 32)
+      },
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |b AS (SELECT n,
+             |    GREATEST(CAST(1 AS BIGINT), CAST(floor((CAST(n AS DOUBLE)
+             |      - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rlo,
+             |    LEAST(n, CAST(ceil(1.0 + (CAST(n AS DOUBLE)
+             |      + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rhi,
+             |    CAST(floor((CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0) AS BIGINT) AS mlo,
+             |    CAST(ceil((CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0) AS BIGINT) AS mhi,
+             |    ((CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0)
+             |      - floor((CAST(n AS DOUBLE) - 1.0) * 0.5 + 1.0) AS mf
+             |  FROM t),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+             |SELECT b.n,
+             |  round(min(CASE WHEN r.rn = b.mlo THEN r.v END)
+             |    + b.mf * (min(CASE WHEN r.rn = b.mhi THEN r.v END)
+             |              - min(CASE WHEN r.rn = b.mlo THEN r.v END)), 6) AS median,
+             |  round(min(CASE WHEN r.rn = b.rlo THEN r.v END), 6) AS ci_lo,
+             |  round(min(CASE WHEN r.rn = b.rhi THEN r.v END), 6) AS ci_hi
+             |FROM r, b GROUP BY b.n, b.mf""".stripMargin))
   )
 
   /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the

@@ -707,6 +707,43 @@ object AuditOps {
       .orderBy(col("grp"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the first A/B diagnostic a
+    * real experimentation platform runs: if the observed arm split
+    * deviates from the DESIGNED split, every downstream test on that
+    * experiment is suspect (broken assignment, biased logging,
+    * bot filtering hitting one arm). One-dof chi-squared of observed
+    * (n_a, n_b) against the expected ratio; alarm at the
+    * conventional p < 0.001 (χ² > 10.8276) — SRM checks run on every
+    * experiment every day, so a 0.05 alarm would page constantly.
+    *
+    * One partial-agg pass; the statistic is a fixed IEEE sequence
+    * over two exact integer counts.
+    *
+    * @param isArmA       assignment predicate (NULL rows count as B)
+    * @param expectedAPpm designed share of arm A in ppm (500000 =
+    *                     50/50)
+    * @return single row: `n, n_a, n_b, expected_a_ppm,
+    *         observed_a_ppm, chi2` (4 dp), `srm` (p < 0.001 flag)
+    */
+  def sampleRatioCheck(df: DataFrame, isArmA: Column,
+                       expectedAPpm: Long): DataFrame = {
+    require(expectedAPpm > 0 && expectedAPpm < 1000000,
+      s"expected share must be in (0, 1e6) ppm, got $expectedAPpm")
+    val counts = df
+      .agg(count(lit(1)).as("n"),
+        sum(when(isArmA, 1L).otherwise(0L)).as("n_a"))
+      .withColumn("n_b", col("n") - col("n_a"))
+    val ea = col("n").cast("double") * (expectedAPpm / 1e6)
+    val eb = col("n").cast("double") * ((1000000 - expectedAPpm) / 1e6)
+    val chi2 = (col("n_a").cast("double") - ea) * (col("n_a").cast("double") - ea) / ea +
+      (col("n_b").cast("double") - eb) * (col("n_b").cast("double") - eb) / eb
+    counts.select(col("n"), col("n_a"), col("n_b"),
+      lit(expectedAPpm).as("expected_a_ppm"),
+      when(col("n") > 0, expr("(n_a * 1000000) div n")).as("observed_a_ppm"),
+      when(col("n") > 0, round(chi2, 4)).as("chi2"),
+      when(col("n") > 0, chi2 > 10.8276).as("srm"))
+  }
+
   /** Partition-skew audit over a layout key (ingest day, tenant,
     * shard): per-key row counts reduced to the skew summary a
     * capacity planner reads before the key becomes a partition

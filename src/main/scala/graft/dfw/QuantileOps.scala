@@ -295,6 +295,54 @@ object QuantileOps {
           (col("n_ref") + col("n_cur")).cast("double")), 6).as("cramers_v"))
   }
 
+  /** Distribution-free confidence interval for the MEDIAN from order
+    * statistics (the binomial/sign construction): ranks
+    * `(n ± z·√n)/2` bracket the true median at ~95% coverage with NO
+    * distributional assumption — the right CI when the metric is
+    * skewed enough that the median was chosen over the mean in the
+    * first place. The median itself interpolates the same
+    * `quantile_cont` definition as [[exactQuantiles]].
+    *
+    * All four needed order statistics come from ONE
+    * range-partitioned rank pass ([[SplitOps.rankByPermutationScalable]]
+    * — reducer state O(1), never `percentile()`'s value map) and one
+    * broadcast join of a 1-row rank table.
+    *
+    * @return single row: `n, median, ci_lo, ci_hi` (6 dp)
+    */
+  def medianCi(df: DataFrame, valueCol: String, numParts: Int = 32): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__g", lit(1))
+    val ranked = SplitOps
+      .rankByPermutationScalable(vals, Seq("__g"), Seq(col("__v")), numParts)
+      .select(col("rn"), col("__v")) // drop the helper's own n/pos columns
+    val z = 1.959964
+    val nD = col("n").cast("double")
+    val pos = (nD - 1.0) * 0.5 + 1.0
+    val bounds = vals.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        greatest(lit(1L), floor((nD - lit(z) * sqrt(nD)) / 2.0).cast("long"))
+          .as("__rlo"),
+        least(col("n"), ceil(lit(1.0) + (nD + lit(z) * sqrt(nD)) / 2.0).cast("long"))
+          .as("__rhi"),
+        floor(pos).cast("long").as("__mlo"),
+        ceil(pos).cast("long").as("__mhi"),
+        (pos - floor(pos)).as("__mf"))
+    ranked.join(broadcast(bounds),
+        col("rn") === col("__rlo") || col("rn") === col("__rhi") ||
+          col("rn") === col("__mlo") || col("rn") === col("__mhi"))
+      .groupBy(col("n"), col("__mf"))
+      .agg(min(when(col("rn") === col("__rlo"), col("__v"))).as("__lo"),
+        min(when(col("rn") === col("__rhi"), col("__v"))).as("__hi"),
+        min(when(col("rn") === col("__mlo"), col("__v"))).as("__ml"),
+        min(when(col("rn") === col("__mhi"), col("__v"))).as("__mh"))
+      .select(col("n"),
+        round(col("__ml") + col("__mf") * (col("__mh") - col("__ml")), 6)
+          .as("median"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Per-group two-sample KS drift tests — one [[ksTest]] row per
     * value of `grpCol`, the input shape a multiple-comparison sweep
     * ([[graft.dfw.AuditOps.bhAdjust]]) wants ("which event types'

@@ -300,6 +300,18 @@ class AuditOpsSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("mde_abs")) shouldBe true
   }
 
+  test("sampleRatioCheck: balanced split passes, 90/10 vs 50/50 alarms") {
+    val balanced = (1 to 100).map(i => i % 2 == 0).toDF("a")
+    val ok = AuditOps.sampleRatioCheck(balanced, col("a"), 500000L).head()
+    ok.getAs[Double]("chi2") shouldBe 0.0
+    ok.getAs[Boolean]("srm") shouldBe false
+    val skewed = (Seq.fill(90)(true) ++ Seq.fill(10)(false)).toDF("a")
+    val bad = AuditOps.sampleRatioCheck(skewed, col("a"), 500000L).head()
+    // chi2 = 40²/50 + 40²/50 = 64
+    bad.getAs[Double]("chi2") shouldBe 64.0
+    bad.getAs[Boolean]("srm") shouldBe true
+  }
+
   test("partitionSkew: max/avg on the integer grid, heaviest key ties break low") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c"))
       .toDF("k")

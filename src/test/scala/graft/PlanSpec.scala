@@ -667,4 +667,16 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
     "HashAggregate".r.findAllIn(plan).size should be >= 4
   }
+
+  test("q_srm: one aggregate pass, no join, no window") {
+    val plan = formatted("q_srm")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("q_median_ci: rank-select order stats — 1-row rank table broadcast, no sort-merge") {
+    val plan = formatted("q_median_ci")
+    plan should include("BroadcastNestedLoopJoin") // OR-rank probe vs 1-row bounds
+    plan should not include "SortMergeJoin"
+  }
 }

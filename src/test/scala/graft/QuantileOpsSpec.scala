@@ -152,6 +152,26 @@ class QuantileOpsSpec extends SparkSpec {
     per.getAs[Double]("p_value") shouldBe ref.getAs[Double]("p_value")
   }
 
+  test("medianCi: order-statistic bounds and interpolated median on 1..9") {
+    // n=9: median rank 5 → 5.0; z√9 = 5.88 → rlo floor(1.56)=1,
+    // rhi ceil(8.44)=9 — the CI spans the whole small sample
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val r = QuantileOps.medianCi(df, "v", numParts = 2).head()
+    r.getAs[Long]("n") shouldBe 9L
+    r.getAs[Double]("median") shouldBe 5.0
+    r.getAs[Double]("ci_lo") shouldBe 1.0
+    r.getAs[Double]("ci_hi") shouldBe 9.0
+  }
+
+  test("medianCi: even n interpolates; larger n tightens the interval") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = QuantileOps.medianCi(df, "v", numParts = 4).head()
+    r.getAs[Double]("median") shouldBe 50.5
+    // rlo = floor((100-19.6)/2) = 40; rhi = ceil(1+(100+19.6)/2) = 61
+    r.getAs[Double]("ci_lo") shouldBe 40.0
+    r.getAs[Double]("ci_hi") shouldBe 61.0
+  }
+
   test("quantileTreatmentEffect: a constant shift shows at every quantile") {
     val df = ((1 to 9).map(v => (0, v.toDouble)) ++
       (1 to 9).map(v => (1, v.toDouble + 10))).toDF("arm", "x")
