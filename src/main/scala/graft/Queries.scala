@@ -6991,7 +6991,34 @@ object Queries {
              |              - min(CASE WHEN r.rn = b.mlo THEN r.v END)), 6) AS median,
              |  round(min(CASE WHEN r.rn = b.rlo THEN r.v END), 6) AS ci_lo,
              |  round(min(CASE WHEN r.rn = b.rhi THEN r.v END), 6) AS ci_hi
-             |FROM r, b GROUP BY b.n, b.mf""".stripMargin))
+             |FROM r, b GROUP BY b.n, b.mf""".stripMargin)),
+
+    // ---- T: weight-of-evidence encoding + information value — the
+    // supervised categorical screen ("does source predict
+    // non-English?"); Laplace-adjusted shares, per-category IV terms
+    // ppm-quantized before the order-free total (dfw/TransformOps
+    // .woeEncode). ----
+    ("t_woe_encode",
+      (s: SparkSession, dir: String) => {
+        TransformOps.woeEncode(Tables.load(s, dir, "documents"),
+          col("source"), col("lang") =!= "en")
+      },
+      Some("""WITH c AS (SELECT source AS cat, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(sum(n - n_bad) AS BIGINT) AS gt,
+             |    CAST(sum(n_bad) AS BIGINT) AS bt, CAST(count(*) AS BIGINT) AS k FROM c),
+             |w AS (SELECT c.cat, c.n, c.n_bad,
+             |    ln(((CAST(c.n - c.n_bad AS DOUBLE) + 0.5) / (CAST(t.gt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+             |     / ((CAST(c.n_bad AS DOUBLE) + 0.5) / (CAST(t.bt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))) AS woe,
+             |    ((CAST(c.n - c.n_bad AS DOUBLE) + 0.5) / (CAST(t.gt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)))
+             |     - ((CAST(c.n_bad AS DOUBLE) + 0.5) / (CAST(t.bt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE))) AS dsh
+             |  FROM c, t),
+             |q AS (SELECT cat, n, n_bad, woe,
+             |    CAST(round(dsh * woe * 1000000) AS BIGINT) AS iv_q FROM w),
+             |tot AS (SELECT CAST(sum(iv_q) AS BIGINT) AS iv_total_q FROM q)
+             |SELECT q.cat, q.n, q.n_bad, round(q.woe, 6) AS woe, q.iv_q, tot.iv_total_q
+             |FROM q, tot ORDER BY q.cat""".stripMargin))
   )
 
   /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the

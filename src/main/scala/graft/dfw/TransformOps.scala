@@ -102,6 +102,47 @@ object TransformOps {
     * @param cols integer-valued columns to standardize; emits
     *             `<col>_z` rounded to 6
     */
+  /** Weight-of-evidence (WoE) encoding + information value — the
+    * classic supervised categorical encoding (credit-scoring
+    * heritage, still the standard "is this feature worth keeping"
+    * screen): per category, WoE = ln(good-share / bad-share); the
+    * category's IV contribution is (gshare − bshare)·WoE, and the
+    * feature's total IV reads on the usual <0.02 useless / >0.3
+    * strong scale. Both shares carry the conventional +0.5 Laplace
+    * adjustment so zero cells stay finite.
+    *
+    * Plan shape: one vocabulary-bounded groupBy, one-row totals
+    * broadcast, per-category IV terms quantized to integer ppm BEFORE
+    * the order-free total (the [[graft.dfw.QuantileOps.psiDrift]]
+    * discipline), total broadcast back per row.
+    *
+    * @param isBad binary target predicate (NULL counts as good)
+    * @return one row per category: `cat, n, n_bad, woe` (6 dp),
+    *         `iv_q` (contribution, ppm), `iv_total_q` (same each
+    *         row), ordered by cat
+    */
+  def woeEncode(df: DataFrame, catCol: Column, isBad: Column): DataFrame = {
+    val cells = df
+      .select(catCol.as("cat"), when(isBad, 1L).otherwise(0L).as("__b"))
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("__b")).as("n_bad"))
+      .withColumn("__good", col("n") - col("n_bad"))
+    val totals = cells.agg(sum(col("__good")).as("__gt"),
+      sum(col("n_bad")).as("__bt"), count(lit(1)).as("__k"))
+    val gsh = (col("__good").cast("double") + 0.5) /
+      (col("__gt").cast("double") + lit(0.5) * col("__k").cast("double"))
+    val bsh = (col("n_bad").cast("double") + 0.5) /
+      (col("__bt").cast("double") + lit(0.5) * col("__k").cast("double"))
+    val scored = cells.crossJoin(broadcast(totals))
+      .withColumn("woe", log(gsh / bsh))
+      .withColumn("iv_q", round((gsh - bsh) * col("woe") * 1e6).cast("long"))
+    val total = scored.agg(sum(col("iv_q")).as("iv_total_q"))
+    scored.crossJoin(broadcast(total))
+      .select(col("cat"), col("n"), col("n_bad"), round(col("woe"), 6).as("woe"),
+        col("iv_q"), col("iv_total_q"))
+      .orderBy(col("cat"))
+  }
+
   def standardizeByGroup(df: DataFrame, groupCols: Seq[String],
                          cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>

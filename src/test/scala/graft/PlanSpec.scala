@@ -679,4 +679,11 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastNestedLoopJoin") // OR-rank probe vs 1-row bounds
     plan should not include "SortMergeJoin"
   }
+
+  test("t_woe_encode: vocabulary aggregate with broadcast totals — no window, no sort-merge") {
+    val plan = formatted("t_woe_encode")
+    plan should include("BroadcastNestedLoopJoin") // 1-row totals cross
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+  }
 }

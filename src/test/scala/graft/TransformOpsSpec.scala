@@ -477,4 +477,30 @@ class TransformOpsSpec extends SparkSpec {
       .collect().count(_.getLong(1) == 50L)
     heavy should be >= 30 // E[heavy] ≈ 40·(50/51); even loose, >> half
   }
+
+  test("woeEncode: hand-computed WoE/IV with the +0.5 Laplace adjustment") {
+    // cat a: 8 good / 2 bad; cat b: 2 good / 8 bad. k=2, G=10, B=10.
+    // gsh_a = 8.5/11, bsh_a = 2.5/11 → woe_a = ln(3.4); symmetric for b.
+    val df = ((1 to 8).map(_ => ("a", false)) ++ (1 to 2).map(_ => ("a", true)) ++
+      (1 to 2).map(_ => ("b", false)) ++ (1 to 8).map(_ => ("b", true)))
+      .toDF("cat", "bad")
+    val got = TransformOps.woeEncode(df, col("cat"), col("bad"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val woeA = math.log(8.5 / 2.5)
+    val ivA = math.round((8.5 / 11 - 2.5 / 11) * woeA * 1e6)
+    got("a")._1 shouldBe 10L
+    got("a")._2 shouldBe 2L
+    got("a")._3 shouldBe math.rint(woeA * 1e6) / 1e6 +- 1e-6
+    got("a")._4 shouldBe ivA
+    got("b")._3 shouldBe -got("a")._3 // symmetric flip
+    got("a")._5 shouldBe got("a")._4 + got("b")._4 // total repeated per row
+  }
+
+  test("woeEncode: a zero-bad category stays finite via the adjustment") {
+    val df = (Seq.fill(5)(("a", false)) ++ Seq.fill(5)(("b", true))).toDF("cat", "bad")
+    val woes = TransformOps.woeEncode(df, col("cat"), col("bad"))
+      .collect().map(_.getDouble(3))
+    all(woes.map(math.abs)) should be < 10.0 // finite, no ±Infinity
+  }
 }
