@@ -7018,7 +7018,56 @@ object Queries {
              |    CAST(round(dsh * woe * 1000000) AS BIGINT) AS iv_q FROM w),
              |tot AS (SELECT CAST(sum(iv_q) AS BIGINT) AS iv_total_q FROM q)
              |SELECT q.cat, q.n, q.n_bad, round(q.woe, 6) AS woe, q.iv_q, tot.iv_total_q
-             |FROM q, tot ORDER BY q.cat""".stripMargin))
+             |FROM q, tot ORDER BY q.cat""".stripMargin)),
+
+    // ---- X3: contrastive training triplets — per anchor, its best
+    // positive (cosine ≥ 0.40 — this corpus's near tail) × top-3
+    // hard negatives ([0.25, 0.40) band); ONE probed-bucket pass
+    // feeds both branches; the dataset
+    // a SimCSE/DPR trainer consumes directly (llm/SimilarityOps
+    // .trainingPairsIndexed, eighth operator off the shared IVF
+    // index). ----
+    ("x3_training_pairs",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.trainingPairsIndexed(queries, embLists(s, dir, 16),
+            "vec_id", "embedding", centroids = embCentroids(s, dir, 16),
+            nProbe = 4, posCos = 0.40, loCos = 0.25, hiCos = 0.40, negK = 3)
+          .orderBy(col("query_id"), col("neg_rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CASE WHEN na = 0 OR nb = 0 THEN -2.0
+             |             ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS cosine FROM p),
+             |pos AS (SELECT query_id, neighbor_id AS pos_id, cosine AS pos_cos
+             |        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rr
+             |              FROM r WHERE cosine >= 0.40) WHERE rr = 1),
+             |neg AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS neg_rank,
+             |        neighbor_id AS neg_id, cosine AS neg_cos
+             |        FROM r WHERE cosine >= 0.25 AND cosine < 0.40)
+             |SELECT pos.query_id, pos.pos_id, pos.pos_cos, neg.neg_rank, neg.neg_id, neg.neg_cos
+             |FROM pos JOIN neg USING (query_id) WHERE neg.neg_rank <= 3
+             |ORDER BY pos.query_id, neg.neg_rank""".stripMargin))
   )
 
   /** DuckDB oracle for [[graft.llm.GraphOps.hitsInt]] on the

@@ -259,17 +259,7 @@ object SimilarityOps {
                            vecCol: String, k: Int, centroids: DataFrame,
                            nProbe: Int, loCos: Double, hiCos: Double): DataFrame = {
     require(loCos < hiCos, s"band [$loCos, $hiCos) is empty")
-    val bucketed = lists
-      .select(col("centroid_id"), col(idCol).as("neighbor_id"),
-        col("__qv").as("__qb"), col("__n2").as("__cn2"))
-    val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
-      .select(col("centroid_id"), col(idCol).as("query_id"),
-        col("__qv").as("__qa"), col("__n2").as("__qn2"))
-    val scored = probes.join(bucketed, "centroid_id")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")),
-          col("__qn2"), col("__cn2")).as("cosine"))
+    val scored = probedCandidates(queries, lists, idCol, vecCol, centroids, nProbe)
       // the band test runs on the SAME quantized-integer-derived
       // double both engines compute — one IEEE op sequence, exact
       .filter(col("cosine") >= loCos && col("cosine") < hiCos)
@@ -278,6 +268,63 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Shared probed-bucket candidate scorer: each (anchor, candidate)
+    * co-located in one of the anchor's `nProbe` buckets, scored once
+    * with the quantized integer dot. Corpus vectors live in exactly
+    * ONE stored list, so no dedup is needed.
+    */
+  private def probedCandidates(queries: DataFrame, lists: DataFrame,
+                               idCol: String, vecCol: String,
+                               centroids: DataFrame, nProbe: Int): DataFrame = {
+    val bucketed = lists
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"),
+        col("__qv").as("__qb"), col("__n2").as("__cn2"))
+    val probes = assignBuckets(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"),
+        col("__qv").as("__qa"), col("__n2").as("__qn2"))
+    probes.join(bucketed, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        quantizedCosine(VectorFunctions.longDot(col("__qa"), col("__qb")),
+          col("__qn2"), col("__cn2")).as("cosine"))
+  }
+
+  /** End-to-end contrastive TRAINING-PAIR builder: per anchor, the
+    * single best positive (cosine ≥ `posCos` — a near-duplicate /
+    * paraphrase) crossed with its top-`negK` hard negatives
+    * ([[hardNegativesIndexed]]'s band) — the (anchor, positive,
+    * negative) triplets a SimCSE/DPR-style trainer consumes directly.
+    * Anchors lacking either side drop out (a triplet needs both).
+    *
+    * ONE probed-bucket scoring pass feeds both branches; the
+    * positive side is a per-anchor rank-1 window, the join back is
+    * anchor-keyed. Output is ≤ negK rows per surviving anchor.
+    *
+    * @return `query_id, pos_id, pos_cos, neg_rank, neg_id, neg_cos`
+    */
+  def trainingPairsIndexed(queries: DataFrame, lists: DataFrame, idCol: String,
+                           vecCol: String, centroids: DataFrame, nProbe: Int,
+                           posCos: Double, loCos: Double, hiCos: Double,
+                           negK: Int): DataFrame = {
+    require(hiCos <= posCos, s"negative band must sit below posCos ($hiCos > $posCos)")
+    val scored = probedCandidates(queries, lists, idCol, vecCol, centroids, nProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val positives = scored.filter(col("cosine") >= posCos)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val negatives = scored
+      .filter(col("cosine") >= loCos && col("cosine") < hiCos)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= negK)
+      .select(col("query_id"), col("neg_rank"),
+        col("neighbor_id").as("neg_id"), col("cosine").as("neg_cos"))
+    positives.join(negatives, "query_id")
+      .select("query_id", "pos_id", "pos_cos", "neg_rank", "neg_id", "neg_cos")
   }
 
   /** X2 (embedding variant): near-duplicate pairs by cosine >=

@@ -686,4 +686,10 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
     plan should not include "SortMergeJoin"
   }
+
+  test("x3_training_pairs: one probed-bucket pass, anchor-keyed pos×neg join, no cartesian") {
+    val plan = formatted("x3_training_pairs")
+    plan should not include "CartesianProduct"
+    plan should include("Window") // per-anchor pos/neg ranks
+  }
 }

@@ -561,4 +561,23 @@ class SimilarityOpsSpec extends SparkSpec {
     got(0)._3 shouldBe 0.7071 +- 1e-3
     got(1)._3 shouldBe 0.6 +- 1e-9
   }
+
+  test("trainingPairsIndexed: best positive crossed with ranked negatives; no-positive anchors drop") {
+    val corpus = Seq(
+      (10L, Seq(2.0f, 0.0f)),  // cos 1.0 vs anchor → the positive
+      (11L, Seq(1.0f, 1.0f)),  // 0.7071 → negative rank 1
+      (12L, Seq(3.0f, 4.0f)),  // 0.6    → negative rank 2
+      (13L, Seq(0.0f, 1.0f)))  // 0 → below the band
+      .toDF("vec_id", "embedding")
+    val anchors = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, -1.0f)))
+      .toDF("vec_id", "embedding") // anchor 2 has no cosine ≥ .85 → drops
+    val cents = SimilarityOps.ivfCentroids(corpus, "vec_id", "embedding", 1)
+    val lists = SimilarityOps.ivfInvertedLists(corpus, "vec_id", "embedding", cents)
+    val got = SimilarityOps.trainingPairsIndexed(anchors, lists, "vec_id",
+        "embedding", cents, nProbe = 1, posCos = 0.85, loCos = 0.30,
+        hiCos = 0.85, negK = 5)
+      .orderBy("query_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    got.toSeq shouldBe Seq((1L, 10L, 1L, 11L), (1L, 10L, 2L, 12L))
+  }
 }
