@@ -3944,6 +3944,38 @@ object Queries {
              |SELECT user_id, event_id, us, value, value_asof FROM f WHERE side = 1
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- J: point-in-time feature join with a 1-hour embargo — the
+    // feature-store training-set builder with leakage protection
+    // (features computed < 1 h before the label are not yet servable,
+    // so training on them leaks); feature side time-shifted +embargo
+    // then the as-of union trick, one keyed shuffle
+    // (dfw/AsofOps.pitFeatureJoin). ----
+    ("j_pit_features",
+      (s: SparkSession, dir: String) => {
+        val e = Tables.load(s, dir, "events")
+        val labels = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val features = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        graft.dfw.AsofOps.pitFeatureJoin(labels, features, Seq("user_id"),
+            "ts", "event_id", Seq("value"), embargoSeconds = 3600L)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("value"), col("value_asof"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value, event_type FROM events),
+             |u AS (
+             |  SELECT user_id, event_id, us, value, 1 AS side, CAST(NULL AS DOUBLE) AS p
+             |  FROM e WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, event_id, us + 3600000000, value, 0 AS side, value AS p
+             |  FROM e WHERE event_type = 'view'),
+             |f AS (SELECT *, last_value(p IGNORE NULLS) OVER (
+             |        PARTITION BY user_id ORDER BY us, side, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_asof FROM u)
+             |SELECT user_id, event_id, us, value, value_asof FROM f WHERE side = 1
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // ---- X6: gap-based sessionization (batch twin of session_window) ----
     ("x6_sessionize",
       (s: SparkSession, dir: String) => {

@@ -54,4 +54,27 @@ object AsofOps {
       .drop("__side")
       .drop(payloadCols.map(c => s"__p_$c"): _*)
   }
+
+  /** Point-in-time FEATURE join with an embargo — the feature-store
+    * training-set builder with leakage protection: for each label row
+    * at time t, the latest feature row with
+    * `feature_ts <= t − embargo`. The embargo models pipeline
+    * latency: a feature computed at 09:59 is not SERVABLE at 10:00 if
+    * the feature pipeline takes an hour, so training on it leaks
+    * (the backtest looks great, production can't reproduce it —
+    * the classic financial-ML purge/embargo rule).
+    *
+    * Implementation: shift the feature side's event time by
+    * +embargo, then [[asofJoin]] — same single keyed shuffle, no pair
+    * explosion. Boundary is inclusive: a feature exactly `embargo`
+    * old qualifies.
+    */
+  def pitFeatureJoin(labels: DataFrame, features: DataFrame, keys: Seq[String],
+                     tsCol: String, tieCol: String, payloadCols: Seq[String],
+                     embargoSeconds: Long): DataFrame = {
+    require(embargoSeconds >= 0, s"embargo must be >= 0, got $embargoSeconds")
+    val shifted = features.withColumn(tsCol,
+      col(tsCol) + expr(s"INTERVAL $embargoSeconds SECONDS"))
+    asofJoin(labels, shifted, keys, tsCol, tieCol, payloadCols)
+  }
 }

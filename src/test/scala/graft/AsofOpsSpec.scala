@@ -49,4 +49,23 @@ class AsofOpsSpec extends SparkSpec {
     got.count() shouldBe 1
     got.select("tag").as[String].head() shouldBe "payload"
   }
+
+  test("pitFeatureJoin: a feature younger than the embargo is invisible; exactly embargo-old qualifies") {
+    // label at minute 10; features at minutes 9 (too fresh for a
+    // 60 s embargo... 10-9=60 s exactly → inclusive boundary: KEEPS)
+    // and at minute 9:30 (30 s old → embargoed, invisible)
+    val label = Seq((1L, 100L, ts(10), 0.0)).toDF("user_id", "event_id", "ts", "value")
+    val feats = Seq(
+      (1L, 1L, ts(9), 1.0),                                              // exactly 60 s old
+      (1L, 2L, Timestamp.valueOf("2026-01-01 10:09:30"), 2.0))           // 30 s old
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = AsofOps.pitFeatureJoin(label, feats, Seq("user_id"), "ts",
+        "event_id", Seq("value"), embargoSeconds = 60L)
+      .select("value_asof").as[Double].head()
+    got shouldBe 1.0 // the fresher feature would leak; the embargo hides it
+    // zero embargo degenerates to the plain as-of join (fresher wins)
+    AsofOps.pitFeatureJoin(label, feats, Seq("user_id"), "ts",
+        "event_id", Seq("value"), embargoSeconds = 0L)
+      .select("value_asof").as[Double].head() shouldBe 2.0
+  }
 }
