@@ -6559,6 +6559,55 @@ object Queries {
              |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
              |FROM ci, t""".stripMargin)),
 
+    // ---- STATS: Poisson bootstrap CI for a RATIO metric — per-user
+    // purchases / clicks, the estimand whose per-impression variance
+    // is simply wrong (users are the resampling grain); each
+    // replicate is a pair of weighted sums, never materialized data
+    // (dfw/AuditOps.poissonBootstrapRatio). ----
+    ("q_bootstrap_ratio",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("num"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("den"))
+        AuditOps.poissonBootstrapRatio(perUser, col("user_id"),
+          col("num"), col("den"), reps = 200)
+      },
+      Some("""WITH b AS (SELECT CAST(user_id AS VARCHAR) AS k,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS BIGINT) AS xq,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000 AS BIGINT) AS yq
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+             |    CAST(sum(yq) AS BIGINT) AS sy FROM b),
+             |r AS (SELECT b.k, b.xq, b.yq, g.rep FROM b CROSS JOIN (SELECT unnest(range(200)) AS rep) g),
+             |w AS (SELECT rep, xq, yq,
+             |    CAST(('0x' || substr(md5(k || ':' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+             |  FROM r),
+             |pw AS (SELECT rep, xq, yq,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+             |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END AS wt
+             |  FROM w),
+             |rm AS (SELECT rep, CAST(sum(wt * xq) AS BIGINT) AS swx, CAST(sum(wt * yq) AS BIGINT) AS swy
+             |  FROM pw GROUP BY rep HAVING sum(wt * yq) > 0),
+             |mq AS (SELECT rep, CAST(round(CAST(swx AS DOUBLE) / CAST(swy AS DOUBLE) * 1000000) AS BIGINT) AS m FROM rm),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rr FROM mq),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS ru, CAST(sum(m) AS HUGEINT) AS s1,
+             |    CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS s2 FROM mq),
+             |bd AS (SELECT ru, s1, s2, CAST(ceil(ru * 0.025) AS BIGINT) AS rlo,
+             |    CAST(ceil(ru * 0.975) AS BIGINT) AS rhi FROM st),
+             |ci AS (SELECT bd.ru, bd.s1, bd.s2,
+             |    min(CASE WHEN rk.rr = bd.rlo THEN rk.m END) AS lo,
+             |    min(CASE WHEN rk.rr = bd.rhi THEN rk.m END) AS hi
+             |  FROM rk, bd GROUP BY 1, 2, 3)
+             |SELECT t.n, ci.ru AS reps_used,
+             |  CASE WHEN t.sy > 0 THEN round(CAST(t.sx AS DOUBLE) / CAST(t.sy AS DOUBLE), 6) END AS ratio,
+             |  CASE WHEN ci.ru > 1 THEN round(sqrt(CAST(ci.s2 * ci.ru - ci.s1 * ci.s1 AS DOUBLE)
+             |    / (CAST(ci.ru AS DOUBLE) * (CAST(ci.ru AS DOUBLE) - 1.0))) / 1000000, 6) END AS se_boot,
+             |  round(CAST(ci.lo AS DOUBLE) / 1000000, 6) AS ci_lo,
+             |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
+             |FROM ci, t""".stripMargin)),
+
     // ---- STATS: FDR-controlled drift sweep — per-event-type KS test
     // (early vs late fortnight) then Benjamini–Hochberg step-up over
     // the 5 hypotheses; the multiple-comparison discipline every

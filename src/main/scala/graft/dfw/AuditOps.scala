@@ -767,6 +767,76 @@ object AuditOps {
         col("heaviest_key"))
   }
 
+  /** [[poissonBootstrapMean]] for a RATIO metric (CTR, conversion,
+    * revenue-per-session): the estimand is Σnum/Σden across units, a
+    * ratio of two correlated sums whose naive per-unit variance is
+    * simply wrong (units are the resampling grain, not impressions).
+    * The bootstrap is the standard answer; the Poisson form makes it
+    * distribute: each replicate is a pair of weighted sums, never
+    * materialized data.
+    *
+    * Same determinism contract as the mean form: md5(key:rep)
+    * weights, micro-unit quantization, exact-integer replicate sums,
+    * nearest-rank CI on the quantized replicate ratios. Replicates
+    * with a zero weighted denominator drop (reported via reps_used).
+    *
+    * @return single row: `n, reps_used, ratio, se_boot, ci_lo, ci_hi`
+    *         (6 dp)
+    */
+  def poissonBootstrapRatio(df: DataFrame, keyCol: Column, numCol: Column,
+                            denCol: Column, reps: Int = 200,
+                            hash: Column => Column =
+                              graft.llm.DedupOps.md5TokenHash): DataFrame = {
+    require(reps >= 40, s"need >= 40 replicates for a 95% CI, got $reps")
+    val base = df
+      .select(keyCol.cast("string").as("__k"),
+        coalesce(round(numCol.cast("double") * 1e6).cast("long"), lit(0L)).as("__xq"),
+        coalesce(round(denCol.cast("double") * 1e6).cast("long"), lit(0L)).as("__yq"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val totals = base.agg(count(lit(1)).as("n"),
+      sum(col("__xq")).as("__sx"), sum(col("__yq")).as("__sy"))
+    val repRatios = base
+      .select(col("__k"), col("__xq"), col("__yq"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("__u", pmod(hash(
+        concat(col("__k"), lit(":"), col("rep"))), lit(1000000L)))
+      .withColumn("__w", poissonWeight(col("__u")).cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(col("__w") * col("__xq")).as("__swx"),
+        sum(col("__w") * col("__yq")).as("__swy"))
+      .where(col("__swy") > 0)
+      .select(col("rep"),
+        round(col("__swx").cast("double") / col("__swy").cast("double") * 1e6)
+          .cast("long").as("__rq"))
+    val ranked = repRatios.withColumn("__r", row_number().over(
+      Window.orderBy(col("__rq"), col("rep"))))
+    val rStats = ranked.agg(
+      count(lit(1)).as("reps_used"),
+      sum(col("__rq")).cast("decimal(38,0)").as("__s1"),
+      sum(col("__rq").cast("decimal(38,0)") * col("__rq").cast("decimal(38,0)"))
+        .as("__s2"))
+    val bounds = rStats.select(col("reps_used"), col("__s1"), col("__s2"),
+      ceil(col("reps_used") * 0.025).cast("long").as("__rlo"),
+      ceil(col("reps_used") * 0.975).cast("long").as("__rhi"))
+    val ci = ranked.join(broadcast(bounds),
+        col("__r") === col("__rlo") || col("__r") === col("__rhi"))
+      .groupBy(col("reps_used"), col("__s1"), col("__s2"))
+      .agg(min(when(col("__r") === col("__rlo"), col("__rq"))).as("__lo"),
+        min(when(col("__r") === col("__rhi"), col("__rq"))).as("__hi"))
+    val r = col("reps_used").cast("double")
+    val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
+      .cast("double")
+    ci.crossJoin(broadcast(totals))
+      .select(col("n"), col("reps_used"),
+        when(col("__sy") > 0,
+          round(col("__sx").cast("double") / col("__sy").cast("double"), 6))
+          .as("ratio"),
+        when(col("reps_used") > 1,
+          round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
+        round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
+        round(col("__hi").cast("double") / 1e6, 6).as("ci_hi"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a (small) table of test
     * results — the multiple-comparison guard every k-hypothesis sweep
     * needs before acting on its p-values ("5 of 40 event types

@@ -260,6 +260,29 @@ class AuditOpsSpec extends SparkSpec {
     again.toSeq shouldBe r.toSeq
   }
 
+  test("poissonBootstrapRatio: constant per-unit ratio collapses the CI to a point") {
+    // every unit contributes num=1, den=2 — any weighting gives 0.5
+    val df = (1 to 300).map(i => (i.toLong, 1L, 2L)).toDF("k", "num", "den")
+    val r = AuditOps.poissonBootstrapRatio(df, col("k"), col("num"), col("den"),
+      reps = 50).head()
+    r.getAs[Double]("ratio") shouldBe 0.5
+    r.getAs[Double]("ci_lo") shouldBe 0.5
+    r.getAs[Double]("ci_hi") shouldBe 0.5
+    r.getAs[Double]("se_boot") shouldBe 0.0
+  }
+
+  test("poissonBootstrapRatio: heterogeneous units give a bracketing CI, bit-deterministic") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 3).toLong, 2L)).toDF("k", "num", "den")
+    val r = AuditOps.poissonBootstrapRatio(df, col("k"), col("num"), col("den"),
+      reps = 60).head()
+    val ratio = r.getAs[Double]("ratio") // ≈ (Σ i%3)/(2·500) ≈ 0.4995…
+    r.getAs[Double]("ci_lo") should be < ratio
+    r.getAs[Double]("ci_hi") should be > ratio
+    val again = AuditOps.poissonBootstrapRatio(df, col("k"), col("num"),
+      col("den"), reps = 60).head()
+    again.toSeq shouldBe r.toSeq
+  }
+
   test("bhAdjust: hand-computed step-up adjustments and rejections") {
     val tests = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.5))
       .toDF("id", "p")
