@@ -3976,6 +3976,49 @@ object Queries {
              |SELECT user_id, event_id, us, value, value_asof FROM f WHERE side = 1
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // ---- X6: stream-static POINT-IN-TIME enrichment — clicks pick
+    // the per-user daily feature VERSION valid at their own event
+    // day from the SCD-2 interval table (the serving half of the
+    // feature-store story; j_pit_features is the training half);
+    // stateless stream-static broadcast join
+    // (streaming/StreamOps.enrichPointInTime over
+    // dfw/MergeOps.scdHistory intervals). ----
+    ("x6_pit_enrich",
+      (s: SparkSession, dir: String) => {
+        val ev = Tables.load(s, dir, "events")
+        val dayNo = datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+        val changes = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), dayNo.as("version"))
+          .agg(expr("sum(cast(round(value * 1000000) as bigint)) div count(1)")
+            .as("feature_q"))
+          .withColumn("op", lit("upsert"))
+        val hist = MergeOps.scdHistory(changes, "user_id", "version", "op")
+          .select(col("user_id").as("h_uid"), col("valid_from"),
+            col("valid_to"), col("feature_q"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), dayNo.as("day_no"),
+            round(col("value"), 4).as("value"))
+        StreamOps.enrichPointInTime(clicks, hist, "user_id", "h_uid",
+            col("day_no"), Seq("feature_q"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS DATE) AS d, value, event_type FROM events),
+             |ch AS (SELECT user_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS version,
+             |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |      // CAST(count(*) AS BIGINT) AS feature_q
+             |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+             |h AS (SELECT user_id, version AS valid_from,
+             |    lead(version) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+             |    feature_q FROM ch),
+             |c AS (SELECT user_id, event_id,
+             |    CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT) AS day_no,
+             |    round(value, 4) AS value FROM e WHERE event_type = 'click')
+             |SELECT c.user_id, c.event_id, c.day_no, c.value, h.feature_q AS feature_q_pit
+             |FROM c LEFT JOIN h ON h.user_id = c.user_id AND c.day_no >= h.valid_from
+             |  AND (h.valid_to IS NULL OR c.day_no < h.valid_to)
+             |ORDER BY c.user_id, c.event_id""".stripMargin)),
+
     // ---- X6: gap-based sessionization (batch twin of session_window) ----
     ("x6_sessionize",
       (s: SparkSession, dir: String) => {

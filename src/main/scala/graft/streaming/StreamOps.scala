@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -323,6 +323,36 @@ object StreamOps {
                     eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
       .drop(dimKey)
+
+  /** X6: stream-static POINT-IN-TIME enrichment — the streaming half
+    * of the feature-serving story ([[graft.dfw.AsofOps.pitFeatureJoin]]
+    * is the training half): each event picks the feature VERSION
+    * valid at its own event time from an SCD-2 validity-interval
+    * table ([[graft.dfw.MergeOps.scdHistory]] output — valid_from
+    * inclusive, valid_to exclusive, open current version NULL).
+    * Train/serve skew dies when both halves read the same history.
+    *
+    * Stream-static left join, STATELESS: the history side is static
+    * per micro-batch and broadcast (features × versions — bounded by
+    * the dimension and its churn, never by the stream); the interval
+    * predicate rides the broadcast join, no watermark, no state rows
+    * (the quota/decontam-gate scale posture). Unmatched events keep
+    * their rows with nulls — enrichment never drops facts.
+    *
+    * @param tsVersion expression mapping the event to the version
+    *                  timeline (e.g. its day number)
+    */
+  def enrichPointInTime(events: DataFrame, history: DataFrame,
+                        eventKey: String, histKey: String, tsVersion: Column,
+                        payloadCols: Seq[String]): DataFrame = {
+    val h = broadcast(history.select(
+      col(histKey) +: col("valid_from") +: col("valid_to") +:
+        payloadCols.map(c => col(c).as(s"${c}_pit")): _*))
+    events.join(h,
+        col(eventKey) === col(histKey) && tsVersion >= col("valid_from") &&
+          (col("valid_to").isNull || tsVersion < col("valid_to")), "left")
+      .drop(histKey, "valid_from", "valid_to")
+  }
 
   /** Streaming exact dedup (X1 on a stream): keep only the FIRST
     * arrival of each key, with state bounded by the watermark —

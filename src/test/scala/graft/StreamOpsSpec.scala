@@ -398,6 +398,41 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichPointInTime: each event picks the version valid at ITS time; stream equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // two versions for u1 (days 0 and 2), one for u2 (day 1)
+    val hist = Seq(
+      ("u1", 0L, Some(2L), 100L), ("u1", 2L, None, 200L),
+      ("u2", 1L, None, 300L))
+      .toDF("h_uid", "valid_from", "valid_to", "feature_q")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      StreamOps.enrichPointInTime(
+        d.select(col("event_id"), col("user_id"),
+          (minute(col("ts")) / 10).cast("long").as("day_no")),
+        hist, "user_id", "h_uid", col("day_no"), Seq("feature_q"))
+        .select("event_id", "feature_q_pit")
+    // batch: events at "days" 0, 0, 4, 0 (minute/10)
+    val batch = run(events).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    batch shouldBe Map(
+      1L -> Some(100L),  // u1 day 0 → v[0,2)
+      2L -> Some(100L),  // u1 day 0
+      3L -> Some(200L),  // u1 day 4 → open current version
+      4L -> None)        // u2 day 0 predates its first version
+    val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
+    val streamDf = mem.toDF().toDF("event_id", "user_id", "event_type", "value", "ts")
+    val q = run(streamDf)
+      .writeStream.format("memory").queryName("pit_test").outputMode("append").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pit_test").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      got shouldBe batch
+      q.lastProgress.stateOperators shouldBe empty // stateless: no state operator at all
+    } finally q.stop()
+  }
+
   test("sessionizeStream (session_window) agrees with sessionizeBatch session sizes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String, Double, Timestamp)]
