@@ -28,8 +28,20 @@ private[llm] object IndexStore {
 
   private def metaPath(indexPath: String) = new Path(indexPath, "_graft_meta.json")
 
+  /** Tombstone table for O(delta) DELETEs: a parquet table of deleted
+    * ids living INSIDE the index directory under an `_`-prefixed name,
+    * so both Spark's file-source discovery and the oracle's
+    * `read_parquet('<path>/*.parquet')` glob ignore it — the stored
+    * index data is untouched by a delete; readers subtract the
+    * tombstones ([[read]]); [[compact]] folds them in.
+    */
+  private def tombstonePath(indexPath: String) = new Path(indexPath, "_graft_tombstones")
+
   private def fsFor(df: DataFrame, p: Path) =
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Commit `content` to `p` atomically: write a unique temp sibling,
     * delete any previous `p`, rename temp → `p`. Rename is atomic on
@@ -195,8 +207,9 @@ private[llm] object IndexStore {
 
   /** Load the persisted index at `indexPath`, or (re)build via
     * `build` when absent, stale (params or corpus signature changed),
-    * or forced. Returns the index read back from parquet, so every
-    * caller runs against the same persisted artifact.
+    * or forced. Returns the index read back from parquet — minus any
+    * tombstoned rows ([[read]]) — so every caller runs against the
+    * same persisted artifact.
     *
     * Drift detection is [[corpusSignature]]: file metadata for
     * file-backed corpora (zero Spark jobs on a warm load), row count
@@ -210,10 +223,100 @@ private[llm] object IndexStore {
     val reuse = !rebuild && readMetaRaw(corpus, indexPath).contains(fresh)
     if (!reuse) {
       build.write.mode("overwrite").parquet(indexPath)
+      // the overwrite replaced the whole directory, but clear the
+      // tombstone table explicitly too — a fresh build subsumes every
+      // prior delete, and a leftover tombstone would silently subtract
+      // live rows from the new index
+      fsFor(spark, tombstonePath(indexPath)).delete(tombstonePath(indexPath), true)
       val p = metaPath(indexPath)
       writeAtomic(fsFor(corpus, p), p, fresh)
     }
-    spark.read.parquet(indexPath)
+    read(spark, indexPath)
+  }
+
+  /** The stored index as its readers must see it: the parquet table
+    * minus tombstoned ids. With no tombstone table this is a bare
+    * parquet scan (the overwhelmingly common state); with one, the
+    * tombstones — |deleted| rows, tiny by construction — broadcast
+    * into a left-anti join on the id column they were written with.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val df = spark.read.parquet(indexPath)
+    val tp = tombstonePath(indexPath)
+    if (!fsFor(spark, tp).exists(tp)) df
+    else {
+      val ts = spark.read.parquet(tp.toString)
+      df.join(org.apache.spark.sql.functions.broadcast(ts.distinct()),
+        ts.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** O(delta) DELETE: append `deletedIds` to the index's tombstone
+    * table and re-stamp the sidecar for the post-delete corpus. The
+    * cost is one |delta|-row parquet write — the stored index data is
+    * NOT rewritten (that's [[compact]]'s job, on the caller's
+    * schedule).
+    *
+    * Same freshness protocol as the appends: the stored sidecar must
+    * equal exactly what a fresh PRE-delete build stamped, else the
+    * tombstones would subtract from a missing/stale/
+    * differently-parameterized index. Returns true on the fast path;
+    * false means the caller must full-rebuild over the post-delete
+    * corpus. Crash between tombstone append and stamp leaves a stale
+    * sidecar → next load rebuilds (safe, never wrong); a replayed
+    * delete re-appends the same ids, which the reader's `distinct()`
+    * and anti-join make harmless (idempotent by value).
+    */
+  private[llm] def deleteFrom(deletedIds: DataFrame, storedIdCol: String,
+                              params: String, indexPath: String,
+                              corpusAfterDelete: DataFrame,
+                              preDeleteSig: String): Boolean = {
+    val expected = render(params, preDeleteSig)
+    if (!readMetaRaw(corpusAfterDelete, indexPath).contains(expected)) false
+    else {
+      deletedIds.select(org.apache.spark.sql.functions.col(storedIdCol))
+        .distinct()
+        .write.mode("append").parquet(tombstonePath(indexPath).toString)
+      stamp(corpusAfterDelete, params, indexPath)
+      true
+    }
+  }
+
+  /** Fold tombstones into the stored data: rewrite the index minus
+    * deleted ids, drop the tombstone table, keep the sidecar (the
+    * LOGICAL content is unchanged, so params + corpus signature stay
+    * valid). Run it when the tombstone fraction makes the per-read
+    * anti-join or the dead-row scan cost noticeable — the same
+    * schedule-it-yourself contract as Delta/Iceberg compaction.
+    *
+    * Crash windows: the compacted copy is written to a temp sibling
+    * first; a crash before the directory swap leaves the original
+    * intact (plus a dangling temp dir); a crash between swap and
+    * sidecar rewrite leaves a missing sidecar → next load rebuilds
+    * (safe). No-op when no tombstones exist.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val tp = tombstonePath(indexPath)
+    val fs = fsFor(spark, tp)
+    if (!fs.exists(tp)) return
+    val sidecar = {
+      val p = metaPath(indexPath)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+    val src = new Path(indexPath)
+    val tmp = new Path(src.getParent,
+      s".${src.getName}.compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    // materializes fully (scan + write) BEFORE the source is touched
+    read(spark, indexPath).write.parquet(tmp.toString)
+    fs.delete(src, true)
+    if (!fs.rename(tmp, src))
+      throw new java.io.IOException(s"IndexStore.compact: failed to swap $tmp -> $src")
+    sidecar.foreach(writeAtomic(fs, metaPath(indexPath), _))
   }
 }
 
