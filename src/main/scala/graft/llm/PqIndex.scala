@@ -31,7 +31,7 @@ private[llm] object IndexStore {
   /** Tombstone table for O(delta) DELETEs: a parquet table of deleted
     * ids living INSIDE the index directory under an `_`-prefixed name,
     * so both Spark's file-source discovery and the oracle's
-    * `read_parquet('<path>/*.parquet')` glob ignore it — the stored
+    * read_parquet star-glob over the directory ignore it — the stored
     * index data is untouched by a delete; readers subtract the
     * tombstones ([[read]]); [[compact]] folds them in.
     */
