@@ -66,6 +66,39 @@ object Queries {
   private[graft] def ivfListsPath(dir: String, nCentroids: Int): String =
     ivfIndexPath(dir, nCentroids) + "_lists"
 
+  /** Lists that have been MUTATED through the delete lifecycle: built
+    * over the full embeddings corpus, then `vec_id % 7 == 0` removed
+    * via [[graft.llm.IvfIndex.removeFromLists]] (O(delta) tombstones —
+    * the stored data files still contain the rows; readers subtract).
+    * `__GRAFT_IVF_D<n>__` oracle placeholders resolve here.
+    */
+  private[graft] def ivfDeletedListsPath(dir: String, nCentroids: Int): String =
+    ivfIndexPath(dir, nCentroids) + "_dellists"
+
+  /** The mutated-index artifact for [[ivfDeletedListsPath]],
+    * established idempotently: when the stored sidecar already
+    * reflects the post-delete corpus the whole sequence is a warm
+    * load; otherwise build over the FULL corpus and run the O(delta)
+    * delete against it — so what this returns is always a genuinely
+    * tombstoned index, never a build over the filtered corpus.
+    */
+  private def embDeletedLists(s: SparkSession, dir: String, nCentroids: Int): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val after = emb.filter(col("vec_id") % 7 =!= 0)
+    val path = ivfDeletedListsPath(dir, nCentroids)
+    val cents = embCentroids(s, dir, nCentroids)
+    if (!IvfIndex.listsFresh(after, nCentroids, 2, path)) {
+      val preSig = IvfIndex.corpusSig(emb)
+      IvfIndex.loadOrBuildLists(emb, "vec_id", "embedding", nCentroids, 2,
+        cents, path, rebuild = true).count()
+      val fastPath = IvfIndex.removeFromLists(
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+        "vec_id", nCentroids, 2, after, path, preSig)
+      require(fastPath, s"removeFromLists must take the O(delta) path against the fresh build at $path")
+    }
+    IvfIndex.loadOrBuildLists(after, "vec_id", "embedding", nCentroids, 2, cents, path)
+  }
+
   /** Lists over the ANN-gate's FILTERED corpus (vec_id % 10 != 0) —
     * a separate artifact because the corpus-defining query differs
     * (and its sidecar signature carries the plan hash for exactly that
@@ -111,6 +144,7 @@ object Queries {
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
     Seq(16, 64).foreach(n => embLists(s, dir, n).count())
+    embDeletedLists(s, dir, 16).count()
     IvfIndex.loadOrBuildLists(
       Tables.load(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
       "vec_id", "embedding", 64, kmeansIters = 2,
@@ -125,6 +159,70 @@ object Queries {
       "vec_id", "embedding", nBits = 8, nTables = 8, parityTag = "md5",
       signParity = graft.functions.RhpSign.md5Parity, maxInputDim = 64,
       rhpIndexPath(dir))._1.count()
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB replica of Spark's xxhash64 over ONE BIGINT column — makes
+  // production xxhash64-based queries oracle-EXACT instead of
+  // rows-only. Spark's XxHash64 on a long hashes the 8-byte value with
+  // seed 42 (XXH64: one round over the 8-byte tail + avalanche).
+  // DuckDB has no wrapping 64-bit arithmetic, so u64 is emulated in
+  // HUGEINT: values live in [0, 2^64); x*y mod 2^64 uses a split
+  // multiply ((lo32(x)*y + (hi32(x)*y mod 2^32)*2^32) mod 2^64 — every
+  // intermediate < 2^97, inside HUGEINT); rotl is shift-add (the two
+  // halves can't overlap bits); xor round-trips through signed BIGINT.
+  // ---------------------------------------------------------------
+  private val U64 = "18446744073709551616" // 2^64
+
+  /** `a * b mod 2^64` for u64 HUGEINT expressions (b a u64 literal). */
+  private def mulmod(a: String, b: String): String =
+    s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296) * 4294967296) % $U64"
+
+  /** `rotl64(x, r)` for a u64 HUGEINT expression. */
+  private def rotl(x: String, r: Int): String =
+    s"((($x) * ${BigInt(2).pow(r)}) % $U64 + (($x) // ${BigInt(2).pow(64 - r)}))"
+
+  /** `a xor b` for u64 HUGEINT expressions, via signed BIGINT. */
+  private def xorU(a: String, b: String): String = {
+    def s(x: String) = s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - $U64 ELSE ($x) END AS BIGINT)"
+    s"((CAST(xor(${s(a)}, ${s(b)}) AS HUGEINT) + $U64) % $U64)"
+  }
+
+  /** CTE-chain fragment computing `xx64` = Spark's `xxhash64(idCol)`
+    * (signed BIGINT) for every row of CTE `from`. One MATERIALIZED CTE
+    * per hash stage: lateral column aliases would INLINE each stage
+    * into the next (mulmod references its input 3×, xorU 4×), growing
+    * the final expression tree to ~3^13 nodes — DuckDB's planner dies
+    * of bad_alloc on it. Materialization pins each stage to a real
+    * column, so every reference is a column ref. The caller embeds
+    * this inside its WITH list and reads from the final CTE `hx`,
+    * which carries ($idCol, xx64).
+    */
+  private def xxhash64LongCtes(from: String, idCol: String): String = {
+    val P1 = "11400714785074694791"; val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"; val P4 = "9650029242287828579"
+    val stages = Seq(
+      "i0" -> s"((CAST($idCol AS HUGEINT) % $U64 + $U64) % $U64)",
+      "k1a" -> mulmod("i0", P2),
+      "k1b" -> rotl("k1a", 31),
+      "k1c" -> mulmod("k1b", P1),
+      "h1" -> xorU("2870177450012600311", "k1c"),
+      "h2" -> rotl("h1", 27),
+      "h3" -> mulmod("h2", P1),
+      "h4" -> s"((h3 + $P4) % $U64)",
+      "a1" -> xorU("h4", "h4 // 8589934592"),
+      "a2" -> mulmod("a1", P2),
+      "a3" -> xorU("a2", "a2 // 536870912"),
+      "a4" -> mulmod("a3", P3),
+      "a5" -> xorU("a4", "a4 // 4294967296"),
+      "xx64" -> s"CAST(CASE WHEN a5 >= 9223372036854775808 THEN a5 - $U64 ELSE a5 END AS BIGINT)")
+    val ctes = stages.zipWithIndex.map { case ((name, expr0), i) =>
+      val src = if (i == 0) from else s"hx$i"
+      s"hx${i + 1} AS MATERIALIZED (SELECT $idCol, $expr0 AS $name FROM $src)"
+    }
+    // each stage only needs (idCol, its new column); earlier columns
+    // fall away stage by stage, keeping the materializations narrow
+    ctes.mkString(",\n") + s",\nhx AS (SELECT $idCol, xx64 FROM hx${stages.size})"
   }
 
   /** The fuzzy-dedup pipeline oracle (exact-Jaccard pairs → recursive
@@ -2883,6 +2981,53 @@ object Queries {
              |       WHERE rn <= 4),
              |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
              |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X3: IVF against a MUTATED index — the DELETE half of the
+    // index lifecycle (VERDICT r14 item 2): the stored lists were
+    // built over the full corpus, then vec_id % 7 == 0 tombstoned via
+    // IvfIndex.removeFromLists (O(delta) — data files untouched,
+    // readers subtract). The oracle reads the SAME persisted parquet
+    // table (which still CONTAINS the deleted rows) and applies the
+    // tombstone predicate itself, so the whole deleted-index read path
+    // is hash-exact. IndexDeleteSpec pins append+delete+compact ==
+    // rebuild bit-identical (llm/IvfIndex.removeFromLists,
+    // llm/PqIndex.IndexStore.deleteFrom/read/compact). ----
+    ("x3_ann_ivf_deleted",
+      (s: SparkSession, dir: String) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfTopKIndexed(queries, embDeletedLists(s, dir, 16),
+            "vec_id", "embedding",
+            k = 5, centroids = embCentroids(s, dir, 16), nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_C16__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_D16__/*.parquet')
+             |       WHERE vec_id % 7 <> 0),
              |p AS (SELECT qa.query_id, ca.neighbor_id,
              |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
              |        qa.na, ca.nb
@@ -7071,6 +7216,42 @@ object Queries {
              |    CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3 = 0
              |             THEN 1 ELSE 0 END) AS BIGINT) AS n_a
              |  FROM u),
+             |f AS (SELECT n, n_a, n - n_a AS n_b,
+             |    CAST(n AS DOUBLE) * (333333 / 1000000.0) AS ea,
+             |    CAST(n AS DOUBLE) * ((1000000 - 333333) / 1000000.0) AS eb FROM c)
+             |SELECT n, n_a, n_b, CAST(333333 AS BIGINT) AS expected_a_ppm,
+             |  CASE WHEN n > 0 THEN (n_a * 1000000) // n END AS observed_a_ppm,
+             |  CASE WHEN n > 0 THEN round(
+             |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+             |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb, 4) END AS chi2,
+             |  CASE WHEN n > 0 THEN
+             |    (CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) / ea
+             |    + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) / eb > 10.8276 END AS srm
+             |FROM f""".stripMargin)),
+
+    // ---- STATS: SRM check, PRODUCTION-HASH twin (VERDICT r13/r14):
+    // q_srm's only material cost is md5-ing every user id for the
+    // engine-neutral arm assignment — the oracle tax, 8.5× per 10× at
+    // sf1. The production form assigns arms with codegen'd xxhash64
+    // over the RAW BIGINT (no string conversion, no md5), the hash a
+    // real platform would bucket on. ORACLE-EXACT anyway: the oracle
+    // replays Spark's xxhash64-of-a-long (seed 42, one XXH64 round +
+    // avalanche) in pure DuckDB integer arithmetic — u64 emulated in
+    // HUGEINT with an overflow-safe split multiply (xxhash64LongSql).
+    // Same single partial-agg pass as q_srm. ----
+    ("q_srm_prod",
+      (s: SparkSession, dir: String) => {
+        val users = Tables.load(s, dir, "events")
+          .select(col("user_id")).distinct()
+        AuditOps.sampleRatioCheck(users,
+          pmod(xxhash64(col("user_id")), lit(3)) === 0,
+          expectedAPpm = 333333L)
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |${xxhash64LongCtes("u", "user_id")},
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ((xx64 % 3) + 3) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+             |  FROM hx),
              |f AS (SELECT n, n_a, n - n_a AS n_b,
              |    CAST(n AS DOUBLE) * (333333 / 1000000.0) AS ea,
              |    CAST(n AS DOUBLE) * ((1000000 - 333333) / 1000000.0) AS eb FROM c)

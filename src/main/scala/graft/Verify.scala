@@ -65,8 +65,10 @@ object Verify {
         m => Queries.ivfIndexPath(sfDir, m.group(1).toInt))
       val b = "__GRAFT_IVF_B(\\d+)__".r.replaceAllIn(c,
         m => Queries.ivfListsPath(sfDir, m.group(1).toInt))
-      "__GRAFT_IVF_G(\\d+)__".r.replaceAllIn(b,
+      val g = "__GRAFT_IVF_G(\\d+)__".r.replaceAllIn(b,
         m => Queries.ivfGateListsPath(sfDir, m.group(1).toInt))
+      "__GRAFT_IVF_D(\\d+)__".r.replaceAllIn(g,
+        m => Queries.ivfDeletedListsPath(sfDir, m.group(1).toInt))
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")

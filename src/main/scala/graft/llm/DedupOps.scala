@@ -550,13 +550,23 @@ object DedupOps {
       IndexStore.readMetaRaw(corpusAfterAppend, s"$indexPath/banded")
         .contains(IndexStore.render(bandParams, preAppendSig))
     if (fresh) {
-      val deltaSh = wordShingles(newDocs, idCol, textCol, shingleW).localCheckpoint()
+      // re-appended previously-deleted ids are RESURRECTED (tombstones
+      // pruned in both tables, stored rows live again) and excluded
+      // from the delta — shingling them again would duplicate their
+      // rows and inflate Jaccard set sizes (ADVICE r14; id↔content
+      // discipline documented on IndexStore.resurrectOrFilter)
+      val toAppend = IndexStore.resurrectOrFilter(newDocs, idCol, "doc_id",
+        Seq(s"$indexPath/shingles", s"$indexPath/banded"))
+      val deltaSh = wordShingles(toAppend, idCol, textCol, shingleW).localCheckpoint()
       deltaSh.write.mode("append").parquet(s"$indexPath/shingles")
       IndexStore.stamp(corpusAfterAppend, shParams, s"$indexPath/shingles")
       minHashBandedFromShingles(deltaSh, numHashes, bands)
         .write.mode("append").parquet(s"$indexPath/banded")
       IndexStore.stamp(corpusAfterAppend, bandParams, s"$indexPath/banded")
-      (spark.read.parquet(s"$indexPath/banded"), spark.read.parquet(s"$indexPath/shingles"))
+      // read back through IndexStore.read so any still-standing
+      // tombstones (from deletes of OTHER ids) keep subtracting
+      (IndexStore.read(spark, s"$indexPath/banded"),
+        IndexStore.read(spark, s"$indexPath/shingles"))
     } else {
       System.err.println(
         s"DedupOps.appendToMinHashIndex: stored index at $indexPath is missing, stale, " +
@@ -564,6 +574,54 @@ object DedupOps {
       loadOrBuildMinHashIndex(corpusAfterAppend, idCol, textCol,
         shingleW, numHashes, bands, indexPath, rebuild = true)
     }
+  }
+
+  /** O(delta) DELETE from the persisted MinHash-LSH index — tombstone
+    * the removed documents' ids in BOTH stored tables (shingles and
+    * banded buckets, id column `doc_id`) instead of re-shingling the
+    * corpus. Same protocol as [[appendToMinHashIndex]]: snapshot
+    * `preDeleteSig = IvfIndex.corpusSig(docs)` BEFORE deleting from
+    * the corpus store, then call with the deleted ids and the
+    * post-delete corpus. Both sidecars are checked up front, so the
+    * tombstones commit to both tables or neither; returns false when
+    * either is missing/stale/differently-parameterized — the caller
+    * rebuilds via `loadOrBuildMinHashIndex(..., rebuild = true)`
+    * (which clears tombstones). Readers subtract tombstones through
+    * [[IndexStore.read]]; [[IndexStore.compact]] on each table folds
+    * them in. Re-appending a deleted id via [[appendToMinHashIndex]]
+    * resurrects it. NOTE the gate artifacts ([[loadOrBuildMinHashGate]])
+    * and any persisted KMV sketch tables are REBUILD-ONLY under
+    * deletes: sketches are one-way aggregates (elements cannot be
+    * subtracted from a KMV/HLL), so a delete invalidates them — their
+    * drift signatures see the corpus change and rebuild on next load.
+    */
+  def deleteFromMinHashIndex(deletedIds: DataFrame, idCol: String,
+                             shingleW: Int, numHashes: Int, bands: Int,
+                             corpusAfterDelete: DataFrame, indexPath: String,
+                             preDeleteSig: String): Boolean = {
+    val shParams = s"minhash-shingles:w=$shingleW"
+    val bandParams = s"minhash-banded:w=$shingleW,numHashes=$numHashes,bands=$bands"
+    val fresh =
+      IndexStore.readMetaRaw(corpusAfterDelete, s"$indexPath/shingles")
+        .contains(IndexStore.render(shParams, preDeleteSig)) &&
+      IndexStore.readMetaRaw(corpusAfterDelete, s"$indexPath/banded")
+        .contains(IndexStore.render(bandParams, preDeleteSig))
+    if (!fresh) false
+    else {
+      val ids = deletedIds.select(col(idCol).as("doc_id"))
+      IndexStore.deleteFrom(ids, "doc_id", shParams,
+        s"$indexPath/shingles", corpusAfterDelete, preDeleteSig) &&
+      IndexStore.deleteFrom(ids, "doc_id", bandParams,
+        s"$indexPath/banded", corpusAfterDelete, preDeleteSig)
+    }
+  }
+
+  /** Fold any tombstones into both stored MinHash tables
+    * ([[IndexStore.compact]] on shingles and banded buckets). */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Unit = {
+    IndexStore.compact(spark, s"$indexPath/shingles")
+    IndexStore.compact(spark, s"$indexPath/banded")
   }
 
   /** X2/X6: STATELESS per-row MinHash-LSH near-dup gate against the

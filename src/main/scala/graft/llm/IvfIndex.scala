@@ -104,6 +104,18 @@ object IvfIndex {
   private def listsParams(nCentroids: Int, kmeansIters: Int): String =
     s"ivf-lists:nCentroids=$nCentroids,kmeansIters=$kmeansIters"
 
+  /** True when the stored lists at `indexPath` are FRESH for exactly
+    * this (params, corpus) state — i.e. a [[loadOrBuildLists]] call
+    * would load, not rebuild. Lets maintenance drivers decide whether
+    * a mutation sequence (build → delete → …) already ran without
+    * paying a build to find out.
+    */
+  def listsFresh(corpus: DataFrame, nCentroids: Int, kmeansIters: Int,
+                 indexPath: String): Boolean =
+    IndexStore.readMetaRaw(corpus, indexPath).contains(
+      IndexStore.render(listsParams(nCentroids, kmeansIters),
+        IndexStore.corpusSignature(corpus)))
+
   /** The corpus drift signature used by the index sidecars — exposed
     * so an append caller can snapshot the PRE-append corpus state (see
     * [[appendToLists]]'s protocol) before touching the storage.
@@ -145,7 +157,13 @@ object IvfIndex {
     val params = listsParams(nCentroids, kmeansIters)
     val expected = IndexStore.render(params, preAppendSig)
     if (IndexStore.readMetaRaw(corpusAfterAppend, indexPath).contains(expected)) {
-      SimilarityOps.ivfInvertedLists(newRows, idCol, vecCol, centroids)
+      // a re-appended previously-deleted id is RESURRECTED (tombstone
+      // pruned, stored rows live again) and excluded from the delta —
+      // appending it too would duplicate its list row (delete-then-
+      // reinsert anomaly, ADVICE r14; see IndexStore.resurrectOrFilter
+      // for the id↔content discipline this assumes)
+      val toAppend = IndexStore.resurrectOrFilter(newRows, idCol, idCol, Seq(indexPath))
+      SimilarityOps.ivfInvertedLists(toAppend, idCol, vecCol, centroids)
         .write.mode("append").parquet(indexPath)
       IndexStore.stamp(corpusAfterAppend, params, indexPath)
     } else {
@@ -156,4 +174,39 @@ object IvfIndex {
         centroids, indexPath, rebuild = true)
     }
   }
+
+  /** O(delta) DELETE from the persisted inverted lists — the
+    * lifecycle's missing half (VERDICT r13/r14): when corpus rows are
+    * removed, tombstone their ids instead of re-scanning 100 TB to
+    * rebuild the lists. Cost is one |delta|-row parquet write
+    * ([[IndexStore.deleteFrom]]); [[loadOrBuildLists]] and every other
+    * [[IndexStore.read]]-routed load subtract the tombstones, and
+    * [[IndexStore.compact]] folds them into the stored data on the
+    * caller's schedule. Centroids do not move on delete (same standard
+    * IVF maintenance semantics as [[appendToLists]]).
+    *
+    * Protocol mirrors the append path: snapshot
+    * `preDeleteSig = corpusSig(corpus)` BEFORE deleting from the
+    * corpus store, delete, then call this with the deleted ids and a
+    * DataFrame reading the corpus AS IT NOW STANDS. Returns true on
+    * the O(delta) fast path; false means the stored index was missing,
+    * stale, or differently parameterized — the caller must rebuild
+    * over the post-delete corpus (`loadOrBuildLists(..., rebuild =
+    * true)`), which also clears any tombstones. A previously deleted
+    * id that is later re-appended via [[appendToLists]] comes back to
+    * life (the append prunes it from the tombstone table).
+    */
+  def removeFromLists(deletedIds: DataFrame, idCol: String,
+                      nCentroids: Int, kmeansIters: Int,
+                      corpusAfterDelete: DataFrame, indexPath: String,
+                      preDeleteSig: String): Boolean =
+    IndexStore.deleteFrom(deletedIds, idCol, listsParams(nCentroids, kmeansIters),
+      indexPath, corpusAfterDelete, preDeleteSig)
+
+  /** Fold any tombstones into the stored lists ([[IndexStore.compact]]):
+    * rewrite minus deleted ids, drop the tombstone table, keep the
+    * sidecar. Schedule-it-yourself, same as Delta/Iceberg compaction.
+    */
+  def compactLists(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    IndexStore.compact(spark, indexPath)
 }

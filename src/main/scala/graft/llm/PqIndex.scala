@@ -37,6 +37,20 @@ private[llm] object IndexStore {
     */
   private def tombstonePath(indexPath: String) = new Path(indexPath, "_graft_tombstones")
 
+  /** True only when the tombstone directory holds COMMITTED parquet
+    * data files (names not starting with `_` or `.`). A crash during
+    * the first tombstone append can leave the directory with only a
+    * `_temporary` staging subtree; schema inference over that throws,
+    * so readers must treat it as "no tombstones" — which is also the
+    * correct semantics: a partial append means the sidecar was never
+    * re-stamped, so the next load rebuilds anyway (ADVICE r14).
+    */
+  private def hasTombstones(fs: org.apache.hadoop.fs.FileSystem, tp: Path): Boolean =
+    fs.exists(tp) && fs.listStatus(tp).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   private def fsFor(df: DataFrame, p: Path) =
     p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
 
@@ -243,11 +257,14 @@ private[llm] object IndexStore {
   def read(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
     val df = spark.read.parquet(indexPath)
     val tp = tombstonePath(indexPath)
-    if (!fsFor(spark, tp).exists(tp)) df
+    if (!hasTombstones(fsFor(spark, tp), tp)) df
     else {
       val ts = spark.read.parquet(tp.toString)
+      // the USING-join would move the id column first; re-select the
+      // stored order so delete is invisible to schema-sensitive callers
       df.join(org.apache.spark.sql.functions.broadcast(ts.distinct()),
-        ts.columns.toSeq, "left_anti")
+          ts.columns.toSeq, "left_anti")
+        .select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
     }
   }
 
@@ -274,12 +291,97 @@ private[llm] object IndexStore {
     val expected = render(params, preDeleteSig)
     if (!readMetaRaw(corpusAfterDelete, indexPath).contains(expected)) false
     else {
+      val spark = deletedIds.sparkSession
+      val tp = tombstonePath(indexPath)
+      // every delete against one index must tombstone the SAME id
+      // column: appending a second column name would give the parquet
+      // union a merged two-column schema full of nulls, and read()'s
+      // anti-join (on all tombstone columns) would then match nothing
+      if (hasTombstones(fsFor(spark, tp), tp)) {
+        val existing = spark.read.parquet(tp.toString).columns.toSeq
+        require(existing == Seq(storedIdCol),
+          s"IndexStore.deleteFrom: tombstone table at $tp was written with id " +
+            s"column(s) ${existing.mkString(",")}; refusing to append '$storedIdCol'")
+      }
       deletedIds.select(org.apache.spark.sql.functions.col(storedIdCol))
         .distinct()
-        .write.mode("append").parquet(tombstonePath(indexPath).toString)
+        .write.mode("append").parquet(tp.toString)
       stamp(corpusAfterDelete, params, indexPath)
       true
     }
+  }
+
+  /** Drop `reinsertedIds` from the tombstone table — the append-path
+    * half of the delete protocol: without it, a row re-appended with a
+    * previously deleted id would be silently filtered by [[read]]'s
+    * anti-join and then permanently dropped by [[compact]] (the
+    * delete-then-reinsert anomaly, ADVICE r14). Every index append
+    * fast path calls this with the delta's ids BEFORE re-stamping the
+    * sidecar, so a crash mid-prune leaves a stale sidecar → next load
+    * rebuilds (which clears tombstones entirely). The surviving
+    * tombstones are rewritten via a temp sibling, fully materialized
+    * before the old table is swapped out; |tombstones| is tiny by
+    * construction, so this is driver-cheap.
+    */
+  /** Append-path companion to [[pruneTombstones]]: split a delta into
+    * resurrected ids and genuinely new rows. Ids present in any of the
+    * family's tombstone tables are RESURRECTED — their tombstones are
+    * pruned so the already-stored rows come back to life — and their
+    * delta rows are EXCLUDED from the returned frame: appending them
+    * too would leave duplicate index entries (two identical list rows
+    * make a top-k return the same neighbor twice; duplicate shingles
+    * inflate Jaccard set sizes). This assumes the id↔content
+    * discipline every family documents: a re-appended id carries the
+    * same content its stored rows were built from. Re-inserting
+    * CHANGED content under a reused id requires `rebuild = true` (or
+    * compact between the delete and the append, which makes the id
+    * genuinely new again). Both sides are O(|delta| + |tombstones|):
+    * the tombstone tables broadcast, nothing scans the stored index.
+    */
+  private[llm] def resurrectOrFilter(delta: DataFrame, deltaIdCol: String,
+                                     storedIdCol: String,
+                                     indexPaths: Seq[String]): DataFrame = {
+    val spark = delta.sparkSession
+    val tombstoned = indexPaths.flatMap { ip =>
+      val tp = tombstonePath(ip)
+      if (!hasTombstones(fsFor(spark, tp), tp)) None
+      else {
+        val ts = spark.read.parquet(tp.toString)
+        if (ts.columns.toSeq == Seq(storedIdCol)) Some(ts) else None
+      }
+    }
+    if (tombstoned.isEmpty) delta
+    else {
+      // materialize the tombstoned-id set BEFORE pruning rewrites the
+      // tables the lazy scans would otherwise re-read post-swap
+      val ts = tombstoned.reduce(_ union _).distinct()
+        .select(org.apache.spark.sql.functions.col(storedIdCol).as(deltaIdCol))
+        .localCheckpoint()
+      val deltaIds = delta.select(
+        org.apache.spark.sql.functions.col(deltaIdCol).as(storedIdCol))
+      indexPaths.foreach(ip => pruneTombstones(spark, ip, deltaIds, storedIdCol))
+      delta.join(org.apache.spark.sql.functions.broadcast(ts), Seq(deltaIdCol), "left_anti")
+    }
+  }
+
+  private[llm] def pruneTombstones(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, reinsertedIds: DataFrame,
+                                   storedIdCol: String): Unit = {
+    val tp = tombstonePath(indexPath)
+    val fs = fsFor(spark, tp)
+    if (!hasTombstones(fs, tp)) return
+    val ts = spark.read.parquet(tp.toString)
+    if (ts.columns.toSeq != Seq(storedIdCol)) return // foreign id col: nothing to prune
+    val kept = ts.join(
+      org.apache.spark.sql.functions.broadcast(
+        reinsertedIds.select(org.apache.spark.sql.functions.col(storedIdCol)).distinct()),
+      Seq(storedIdCol), "left_anti")
+    val tmp = new Path(tp.getParent,
+      s".${tp.getName}.prune-${java.util.UUID.randomUUID().toString.take(8)}")
+    kept.write.parquet(tmp.toString) // materialized before tp is touched
+    fs.delete(tp, true)
+    if (!fs.rename(tmp, tp))
+      throw new java.io.IOException(s"IndexStore.pruneTombstones: failed to swap $tmp -> $tp")
   }
 
   /** Fold tombstones into the stored data: rewrite the index minus
@@ -289,16 +391,25 @@ private[llm] object IndexStore {
     * anti-join or the dead-row scan cost noticeable — the same
     * schedule-it-yourself contract as Delta/Iceberg compaction.
     *
-    * Crash windows: the compacted copy is written to a temp sibling
-    * first; a crash before the directory swap leaves the original
-    * intact (plus a dangling temp dir); a crash between swap and
-    * sidecar rewrite leaves a missing sidecar → next load rebuilds
-    * (safe). No-op when no tombstones exist.
+    * Crash windows (rename-aside swap, ADVICE r14): the compacted copy
+    * is written to a temp sibling first — a crash before any rename
+    * leaves the original untouched (plus a dangling temp dir). The
+    * swap is then rename(src → src.old), rename(tmp → src),
+    * delete(src.old): a crash between the two renames leaves the index
+    * ABSENT at its path with the pre-compact copy parked at the
+    * `.old-*` sibling — [[loadOrBuild]] recovers by rebuilding (no
+    * sidecar at the path), direct [[read]] callers fail until then,
+    * and the parked copy is available for manual recovery. A crash
+    * between swap and sidecar rewrite leaves a missing sidecar → next
+    * load rebuilds (safe). On object stores directory rename is a
+    * non-atomic copy; run compaction as the out-of-band single writer
+    * the header contract already requires. No-op when no tombstones
+    * exist.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
     val tp = tombstonePath(indexPath)
     val fs = fsFor(spark, tp)
-    if (!fs.exists(tp)) return
+    if (!hasTombstones(fs, tp)) return
     val sidecar = {
       val p = metaPath(indexPath)
       if (!fs.exists(p)) None
@@ -313,9 +424,14 @@ private[llm] object IndexStore {
       s".${src.getName}.compact-${java.util.UUID.randomUUID().toString.take(8)}")
     // materializes fully (scan + write) BEFORE the source is touched
     read(spark, indexPath).write.parquet(tmp.toString)
-    fs.delete(src, true)
+    val old = new Path(src.getParent,
+      s".${src.getName}.old-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(src, old))
+      throw new java.io.IOException(s"IndexStore.compact: failed to park $src -> $old")
     if (!fs.rename(tmp, src))
-      throw new java.io.IOException(s"IndexStore.compact: failed to swap $tmp -> $src")
+      throw new java.io.IOException(
+        s"IndexStore.compact: failed to swap $tmp -> $src (pre-compact copy parked at $old)")
+    fs.delete(old, true)
     sidecar.foreach(writeAtomic(fs, metaPath(indexPath), _))
   }
 }

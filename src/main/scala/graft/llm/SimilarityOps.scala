@@ -904,13 +904,23 @@ object SimilarityOps {
       IndexStore.readMetaRaw(corpusAfterAppend, s"$indexPath/buckets")
         .contains(IndexStore.render(bkParams, preAppendSig))
     if (fresh) {
-      rhpQuantizedCorpus(newRows, idCol, vecCol)
+      // re-appended previously-deleted ids are RESURRECTED (tombstones
+      // pruned in both tables, stored rows live again) and excluded
+      // from the delta — re-hashing them would duplicate their bucket
+      // and scoring rows (ADVICE r14; id↔content discipline documented
+      // on IndexStore.resurrectOrFilter)
+      val toAppend = IndexStore.resurrectOrFilter(newRows, idCol, "neighbor_id",
+        Seq(s"$indexPath/quantized", s"$indexPath/buckets"))
+      rhpQuantizedCorpus(toAppend, idCol, vecCol)
         .write.mode("append").parquet(s"$indexPath/quantized")
       IndexStore.stamp(corpusAfterAppend, qcParams, s"$indexPath/quantized")
-      rhpCorpusBuckets(newRows, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
+      rhpCorpusBuckets(toAppend, idCol, vecCol, nBits, nTables, signParity, maxInputDim)
         .write.mode("append").parquet(s"$indexPath/buckets")
       IndexStore.stamp(corpusAfterAppend, bkParams, s"$indexPath/buckets")
-      (spark.read.parquet(s"$indexPath/buckets"), spark.read.parquet(s"$indexPath/quantized"))
+      // read back through IndexStore.read so any still-standing
+      // tombstones (from deletes of OTHER ids) keep subtracting
+      (IndexStore.read(spark, s"$indexPath/buckets"),
+        IndexStore.read(spark, s"$indexPath/quantized"))
     } else {
       System.err.println(
         s"SimilarityOps.appendToRhpIndex: stored index at $indexPath is missing, stale, " +
@@ -918,6 +928,50 @@ object SimilarityOps {
       loadOrBuildRhpIndex(corpusAfterAppend, idCol, vecCol, nBits, nTables,
         parityTag, signParity, maxInputDim, indexPath, rebuild = true)
     }
+  }
+
+  /** O(delta) DELETE from the persisted RHP index — tombstone the
+    * removed vectors' ids in BOTH stored tables (buckets and quantized
+    * corpus, id column `neighbor_id`) instead of re-hashing the
+    * corpus. Same protocol as [[appendToRhpIndex]]: snapshot
+    * `preDeleteSig = IvfIndex.corpusSig(corpus)` BEFORE deleting from
+    * the corpus store, then call with the deleted ids and the
+    * post-delete corpus. Both sidecars are checked up front so the
+    * tombstones commit to both tables or neither; returns false when
+    * either is missing/stale/differently-parameterized — the caller
+    * rebuilds via `loadOrBuildRhpIndex(..., rebuild = true)` (which
+    * clears tombstones). Readers subtract tombstones through
+    * [[IndexStore.read]]; [[IndexStore.compact]] folds them in.
+    * Re-appending a deleted id via [[appendToRhpIndex]] resurrects it.
+    */
+  def deleteFromRhpIndex(deletedIds: DataFrame, idCol: String,
+                         nBits: Int, nTables: Int, parityTag: String,
+                         maxInputDim: Int, corpusAfterDelete: DataFrame,
+                         indexPath: String, preDeleteSig: String): Boolean = {
+    val qcParams = "rhp-quantized"
+    val bkParams =
+      s"rhp-buckets:nBits=$nBits,nTables=$nTables,parity=$parityTag,maxDim=$maxInputDim"
+    val fresh =
+      IndexStore.readMetaRaw(corpusAfterDelete, s"$indexPath/quantized")
+        .contains(IndexStore.render(qcParams, preDeleteSig)) &&
+      IndexStore.readMetaRaw(corpusAfterDelete, s"$indexPath/buckets")
+        .contains(IndexStore.render(bkParams, preDeleteSig))
+    if (!fresh) false
+    else {
+      val ids = deletedIds.select(col(idCol).as("neighbor_id"))
+      IndexStore.deleteFrom(ids, "neighbor_id", qcParams,
+        s"$indexPath/quantized", corpusAfterDelete, preDeleteSig) &&
+      IndexStore.deleteFrom(ids, "neighbor_id", bkParams,
+        s"$indexPath/buckets", corpusAfterDelete, preDeleteSig)
+    }
+  }
+
+  /** Fold any tombstones into both stored RHP tables
+    * ([[IndexStore.compact]] on quantized corpus and buckets). */
+  def compactRhpIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Unit = {
+    IndexStore.compact(spark, s"$indexPath/quantized")
+    IndexStore.compact(spark, s"$indexPath/buckets")
   }
 
   /** [[rhpTopK]] against prebuilt corpus-side artifacts: only the
