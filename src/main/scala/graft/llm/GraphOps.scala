@@ -61,8 +61,10 @@ object GraphOps {
                   iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                   scale: Long = 1000000L,
                   mat: Materializer = Materializer.Local,
-                  broadcastRanks: Boolean = true): DataFrame = {
+                  broadcastRanks: Boolean = true,
+                  freezeEvery: Int = 8): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    require(freezeEvery >= 0)
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
@@ -85,7 +87,7 @@ object GraphOps {
     val teleport = scale * (dampDen - dampNum) / dampDen
 
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
@@ -95,6 +97,13 @@ object GraphOps {
         .select(col("node"),
           (lit(teleport) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
+      // rank lineage grows by one join+agg layer per round; at deep
+      // iteration counts catalyst analysis dominates the round time.
+      // Freezing the |V|-row rank table every freezeEvery rounds caps
+      // plan depth — bit-identical values (spec-pinned at several
+      // cadences); 0 disables (the fully unrolled oracle-replay shape)
+      if (freezeEvery > 0 && i % freezeEvery == 0 && i < iters && mat.frozen)
+        rank = mat.freeze(rank, Seq("node"), s"pr_rank_$i")
     }
     rank
   }
@@ -113,8 +122,10 @@ object GraphOps {
                           dampNum: Long = 85L, dampDen: Long = 100L,
                           scale: Long = 1000000L,
                           mat: Materializer = Materializer.Local,
-                          broadcastRanks: Boolean = true): DataFrame = {
+                          broadcastRanks: Boolean = true,
+                          freezeEvery: Int = 8): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen)
+    require(freezeEvery >= 0)
     def hint(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
@@ -129,7 +140,7 @@ object GraphOps {
     val teleport = scale * (dampDen - dampNum) / dampDen
 
     var rank = nodes.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(hint(rank.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
@@ -139,6 +150,9 @@ object GraphOps {
         .select(col("node"),
           (lit(teleport) + expr(s"($dampNum * coalesce(s, 0L)) div $dampDen"))
             .as("rank"))
+      // same deep-iteration lineage cap as pageRankInt (bit-identical)
+      if (freezeEvery > 0 && i % freezeEvery == 0 && i < iters && mat.frozen)
+        rank = mat.freeze(rank, Seq("node"), s"prw_rank_$i")
     }
     rank
   }
@@ -361,7 +375,18 @@ object GraphOps {
         .union(e.select(col("dst").as("node"))).distinct(),
       Seq("node"), "hits_nodes")
 
-    def normalized(summed: DataFrame, out: String): DataFrame = {
+    var step = 0
+    def normalized(summed0: DataFrame, out: String): DataFrame = {
+      // summed is consumed TWICE per half-step (the max aggregate and
+      // the node join), and its plan contains the whole previous
+      // half-step — unfrozen, the plan tree doubles per half-step
+      // (2^(2·rounds) subtree copies; g7_hits' 8.7 s at sf0.1 was
+      // catalyst + recompute cost, not data). Freezing the ≤|V|-row
+      // sum table once per half-step makes every half-step's plan
+      // constant-size. Values are untouched (spec-pinned); Lazy keeps
+      // the unrolled single-plan shape for oracle replay.
+      step += 1
+      val summed = mat.freeze(summed0, Seq("node"), s"hits_sum_$step")
       // max over ≤|V| rows — one-row broadcast; all-zero degenerates
       // to max 1 (scores stay 0)
       val mx = summed.agg(greatest(max(col("s")), lit(1L)).as("mx"))

@@ -54,6 +54,21 @@ object MatProbe {
     require(checksum.values.toSet.size == 1,
       s"strategies disagree on rank mass: $checksum")
     println(s"rank mass identical across strategies: ${checksum("local")}")
+
+    // Deep-iteration posture (VERDICT r13/r14): at 20+ rounds the
+    // UNFROZEN rank lineage makes catalyst analysis the dominant cost;
+    // the freezeEvery cadence caps plan depth. Same rank mass required.
+    var deepMass = Map.empty[Int, Long]
+    for (cadence <- Seq(0, 8)) {
+      val t0 = System.nanoTime()
+      val sum = GraphOps.pageRankInt(edges, "src", "dst", iters = 24,
+          freezeEvery = cadence)
+        .agg(org.apache.spark.sql.functions.sum(col("rank"))).collect()(0).getLong(0)
+      println(f"DEEP24 freezeEvery=$cadence ${(System.nanoTime() - t0) / 1e9}%.3f (rank mass $sum)")
+      deepMass += cadence -> sum
+    }
+    require(deepMass.values.toSet.size == 1,
+      s"freezeEvery cadences disagree on rank mass: $deepMass")
     spark.stop()
   }
 }

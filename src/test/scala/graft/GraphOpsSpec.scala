@@ -214,4 +214,46 @@ class GraphOpsSpec extends SparkSpec {
       (1L, 1000000L, 0L), (2L, 1000000L, 0L),
       (10L, 0L, 1000000L), (11L, 0L, 1000000L))
   }
+
+  test("hitsInt: per-half-step freeze (Local) is bit-identical to the unrolled Lazy plan") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L),
+      (4L, 10L), (4L, 12L)).toDF("src", "dst")
+    val lazyRows = GraphOps.hitsInt(edges, "src", "dst", rounds = 4,
+      mat = graft.sources.Materializer.Lazy).as[(Long, Long, Long)].collect().toSeq
+    val localRows = GraphOps.hitsInt(edges, "src", "dst", rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    localRows shouldBe lazyRows
+  }
+
+  test("pageRankInt: freezeEvery cadence never changes values (VERDICT r13/r14)") {
+    val edges = (1L to 40L).map(i => (i, i * 7 % 41 + 1)) ++ Seq((2L, 1L), (17L, 3L))
+    val truth = reference(edges, 9)
+    for (cadence <- Seq(0, 1, 3, 8)) {
+      val got = GraphOps.pageRankInt(edges.toDF("src", "dst"), "src", "dst",
+          iters = 9, freezeEvery = cadence)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"freezeEvery=$cadence: ") { got shouldBe truth }
+    }
+  }
+
+  test("pageRankWeightedInt: freezeEvery cadence never changes values") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (2L, 1L, 5L), (4L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val truth = GraphOps.pageRankWeightedInt(edges, "src", "dst", "w",
+        iters = 7, freezeEvery = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (cadence <- Seq(1, 2, 8)) {
+      val got = GraphOps.pageRankWeightedInt(edges, "src", "dst", "w",
+          iters = 7, freezeEvery = cadence)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"freezeEvery=$cadence: ") { got shouldBe truth }
+    }
+  }
+
+  test("pageRankInt: 24 deep rounds stay correct and analysis-bounded under the default cadence") {
+    val edges = (1L to 30L).map(i => (i, i % 30 + 1)) // ring: diameter-deep
+    val got = GraphOps.pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe reference(edges, 24)
+  }
 }
