@@ -188,42 +188,57 @@ object Queries {
     s"((CAST(xor(${s(a)}, ${s(b)}) AS HUGEINT) + $U64) % $U64)"
   }
 
-  /** CTE-chain fragment computing `xx64` = Spark's `xxhash64(idCol)`
-    * (signed BIGINT) for every row of CTE `from`. One MATERIALIZED CTE
-    * per hash stage: lateral column aliases would INLINE each stage
-    * into the next (mulmod references its input 3×, xorU 4×), growing
-    * the final expression tree to ~3^13 nodes — DuckDB's planner dies
-    * of bad_alloc on it. Materialization pins each stage to a real
-    * column, so every reference is a column ref. The caller embeds
-    * this inside its WITH list and reads from the final CTE `hx`,
-    * which carries ($idCol, xx64).
+  /** CTE-chain fragment computing one XXH64-of-a-long round +
+    * avalanche over u64 `inputExpr` with u64 seed `seedExpr`, for
+    * every row of CTE `from`, carrying the `carry` columns through.
+    * One MATERIALIZED CTE per stage: lateral column aliases (or plain
+    * CTEs, which DuckDB inlines) would re-expand each stage into the
+    * next — mulmod references its input 3×, xorU 4× — growing the
+    * final expression tree to ~3^13 nodes, on which DuckDB's planner
+    * dies of bad_alloc. Materialization pins each stage to a real
+    * column; earlier columns fall away stage by stage, keeping the
+    * materializations narrow. The final CTE `<p>` exposes
+    * carry ++ (xx64u HUGEINT in [0, 2^64), xx64 signed BIGINT).
+    *
+    * Chaining (Spark's multi-arg xxhash64 feeds each argument's hash
+    * in as the next seed): pass the previous fragment's `xx64u` as
+    * `seedExpr`. Seed 42 + one long reproduces Spark's
+    * `xxhash64(col)`; two chained fragments reproduce
+    * `xxhash64(colA, colB)` (probe-verified against Spark).
     */
-  private def xxhash64LongCtes(from: String, idCol: String): String = {
+  private def xxh64Stages(p: String, from: String, carry: Seq[String],
+                          inputExpr: String, seedExpr: String): String = {
     val P1 = "11400714785074694791"; val P2 = "14029467366897019727"
     val P3 = "1609587929392839161"; val P4 = "9650029242287828579"
-    val stages = Seq(
-      "i0" -> s"((CAST($idCol AS HUGEINT) % $U64 + $U64) % $U64)",
-      "k1a" -> mulmod("i0", P2),
-      "k1b" -> rotl("k1a", 31),
-      "k1c" -> mulmod("k1b", P1),
-      "h1" -> xorU("2870177450012600311", "k1c"),
-      "h2" -> rotl("h1", 27),
-      "h3" -> mulmod("h2", P1),
-      "h4" -> s"((h3 + $P4) % $U64)",
-      "a1" -> xorU("h4", "h4 // 8589934592"),
-      "a2" -> mulmod("a1", P2),
-      "a3" -> xorU("a2", "a2 // 536870912"),
-      "a4" -> mulmod("a3", P3),
-      "a5" -> xorU("a4", "a4 // 4294967296"),
-      "xx64" -> s"CAST(CASE WHEN a5 >= 9223372036854775808 THEN a5 - $U64 ELSE a5 END AS BIGINT)")
-    val ctes = stages.zipWithIndex.map { case ((name, expr0), i) =>
-      val src = if (i == 0) from else s"hx$i"
-      s"hx${i + 1} AS MATERIALIZED (SELECT $idCol, $expr0 AS $name FROM $src)"
-    }
-    // each stage only needs (idCol, its new column); earlier columns
-    // fall away stage by stage, keeping the materializations narrow
-    ctes.mkString(",\n") + s",\nhx AS (SELECT $idCol, xx64 FROM hx${stages.size})"
+    val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    def cte(i: Int, sel: String, src: String) =
+      s"$p$i AS MATERIALIZED (SELECT $c$sel FROM $src)"
+    val s = Seq(
+      cte(1, s"((($inputExpr) % $U64 + $U64) % $U64) AS i0, " +
+        s"(((($seedExpr) % $U64 + $U64) % $U64) + 2870177450012600269) % $U64 AS s0", from),
+      cte(2, s"s0, ${mulmod("i0", P2)} AS k1a", s"${p}1"),
+      cte(3, s"s0, ${rotl("k1a", 31)} AS k1b", s"${p}2"),
+      cte(4, s"s0, ${mulmod("k1b", P1)} AS k1c", s"${p}3"),
+      cte(5, s"${xorU("s0", "k1c")} AS h1", s"${p}4"),
+      cte(6, s"${rotl("h1", 27)} AS h2", s"${p}5"),
+      cte(7, s"${mulmod("h2", P1)} AS h3", s"${p}6"),
+      cte(8, s"((h3 + $P4) % $U64) AS h4", s"${p}7"),
+      cte(9, s"${xorU("h4", "h4 // 8589934592")} AS a1", s"${p}8"),
+      cte(10, s"${mulmod("a1", P2)} AS a2", s"${p}9"),
+      cte(11, s"${xorU("a2", "a2 // 536870912")} AS a3", s"${p}10"),
+      cte(12, s"${mulmod("a3", P3)} AS a4", s"${p}11"),
+      cte(13, s"${xorU("a4", "a4 // 4294967296")} AS xx64u", s"${p}12"),
+      s"$p AS (SELECT ${c}xx64u, CAST(CASE WHEN xx64u >= 9223372036854775808 " +
+        s"THEN xx64u - $U64 ELSE xx64u END AS BIGINT) AS xx64 FROM ${p}13)")
+    s.mkString(",\n")
   }
+
+  /** [[xxh64Stages]] specialized to Spark's `xxhash64(idCol)` over one
+    * BIGINT column: final CTE `hx` carries ($idCol, xx64).
+    */
+  private def xxhash64LongCtes(from: String, idCol: String): String =
+    xxh64Stages("hxs", from, Seq(idCol), s"CAST($idCol AS HUGEINT)", "42") +
+      s",\nhx AS (SELECT $idCol, xx64 FROM hxs)"
 
   /** The fuzzy-dedup pipeline oracle (exact-Jaccard pairs → recursive
     * connected components → keep-longest), shared by
@@ -6722,6 +6737,60 @@ object Queries {
              |w AS (SELECT rep, xq,
              |    CAST(('0x' || substr(md5(k || ':' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
              |  FROM r),
+             |pw AS (SELECT rep, xq,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+             |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END AS wt
+             |  FROM w),
+             |rm AS (SELECT rep, CAST(sum(wt * xq) AS BIGINT) AS swx, CAST(sum(wt) AS BIGINT) AS sw
+             |  FROM pw GROUP BY rep HAVING sum(wt) > 0),
+             |mq AS (SELECT rep, CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) AS BIGINT) AS m FROM rm),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rr FROM mq),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS ru, CAST(sum(m) AS HUGEINT) AS s1,
+             |    CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS s2 FROM mq),
+             |bd AS (SELECT ru, s1, s2, CAST(ceil(ru * 0.025) AS BIGINT) AS rlo,
+             |    CAST(ceil(ru * 0.975) AS BIGINT) AS rhi FROM st),
+             |ci AS (SELECT bd.ru, bd.s1, bd.s2,
+             |    min(CASE WHEN rk.rr = bd.rlo THEN rk.m END) AS lo,
+             |    min(CASE WHEN rk.rr = bd.rhi THEN rk.m END) AS hi
+             |  FROM rk, bd GROUP BY 1, 2, 3)
+             |SELECT t.n, ci.ru AS reps_used,
+             |  round(CAST(t.sx AS DOUBLE) / 1000000 / CAST(t.n AS DOUBLE), 6) AS mean,
+             |  CASE WHEN ci.ru > 1 THEN round(sqrt(CAST(ci.s2 * ci.ru - ci.s1 * ci.s1 AS DOUBLE)
+             |    / (CAST(ci.ru AS DOUBLE) * (CAST(ci.ru AS DOUBLE) - 1.0))) / 1000000, 6) END AS se_boot,
+             |  round(CAST(ci.lo AS DOUBLE) / 1000000, 6) AS ci_lo,
+             |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
+             |FROM ci, t""".stripMargin)),
+
+    // ---- STATS: Poisson bootstrap, PRODUCTION-HASH twin at the USER
+    // grain — the resampling unit a real experiment platform uses
+    // (users, not events), with replicate weights from codegen'd
+    // xxhash64(user_id, rep) instead of md5("key:rep") strings (the
+    // q_bootstrap_ci md5 anchor's dominant cost). ORACLE-EXACT like
+    // q_srm_prod: Spark's two-arg xxhash64 chains each argument's hash
+    // in as the next seed, so the oracle runs the XXH64 replica twice
+    // (second pass seeded by the first's unsigned result) over
+    // |users| × reps rows — user grain keeps that volume tiny.
+    // (dfw/AuditOps.poissonBootstrapMean, pairHash). ----
+    ("q_bootstrap_ci_prod",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg((sum(round(col("value") * 1e6).cast("long"))
+            .cast("double") / 1e6).as("x"))
+        AuditOps.poissonBootstrapMean(perUser, col("user_id"), col("x"),
+          reps = 200, pairHash = Some((k, r) => xxhash64(k, r)))
+      },
+      Some(s"""WITH b AS (SELECT user_id AS k,
+             |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS xq
+             |  FROM events GROUP BY 1 HAVING sum(CAST(round(value * 1000000) AS BIGINT)) IS NOT NULL),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx FROM b),
+             |${xxh64Stages("ka", "b", Seq("k"), "CAST(k AS HUGEINT)", "42")},
+             |r AS (SELECT ka.k, ka.xx64u AS sd, g.rep
+             |  FROM ka CROSS JOIN (SELECT unnest(range(200)) AS rep) g),
+             |${xxh64Stages("kb", "r", Seq("k", "rep"), "CAST(rep AS HUGEINT)", "sd")},
+             |w AS (SELECT kb.rep, b.xq, ((kb.xx64 % 1000000) + 1000000) % 1000000 AS u
+             |  FROM kb JOIN b USING (k)),
              |pw AS (SELECT rep, xq,
              |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
              |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5

@@ -612,14 +612,24 @@ object AuditOps {
   def poissonBootstrapMean(df: DataFrame, keyCol: Column, valueCol: Column,
                            reps: Int = 200,
                            hash: Column => Column =
-                             graft.llm.DedupOps.md5TokenHash): DataFrame = {
+                             graft.llm.DedupOps.md5TokenHash,
+                           pairHash: Option[(Column, Column) => Column] = None)
+      : DataFrame = {
     require(reps >= 40, s"need >= 40 replicates for a 95% CI, got $reps")
     // spread the ×R explode: a single-file input would otherwise run
     // the whole weight stream in one or two tasks (the explode
     // multiplies WORK but not PARTITIONS); one round-robin shuffle of
     // the raw rows is noise next to R× the hash work
+    //
+    // randomness source: `pairHash` (production — hash the RAW key and
+    // the replicate id natively, e.g. `(k, r) => xxhash64(k, r)`, no
+    // string conversion, no md5) beats `hash` over the concatenated
+    // "key:rep" string (the engine-neutral md5 anchor every external
+    // SQL engine replays; q_bootstrap_ci keeps it under the oracle,
+    // q_bootstrap_ci_prod pins the xxhash64 form via a DuckDB XXH64
+    // replica — both hash-exact)
     val base = df
-      .select(keyCol.cast("string").as("__k"),
+      .select((if (pairHash.isDefined) keyCol else keyCol.cast("string")).as("__k"),
         round(valueCol.cast("double") * 1e6).cast("long").as("__xq"))
       .where(col("__xq").isNotNull)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -627,8 +637,10 @@ object AuditOps {
     val repMeans = base
       .select(col("__k"), col("__xq"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-      .withColumn("__u", pmod(hash(
-        concat(col("__k"), lit(":"), col("rep"))), lit(1000000L)))
+      .withColumn("__u", pmod(
+        pairHash.map(ph => ph(col("__k"), col("rep").cast("long")))
+          .getOrElse(hash(concat(col("__k"), lit(":"), col("rep")))),
+        lit(1000000L)))
       .withColumn("__w", poissonWeight(col("__u")).cast("long"))
       .groupBy(col("rep"))
       .agg(sum(col("__w") * col("__xq")).as("__swx"), sum(col("__w")).as("__sw"))
