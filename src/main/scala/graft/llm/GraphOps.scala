@@ -446,10 +446,14 @@ object GraphOps {
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val pairable = adj
+    // the wedge self-join consumes this table TWICE (both pairing
+    // sides); unfrozen, the adjacency + degree join computes twice —
+    // freeze the ≤2|E|-row scored adjacency once (values unchanged)
+    val pairable = mat.freeze(adj
       .join(deg.filter(col("deg") >= 2 && col("deg") <= maxDeg), Seq("node"))
       .withColumn("aa_q",
-        round(lit(1e6) / log(col("deg").cast("double"))).cast("long"))
+        round(lit(1e6) / log(col("deg").cast("double"))).cast("long")),
+      Seq("node"), "aa_pairable")
     val r = pairable.select(col("node").as("node2"), col("nbr").as("nbr2"))
     val scored = pairable
       .join(r, col("node") === col("node2") && col("nbr") < col("nbr2"))
