@@ -251,19 +251,29 @@ private[llm] object IndexStore {
   /** The stored index as its readers must see it: the parquet table
     * minus tombstoned ids. With no tombstone table this is a bare
     * parquet scan (the overwhelmingly common state); with one, the
-    * tombstones — |deleted| rows, tiny by construction — broadcast
-    * into a left-anti join on the id column they were written with.
+    * tombstones anti-join on the id column they were written with —
+    * BROADCAST while the tombstone table is small (the normal regime:
+    * |deleted| ids, compacted away on the caller's schedule), falling
+    * back to a keyed shuffle join past 100 MB of tombstone parquet: a
+    * mass-delete wave at 100 TB must not OOM every reader's driver,
+    * and a tombstone table that big is the signal to [[compact]].
     */
   def read(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
     val df = spark.read.parquet(indexPath)
     val tp = tombstonePath(indexPath)
-    if (!hasTombstones(fsFor(spark, tp), tp)) df
+    val fs = fsFor(spark, tp)
+    if (!hasTombstones(fs, tp)) df
     else {
-      val ts = spark.read.parquet(tp.toString)
+      val ts = spark.read.parquet(tp.toString).distinct()
+      val tsBytes = fs.listStatus(tp)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+      val hinted =
+        if (tsBytes < (100L << 20)) org.apache.spark.sql.functions.broadcast(ts) else ts
       // the USING-join would move the id column first; re-select the
       // stored order so delete is invisible to schema-sensitive callers
-      df.join(org.apache.spark.sql.functions.broadcast(ts.distinct()),
-          ts.columns.toSeq, "left_anti")
+      df.join(hinted, ts.columns.toSeq, "left_anti")
         .select(df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
     }
   }

@@ -177,6 +177,35 @@ class IndexStoreSpec extends SparkSpec {
     ex.getMessage should include("refusing to append 'other_id'")
   }
 
+  test("degenerate deletes: empty id set is a no-op; unknown ids subtract nothing; delete-all leaves an empty view") {
+    val base = freshBase()
+    val corpusDir = base.resolve("corpus").toString
+    val idx = base.resolve("idx").toString
+    val c0 = writeCorpus(corpusDir, 0 until 8)
+    buildIdentity(c0, idx).count()
+
+    // empty delta: protocol succeeds, nothing changes (an empty
+    // tombstone write leaves no committed data files → treated as none)
+    IndexStore.deleteFrom(Seq.empty[Long].toDF("id"), "id", "identity", idx,
+      c0, IndexStore.corpusSignature(c0)) shouldBe true
+    idsOf(IndexStore.read(spark, idx)) shouldBe (0L until 8L).toSet
+
+    // ids that never existed in the index: harmless anti-join misses
+    IndexStore.deleteFrom(Seq(999L, 1000L).toDF("id"), "id", "identity", idx,
+      c0, IndexStore.corpusSignature(c0)) shouldBe true
+    idsOf(IndexStore.read(spark, idx)) shouldBe (0L until 8L).toSet
+
+    // delete EVERY id: view is empty but readable; compact leaves a
+    // readable empty table with the sidecar intact
+    IndexStore.deleteFrom((0L until 8L).toDF("id"), "id", "identity", idx,
+      c0.limit(0), IndexStore.corpusSignature(c0)) shouldBe true
+    IndexStore.read(spark, idx).count() shouldBe 0L
+    val sidecarBefore = sidecarOf(idx)
+    IndexStore.compact(spark, idx)
+    IndexStore.read(spark, idx).count() shouldBe 0L
+    sidecarOf(idx) shouldBe sidecarBefore
+  }
+
   test("crash-truncated tombstone dir (no committed files) reads as no tombstones") {
     val base = freshBase()
     val corpusDir = base.resolve("corpus").toString
