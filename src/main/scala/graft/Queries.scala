@@ -6816,6 +6816,80 @@ object Queries {
              |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
              |FROM ci, t""".stripMargin)),
 
+    // ---- STATS: Poisson bootstrap CI for the DIFFERENCE of arm means
+    // — the statistic an experiment platform actually ships (per-arm
+    // CIs don't subtract; the arms share the resample). Fully
+    // production-hashed: ONE xxhash64(user_id) both assigns the arm
+    // (mod 2) and seeds the per-replicate weight hash
+    // xxhash64(user_id, rep) — the oracle runs the XXH64 replica once
+    // for the key, reuses its unsigned result as the chain seed, and
+    // replays arm split, weights, replicate diffs and the nearest-rank
+    // CI bit-exactly (dfw/AuditOps.poissonBootstrapDiff). ----
+    ("q_bootstrap_diff",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg((sum(round(col("value") * 1e6).cast("long"))
+            .cast("double") / 1e6).as("x"))
+        AuditOps.poissonBootstrapDiff(perUser, col("user_id"),
+          pmod(xxhash64(col("user_id")), lit(2)) === 0, col("x"),
+          reps = 200, pairHash = Some((k, r) => xxhash64(k, r)))
+      },
+      Some(s"""WITH b AS (SELECT user_id AS k,
+             |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS xq
+             |  FROM events GROUP BY 1 HAVING sum(CAST(round(value * 1000000) AS BIGINT)) IS NOT NULL),
+             |${xxh64Stages("ka", "b", Seq("k"), "CAST(k AS HUGEINT)", "42")},
+             |am AS (SELECT k, ((xx64 % 2) + 2) % 2 = 0 AS a, xx64u AS sd FROM ka),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN am.a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN am.a THEN b.xq ELSE 0 END) AS BIGINT) AS sxa,
+             |    CAST(sum(CASE WHEN NOT am.a THEN b.xq ELSE 0 END) AS BIGINT) AS sxb
+             |  FROM b JOIN am USING (k)),
+             |r AS (SELECT am.k, am.a, am.sd, g.rep
+             |  FROM am CROSS JOIN (SELECT unnest(range(200)) AS rep) g),
+             |${xxh64Stages("kb", "r", Seq("k", "a", "rep"), "CAST(rep AS HUGEINT)", "sd")},
+             |w AS (SELECT kb.rep, kb.a, b.xq, ((kb.xx64 % 1000000) + 1000000) % 1000000 AS u
+             |  FROM kb JOIN b USING (k)),
+             |pw AS (SELECT rep, a, xq,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+             |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END AS wt
+             |  FROM w),
+             |rm AS (SELECT rep,
+             |    CAST(sum(CASE WHEN a THEN wt * xq ELSE 0 END) AS BIGINT) AS swxa,
+             |    CAST(sum(CASE WHEN a THEN wt ELSE 0 END) AS BIGINT) AS swa,
+             |    CAST(sum(CASE WHEN NOT a THEN wt * xq ELSE 0 END) AS BIGINT) AS swxb,
+             |    CAST(sum(CASE WHEN NOT a THEN wt ELSE 0 END) AS BIGINT) AS swb
+             |  FROM pw GROUP BY rep
+             |  HAVING sum(CASE WHEN a THEN wt ELSE 0 END) > 0
+             |     AND sum(CASE WHEN NOT a THEN wt ELSE 0 END) > 0),
+             |mq AS (SELECT rep,
+             |    CAST(round(CAST(swxa AS DOUBLE) / CAST(swa AS DOUBLE)) AS BIGINT)
+             |      - CAST(round(CAST(swxb AS DOUBLE) / CAST(swb AS DOUBLE)) AS BIGINT) AS m
+             |  FROM rm),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rr FROM mq),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS ru, CAST(sum(m) AS HUGEINT) AS s1,
+             |    CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS s2 FROM mq),
+             |bd AS (SELECT ru, s1, s2, CAST(ceil(ru * 0.025) AS BIGINT) AS rlo,
+             |    CAST(ceil(ru * 0.975) AS BIGINT) AS rhi FROM st),
+             |ci AS (SELECT bd.ru, bd.s1, bd.s2,
+             |    min(CASE WHEN rk.rr = bd.rlo THEN rk.m END) AS lo,
+             |    min(CASE WHEN rk.rr = bd.rhi THEN rk.m END) AS hi
+             |  FROM rk, bd GROUP BY 1, 2, 3)
+             |SELECT t.n, t.n_a, t.n - t.n_a AS n_b, ci.ru AS reps_used,
+             |  CASE WHEN t.n_a > 0
+             |    THEN round(CAST(t.sxa AS DOUBLE) / 1000000 / CAST(t.n_a AS DOUBLE), 6) END AS mean_a,
+             |  CASE WHEN t.n - t.n_a > 0
+             |    THEN round(CAST(t.sxb AS DOUBLE) / 1000000 / CAST(t.n - t.n_a AS DOUBLE), 6) END AS mean_b,
+             |  CASE WHEN t.n_a > 0 AND t.n - t.n_a > 0
+             |    THEN round(CAST(t.sxa AS DOUBLE) / 1000000 / CAST(t.n_a AS DOUBLE)
+             |      - CAST(t.sxb AS DOUBLE) / 1000000 / CAST(t.n - t.n_a AS DOUBLE), 6) END AS diff,
+             |  CASE WHEN ci.ru > 1 THEN round(sqrt(CAST(ci.s2 * ci.ru - ci.s1 * ci.s1 AS DOUBLE)
+             |    / (CAST(ci.ru AS DOUBLE) * (CAST(ci.ru AS DOUBLE) - 1.0))) / 1000000, 6) END AS se_boot,
+             |  round(CAST(ci.lo AS DOUBLE) / 1000000, 6) AS ci_lo,
+             |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
+             |FROM ci, t""".stripMargin)),
+
     // ---- STATS: Poisson bootstrap CI for a RATIO metric — per-user
     // purchases / clicks, the estimand whose per-impression variance
     // is simply wrong (users are the resampling grain); each

@@ -795,6 +795,96 @@ object AuditOps {
     * @return single row: `n, reps_used, ratio, se_boot, ci_lo, ci_hi`
     *         (6 dp)
     */
+  /** Poisson bootstrap CI for the DIFFERENCE of arm means — the
+    * statistic an experiment platform actually ships (the per-arm CIs
+    * of [[poissonBootstrapMean]] don't subtract: arm means are
+    * correlated through the shared resample). Each resampling unit
+    * (user) draws one Poisson(1) weight per replicate — the SAME
+    * weight whichever arm it belongs to — and replicate r's statistic
+    * is weightedMean(A) − weightedMean(B), never materialized as data:
+    * one groupBy(rep) holding four running sums.
+    *
+    * Same determinism contract as the siblings: weights from
+    * md5("key:rep") (`hash`, the engine-neutral anchor) or the
+    * production `pairHash` (e.g. `(k, r) => xxhash64(k, r)` — raw key,
+    * no string conversion; the DuckDB XXH64 replica keeps it
+    * oracle-exact). Arm means quantize to micro-units before the
+    * subtraction, so every replicate diff is an exact integer and the
+    * nearest-rank CI replays bit-identically.
+    *
+    * @param isArmA arm assignment predicate over a resampling unit
+    *               (rows with NULL assignment or value are dropped)
+    * @return single row: `n, n_a, n_b, reps_used, mean_a, mean_b,
+    *         diff, se_boot, ci_lo, ci_hi` (6 dp; nearest-rank
+    *         2.5%/97.5% of replicate diffs)
+    */
+  def poissonBootstrapDiff(df: DataFrame, keyCol: Column, isArmA: Column,
+                           valueCol: Column, reps: Int = 200,
+                           hash: Column => Column =
+                             graft.llm.DedupOps.md5TokenHash,
+                           pairHash: Option[(Column, Column) => Column] = None)
+      : DataFrame = {
+    require(reps >= 40, s"need >= 40 replicates for a 95% CI, got $reps")
+    val base = df
+      .select((if (pairHash.isDefined) keyCol else keyCol.cast("string")).as("__k"),
+        isArmA.cast("boolean").as("__a"),
+        round(valueCol.cast("double") * 1e6).cast("long").as("__xq"))
+      .where(col("__xq").isNotNull && col("__a").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val totals = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a"), col("__xq")).otherwise(0L)).as("__sxa"),
+      sum(when(!col("__a"), col("__xq")).otherwise(0L)).as("__sxb"))
+    val repDiffs = base
+      .select(col("__k"), col("__a"), col("__xq"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+      .withColumn("__u", pmod(
+        pairHash.map(ph => ph(col("__k"), col("rep").cast("long")))
+          .getOrElse(hash(concat(col("__k"), lit(":"), col("rep")))),
+        lit(1000000L)))
+      .withColumn("__w", poissonWeight(col("__u")).cast("long"))
+      .groupBy(col("rep"))
+      .agg(sum(when(col("__a"), col("__w") * col("__xq")).otherwise(0L)).as("__swxa"),
+        sum(when(col("__a"), col("__w")).otherwise(0L)).as("__swa"),
+        sum(when(!col("__a"), col("__w") * col("__xq")).otherwise(0L)).as("__swxb"),
+        sum(when(!col("__a"), col("__w")).otherwise(0L)).as("__swb"))
+      .where(col("__swa") > 0 && col("__swb") > 0)
+      .select(col("rep"),
+        (round(col("__swxa").cast("double") / col("__swa").cast("double")).cast("long")
+          - round(col("__swxb").cast("double") / col("__swb").cast("double")).cast("long"))
+          .as("__dq"))
+    val ranked = repDiffs.withColumn("__r", row_number().over(
+      Window.orderBy(col("__dq"), col("rep"))))
+    val rStats = ranked.agg(
+      count(lit(1)).as("reps_used"),
+      sum(col("__dq")).cast("decimal(38,0)").as("__s1"),
+      sum(col("__dq").cast("decimal(38,0)") * col("__dq").cast("decimal(38,0)"))
+        .as("__s2"))
+    val bounds = rStats.select(col("reps_used"), col("__s1"), col("__s2"),
+      ceil(col("reps_used") * 0.025).cast("long").as("__rlo"),
+      ceil(col("reps_used") * 0.975).cast("long").as("__rhi"))
+    val ci = ranked.join(broadcast(bounds),
+        col("__r") === col("__rlo") || col("__r") === col("__rhi"))
+      .groupBy(col("reps_used"), col("__s1"), col("__s2"))
+      .agg(min(when(col("__r") === col("__rlo"), col("__dq"))).as("__lo"),
+        min(when(col("__r") === col("__rhi"), col("__dq"))).as("__hi"))
+    val r = col("reps_used").cast("double")
+    val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
+      .cast("double")
+    val ma = col("__sxa").cast("double") / 1e6 / col("n_a").cast("double")
+    val mb = col("__sxb").cast("double") / 1e6 / (col("n") - col("n_a")).cast("double")
+    ci.crossJoin(broadcast(totals))
+      .select(col("n"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        col("reps_used"),
+        when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+        when(col("n") - col("n_a") > 0, round(mb, 6)).as("mean_b"),
+        when(col("n_a") > 0 && col("n") - col("n_a") > 0, round(ma - mb, 6)).as("diff"),
+        when(col("reps_used") > 1,
+          round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
+        round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
+        round(col("__hi").cast("double") / 1e6, 6).as("ci_hi"))
+  }
+
   def poissonBootstrapRatio(df: DataFrame, keyCol: Column, numCol: Column,
                             denCol: Column, reps: Int = 200,
                             hash: Column => Column =
