@@ -6816,6 +6816,119 @@ object Queries {
              |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
              |FROM ci, t""".stripMargin)),
 
+    // ---- STATS: always-valid sequential test (mixture SPRT) — the
+    // peek-any-day decision sequence modern platforms run instead of
+    // fixed-horizon t-tests (Johari et al. 2017): per day, cumulative
+    // exact integer sums → two-sample mixture log-likelihood-ratio →
+    // monotone-in-evidence significance flag at ln(1/α) (a
+    // compile-time literal, no runtime ln in the verdict). Arms by
+    // xxhash64(user_id) mod 2; the oracle replays the XXH64 replica
+    // for the arm split, the same day-grain integer sums, and the
+    // identical IEEE double sequence; the one ln term appears only in
+    // the 6-dp-rounded log_lr (dfw/AuditOps.msprtDiff). ----
+    ("q_msprt",
+      (s: SparkSession, dir: String) => {
+        AuditOps.msprtDiff(Tables.load(s, dir, "events"), col("ts"),
+          pmod(xxhash64(col("user_id")), lit(2)) === 0, col("value"),
+          tau2 = 1.0)
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(round(value * 1000000) AS BIGINT) AS xq
+             |  FROM events WHERE value IS NOT NULL),
+             |u AS (SELECT DISTINCT user_id AS k FROM e),
+             |${xxh64Stages("ka", "u", Seq("k"), "CAST(k AS HUGEINT)", "42")},
+             |am AS (SELECT k AS user_id, ((xx64 % 2) + 2) % 2 = 0 AS a FROM ka),
+             |ed AS (SELECT e.day, am.a, e.xq FROM e JOIN am USING (user_id)),
+             |d AS (SELECT day,
+             |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS dna,
+             |    CAST(sum(CASE WHEN a THEN xq ELSE 0 END) AS BIGINT) AS dsa,
+             |    CAST(sum(CASE WHEN a THEN CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT) ELSE 0 END) AS HUGEINT) AS dssa,
+             |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS dnb,
+             |    CAST(sum(CASE WHEN NOT a THEN xq ELSE 0 END) AS BIGINT) AS dsb,
+             |    CAST(sum(CASE WHEN NOT a THEN CAST(xq AS HUGEINT) * CAST(xq AS HUGEINT) ELSE 0 END) AS HUGEINT) AS dssb
+             |  FROM ed GROUP BY day),
+             |c AS (SELECT day,
+             |    CAST(sum(dna) OVER w AS BIGINT) AS n_a, CAST(sum(dsa) OVER w AS BIGINT) AS sa_i,
+             |    CAST(sum(dssa) OVER w AS HUGEINT) AS ssa_i,
+             |    CAST(sum(dnb) OVER w AS BIGINT) AS n_b, CAST(sum(dsb) OVER w AS BIGINT) AS sb_i,
+             |    CAST(sum(dssb) OVER w AS HUGEINT) AS ssb_i
+             |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |f AS (SELECT day, n_a, n_b,
+             |    CAST(NULLIF(n_a, 0) AS DOUBLE) AS na, CAST(NULLIF(n_b, 0) AS DOUBLE) AS nb,
+             |    CAST(sa_i AS DOUBLE) / 1000000 AS sa, CAST(sb_i AS DOUBLE) / 1000000 AS sb,
+             |    CAST(ssa_i AS DOUBLE) / 1000000000000 AS ssa,
+             |    CAST(ssb_i AS DOUBLE) / 1000000000000 AS ssb,
+             |    sa / na - sb / nb AS theta,
+             |    ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+             |      / (CAST(CASE WHEN n_a + n_b > 2 THEN n_a + n_b END AS DOUBLE) - 2.0) AS sig2,
+             |    (((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+             |      / (CAST(CASE WHEN n_a + n_b > 2 THEN n_a + n_b END AS DOUBLE) - 2.0))
+             |      * (1.0 / na + 1.0 / nb) AS v
+             |  FROM c),
+             |g AS (SELECT day, n_a, n_b, theta, sig2,
+             |    ln(v / (v + 1.0)) / 2.0 + (theta * theta * 1.0) / (2.0 * v * (v + 1.0)) AS llr
+             |  FROM f)
+             |SELECT day, n_a, n_b,
+             |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(theta, 6) END AS theta,
+             |  CASE WHEN n_a + n_b > 2 AND sig2 > 0 THEN round(sig2, 6) END AS sigma2,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND sig2 > 0
+             |    THEN round(llr, 6) END AS log_lr,
+             |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND sig2 > 0
+             |    THEN llr > 2.995732273553991 END AS significant
+             |FROM g ORDER BY day""".stripMargin)),
+
+    // ---- STATS: Poisson bootstrap RATIO CI, production-hash twin —
+    // same per-user purchases/clicks estimand as q_bootstrap_ratio,
+    // replicate weights from xxhash64(user_id, rep) (pairHash) instead
+    // of md5 strings; oracle-exact via the chained XXH64 replica. ----
+    ("q_bootstrap_ratio_prod",
+      (s: SparkSession, dir: String) => {
+        val perUser = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("num"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("den"))
+        AuditOps.poissonBootstrapRatio(perUser, col("user_id"),
+          col("num"), col("den"), reps = 200,
+          pairHash = Some((k, r) => xxhash64(k, r)))
+      },
+      Some(s"""WITH b AS (SELECT user_id AS k,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS BIGINT) AS xq,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1000000 AS BIGINT) AS yq
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS sx,
+             |    CAST(sum(yq) AS BIGINT) AS sy FROM b),
+             |${xxh64Stages("ka", "b", Seq("k"), "CAST(k AS HUGEINT)", "42")},
+             |r AS (SELECT ka.k, ka.xx64u AS sd, g.rep
+             |  FROM ka CROSS JOIN (SELECT unnest(range(200)) AS rep) g),
+             |${xxh64Stages("kb", "r", Seq("k", "rep"), "CAST(rep AS HUGEINT)", "sd")},
+             |w AS (SELECT kb.rep, b.xq, b.yq, ((kb.xx64 % 1000000) + 1000000) % 1000000 AS u
+             |  FROM kb JOIN b USING (k)),
+             |pw AS (SELECT rep, xq, yq,
+             |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+             |         WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+             |         WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 ELSE 8 END AS wt
+             |  FROM w),
+             |rm AS (SELECT rep, CAST(sum(wt * xq) AS BIGINT) AS swx, CAST(sum(wt * yq) AS BIGINT) AS swy
+             |  FROM pw GROUP BY rep HAVING sum(wt * yq) > 0),
+             |mq AS (SELECT rep,
+             |    CAST(round(CAST(swx AS DOUBLE) / CAST(swy AS DOUBLE) * 1000000) AS BIGINT) AS m FROM rm),
+             |rk AS (SELECT m, row_number() OVER (ORDER BY m, rep) AS rr FROM mq),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS ru, CAST(sum(m) AS HUGEINT) AS s1,
+             |    CAST(sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS s2 FROM mq),
+             |bd AS (SELECT ru, s1, s2, CAST(ceil(ru * 0.025) AS BIGINT) AS rlo,
+             |    CAST(ceil(ru * 0.975) AS BIGINT) AS rhi FROM st),
+             |ci AS (SELECT bd.ru, bd.s1, bd.s2,
+             |    min(CASE WHEN rk.rr = bd.rlo THEN rk.m END) AS lo,
+             |    min(CASE WHEN rk.rr = bd.rhi THEN rk.m END) AS hi
+             |  FROM rk, bd GROUP BY 1, 2, 3)
+             |SELECT t.n, ci.ru AS reps_used,
+             |  CASE WHEN t.sy > 0 THEN round(CAST(t.sx AS DOUBLE) / CAST(t.sy AS DOUBLE), 6) END AS ratio,
+             |  CASE WHEN ci.ru > 1 THEN round(sqrt(CAST(ci.s2 * ci.ru - ci.s1 * ci.s1 AS DOUBLE)
+             |    / (CAST(ci.ru AS DOUBLE) * (CAST(ci.ru AS DOUBLE) - 1.0))) / 1000000, 6) END AS se_boot,
+             |  round(CAST(ci.lo AS DOUBLE) / 1000000, 6) AS ci_lo,
+             |  round(CAST(ci.hi AS DOUBLE) / 1000000, 6) AS ci_hi
+             |FROM ci, t""".stripMargin)),
+
     // ---- STATS: Poisson bootstrap CI for the DIFFERENCE of arm means
     // — the statistic an experiment platform actually ships (per-arm
     // CIs don't subtract; the arms share the resample). Fully

@@ -888,10 +888,14 @@ object AuditOps {
   def poissonBootstrapRatio(df: DataFrame, keyCol: Column, numCol: Column,
                             denCol: Column, reps: Int = 200,
                             hash: Column => Column =
-                              graft.llm.DedupOps.md5TokenHash): DataFrame = {
+                              graft.llm.DedupOps.md5TokenHash,
+                            pairHash: Option[(Column, Column) => Column] = None)
+      : DataFrame = {
     require(reps >= 40, s"need >= 40 replicates for a 95% CI, got $reps")
+    // randomness source: see poissonBootstrapMean — `pairHash` is the
+    // production form (raw key + rep), `hash` the md5 string anchor
     val base = df
-      .select(keyCol.cast("string").as("__k"),
+      .select((if (pairHash.isDefined) keyCol else keyCol.cast("string")).as("__k"),
         coalesce(round(numCol.cast("double") * 1e6).cast("long"), lit(0L)).as("__xq"),
         coalesce(round(denCol.cast("double") * 1e6).cast("long"), lit(0L)).as("__yq"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -900,8 +904,10 @@ object AuditOps {
     val repRatios = base
       .select(col("__k"), col("__xq"), col("__yq"),
         explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-      .withColumn("__u", pmod(hash(
-        concat(col("__k"), lit(":"), col("rep"))), lit(1000000L)))
+      .withColumn("__u", pmod(
+        pairHash.map(ph => ph(col("__k"), col("rep").cast("long")))
+          .getOrElse(hash(concat(col("__k"), lit(":"), col("rep")))),
+        lit(1000000L)))
       .withColumn("__w", poissonWeight(col("__u")).cast("long"))
       .groupBy(col("rep"))
       .agg(sum(col("__w") * col("__xq")).as("__swx"),
@@ -937,6 +943,85 @@ object AuditOps {
           round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
         round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
         round(col("__hi").cast("double") / 1e6, 6).as("ci_hi"))
+  }
+
+  /** Always-valid sequential test (mixture SPRT) for a two-arm mean
+    * difference — the "peek whenever you want" primitive modern
+    * experimentation platforms run instead of fixed-horizon t-tests
+    * (Johari et al. 2017): the mixture likelihood ratio Λ_n is a
+    * martingale under H₀ (θ = 0), so `significant` may be read every
+    * day without inflating the false-positive rate; once crossed it
+    * stays crossed (the decision sequence is monotone in evidence).
+    *
+    * Two-sample Gaussian mixture form, log scale:
+    * `V = σ²(1/n_a + 1/n_b)`,
+    * `log Λ = ln(V/(V+τ²))/2 + θ̂²τ²/(2V(V+τ²))`,
+    * `significant ⇔ log Λ > ln(1/α)` (the ln(1/α) threshold is a
+    * compile-time literal, not a runtime ln). σ² is the running pooled
+    * sample variance.
+    *
+    * Scale/determinism discipline of the stats family: values quantize
+    * to integer micro-units per row; one partial-agg groupBy to DAY
+    * grain carries exact integer sums (squares in decimal(38,0) —
+    * micro-unit squares overflow int64); the cumulative window runs
+    * over the |days|-row table only (bounded by construction, never by
+    * event volume). All doubles derive from the same exact integer
+    * sums in the same IEEE sequence on any engine; the single `ln`
+    * term appears only in outputs rounded to 6 dp.
+    *
+    * @param tau2  mixture prior variance (≈ the square of the effect
+    *              size the test should be most sensitive to)
+    * @param alpha always-valid significance level (default 0.05)
+    * @return one row per day, ordered: `day, n_a, n_b, theta, sigma2,
+    *         log_lr` (6 dp), `significant`
+    */
+  def msprtDiff(df: DataFrame, tsCol: Column, isArmA: Column, valueCol: Column,
+                tau2: Double, alpha: Double = 0.05): DataFrame = {
+    require(tau2 > 0 && alpha > 0 && alpha < 1)
+    val perDay = df
+      .select(to_date(tsCol).as("day"), isArmA.cast("boolean").as("__a"),
+        round(valueCol.cast("double") * 1e6).cast("long").as("__xq"))
+      .where(col("__xq").isNotNull && col("__a").isNotNull)
+      .groupBy(col("day"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__dna"),
+        sum(when(col("__a"), col("__xq")).otherwise(0L)).as("__dsa"),
+        sum(when(col("__a"), col("__xq").cast("decimal(38,0)") * col("__xq").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__dssa"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__dnb"),
+        sum(when(!col("__a"), col("__xq")).otherwise(0L)).as("__dsb"),
+        sum(when(!col("__a"), col("__xq").cast("decimal(38,0)") * col("__xq").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__dssb"))
+    // cumulative over the day-grain table: |days| rows, single bounded window
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perDay.select(col("day"),
+      sum(col("__dna")).over(w).as("n_a"), sum(col("__dsa")).over(w).as("__sa"),
+      sum(col("__dssa")).over(w).as("__ssa"),
+      sum(col("__dnb")).over(w).as("n_b"), sum(col("__dsb")).over(w).as("__sb"),
+      sum(col("__dssb")).over(w).as("__ssb"))
+    // divisors go NULL (not zero) on degenerate days: ANSI mode raises
+    // on x/0 and codegen subexpression elimination hoists the division
+    // out of the `when` guards below, so the guards alone don't save a
+    // one-arm day — NULL divisors make the whole verdict NULL instead,
+    // which is exactly what the output guards then expose
+    val na = when(col("n_a") > 0, col("n_a").cast("double"))
+    val nb = when(col("n_b") > 0, col("n_b").cast("double"))
+    val sa = col("__sa").cast("double") / 1e6; val sb = col("__sb").cast("double") / 1e6
+    val ssa = col("__ssa").cast("double") / 1e12; val ssb = col("__ssb").cast("double") / 1e12
+    val theta = sa / na - sb / nb
+    val sig2 = ((ssa - sa * sa / na) + (ssb - sb * sb / nb)) /
+      when(col("n_a") + col("n_b") > 2, (col("n_a") + col("n_b")).cast("double") - 2.0)
+    val v = sig2 * (lit(1.0) / na + lit(1.0) / nb)
+    val logLr = log(v / (v + tau2)) / 2.0 +
+      (theta * theta * tau2) / (lit(2.0) * v * (v + tau2))
+    val thresh = math.log(1.0 / alpha) // compile-time: no runtime ln in the verdict
+    cum.select(col("day"), col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(theta, 6)).as("theta"),
+      when(col("n_a") + col("n_b") > 2 && sig2 > 0, round(sig2, 6)).as("sigma2"),
+      when(col("n_a") > 0 && col("n_b") > 0 && col("n_a") + col("n_b") > 2 && sig2 > 0,
+        round(logLr, 6)).as("log_lr"),
+      when(col("n_a") > 0 && col("n_b") > 0 && col("n_a") + col("n_b") > 2 && sig2 > 0,
+        logLr > thresh).as("significant"))
+      .orderBy(col("day"))
   }
 
   /** Benjamini–Hochberg FDR adjustment over a (small) table of test

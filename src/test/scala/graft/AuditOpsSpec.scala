@@ -335,6 +335,40 @@ class AuditOpsSpec extends SparkSpec {
     bad.getAs[Boolean]("srm") shouldBe true
   }
 
+  test("msprtDiff: separated arms cross the boundary and stay crossed; null effect never does") {
+    import java.sql.Timestamp
+    def ev(day: Int, a: Boolean, v: Double) =
+      (Timestamp.valueOf(f"2026-01-$day%02d 10:00:00"), a, v)
+    // arms separated by ~10 with unit-ish noise: evidence accumulates
+    val sep = (1 to 10).flatMap { d =>
+      (0 until 20).map(i => ev(d, a = true, 10.0 + (i % 3))) ++
+        (0 until 20).map(i => ev(d, a = false, 0.0 + (i % 3)))
+    }.toDF("ts", "a", "v")
+    val rSep = AuditOps.msprtDiff(sep, col("ts"), col("a"), col("v"), tau2 = 1.0)
+      .collect()
+    rSep.length shouldBe 10
+    val flags = rSep.map(_.getAs[Boolean]("significant")).toSeq
+    flags.last shouldBe true
+    // monotone in evidence on this fixture: once crossed, stays crossed
+    flags.dropWhile(!_).forall(identity) shouldBe true
+    // theta ≈ 10 on every day
+    all(rSep.map(_.getAs[Double]("theta"))) shouldBe 10.0 +- 1e-6
+
+    // same distribution in both arms: never significant
+    val nul = (1 to 10).flatMap { d =>
+      (0 until 20).map(i => ev(d, a = i % 2 == 0, (i % 5).toDouble))
+    }.toDF("ts", "a", "v")
+    val rNul = AuditOps.msprtDiff(nul, col("ts"), col("a"), col("v"), tau2 = 1.0)
+      .collect()
+    rNul.map(_.getAs[Boolean]("significant")).forall(_ == false) shouldBe true
+
+    // degenerate day-1 guard: one arm only → null verdict columns
+    val oneArm = Seq(ev(1, a = true, 5.0), ev(1, a = true, 6.0)).toDF("ts", "a", "v")
+    val r1 = AuditOps.msprtDiff(oneArm, col("ts"), col("a"), col("v"), tau2 = 1.0).head()
+    r1.isNullAt(r1.fieldIndex("log_lr")) shouldBe true
+    r1.isNullAt(r1.fieldIndex("significant")) shouldBe true
+  }
+
   test("partitionSkew: max/avg on the integer grid, heaviest key ties break low") {
     val df = (Seq.fill(5)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c"))
       .toDF("k")
