@@ -6820,7 +6820,7 @@ object Queries {
     // peek-any-day decision sequence modern platforms run instead of
     // fixed-horizon t-tests (Johari et al. 2017): per day, cumulative
     // exact integer sums → two-sample mixture log-likelihood-ratio →
-    // monotone-in-evidence significance flag at ln(1/α) (a
+    // sticky significance flag (running max of log Λ) at ln(1/α) (a
     // compile-time literal, no runtime ln in the verdict). Arms by
     // xxhash64(user_id) mod 2; the oracle replays the XXH64 replica
     // for the arm split, the same day-grain integer sums, and the
@@ -6873,8 +6873,10 @@ object Queries {
              |  CASE WHEN n_a + n_b > 2 AND sig2 > 0 THEN round(sig2, 6) END AS sigma2,
              |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND sig2 > 0
              |    THEN round(llr, 6) END AS log_lr,
-             |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND sig2 > 0
-             |    THEN llr > 2.995732273553991 END AS significant
+             |  max(CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND sig2 > 0
+             |    THEN llr END) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    > 2.995732273553991 AS significant
              |FROM g ORDER BY day""".stripMargin)),
 
     // ---- STATS: Poisson bootstrap RATIO CI, production-hash twin —

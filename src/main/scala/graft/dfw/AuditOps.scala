@@ -669,10 +669,13 @@ object AuditOps {
     val r = col("reps_used").cast("double")
     val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
       .cast("double")
-    ci.crossJoin(broadcast(totals))
-      .select(col("n"), col("reps_used"),
-        round(col("__sx").cast("double") / 1e6 / col("n").cast("double"), 6)
-          .as("mean"),
+    // totals LEFT JOIN ci (both ≤1 row): when every replicate drops
+    // (or the input is empty) the contract still returns ONE row with
+    // n populated and null CI columns, instead of silently vanishing
+    totals.join(broadcast(ci), lit(true), "left")
+      .select(col("n"), coalesce(col("reps_used"), lit(0L)).as("reps_used"),
+        round(col("__sx").cast("double") / 1e6 /
+          when(col("n") > 0, col("n").cast("double")), 6).as("mean"),
         when(col("reps_used") > 1,
           round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
         round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
@@ -871,14 +874,23 @@ object AuditOps {
     val r = col("reps_used").cast("double")
     val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
       .cast("double")
-    val ma = col("__sxa").cast("double") / 1e6 / col("n_a").cast("double")
-    val mb = col("__sxb").cast("double") / 1e6 / (col("n") - col("n_a")).cast("double")
-    ci.crossJoin(broadcast(totals))
+    // NULL (not zero) divisors: same ANSI/codegen-hoist discipline as
+    // msprtDiff — the output guards can't save a division the codegen
+    // hoists out of the `when`
+    val na = when(col("n_a") > 0, col("n_a").cast("double"))
+    val nb = when(col("n") - col("n_a") > 0, (col("n") - col("n_a")).cast("double"))
+    val ma = col("__sxa").cast("double") / 1e6 / na
+    val mb = col("__sxb").cast("double") / 1e6 / nb
+    // totals LEFT JOIN ci (both ≤1 row): an empty arm (or all
+    // replicates failing the __swa>0 && __swb>0 filter) empties `ci`,
+    // and the old crossJoin erased n/n_a/n_b with it — the documented
+    // contract is one row with counts populated and null CI columns
+    totals.join(broadcast(ci), lit(true), "left")
       .select(col("n"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
-        col("reps_used"),
-        when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
-        when(col("n") - col("n_a") > 0, round(mb, 6)).as("mean_b"),
-        when(col("n_a") > 0 && col("n") - col("n_a") > 0, round(ma - mb, 6)).as("diff"),
+        coalesce(col("reps_used"), lit(0L)).as("reps_used"),
+        round(ma, 6).as("mean_a"),
+        round(mb, 6).as("mean_b"),
+        round(ma - mb, 6).as("diff"),
         when(col("reps_used") > 1,
           round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
         round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
@@ -934,11 +946,13 @@ object AuditOps {
     val r = col("reps_used").cast("double")
     val varNum = (col("__s2") * col("reps_used") - col("__s1") * col("__s1"))
       .cast("double")
-    ci.crossJoin(broadcast(totals))
-      .select(col("n"), col("reps_used"),
-        when(col("__sy") > 0,
-          round(col("__sx").cast("double") / col("__sy").cast("double"), 6))
-          .as("ratio"),
+    // totals LEFT JOIN ci: an all-zero denominator column empties `ci`
+    // (every replicate fails __swy>0) — return the one-row contract
+    // with n populated and null CI columns (see poissonBootstrapDiff)
+    totals.join(broadcast(ci), lit(true), "left")
+      .select(col("n"), coalesce(col("reps_used"), lit(0L)).as("reps_used"),
+        round(col("__sx").cast("double") /
+          when(col("__sy") > 0, col("__sy").cast("double")), 6).as("ratio"),
         when(col("reps_used") > 1,
           round(sqrt(varNum / (r * (r - 1.0))) / 1e6, 6)).as("se_boot"),
         round(col("__lo").cast("double") / 1e6, 6).as("ci_lo"),
@@ -951,12 +965,16 @@ object AuditOps {
     * (Johari et al. 2017): the mixture likelihood ratio Λ_n is a
     * martingale under H₀ (θ = 0), so `significant` may be read every
     * day without inflating the false-positive rate; once crossed it
-    * stays crossed (the decision sequence is monotone in evidence).
+    * stays crossed. Log Λ itself fluctuates (a martingale, not a
+    * monotone sequence), so stickiness is enforced explicitly: the
+    * verdict compares the RUNNING MAXIMUM of log Λ — the decision the
+    * always-valid rule has already made — not the current day's value,
+    * exactly as Johari et al. define rejection via the running extremum.
     *
     * Two-sample Gaussian mixture form, log scale:
     * `V = σ²(1/n_a + 1/n_b)`,
     * `log Λ = ln(V/(V+τ²))/2 + θ̂²τ²/(2V(V+τ²))`,
-    * `significant ⇔ log Λ > ln(1/α)` (the ln(1/α) threshold is a
+    * `significant ⇔ max_{m≤n} log Λ_m > ln(1/α)` (the ln(1/α) threshold is a
     * compile-time literal, not a runtime ln). σ² is the running pooled
     * sample variance.
     *
@@ -1014,13 +1032,19 @@ object AuditOps {
     val logLr = log(v / (v + tau2)) / 2.0 +
       (theta * theta * tau2) / (lit(2.0) * v * (v + tau2))
     val thresh = math.log(1.0 / alpha) // compile-time: no runtime ln in the verdict
+    // sticky verdict: running max of log Λ over the same bounded
+    // |days|-row window (NULL > thresh stays NULL, so days before the
+    // first valid log Λ keep a NULL verdict)
+    val wMax = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
     cum.select(col("day"), col("n_a"), col("n_b"),
       when(col("n_a") > 0 && col("n_b") > 0, round(theta, 6)).as("theta"),
       when(col("n_a") + col("n_b") > 2 && sig2 > 0, round(sig2, 6)).as("sigma2"),
       when(col("n_a") > 0 && col("n_b") > 0 && col("n_a") + col("n_b") > 2 && sig2 > 0,
         round(logLr, 6)).as("log_lr"),
       when(col("n_a") > 0 && col("n_b") > 0 && col("n_a") + col("n_b") > 2 && sig2 > 0,
-        logLr > thresh).as("significant"))
+        logLr).as("__llr"))
+      .withColumn("significant", max(col("__llr")).over(wMax) > thresh)
+      .drop("__llr")
       .orderBy(col("day"))
   }
 

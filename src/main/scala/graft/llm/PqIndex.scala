@@ -367,6 +367,20 @@ private[llm] object IndexStore {
       val ts = tombstoned.reduce(_ union _).distinct()
         .select(org.apache.spark.sql.functions.col(storedIdCol).as(deltaIdCol))
         .localCheckpoint()
+      // the id↔content discipline is documented but can't be enforced
+      // here (content columns are family-specific); the least we owe
+      // the caller is a SIGNAL — a silent drop of changed content
+      // under a reused id is undebuggable. The set is already
+      // materialized, so the count is a broadcast-semi over the delta.
+      val resurrected = delta
+        .join(org.apache.spark.sql.functions.broadcast(ts), Seq(deltaIdCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col(deltaIdCol)).distinct().count()
+      if (resurrected > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"IndexStore.resurrectOrFilter: $resurrected delta id(s) were tombstoned — " +
+            "their stored rows are resurrected and the DELTA rows are EXCLUDED from the " +
+            "append. If the re-appended content differs from what the stored rows were " +
+            "built from, rebuild the index (rebuild = true) or compact() before appending.")
       val deltaIds = delta.select(
         org.apache.spark.sql.functions.col(deltaIdCol).as(storedIdCol))
       indexPaths.foreach(ip => pruneTombstones(spark, ip, deltaIds, storedIdCol))
@@ -389,9 +403,19 @@ private[llm] object IndexStore {
     val tmp = new Path(tp.getParent,
       s".${tp.getName}.prune-${java.util.UUID.randomUUID().toString.take(8)}")
     kept.write.parquet(tmp.toString) // materialized before tp is touched
-    fs.delete(tp, true)
+    // rename-aside swap, same sequence as compact(): delete-then-rename
+    // would drop ALL surviving tombstones on a crash between the two
+    // (resurrecting every deleted row for direct read() callers); the
+    // park-then-swap leaves either the old or the new table, never
+    // neither
+    val old = new Path(tp.getParent,
+      s".${tp.getName}.old-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(tp, old))
+      throw new java.io.IOException(s"IndexStore.pruneTombstones: failed to park $tp -> $old")
     if (!fs.rename(tmp, tp))
-      throw new java.io.IOException(s"IndexStore.pruneTombstones: failed to swap $tmp -> $tp")
+      throw new java.io.IOException(
+        s"IndexStore.pruneTombstones: failed to swap $tmp -> $tp (pre-prune copy parked at $old)")
+    fs.delete(old, true)
   }
 
   /** Fold tombstones into the stored data: rewrite the index minus

@@ -283,6 +283,63 @@ class AuditOpsSpec extends SparkSpec {
     again.toSeq shouldBe r.toSeq
   }
 
+  test("poissonBootstrapDiff: separated arms bracket the true difference, bit-deterministic") {
+    val df = (1 to 400).map(i => (i.toLong, i % 2 == 0,
+      if (i % 2 == 0) 10.0 + (i % 5) else 0.0 + (i % 5))).toDF("k", "a", "x")
+    val r = AuditOps.poissonBootstrapDiff(df, col("k"), col("a"), col("x"),
+      reps = 60).head()
+    (r.getAs[Long]("n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) shouldBe
+      ((400L, 200L, 200L))
+    r.getAs[Long]("reps_used") shouldBe 60L
+    r.getAs[Double]("diff") shouldBe 10.0 +- 1e-9
+    r.getAs[Double]("ci_lo") should be < 10.0
+    r.getAs[Double]("ci_hi") should be > 10.0
+    val again = AuditOps.poissonBootstrapDiff(df, col("k"), col("a"), col("x"),
+      reps = 60).head()
+    again.toSeq shouldBe r.toSeq
+  }
+
+  test("poissonBootstrapDiff: one empty arm still returns the single documented row") {
+    // every unit is arm A → every replicate fails __swb>0 → ci is
+    // empty; the contract is one row with counts populated and null
+    // CI columns, not zero rows
+    val df = (1 to 50).map(i => (i.toLong, true, i.toDouble)).toDF("k", "a", "x")
+    val out = AuditOps.poissonBootstrapDiff(df, col("k"), col("a"), col("x"),
+      reps = 40).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getAs[Long]("n"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) shouldBe
+      ((50L, 50L, 0L))
+    r.getAs[Long]("reps_used") shouldBe 0L
+    r.getAs[Double]("mean_a") shouldBe 25.5 +- 1e-9
+    for (c <- Seq("mean_b", "diff", "se_boot", "ci_lo", "ci_hi"))
+      r.isNullAt(r.fieldIndex(c)) shouldBe true
+  }
+
+  test("poissonBootstrapRatio: all-zero denominator still returns the single documented row") {
+    val df = (1 to 50).map(i => (i.toLong, 1L, 0L)).toDF("k", "num", "den")
+    val out = AuditOps.poissonBootstrapRatio(df, col("k"), col("num"),
+      col("den"), reps = 40).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("n") shouldBe 50L
+    r.getAs[Long]("reps_used") shouldBe 0L
+    for (c <- Seq("ratio", "se_boot", "ci_lo", "ci_hi"))
+      r.isNullAt(r.fieldIndex(c)) shouldBe true
+  }
+
+  test("poissonBootstrapMean: empty input still returns the single documented row") {
+    val df = Seq.empty[(Long, Double)].toDF("k", "x")
+    val out = AuditOps.poissonBootstrapMean(df, col("k"), col("x"),
+      reps = 40).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Long]("n") shouldBe 0L
+    r.getAs[Long]("reps_used") shouldBe 0L
+    for (c <- Seq("mean", "se_boot", "ci_lo", "ci_hi"))
+      r.isNullAt(r.fieldIndex(c)) shouldBe true
+  }
+
   test("bhAdjust: hand-computed step-up adjustments and rejections") {
     val tests = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.5))
       .toDF("id", "p")
@@ -367,6 +424,37 @@ class AuditOpsSpec extends SparkSpec {
     val r1 = AuditOps.msprtDiff(oneArm, col("ts"), col("a"), col("v"), tau2 = 1.0).head()
     r1.isNullAt(r1.fieldIndex("log_lr")) shouldBe true
     r1.isNullAt(r1.fieldIndex("significant")) shouldBe true
+  }
+
+  test("msprtDiff: verdict is sticky when log Λ later falls back below the boundary") {
+    import java.sql.Timestamp
+    def ev(day: Int, a: Boolean, v: Double) =
+      (Timestamp.valueOf(f"2026-01-$day%02d 10:00:00"), a, v)
+    // days 1-3: strongly separated arms — log Λ crosses ln(1/α);
+    // days 4-10: a flood of null-effect rows drags the cumulative θ̂
+    // toward 0, so the per-day log Λ martingale falls BACK below the
+    // boundary. The always-valid decision already rejected — the flag
+    // must stay true (running-max semantics), not track the dip.
+    val rows = (1 to 3).flatMap { d =>
+      (0 until 20).map(i => ev(d, a = true, 10.0 + (i % 3))) ++
+        (0 until 20).map(i => ev(d, a = false, 0.0 + (i % 3)))
+    } ++ (4 to 10).flatMap { d =>
+      (0 until 2000).map(i => ev(d, a = i % 2 == 0, (i % 7).toDouble))
+    }
+    val r = AuditOps.msprtDiff(rows.toDF("ts", "a", "v"),
+      col("ts"), col("a"), col("v"), tau2 = 1.0).collect()
+    r.length shouldBe 10
+    val llr = r.map(x => Option(x.getAs[java.lang.Double]("log_lr")).map(_.doubleValue))
+    val flags = r.map(_.getAs[Boolean]("significant")).toSeq
+    val thresh = math.log(1.0 / 0.05)
+    // precondition the fixture must satisfy to test anything: crossed
+    // early, per-day log Λ dips back under the boundary later
+    llr(2).get should be > thresh
+    llr.last.get should be < thresh
+    flags(2) shouldBe true
+    // sticky: every day after the first crossing stays significant
+    flags.dropWhile(!_).forall(identity) shouldBe true
+    flags.last shouldBe true
   }
 
   test("partitionSkew: max/avg on the integer grid, heaviest key ties break low") {
