@@ -943,6 +943,27 @@ object DedupOps {
       maxIter, localEdgeThreshold)
   }
 
+  /** Persisted `(doc_id, cluster_id)` labels — the STORED-STATE half of
+    * the incremental clustering contract. [[clusterNearDupsIncremental]]
+    * exists so a daily ingest never re-clusters the old corpus; that
+    * only holds if yesterday's labels are a durable table, not a
+    * recompute. Same IndexStore lifecycle as the MinHash/IVF artifacts:
+    * params + corpus signature stamp a sidecar, a stale/absent sidecar
+    * triggers `build` (the caller's full clustering), a fresh one is a
+    * bare parquet load. The returned frame IS the `oldLabels` argument
+    * the incremental fold-in wants.
+    *
+    * @param corpus    the corpus the labels describe (drift detection)
+    * @param params    clustering parameters, e.g. "w=5,j=1/2,exact" —
+    *                  anything that changes the labels must change this
+    * @param indexPath where the labels table + sidecar live
+    * @param build     the full clustering to run on a cold/stale store
+    */
+  def loadOrBuildClusterLabels(corpus: DataFrame, params: String,
+                               indexPath: String, rebuild: Boolean = false)
+                              (build: => DataFrame): DataFrame =
+    IndexStore.loadOrBuild(corpus, s"clusterlabels:$params", indexPath, rebuild)(build)
+
   /** Default SimHash token hash: xxhash64 — the fast path at scale. */
   val xxTokenHash: Column => Column = xxhash64(_)
 
