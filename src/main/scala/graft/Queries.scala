@@ -4340,6 +4340,75 @@ object Queries {
              |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, CAST(16 AS BIGINT) AS frame_len
              |FROM f WHERE frame_no % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin)),
 
+    // ---- X5: REAL video container metadata — each doc synthesizes a
+    // genuine ISO-BMFF file through the real writer (ftyp/mdat/moov
+    // with full sample tables, audio track on even ids) and the query
+    // recovers brand, movie clock, per-track handler/codec fourcc,
+    // timescale, duration, dimensions, sample/sync counts and payload
+    // bytes via the real box walk (llm/VideoCodec.parseMp4). The
+    // oracle replays the integer GENERATOR spec — so writer + parser
+    // must round-trip every container field exactly (the AudioCodec
+    // pattern; VideoCodecSpec additionally pins the parser on
+    // hand-built and malformed files). ----
+    ("x5_video_meta",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.videoMeta(
+            MultimodalOps.documentsAsVideo(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", "blob")
+          .orderBy(col("doc_id"), col("track_id"))
+      },
+      Some("""WITH v AS (SELECT doc_id, 24 + doc_id % 48 AS nv FROM documents),
+             |sz AS (SELECT doc_id, CAST(sum(64 + (doc_id * 7 + i * 13) % 96) AS BIGINT) AS sample_bytes
+             |       FROM (SELECT doc_id, unnest(range(0, nv)) AS i FROM v) GROUP BY doc_id),
+             |movie AS (SELECT v.doc_id, v.nv, 'isom' AS brand,
+             |    CAST(600 AS BIGINT) AS movie_timescale,
+             |    CAST(CASE WHEN v.doc_id % 2 = 0 THEN 3072 ELSE v.nv * 25 END AS BIGINT) AS movie_duration
+             |  FROM v),
+             |vid AS (SELECT m.doc_id, m.brand, m.movie_timescale, m.movie_duration,
+             |    CAST(1 AS BIGINT) AS track_id, 'vide' AS handler,
+             |    CASE WHEN m.doc_id % 3 = 0 THEN 'hev1' ELSE 'avc1' END AS codec,
+             |    CAST(600 AS BIGINT) AS timescale, CAST(m.nv * 25 AS BIGINT) AS duration,
+             |    CAST(320 + (m.doc_id % 8) * 16 AS INT) AS width,
+             |    CAST(240 + (m.doc_id % 5) * 16 AS INT) AS height,
+             |    CAST(m.nv AS BIGINT) AS n_samples,
+             |    CAST((m.nv + 11) // 12 AS BIGINT) AS n_sync,
+             |    sz.sample_bytes
+             |  FROM movie m JOIN sz ON sz.doc_id = m.doc_id),
+             |aud AS (SELECT m.doc_id, m.brand, m.movie_timescale, m.movie_duration,
+             |    CAST(2 AS BIGINT) AS track_id, 'soun' AS handler, 'mp4a' AS codec,
+             |    CAST(8000 AS BIGINT) AS timescale, CAST(40960 AS BIGINT) AS duration,
+             |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             |    CAST(40 AS BIGINT) AS n_samples, CAST(40 AS BIGINT) AS n_sync,
+             |    CAST(1280 AS BIGINT) AS sample_bytes
+             |  FROM movie m WHERE m.doc_id % 2 = 0)
+             |SELECT * FROM (SELECT * FROM vid UNION ALL SELECT * FROM aud)
+             |ORDER BY doc_id, track_id""".stripMargin)),
+
+    // ---- X5: REAL keyframe sampling — demux each blob's video track
+    // (full stsc/stco/stsz walk for sample offsets) and emit one row
+    // per stss sync sample with the exact byte range's length and sum.
+    // The oracle replays the generator's per-byte arithmetic, so a
+    // one-byte-off demux slice hash-mismatches. This retires the
+    // byte-chunk stub as the video story (x5_frame_sample stays as the
+    // labeled fake-decode plumbing twin). ----
+    ("x5_video_frames",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.sampleSyncFrames(
+            MultimodalOps.documentsAsVideo(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", "blob")
+          .orderBy(col("doc_id"), col("sample_no"))
+      },
+      Some("""WITH v AS (SELECT doc_id, 24 + doc_id % 48 AS nv FROM documents),
+             |s AS (SELECT doc_id, unnest(range(0, nv)) AS i FROM v),
+             |k AS (SELECT doc_id, i, 64 + (doc_id * 7 + i * 13) % 96 AS len FROM s WHERE i % 12 = 0),
+             |b AS (SELECT doc_id, i, len,
+             |    CAST(sum((doc_id + i * 31 + j * 7) % 256) AS BIGINT) AS byte_sum
+             |  FROM (SELECT doc_id, i, len, unnest(range(0, len)) AS j FROM k)
+             |  GROUP BY doc_id, i, len)
+             |SELECT doc_id, CAST(i + 1 AS INT) AS sample_no,
+             |  CAST(len AS BIGINT) AS frame_len, byte_sum
+             |FROM b ORDER BY doc_id, sample_no""".stripMargin)),
+
     // ---- X6: sliding time window ----
     ("x6_sliding_window",
       (s: SparkSession, dir: String) => {

@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (SURVEY.md §2.8 X5).
   *
-  * Media are opaque `BINARY` columns plus typed metadata. Container
-  * metadata (dimensions, channels) is parsed for REAL from PNG / JPEG /
-  * GIF headers ([[ImageHeader]], pure JVM); pixel-level decode /
-  * resize / feature extraction are STUBBED (no codec libraries in this
-  * environment) with deterministic fakes — the Spark-side plumbing
-  * (schema, partition-parallel batch iteration, typed output) is real:
-  * swap [[FakeDecoder.decode]] for a JNI/codec call and nothing else
-  * changes.
+  * Media are opaque `BINARY` columns plus typed metadata. CONTAINER
+  * work is real across all three modalities: image headers and pixels
+  * (PNG/JPEG/GIF via [[ImageHeader]]/[[ImageCodec]]), audio
+  * (RIFF/WAVE via [[AudioCodec]]), and video (ISO-BMFF box walk via
+  * [[VideoCodec]] — metadata, sample tables, and sync-frame demux).
+  * Only pixel/NAL DECODE of compressed video and the vision/audio
+  * ENCODER models are stubbed (no codec/model libraries in this
+  * environment) with clearly-labeled deterministic fakes — the
+  * Spark-side plumbing (schema, partition-parallel batch iteration,
+  * typed output) is real: swap [[FakeDecoder.decode]] for a JNI/codec
+  * call and nothing else changes.
   */
 object MultimodalOps {
 
@@ -251,6 +254,115 @@ object MultimodalOps {
           MediaFrame(id, f, java.util.Arrays.copyOfRange(b, f * frameSize, (f + 1) * frameSize))
         }
       }
+  }
+
+  // ----------------------------------------------------------------
+  // Video (REAL ISO-BMFF container codec — VideoCodec box walk)
+  // ----------------------------------------------------------------
+
+  /** Deterministic synthetic MP4 blob per document — the video
+    * counterpart of [[documentsAsAudio]]: the testdata tables carry no
+    * video, so each doc synthesizes a real ISO-BMFF file through the
+    * REAL writer ([[VideoCodec.buildMp4]]) from integer parameters:
+    * {{{
+    *   video track (always): codec avc1 (hev1 when doc_id mod 3 = 0),
+    *     timescale 600, delta 25, n = 24 + doc_id mod 48 samples,
+    *     width 320 + (doc_id mod 8)·16, height 240 + (doc_id mod 5)·16,
+    *     sync every 12th sample,
+    *     size_i = 64 + (doc_id·7 + i·13) mod 96,
+    *     byte_{i,j} = (doc_id + i·31 + j·7) mod 256
+    *   audio track (doc_id even): mp4a, timescale 8000, delta 1024,
+    *     40 samples of 32 bytes, byte_{i,j} = (doc_id·3 + i·17 + j·5) mod 256
+    * }}}
+    * Pure integer arithmetic — an external SQL oracle reproduces every
+    * PARSED value without touching ISO-BMFF, while the Spark side
+    * round-trips every byte through the real writer + box-walk parser.
+    */
+  def documentsAsVideo(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      // same fan-out rationale as documentsAsAudio: the input rows are
+      // 8 bytes, the per-row work is the container build — round-robin
+      // the ids so the writer work spreads across cores
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val nV = 24 + (id % 48).toInt
+        val video = VideoCodec.TrackSpec(
+          trackId = 1, handler = "vide",
+          codec = if (id % 3 == 0) "hev1" else "avc1",
+          timescale = 600, sampleDelta = 25,
+          width = 320 + (id % 8).toInt * 16, height = 240 + (id % 5).toInt * 16,
+          sampleSizes = Array.tabulate(nV)(i => 64 + ((id * 7 + i.toLong * 13) % 96).toInt),
+          syncEvery = 12)
+        val tracks =
+          if (id % 2 == 0)
+            Seq(video, VideoCodec.TrackSpec(2, "soun", "mp4a", 8000, 1024, 0, 0,
+              Array.fill(40)(32), syncEvery = 0))
+          else Seq(video)
+        val blob = VideoCodec.buildMp4(tracks, movieTimescale = 600, (ti, i, j) =>
+          (if (ti == 0) (id + i.toLong * 31 + j.toLong * 7) % 256
+           else (id * 3 + i.toLong * 17 + j.toLong * 5) % 256).toByte)
+        (id, blob)
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** Container metadata per (blob, track) from the REAL box walk —
+    * what an ingest pipeline reads before deciding to decode anything:
+    * brand, movie clock, per-track handler/codec fourcc, timescale,
+    * duration, display dimensions, sample/sync counts, payload bytes.
+    * Non-MP4 blobs produce no rows (same absent-row contract as
+    * [[AudioCodec]] on non-RIFF bytes). `mapPartitions`, one parser
+    * pass per blob, O(box tree) — no pixel decode.
+    */
+  def videoMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        VideoCodec.parseMp4(Option(bytes).getOrElse(Array.empty[Byte])).toSeq.flatMap { m =>
+          m.tracks.map { t =>
+            (id, m.brand, m.timescale, m.duration, t.trackId, t.handler, t.codec,
+              t.timescale, t.duration, t.width, t.height,
+              t.nSamples, t.nSync, t.sampleBytesTotal)
+          }
+        }
+      })
+      .toDF("doc_id", "brand", "movie_timescale", "movie_duration", "track_id",
+        "handler", "codec", "timescale", "duration", "width", "height",
+        "n_samples", "n_sync", "sample_bytes")
+  }
+
+  /** REAL keyframe sampling: demux each blob's video track and emit
+    * one row per SYNC sample (stss; the seek points a frame-sampling
+    * pass decodes) — sample offsets come from the full stsc/stco/stsz
+    * walk and the bytes are sliced out of mdat. Emits
+    * (doc_id, sample_no 1-based, frame_len, byte_sum); the byte sum
+    * stands in for the decode the environment has no codec for, while
+    * proving the demux read exactly the right byte range.
+    */
+  def sampleSyncFrames(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = Option(bytes).getOrElse(Array.empty[Byte])
+        VideoCodec.parseMp4(b).toSeq.flatMap { m =>
+          m.tracks.filter(_.handler == "vide").flatMap { t =>
+            t.syncSamples.iterator.map { s =>
+              val frame = VideoCodec.sampleData(b, t, s - 1)
+              var sum = 0L
+              var j = 0
+              while (j < frame.length) { sum += (frame(j) & 0xff); j += 1 }
+              (id, s, frame.length.toLong, sum)
+            }
+          }
+        }
+      })
+      .toDF("doc_id", "sample_no", "frame_len", "byte_sum")
   }
 
   // ----------------------------------------------------------------

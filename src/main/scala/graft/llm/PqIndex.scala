@@ -493,4 +493,86 @@ object PqIndex {
       indexPath, rebuild) {
       SimilarityOps.pqCodebooks(corpus, idCol, vecCol, nSubspaces, nCodes, kmeansIters)
     }
+
+  private def codesParams(nSubspaces: Int, nCodes: Int, kmeansIters: Int): String =
+    s"pq-codes:nSubspaces=$nSubspaces,nCodes=$nCodes,kmeansIters=$kmeansIters"
+
+  /** Persisted ENCODED CODES ([[SimilarityOps.pqEncode]]) — the second
+    * half of a complete PQ index and the artifact a 100 TB ADC scan
+    * actually reads (32× smaller than the embeddings; re-encoding the
+    * corpus per query batch is a full scan). Same lifecycle as the
+    * IVF lists: sidecar keyed by the SAME build parameters as the
+    * codebooks, so a codebook retrain implies a codes rebuild —
+    * `codebooks` must be the loaded index this codes table is derived
+    * from (pass the [[loadOrBuild]] result).
+    */
+  def loadOrBuildCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                       codebooks: DataFrame, nSubspaces: Int, nCodes: Int,
+                       kmeansIters: Int, indexPath: String,
+                       rebuild: Boolean = false): DataFrame =
+    IndexStore.loadOrBuild(corpus, codesParams(nSubspaces, nCodes, kmeansIters),
+      indexPath, rebuild) {
+      SimilarityOps.pqEncode(corpus, idCol, vecCol, codebooks, nSubspaces)
+    }
+
+  /** True when the stored codes at `indexPath` are FRESH for exactly
+    * this (params, corpus) state — same contract as
+    * [[IvfIndex.listsFresh]].
+    */
+  def codesFresh(corpus: DataFrame, nSubspaces: Int, nCodes: Int,
+                 kmeansIters: Int, indexPath: String): Boolean =
+    IndexStore.readMetaRaw(corpus, indexPath).contains(
+      IndexStore.render(codesParams(nSubspaces, nCodes, kmeansIters),
+        IndexStore.corpusSignature(corpus)))
+
+  /** O(delta) APPEND to the persisted codes — codes are per-row
+    * (codebooks do not move on append, the same standard maintenance
+    * semantics as IVF centroids), so the delta encodes alone and
+    * appends. Same protocol and freshness guard as
+    * [[IvfIndex.appendToLists]]: snapshot
+    * `preAppendSig = IvfIndex.corpusSig(corpus)` BEFORE appending to
+    * the corpus store; a missing/stale/differently-parameterized
+    * sidecar falls back to a full rebuild over `corpusAfterAppend`.
+    * Re-appended previously-deleted ids are resurrected and excluded
+    * from the delta ([[IndexStore.resurrectOrFilter]]).
+    */
+  def appendToCodes(newRows: DataFrame, idCol: String, vecCol: String,
+                    codebooks: DataFrame, nSubspaces: Int, nCodes: Int,
+                    kmeansIters: Int, corpusAfterAppend: DataFrame,
+                    indexPath: String, preAppendSig: String): Unit = {
+    val params = codesParams(nSubspaces, nCodes, kmeansIters)
+    val expected = IndexStore.render(params, preAppendSig)
+    if (IndexStore.readMetaRaw(corpusAfterAppend, indexPath).contains(expected)) {
+      val toAppend = IndexStore.resurrectOrFilter(newRows, idCol, idCol, Seq(indexPath))
+      SimilarityOps.pqEncode(toAppend, idCol, vecCol, codebooks, nSubspaces)
+        .write.mode("append").parquet(indexPath)
+      IndexStore.stamp(corpusAfterAppend, params, indexPath)
+    } else {
+      System.err.println(
+        s"PqIndex.appendToCodes: stored codes at $indexPath are missing, stale, " +
+          "or built with different parameters — falling back to a full rebuild")
+      loadOrBuildCodes(corpusAfterAppend, idCol, vecCol, codebooks, nSubspaces,
+        nCodes, kmeansIters, indexPath, rebuild = true)
+    }
+  }
+
+  /** O(delta) DELETE from the persisted codes — tombstone the ids
+    * instead of re-encoding the corpus ([[IndexStore.deleteFrom]]);
+    * every [[IndexStore.read]]-routed load subtracts them and
+    * [[compactCodes]] folds them in on the caller's schedule. Same
+    * protocol as [[IvfIndex.removeFromLists]]: returns true on the
+    * O(delta) fast path, false when the caller must rebuild over the
+    * post-delete corpus.
+    */
+  def removeFromCodes(deletedIds: DataFrame, idCol: String,
+                      nSubspaces: Int, nCodes: Int, kmeansIters: Int,
+                      corpusAfterDelete: DataFrame, indexPath: String,
+                      preDeleteSig: String): Boolean =
+    IndexStore.deleteFrom(deletedIds, idCol,
+      codesParams(nSubspaces, nCodes, kmeansIters),
+      indexPath, corpusAfterDelete, preDeleteSig)
+
+  /** Fold any tombstones into the stored codes ([[IndexStore.compact]]). */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    IndexStore.compact(spark, indexPath)
 }

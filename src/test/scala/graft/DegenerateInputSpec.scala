@@ -155,8 +155,14 @@ class DegenerateInputSpec extends SparkSpec {
     QuantileOps.quantileTreatmentEffect(
       Seq.empty[(Int, Double)].toDF("arm", "x"), col("arm"), "x",
       Seq(0.5), numParts = 2).collect() shouldBe empty
-    AuditOps.poissonBootstrapMean(Seq.empty[(Long, Double)].toDF("k", "x"),
-      col("k"), col("x"), reps = 40).collect() shouldBe empty
+    // documented contract (ADVICE r15): the bootstrap always returns
+    // its single row — counts populated, CI columns null — instead of
+    // silently vanishing when every replicate drops
+    val pbm = AuditOps.poissonBootstrapMean(Seq.empty[(Long, Double)].toDF("k", "x"),
+      col("k"), col("x"), reps = 40).collect()
+    pbm.length shouldBe 1
+    pbm(0).getAs[Long]("n") shouldBe 0L
+    pbm(0).getAs[Long]("reps_used") shouldBe 0L
     AuditOps.bhAdjust(Seq.empty[(String, Double)].toDF("id", "p"),
       col("p"), Seq(col("id")), 0.05).collect() shouldBe empty
     val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String)]

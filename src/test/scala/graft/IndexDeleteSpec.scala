@@ -206,4 +206,88 @@ class IndexDeleteSpec extends SparkSpec {
     sortedRows(spark.read.parquet(s"$idx/buckets")) shouldBe
       sortedRows(SimilarityOps.rhpCorpusBuckets(afterDelete, "vec_id", "embedding", 6, 2, parity, 64))
   }
+
+  // ------------------------------------------------------------- PQ codes
+
+  test("PQ codes: append + delete + compact == rebuild over the final corpus, bit-identical") {
+    val base = Files.createTempDirectory("pq-codes-delete")
+    val corpusDir = base.resolve("corpus").toString
+    val cbIdx = base.resolve("codebooks").toString
+    val idx = base.resolve("codes").toString
+    vecs(0 until 40).write.parquet(corpusDir)
+    val c0 = spark.read.parquet(corpusDir)
+    // codebooks are FIXED across code maintenance (same contract as
+    // IVF centroids: retrain => full codes rebuild)
+    val cb = graft.llm.PqIndex.loadOrBuild(c0, "vec_id", "embedding", 4, 8, 1, cbIdx)
+      .localCheckpoint()
+    graft.llm.PqIndex.loadOrBuildCodes(c0, "vec_id", "embedding", cb, 4, 8, 1, idx).count()
+
+    // append a delta
+    val sigPreAppend = IvfIndex.corpusSig(c0)
+    val delta = vecs(100 until 110)
+    delta.write.mode("append").parquet(corpusDir)
+    val grown = spark.read.parquet(corpusDir)
+    graft.llm.PqIndex.appendToCodes(delta, "vec_id", "embedding", cb, 4, 8, 1,
+      grown, idx, sigPreAppend)
+
+    // delete ids from both the original corpus and the delta
+    val deletedIds = Seq(3L, 7L, 100L, 105L)
+    val sigPreDelete = IvfIndex.corpusSig(grown)
+    val afterDelete = grown.filter(!col("vec_id").isin(deletedIds: _*))
+    graft.llm.PqIndex.removeFromCodes(deletedIds.toDF("vec_id"), "vec_id", 4, 8, 1,
+      afterDelete, idx, sigPreDelete) shouldBe true
+
+    // tombstone-subtracted view equals the per-row truth immediately
+    val truth = sortedRows(
+      SimilarityOps.pqEncode(afterDelete, "vec_id", "embedding", cb, 4))
+    sortedRows(graft.llm.PqIndex.loadOrBuildCodes(afterDelete, "vec_id", "embedding",
+      cb, 4, 8, 1, idx)) shouldBe truth
+
+    // compact folds the tombstones in; stored parquet == rebuild
+    graft.llm.PqIndex.compactCodes(spark, idx)
+    Files.exists(Paths.get(idx, "_graft_tombstones")) shouldBe false
+    sortedRows(spark.read.parquet(idx)) shouldBe truth
+    // warm load after compact: reuse, same rows
+    graft.llm.PqIndex.codesFresh(afterDelete, 4, 8, 1, idx) shouldBe true
+    sortedRows(graft.llm.PqIndex.loadOrBuildCodes(afterDelete, "vec_id", "embedding",
+      cb, 4, 8, 1, idx)) shouldBe truth
+  }
+
+  test("PQ codes: stale or missing sidecar makes removeFromCodes refuse; delete-then-reappend resurrects") {
+    val base = Files.createTempDirectory("pq-codes-guard")
+    val corpusDir = base.resolve("corpus").toString
+    vecs(0 until 20).write.parquet(corpusDir)
+    val c0 = spark.read.parquet(corpusDir)
+    // never built
+    graft.llm.PqIndex.removeFromCodes(Seq(1L).toDF("vec_id"), "vec_id", 4, 8, 1,
+      c0, base.resolve("never").toString, IvfIndex.corpusSig(c0)) shouldBe false
+    val cbIdx = base.resolve("codebooks").toString
+    val idx = base.resolve("codes").toString
+    val cb = graft.llm.PqIndex.loadOrBuild(c0, "vec_id", "embedding", 4, 8, 1, cbIdx)
+      .localCheckpoint()
+    graft.llm.PqIndex.loadOrBuildCodes(c0, "vec_id", "embedding", cb, 4, 8, 1, idx).count()
+    // wrong params / stale signature refuse
+    graft.llm.PqIndex.removeFromCodes(Seq(1L).toDF("vec_id"), "vec_id", 8, 16, 0,
+      c0, idx, IvfIndex.corpusSig(c0)) shouldBe false
+    graft.llm.PqIndex.removeFromCodes(Seq(1L).toDF("vec_id"), "vec_id", 4, 8, 1,
+      c0, idx, "files:999:deadbeef") shouldBe false
+    Files.exists(Paths.get(idx, "_graft_tombstones")) shouldBe false
+
+    // delete id 5, then re-append it: the id must come back to life
+    val afterDelete = c0.filter(col("vec_id") =!= 5L)
+    graft.llm.PqIndex.removeFromCodes(Seq(5L).toDF("vec_id"), "vec_id", 4, 8, 1,
+      afterDelete, idx, IvfIndex.corpusSig(c0)) shouldBe true
+    graft.llm.PqIndex.loadOrBuildCodes(afterDelete, "vec_id", "embedding",
+      cb, 4, 8, 1, idx).filter(col("vec_id") === 5L).count() shouldBe 0L
+    val sigPreAppend = IvfIndex.corpusSig(afterDelete)
+    val reinserted = vecs(5 until 6)
+    val afterAppend = afterDelete.union(reinserted)
+    graft.llm.PqIndex.appendToCodes(reinserted, "vec_id", "embedding", cb, 4, 8, 1,
+      afterAppend, idx, sigPreAppend)
+    val loaded = graft.llm.PqIndex.loadOrBuildCodes(afterAppend, "vec_id", "embedding",
+      cb, 4, 8, 1, idx)
+    loaded.filter(col("vec_id") === 5L).count() shouldBe 1L
+    graft.llm.PqIndex.compactCodes(spark, idx)
+    spark.read.parquet(idx).filter(col("vec_id") === 5L).count() shouldBe 1L
+  }
 }
