@@ -48,7 +48,8 @@ def type_skew(con, name, sql, spark_glob):
             bad.append(f"col {c}: spark {got_t[c]} vs oracle {exp_t[c]}")
     return bad
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, json_out=None, sf_label=None, round_no=None, scope=None):
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -58,24 +59,27 @@ def main(sfdir, outdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    def fail(name, why):
+        nonlocal n_fail
+        print(f"FAIL {name}: {why}"); n_fail += 1
+        results[name] = {"status": "fail", "detail": why[:500]}
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            fail(name, "no spark output"); continue
         try:
             skew = type_skew(con, name, sql, f"{outdir}/{name}/*.parquet")
             got = canon(con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
             exp = canon(con.execute(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            fail(name, str(e)); continue
         if skew:
-            print(f"FAIL {name}: type skew (driver hash gate): {'; '.join(skew)}")
-            n_fail += 1; continue
+            fail(name, f"type skew (driver hash gate): {'; '.join(skew)}"); continue
         if list(got.columns) != list(exp.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}"); n_fail += 1; continue
+            fail(name, f"columns {list(got.columns)} vs {list(exp.columns)}"); continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+            fail(name, f"rows {len(got)} vs {len(exp)}"); continue
         ok, detail = True, ""
         for c in got.columns:
             g, e = got[c], exp[c]
@@ -92,10 +96,25 @@ def main(sfdir, outdir):
                     ok = False; detail += f" col {c}: {int((gs != es).sum())} diffs e.g. row {i}: {g.iloc[i]!r} vs {e.iloc[i]!r};"
         if ok:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            results[name] = {"status": "pass", "rows": int(len(got))}
         else:
-            print(f"FAIL {name}:{detail}"); n_fail += 1
+            fail(name, detail.strip())
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        art = {"sf": sf_label, "round": round_no, "n_pass": n_pass, "n_fail": n_fail,
+               "queries": results}
+        if scope:
+            art["scope"] = scope
+        with open(json_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=False)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # args: sfdir outdir [json_out sf_label round_no [scope]]
+    a = sys.argv[1:]
+    if len(a) >= 5:
+        sys.exit(main(a[0], a[1], a[2],
+                      float(a[3]) if a[3].replace('.', '', 1).isdigit() else a[3],
+                      int(a[4]), a[5] if len(a) > 5 else None))
+    sys.exit(main(a[0], a[1]))
