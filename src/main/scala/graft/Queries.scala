@@ -6313,17 +6313,17 @@ object Queries {
       Some("""WITH cs AS (SELECT CAST(o_custkey AS BIGINT) AS a,
              |      CAST(l_suppkey AS BIGINT) + 1000000 AS b
              |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-             |e0 AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM cs WHERE a <> b
+             |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (SELECT a, b FROM cs WHERE a <> b
              |       UNION ALL SELECT b, a FROM cs WHERE a <> b)),
              |d1 AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a),
              |k1 AS (SELECT a FROM d1 WHERE deg >= 10),
-             |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN k1 x ON e0.a = x.a JOIN k1 y ON e0.b = y.a),
+             |e1 AS MATERIALIZED (SELECT e0.a, e0.b FROM e0 JOIN k1 x ON e0.a = x.a JOIN k1 y ON e0.b = y.a),
              |d2 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
              |k2 AS (SELECT a FROM d2 WHERE deg >= 10),
-             |e2 AS (SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a),
+             |e2 AS MATERIALIZED (SELECT e1.a, e1.b FROM e1 JOIN k2 x ON e1.a = x.a JOIN k2 y ON e1.b = y.a),
              |d3 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
              |k3 AS (SELECT a FROM d3 WHERE deg >= 10),
-             |e3 AS (SELECT e2.a, e2.b FROM e2 JOIN k3 x ON e2.a = x.a JOIN k3 y ON e2.b = y.a),
+             |e3 AS MATERIALIZED (SELECT e2.a, e2.b FROM e2 JOIN k3 x ON e2.a = x.a JOIN k3 y ON e2.b = y.a),
              |n1 AS (SELECT DISTINCT a FROM e1), n2 AS (SELECT DISTINCT a FROM e2),
              |n3 AS (SELECT DISTINCT a FROM e3)
              |SELECT CAST(1 AS BIGINT) AS round,
