@@ -4409,6 +4409,139 @@ object Queries {
              |  CAST(len AS BIGINT) AS frame_len, byte_sum
              |FROM b ORDER BY doc_id, sample_no""".stripMargin)),
 
+    // ---- X5: REAL image decode — each doc synthesizes a genuine PNG
+    // through the JDK encoder (grayscale-in-RGB, integer pixel spec)
+    // and the query recovers dimensions, channel count, and mean luma
+    // via the REAL javax.imageio pixel decode
+    // (llm/MultimodalOps.decodeImages). The oracle replays the integer
+    // generator spec — so encoder + decoder must round-trip every
+    // pixel exactly (the AudioCodec pattern; PNG is lossless). Mean
+    // luma is the one double (0.299r+0.587g+0.114b per pixel, summed),
+    // rounded to 5 dp to absorb summation-order ulps. ----
+    ("x5_image_meta",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.decodeImages(
+            MultimodalOps.documentsAsImages(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", "blob")
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"),
+            round(col("mean_byte"), 5).as("mean_luma"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |           FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |         (doc_id * 31 + (i // w) * 13 + (i % w) * 7) % 256 AS v
+             |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
+             |m AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+             |        sum(0.299e0 * v + 0.587e0 * v + 0.114e0 * v) AS s,
+             |        count(*) AS n
+             |      FROM px GROUP BY doc_id)
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(3 AS INT) AS channels, round(s / n, 5) AS mean_luma
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // ---- X5: REAL classical image features — 8-bin gray histogram,
+    // gray mass, Sobel edge energy over REAL decoded pixels
+    // (llm/MultimodalOps.imageFeatures). Integer rec-601 luma makes
+    // every output exact integer arithmetic, so the oracle replays the
+    // whole feature pass (including the 3×3 Sobel stencil) from the
+    // generator spec with zero float drift. This retires the
+    // byte-histogram STUB as the feature story (x5_features stays as
+    // the labeled encoder-plumbing twin). ----
+    ("x5_image_features",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.imageFeatures(
+            MultimodalOps.documentsAsImages(Tables.load(s, dir, "documents"), "doc_id"),
+            "doc_id", "blob")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id * 31 AS a,
+             |    16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h FROM documents),
+             |px AS (SELECT doc_id, a, w, h, i % w AS x, i // w AS y,
+             |         (a + (i // w) * 13 + (i % w) * 7) % 256 AS v
+             |       FROM (SELECT doc_id, a, w, h, unnest(range(0, w * h)) AS i FROM d)),
+             |f AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+             |        CAST(count(*) AS BIGINT) AS n_px,
+             |        CAST(sum(v) AS BIGINT) AS gray_sum,
+             |        CAST(count(CASE WHEN v // 32 = 0 THEN 1 END) AS BIGINT) AS h0,
+             |        CAST(count(CASE WHEN v // 32 = 1 THEN 1 END) AS BIGINT) AS h1,
+             |        CAST(count(CASE WHEN v // 32 = 2 THEN 1 END) AS BIGINT) AS h2,
+             |        CAST(count(CASE WHEN v // 32 = 3 THEN 1 END) AS BIGINT) AS h3,
+             |        CAST(count(CASE WHEN v // 32 = 4 THEN 1 END) AS BIGINT) AS h4,
+             |        CAST(count(CASE WHEN v // 32 = 5 THEN 1 END) AS BIGINT) AS h5,
+             |        CAST(count(CASE WHEN v // 32 = 6 THEN 1 END) AS BIGINT) AS h6,
+             |        CAST(count(CASE WHEN v // 32 = 7 THEN 1 END) AS BIGINT) AS h7
+             |      FROM px GROUP BY doc_id),
+             |e AS (SELECT p.doc_id,
+             |        CAST(sum(abs(
+             |          ((p.a + (p.y - 1) * 13 + (p.x + 1) * 7) % 256
+             |            + 2 * ((p.a + p.y * 13 + (p.x + 1) * 7) % 256)
+             |            + (p.a + (p.y + 1) * 13 + (p.x + 1) * 7) % 256)
+             |          - ((p.a + (p.y - 1) * 13 + (p.x - 1) * 7) % 256
+             |            + 2 * ((p.a + p.y * 13 + (p.x - 1) * 7) % 256)
+             |            + (p.a + (p.y + 1) * 13 + (p.x - 1) * 7) % 256))
+             |        + abs(
+             |          ((p.a + (p.y + 1) * 13 + (p.x - 1) * 7) % 256
+             |            + 2 * ((p.a + (p.y + 1) * 13 + p.x * 7) % 256)
+             |            + (p.a + (p.y + 1) * 13 + (p.x + 1) * 7) % 256)
+             |          - ((p.a + (p.y - 1) * 13 + (p.x - 1) * 7) % 256
+             |            + 2 * ((p.a + (p.y - 1) * 13 + p.x * 7) % 256)
+             |            + (p.a + (p.y - 1) * 13 + (p.x + 1) * 7) % 256))) AS BIGINT) AS edge_energy
+             |      FROM px p
+             |      WHERE p.x BETWEEN 1 AND p.w - 2 AND p.y BETWEEN 1 AND p.h - 2
+             |      GROUP BY p.doc_id)
+             |SELECT f.doc_id, CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+             |  f.n_px, f.gray_sum, f.h0, f.h1, f.h2, f.h3, f.h4, f.h5, f.h6, f.h7,
+             |  e.edge_energy
+             |FROM f JOIN e ON e.doc_id = f.doc_id
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    // ---- X5: REAL spec-exact resize — integer box-filter downsample
+    // (factor 4, floor-mean per full 4×4 block) over REAL decoded
+    // pixels, re-encoded through the REAL PNG writer, then the OUTPUT
+    // blob is decoded AGAIN and digested through imageFeatures — so
+    // the oracle checks the full encode→decode→filter→encode→decode
+    // chain with zero inexact steps (llm/MultimodalOps
+    // .downsampleImages). This retires the byte-subsample STUB as the
+    // resize story (x5_resize stays as the labeled plumbing twin;
+    // ImageCodec.resizePng remains the renderer-defined bilinear). ----
+    ("x5_image_resize",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.imageFeatures(
+            MultimodalOps.downsampleImages(
+              MultimodalOps.documentsAsImages(Tables.load(s, dir, "documents"), "doc_id"),
+              "doc_id", "blob", factor = 4),
+            "doc_id", "blob")
+          .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+            col("gray_sum"), col("h0"), col("h1"), col("h2"), col("h3"),
+            col("h4"), col("h5"), col("h6"), col("h7"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id * 31 AS a,
+             |    (16 + doc_id % 8) // 4 AS ow, (12 + doc_id % 5) // 4 AS oh
+             |  FROM documents),
+             |g AS (SELECT doc_id, a, ow, oh, c % ow AS cx, c // ow AS cy
+             |      FROM (SELECT doc_id, a, ow, oh, unnest(range(0, ow * oh)) AS c FROM d)),
+             |b AS (SELECT doc_id, ow, oh, cx, cy,
+             |        CAST(sum((a + (cy * 4 + j // 4) * 13 + (cx * 4 + j % 4) * 7) % 256)
+             |             AS BIGINT) // 16 AS vq
+             |      FROM (SELECT doc_id, a, ow, oh, cx, cy, unnest(range(0, 16)) AS j FROM g)
+             |      GROUP BY doc_id, ow, oh, cx, cy)
+             |SELECT doc_id, CAST(any_value(ow) AS INT) AS width,
+             |  CAST(any_value(oh) AS INT) AS height,
+             |  CAST(count(*) AS BIGINT) AS n_px,
+             |  CAST(sum(vq) AS BIGINT) AS gray_sum,
+             |  CAST(count(CASE WHEN vq // 32 = 0 THEN 1 END) AS BIGINT) AS h0,
+             |  CAST(count(CASE WHEN vq // 32 = 1 THEN 1 END) AS BIGINT) AS h1,
+             |  CAST(count(CASE WHEN vq // 32 = 2 THEN 1 END) AS BIGINT) AS h2,
+             |  CAST(count(CASE WHEN vq // 32 = 3 THEN 1 END) AS BIGINT) AS h3,
+             |  CAST(count(CASE WHEN vq // 32 = 4 THEN 1 END) AS BIGINT) AS h4,
+             |  CAST(count(CASE WHEN vq // 32 = 5 THEN 1 END) AS BIGINT) AS h5,
+             |  CAST(count(CASE WHEN vq // 32 = 6 THEN 1 END) AS BIGINT) AS h6,
+             |  CAST(count(CASE WHEN vq // 32 = 7 THEN 1 END) AS BIGINT) AS h7
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- X6: sliding time window ----
     ("x6_sliding_window",
       (s: SparkSession, dir: String) => {
@@ -7572,6 +7705,94 @@ object Queries {
       },
       Some(hitsOracleSql(3))),
 
+    // ---- G: multi-source BFS hop distance over the co-purchase
+    // graph — crawl-frontier / seed-expansion distance (how many
+    // co-purchase hops from the promoted customer set). Frontier-
+    // propagating: each round joins the edge list against ONLY the
+    // newly-reached nodes, anti-joins the seen set (first-reached IS
+    // the BFS distance), integer rounds → bit-replayable
+    // (llm/GraphOps.bfsHops). The oracle unrolls the same 3 rounds. ----
+    ("g8_bfs",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 100 === 1)
+          .select(col("c_custkey").as("seed"))
+        GraphOps.bfsHops(edges, "src", "dst", seeds, "seed", maxHops = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val base =
+          """WITH b AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s
+            |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e AS (SELECT c AS src, s AS dst FROM b UNION SELECT s, c FROM b),
+            |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            |       FROM customer WHERE c_custkey % 100 = 1)""".stripMargin
+        val rounds = (1 to 3).map { k =>
+          s"""f$k AS (SELECT DISTINCT e.dst AS node FROM e
+             |        JOIN (SELECT node FROM d${k - 1} WHERE dist = ${k - 1}) fr ON e.src = fr.node
+             |        WHERE e.dst NOT IN (SELECT node FROM d${k - 1})),
+             |d$k AS (SELECT node, dist FROM d${k - 1}
+             |        UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT node, dist FROM d3 ORDER BY node"
+      }),
+
+    // ---- T: quality-probe distillation — closed-form ridge fit of an
+    // expensive tokenizer-derived teacher (stopword count) onto two
+    // cheap byte-level features (chars, spaces): ONE exact-decimal
+    // moment-sum pass + Cramer's rule on the one-row aggregate
+    // (dfw/FitOps.ridgeFit2). Integer features make the sums
+    // order-independent, so the IEEE solve is bit-identical and the
+    // oracle replays it term for term. ----
+    ("t_ridge_probe",
+      (s: SparkSession, dir: String) => {
+        val d = Tables.load(s, dir, "documents").select(
+          length(col("text")).cast("long").as("x1"),
+          (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+            .cast("long").as("x2"),
+          size(filter(split(col("text"), " ", -1),
+            t => t === "the" || t === "a")).cast("long").as("y"))
+        graft.dfw.FitOps.ridgeFit2(d, "x1", "x2", "y", lambda = 1e6, roundTo = 6)
+      },
+      Some(ridgeProbeOracle(
+        "SELECT n, round(b0, 6) AS beta0, round(b1, 6) AS beta1, " +
+          "round(b2, 6) AS beta2, round(r2, 6) AS r2 FROM fit"))),
+
+    // ---- X4: teacher/probe disagreement audit — score every doc with
+    // the probe fitted in the same plan (one-row β broadcast; the
+    // corpus side never shuffles) and surface the 20 docs whose cheap
+    // features most misstate their teacher signal — the human-review
+    // queue of classifier distillation (dfw/FitOps.ridgeResiduals2).
+    // UNROUNDED β feed the predictions on both sides. ----
+    ("x4_probe_disagree",
+      (s: SparkSession, dir: String) => {
+        val d = Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("x1"),
+          (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+            .cast("long").as("x2"),
+          size(filter(split(col("text"), " ", -1),
+            t => t === "the" || t === "a")).cast("long").as("y"))
+        graft.dfw.FitOps.ridgeResiduals2(d, Seq("doc_id"), "x1", "x2", "y",
+            lambda = 1e6, roundTo = 6)
+          .orderBy(abs(col("resid")).desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(ridgeProbeOracle(
+        """SELECT f.doc_id, f.x1, f.x2, f.y,
+          |  round(fit.b0 + fit.b1 * CAST(f.x1 AS DOUBLE) + fit.b2 * CAST(f.x2 AS DOUBLE), 6) AS pred,
+          |  round(CAST(f.y AS DOUBLE) - (fit.b0 + fit.b1 * CAST(f.x1 AS DOUBLE) + fit.b2 * CAST(f.x2 AS DOUBLE)), 6) AS resid
+          |FROM f, fit
+          |ORDER BY abs(round(CAST(f.y AS DOUBLE) - (fit.b0 + fit.b1 * CAST(f.x1 AS DOUBLE) + fit.b2 * CAST(f.x2 AS DOUBLE)), 6)) DESC, f.doc_id
+          |LIMIT 20""".stripMargin))),
+
     // ---- X4: RAKE keyword extraction — stopword-delimited candidate
     // phrases, word deg/freq scores in integer ppm, corpus top-25
     // (llm/TextOps.rakeKeywords; Rose et al. 2010). ----
@@ -7999,6 +8220,43 @@ object Queries {
     * materialized CTEs — floor division on non-negative Longs both
     * sides, every score bit-equal.
     */
+  /** Shared oracle prelude for the ridge-probe queries: features `f`
+    * (chars, spaces, stopword count per doc), exact HUGEINT moment
+    * sums cast to DOUBLE, and the Cramer solve — the SQL mirrors
+    * [[graft.dfw.FitOps]] term for term (same det3 cofactor expansion,
+    * same left-associative IEEE order, `1e6` ridge λ as a DOUBLE
+    * literal) so the unrounded β are bit-identical. `finalSelect`
+    * consumes the `f` and `fit` CTEs.
+    */
+  private def ridgeProbeOracle(finalSelect: String): String =
+    """WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS x1,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS y
+      |  FROM documents),
+      |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS s11, CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+      |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+      |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+      |    CAST(sum(x2 * y) AS DOUBLE) AS s2y, CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM f),
+      |ml AS (SELECT m.*, s11 + 1e6 AS s11l, s22 + 1e6 AS s22l FROM m),
+      |sol AS (SELECT ml.*,
+      |    n * (s11l * s22l - s12 * s12) - s1 * (s1 * s22l - s12 * s2) + s2 * (s1 * s12 - s11l * s2) AS den,
+      |    sy * (s11l * s22l - s12 * s12) - s1 * (s1y * s22l - s12 * s2y) + s2 * (s1y * s12 - s11l * s2y) AS b0n,
+      |    n * (s1y * s22l - s12 * s2y) - sy * (s1 * s22l - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS b1n,
+      |    n * (s11l * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11l * s2) AS b2n
+      |  FROM ml),
+      |bs AS (SELECT sol.*, b0n / den AS b0, b1n / den AS b1, b2n / den AS b2 FROM sol),
+      |fit AS (SELECT CAST(n AS BIGINT) AS n, b0, b1, b2,
+      |    1.0e0 - ((syy
+      |      - 2.0e0 * (b0 * sy + b1 * s1y + b2 * s2y)
+      |      + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+      |        + 2.0e0 * b0 * b1 * s1 + 2.0e0 * b0 * b2 * s2 + 2.0e0 * b1 * b2 * s12))
+      |      / (syy - sy * sy / n)) AS r2
+      |  FROM bs)
+      |""".stripMargin + finalSelect
+
   private def hitsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>
       s"""asum$k AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s

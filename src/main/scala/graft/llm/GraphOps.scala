@@ -464,4 +464,59 @@ object GraphOps {
       .orderBy(col("score_q").desc, col("x"), col("y"))
       .limit(topK)
   }
+
+  /** Multi-source BFS hop distance, frontier-propagating form: round
+    * `k` expands only the nodes FIRST reached at round `k-1` (a
+    * left-anti join against the seen set makes "first reached" exact —
+    * BFS distance IS the first round a node appears). Integer
+    * distances with set semantics are order-independent, so the result
+    * is bit-identical under any partitioning — same oracle-replay
+    * discipline as [[pageRankInt]].
+    *
+    * Cost shape per round: one join of the static edge list against
+    * the CURRENT FRONTIER (not the full distance table) + one distinct
+    * + one anti-join against the seen set — on a real graph the
+    * frontier is a small fraction of |V|, so this beats the min-plus
+    * formulation (which joins all of `dist` every round) by the
+    * frontier/|V| ratio. The frontier freezes every round (it is
+    * consumed twice: expansion join + seen-set union); the growing
+    * seen set freezes on the [[pageRankInt]] `freezeEvery` cadence to
+    * cap lineage depth. Bounded `maxHops` keeps the loop free of
+    * driver-side convergence counts (an empty frontier makes the
+    * remaining rounds no-ops at one empty-join each).
+    *
+    * Seeds outside the graph still report distance 0 (they are
+    * "reached" by definition and simply never expand).
+    *
+    * @return (node LONG, dist LONG) — one row per node within
+    *         `maxHops` of any seed
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              mat: Materializer = Materializer.Local,
+              broadcastFrontier: Boolean = true,
+              freezeEvery: Int = 8): DataFrame = {
+    require(maxHops >= 0)
+    require(freezeEvery >= 0)
+    def hint(df: DataFrame) = if (broadcastFrontier) broadcast(df) else df
+    val e = mat.freeze(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct(),
+      Seq("src"), "bfs_edges")
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    var frontier = dist.select(col("node"))
+    for (k <- 1 to maxHops) {
+      val nxt = mat.freeze(
+        e.join(hint(frontier.withColumnRenamed("node", "src")), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti"),
+        Seq("node"), s"bfs_frontier_$k")
+      dist = dist.union(nxt.select(col("node"), lit(k.toLong).as("dist")))
+      frontier = nxt
+      if (freezeEvery > 0 && k % freezeEvery == 0 && k < maxHops && mat.frozen)
+        dist = mat.freeze(dist, Seq("node"), s"bfs_dist_$k")
+    }
+    dist
+  }
 }

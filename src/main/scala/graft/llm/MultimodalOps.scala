@@ -257,6 +257,168 @@ object MultimodalOps {
   }
 
   // ----------------------------------------------------------------
+  // Images (REAL PNG codec — javax.imageio via ImageCodec)
+  // ----------------------------------------------------------------
+
+  /** Deterministic synthetic PNG blob per document — the image
+    * counterpart of [[documentsAsAudio]]/[[documentsAsVideo]]: the
+    * testdata tables carry no images, so each doc synthesizes a real
+    * grayscale-in-RGB PNG through the REAL JDK encoder
+    * (`javax.imageio`) from the integer pixel field
+    * {{{
+    *   width  = 16 + doc_id mod 8        (16..23)
+    *   height = 12 + doc_id mod 5        (12..16)
+    *   v(x,y) = (doc_id·31 + y·13 + x·7) mod 256, r = g = b = v
+    * }}}
+    * PNG is lossless, so every decode downstream recovers v(x,y)
+    * exactly — an external SQL oracle reproduces the DECODED pixels
+    * from the spec without parsing PNG, while the Spark side
+    * round-trips every pixel through the real encoder + decoder.
+    */
+  def documentsAsImages(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      // 8-byte input rows, per-row work is the PNG encode — spread it
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 8).toInt
+        val h = 12 + (id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + y.toLong * 13 + x.toLong * 7) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL classical image features from decoded pixels — the
+    * model-free screen a vision-curation pass runs before any encoder:
+    * 8-bin gray histogram, total gray mass, and Sobel edge energy
+    * (Σ |gx|+|gy| over interior pixels). Gray is the integer rec-601
+    * luma `(299·r + 587·g + 114·b) / 1000` (floor), so every output is
+    * exact integer arithmetic over the decoded pixels — a SQL oracle
+    * replays it bit-for-bit. Non-image blobs produce no rows (absent-
+    * row contract, like [[AudioCodec]] on non-RIFF bytes). This
+    * retires [[extractFeatures]] as the feature story; that stub stays
+    * as the labeled encoder-plumbing twin.
+    */
+  def imageFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.read(Option(bytes).getOrElse(Array.empty[Byte])).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Int](h, w)
+          val hist = new Array[Long](8)
+          var graySum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val v = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              g(y)(x) = v
+              hist(v >> 5) += 1
+              graySum += v
+              x += 1
+            }
+            y += 1
+          }
+          var edge = 0L
+          var yy = 1
+          while (yy < h - 1) {
+            var xx = 1
+            while (xx < w - 1) {
+              val gx = (g(yy - 1)(xx + 1) + 2 * g(yy)(xx + 1) + g(yy + 1)(xx + 1)) -
+                (g(yy - 1)(xx - 1) + 2 * g(yy)(xx - 1) + g(yy + 1)(xx - 1))
+              val gy = (g(yy + 1)(xx - 1) + 2 * g(yy + 1)(xx) + g(yy + 1)(xx + 1)) -
+                (g(yy - 1)(xx - 1) + 2 * g(yy - 1)(xx) + g(yy - 1)(xx + 1))
+              edge += math.abs(gx) + math.abs(gy)
+              xx += 1
+            }
+            yy += 1
+          }
+          (id, w, h, w.toLong * h, graySum,
+            hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7),
+            edge)
+        }
+      })
+      .toDF("doc_id", "width", "height", "n_px", "gray_sum",
+        "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7", "edge_energy")
+  }
+
+  /** REAL resize with exact semantics: integer box-filter downsample
+    * by `factor` over decoded gray pixels (each output pixel is the
+    * floor-mean of a full factor×factor block; partial edge blocks are
+    * dropped), re-encoded through the REAL PNG writer. Unlike
+    * [[ImageCodec.resizePng]] (Graphics2D bilinear — real but
+    * renderer-defined), the box filter is spec-exact arithmetic, so a
+    * downstream decode of the OUTPUT blob is SQL-replayable
+    * end-to-end: encode → decode → filter → encode → decode with no
+    * inexact step. Non-image blobs produce no rows.
+    */
+  def downsampleImages(df: DataFrame, idCol: String, blobCol: String,
+                       factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.read(Option(bytes).getOrElse(Array.empty[Byte])).flatMap { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = (w / factor, h / factor)
+          if (ow == 0 || oh == 0) None
+          else {
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var cy = 0
+            while (cy < oh) {
+              var cx = 0
+              while (cx < ow) {
+                var sum = 0L
+                var dy = 0
+                while (dy < factor) {
+                  var dx = 0
+                  while (dx < factor) {
+                    val rgb = img.getRGB(cx * factor + dx, cy * factor + dy)
+                    sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                      114 * (rgb & 0xff)) / 1000
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                val v = (sum / (factor.toLong * factor)).toInt
+                out.setRGB(cx, cy, (v << 16) | (v << 8) | v)
+                cx += 1
+              }
+              cy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some((id, ow, oh, bos.toByteArray))
+          }
+        }
+      })
+      .toDF("doc_id", "width", "height", "blob")
+  }
+
+  // ----------------------------------------------------------------
   // Video (REAL ISO-BMFF container codec — VideoCodec box walk)
   // ----------------------------------------------------------------
 

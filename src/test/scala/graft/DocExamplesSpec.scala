@@ -83,9 +83,29 @@ class DocExamplesSpec extends SparkSpec {
     StreamOps.sessionizeBatch(events, gapMinutes = 30).count() shouldBe 2
   }
 
-  test("graph example (OPERATORS.md g1-g7)") {
+  test("graph example (OPERATORS.md g1-g8)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     GraphOps.pageRankInt(edges, "src", "dst", iters = 4).count() shouldBe 3
+    val seeds = Seq(1L).toDF("seed")
+    GraphOps.bfsHops(edges, "src", "dst", seeds, "seed", maxHops = 3)
+      .count() shouldBe 3
+  }
+
+  test("multimodal image example (OPERATORS.md X5)") {
+    val blobs = graft.llm.MultimodalOps.documentsAsImages(docs, "doc_id")
+    val feats = graft.llm.MultimodalOps.imageFeatures(blobs, "doc_id", "blob")
+    feats.count() shouldBe 3
+    val small = graft.llm.MultimodalOps.downsampleImages(blobs, "doc_id", "blob", factor = 4)
+    small.count() shouldBe 3
+  }
+
+  test("probe distillation example (OPERATORS.md stats, FitOps)") {
+    val feats = Seq((1L, 10L, 2L, 3L), (2L, 20L, 4L, 7L), (3L, 30L, 6L, 11L),
+      (4L, 40L, 9L, 15L)).toDF("doc_id", "x1", "x2", "y")
+    val fit = graft.dfw.FitOps.ridgeFit2(feats, "x1", "x2", "y", lambda = 1e6)
+    fit.count() shouldBe 1
+    val scored = graft.dfw.FitOps.ridgeResiduals2(feats, Seq("doc_id"), "x1", "x2", "y", 1e6)
+    scored.count() shouldBe 4
   }
 
   test("experimentation example (OPERATORS.md stats)") {

@@ -256,4 +256,56 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     got shouldBe reference(edges, 24)
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    val out = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct
+    for (k <- 1 to maxHops) {
+      val nxt = frontier.flatMap(out.getOrElse(_, Nil)).distinct.filterNot(dist.contains)
+      dist = dist ++ nxt.map(_ -> k.toLong)
+      frontier = nxt
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Long] =
+    GraphOps.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), "seed", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: chain distances, capped at maxHops") {
+    val chain5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    runBfs(chain5, Seq(1L), 3) shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    runBfs(chain5, Seq(1L), 0) shouldBe Map(1L -> 0L)
+  }
+
+  test("bfsHops: multi-source takes the minimum hop; directed edges don't go backwards") {
+    val chain5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // seeds at both ends of the DIRECTED chain: 5 never expands
+    runBfs(chain5, Seq(1L, 5L), 2) shouldBe
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 2L)
+    // symmetrized: node 3 is 2 hops from both ends, 4 is 1 from seed 5
+    val sym = chain5 ++ chain5.map(_.swap)
+    runBfs(sym, Seq(1L, 5L), 4) shouldBe
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L)
+  }
+
+  test("bfsHops: seeds outside the graph report 0 and never expand; cycles don't loop") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    runBfs(ring, Seq(1L, 99L), 5) shouldBe
+      Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L)
+  }
+
+  test("bfsHops matches the in-memory reference on a dense random graph, any cadence") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 7L)
+    val want = bfs(edges, seeds, 4)
+    runBfs(edges, seeds, 4) shouldBe want
+    GraphOps.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), "seed", 4, freezeEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe want
+  }
 }

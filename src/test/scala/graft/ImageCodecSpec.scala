@@ -96,4 +96,64 @@ class ImageCodecSpec extends SparkSpec {
     (rw, rh) shouldBe ((8, 8))
     rs(2L).blob.length shouldBe 64 // stub subsample path
   }
+
+  test("documentsAsImages: real PNGs that decode back to the exact pixel spec") {
+    val docs = Seq(3L, 10L, 257L).toDF("doc_id")
+    val blobs = MultimodalOps.documentsAsImages(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((id, blob) <- blobs) {
+      val img = ImageCodec.read(blob).get
+      img.getWidth shouldBe (16 + id % 8).toInt
+      img.getHeight shouldBe (12 + id % 5).toInt
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = ((id * 31 + y * 13 + x * 7) % 256).toInt
+        img.getRGB(x, y) & 0xffffff shouldBe ((v << 16) | (v << 8) | v)
+      }
+    }
+  }
+
+  test("imageFeatures: exact integer histogram + Sobel on a hand-checked image") {
+    // 3x3 constant image: all-gray v => one histogram bin, zero edges
+    val flat = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 3; y <- 0 until 3) flat.setRGB(x, y, 0x646464) // v = 100
+    // 3x3 vertical step: left column 0, right column 200 => known Sobel
+    val step = new BufferedImage(3, 3, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3) {
+      step.setRGB(0, y, 0); step.setRGB(1, y, 0x646464); step.setRGB(2, y, 0xc8c8c8)
+    }
+    val df = Seq((1L, bytes(flat)), (2L, bytes(step)),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val rows = MultimodalOps.imageFeatures(df, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows should not contain key(3L) // absent-row contract on non-images
+    val f1 = rows(1L)
+    (f1.getInt(1), f1.getInt(2), f1.getLong(3)) shouldBe ((3, 3, 9L))
+    f1.getLong(4) shouldBe 900L                    // gray_sum = 9 * 100
+    f1.getLong(5 + (100 >> 5)) shouldBe 9L         // all mass in bin 3
+    f1.getLong(13) shouldBe 0L                     // flat => no edges
+    val f2 = rows(2L)
+    // single interior pixel: gx = (200+400+200) - 0 = 800, gy = 0
+    f2.getLong(13) shouldBe 800L
+    f2.getLong(4) shouldBe 3L * (0 + 100 + 200)
+  }
+
+  test("downsampleImages: floor-mean box filter, exact through re-encode") {
+    // 8x4, factor 4 => 2x1 output; block means are exact integer checks
+    val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 4) {
+      val v = x * 10 + y // left block mean floor: (0..3 + rows)..; compute below
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    // block (cx=0): v over x in 0..3, y in 0..3 -> sum = sum(10x) * 4 + sum(y) * 4
+    val left = ((0 to 3).map(_ * 10).sum * 4 + (0 to 3).sum * 4) / 16
+    val right = ((4 to 7).map(_ * 10).sum * 4 + (0 to 3).sum * 4) / 16
+    val out = MultimodalOps.downsampleImages(
+        Seq((7L, bytes(img))).toDF("doc_id", "blob"), "doc_id", "blob", 4)
+      .collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getInt(1), r.getInt(2)) shouldBe ((2, 1))
+    val dec = ImageCodec.read(r.getAs[Array[Byte]](3)).get
+    (dec.getRGB(0, 0) & 0xff, dec.getRGB(1, 0) & 0xff) shouldBe ((left, right))
+  }
 }
