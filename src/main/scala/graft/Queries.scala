@@ -7734,15 +7734,86 @@ object Queries {
             |e AS (SELECT c AS src, s AS dst FROM b UNION SELECT s, c FROM b),
             |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
             |       FROM customer WHERE c_custkey % 100 = 1)""".stripMargin
+        // d_{k-1} is consumed three times per round (frontier, NOT IN,
+        // carry-forward) — MATERIALIZED stops DuckDB re-inlining each
+        // round into every consumer (the g5_kcore sf1 lesson)
         val rounds = (1 to 3).map { k =>
-          s"""f$k AS (SELECT DISTINCT e.dst AS node FROM e
+          s"""f$k AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e
              |        JOIN (SELECT node FROM d${k - 1} WHERE dist = ${k - 1}) fr ON e.src = fr.node
              |        WHERE e.dst NOT IN (SELECT node FROM d${k - 1})),
-             |d$k AS (SELECT node, dist FROM d${k - 1}
+             |d$k AS MATERIALIZED (SELECT node, dist FROM d${k - 1}
              |        UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
         }.mkString(",\n")
         s"$base,\n$rounds\nSELECT node, dist FROM d3 ORDER BY node"
       }),
+
+    // ---- G: bounded-round integer shortest path (Bellman-Ford
+    // min-plus) over the WEIGHTED co-purchase graph — after k rounds,
+    // dist(v) is the exact cheapest cost among ≤k-edge paths from the
+    // seed set (the bounded-horizon cost a crawl scheduler budgets).
+    // Unlike BFS a settled node can still improve, so every round
+    // joins the full distance table; min over integer sums is
+    // order-independent ⇒ bit-replayable (llm/GraphOps.ssspInt). ----
+    ("g9_sssp",
+      (s: SparkSession, dir: String) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+            col("l_quantity").cast("long").as("w"))
+        val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        val seeds = Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 100 === 1)
+          .select(col("c_custkey").as("seed"))
+        GraphOps.ssspInt(edges, "src", "dst", "w", seeds, "seed", rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val base =
+          """WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s,
+            |             CAST(l_quantity AS BIGINT) AS w
+            |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            |e0 AS (SELECT c AS src, s AS dst, w FROM b
+            |       UNION ALL SELECT s, c, w FROM b),
+            |e AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+            |     FROM e0 GROUP BY src, dst),
+            |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            |       FROM customer WHERE c_custkey % 100 = 1)""".stripMargin
+        val rounds = (1 to 3).map { k =>
+          s"""d$k AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |        SELECT node, dist FROM d${k - 1}
+             |        UNION ALL SELECT e.dst AS node, d${k - 1}.dist + e.w AS dist
+             |        FROM e JOIN d${k - 1} ON e.src = d${k - 1}.node)
+             |      GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds\nSELECT node, dist FROM d3 ORDER BY node"
+      }),
+
+    // ---- T: per-group probe fits — one independent closed-form ridge
+    // per source from the SAME single moment pass (the groupBy
+    // replaces the global aggregate; k groups = one shuffle of k×10
+    // cells, not k passes) — the per-domain/per-language fit matrix a
+    // curation pipeline reviews before trusting one global probe
+    // (dfw/FitOps.ridgeFit2By). ----
+    ("t_ridge_probe_by_source",
+      (s: SparkSession, dir: String) => {
+        val d = Tables.load(s, dir, "documents").select(
+          col("source"),
+          length(col("text")).cast("long").as("x1"),
+          (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))))
+            .cast("long").as("x2"),
+          size(filter(split(col("text"), " ", -1),
+            t => t === "the" || t === "a")).cast("long").as("y"))
+        graft.dfw.FitOps.ridgeFit2By(d, Seq("source"), "x1", "x2", "y",
+            lambda = 1e6, roundTo = 6)
+          .orderBy(col("source"))
+      },
+      Some(ridgeProbeOracleBy("source",
+        "SELECT source, n, round(b0, 6) AS beta0, round(b1, 6) AS beta1, " +
+          "round(b2, 6) AS beta2, round(r2, 6) AS r2 FROM fit ORDER BY source"))),
 
     // ---- T: quality-probe distillation — closed-form ridge fit of an
     // expensive tokenizer-derived teacher (stopword count) onto two
@@ -8229,17 +8300,26 @@ object Queries {
     * consumes the `f` and `fit` CTEs.
     */
   private def ridgeProbeOracle(finalSelect: String): String =
-    """WITH f AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS x1,
+    ridgeProbeOracleBy(null, finalSelect)
+
+  /** Grouped variant: `byCol` (null for the global fit) threads
+    * through features → moment sums (GROUP BY) → solve, mirroring
+    * [[graft.dfw.FitOps.ridgeFit2By]].
+    */
+  private def ridgeProbeOracleBy(byCol: String, finalSelect: String): String = {
+    val by = Option(byCol).map(_ + ", ").getOrElse("")
+    val grp = Option(byCol).map(" GROUP BY " + _).getOrElse("")
+    s"""WITH f AS (SELECT ${by}doc_id, CAST(length(text) AS BIGINT) AS x1,
       |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2,
       |    CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS BIGINT) AS y
       |  FROM documents),
-      |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |m AS (SELECT ${by}CAST(count(*) AS DOUBLE) AS n,
       |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
       |    CAST(sum(x1 * x1) AS DOUBLE) AS s11, CAST(sum(x2 * x2) AS DOUBLE) AS s22,
       |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
       |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x1 * y) AS DOUBLE) AS s1y,
       |    CAST(sum(x2 * y) AS DOUBLE) AS s2y, CAST(sum(y * y) AS DOUBLE) AS syy
-      |  FROM f),
+      |  FROM f$grp),
       |ml AS (SELECT m.*, s11 + 1e6 AS s11l, s22 + 1e6 AS s22l FROM m),
       |sol AS (SELECT ml.*,
       |    n * (s11l * s22l - s12 * s12) - s1 * (s1 * s22l - s12 * s2) + s2 * (s1 * s12 - s11l * s2) AS den,
@@ -8248,7 +8328,7 @@ object Queries {
       |    n * (s11l * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11l * s2) AS b2n
       |  FROM ml),
       |bs AS (SELECT sol.*, b0n / den AS b0, b1n / den AS b1, b2n / den AS b2 FROM sol),
-      |fit AS (SELECT CAST(n AS BIGINT) AS n, b0, b1, b2,
+      |fit AS (SELECT ${by}CAST(n AS BIGINT) AS n, b0, b1, b2,
       |    1.0e0 - ((syy
       |      - 2.0e0 * (b0 * sy + b1 * s1y + b2 * s2y)
       |      + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
@@ -8256,6 +8336,7 @@ object Queries {
       |      / (syy - sy * sy / n)) AS r2
       |  FROM bs)
       |""".stripMargin + finalSelect
+  }
 
   private def hitsOracleSql(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>

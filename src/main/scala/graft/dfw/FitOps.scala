@@ -44,17 +44,18 @@ object FitOps {
     * `n, b0, b1, b2, r2`.
     */
   private def fit2(df: DataFrame, x1Col: String, x2Col: String, yCol: String,
-                   lambda: Double): DataFrame = {
+                   lambda: Double, byCols: Seq[String] = Nil): DataFrame = {
     val dec = "decimal(38,0)"
     def s(c: Column, as: String) = sum(c.cast(dec)).cast("double").as(as)
     val x1 = col(x1Col).cast("long")
     val x2 = col(x2Col).cast("long")
     val y = col(yCol).cast("long")
-    val m = df.agg(
+    val aggs = Seq(
       count(lit(1)).cast("double").as("n"),
       s(x1, "s1"), s(x2, "s2"),
       s(x1 * x1, "s11"), s(x2 * x2, "s22"), s(x1 * x2, "s12"),
       s(y, "sy"), s(x1 * y, "s1y"), s(x2 * y, "s2y"), s(y * y, "syy"))
+    val m = df.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val l = lit(lambda)
     val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
     val s11l = col("s11") + l; val s22l = col("s22") + l; val s12 = col("s12")
@@ -68,9 +69,10 @@ object FitOps {
     val b0 = det3(sy, s1, s2, s1y, s11l, s12, s2y, s12, s22l) / den
     val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22l) / den
     val b2 = det3(n, s1, sy, s1, s11l, s1y, s2, s12, s2y) / den
-    m.select(n.as("nn"), sy, s1y, s2y, syy, col("s11"), col("s22"), s12,
-        s1, s2, b0.as("b0"), b1.as("b1"), b2.as("b2"))
-      .select(col("nn"), col("b0"), col("b1"), col("b2"),
+    val by = byCols.map(col)
+    m.select(by ++ Seq(n.as("nn"), sy, s1y, s2y, syy, col("s11"), col("s22"), s12,
+        s1, s2, b0.as("b0"), b1.as("b1"), b2.as("b2")): _*)
+      .select(by ++ Seq(col("nn"), col("b0"), col("b1"), col("b2"),
         // Ridge β does not satisfy the unpenalized normal equations, so
         // SSE needs the full quadratic form β'Mβ − 2β'b + Σy² (the OLS
         // shortcut Σy² − β'b would be wrong for λ > 0). A zero total
@@ -86,9 +88,9 @@ object FitOps {
           / {
             val sst = syy - col("sy") * col("sy") / col("nn")
             when(sst === 0.0, lit(null)).otherwise(sst)
-          })).as("r2"))
-      .select(col("nn").cast("long").as("n"),
-        col("b0"), col("b1"), col("b2"), col("r2"))
+          })).as("r2")): _*)
+      .select(by ++ Seq(col("nn").cast("long").as("n"),
+        col("b0"), col("b1"), col("b2"), col("r2")): _*)
   }
 
   /** Ridge regression of integer target `yCol` on two integer features
@@ -105,6 +107,22 @@ object FitOps {
         round(col("b1"), roundTo).as("beta1"),
         round(col("b2"), roundTo).as("beta2"),
         round(col("r2"), roundTo).as("r2"))
+
+  /** Per-group [[ridgeFit2]]: one independent closed-form probe per
+    * `byCols` key (per-source, per-language, per-domain fits) from the
+    * SAME single moment pass — the groupBy replaces the global
+    * aggregate, everything downstream is per-row scalar algebra, so k
+    * groups cost one shuffle of k×10 cells, not k passes.
+    */
+  def ridgeFit2By(df: DataFrame, byCols: Seq[String],
+                  x1Col: String, x2Col: String, yCol: String,
+                  lambda: Double, roundTo: Int = 8): DataFrame =
+    fit2(df, x1Col, x2Col, yCol, lambda, byCols)
+      .select(byCols.map(col) ++ Seq(col("n"),
+        round(col("b0"), roundTo).as("beta0"),
+        round(col("b1"), roundTo).as("beta1"),
+        round(col("b2"), roundTo).as("beta2"),
+        round(col("r2"), roundTo).as("r2")): _*)
 
   /** Fit the probe, then score every row with it in the same plan:
     * `pred = β0 + β1·x1 + β2·x2`, `resid = y − pred`. The one-row

@@ -519,4 +519,56 @@ object GraphOps {
     }
     dist
   }
+
+  /** Bounded-round single/multi-source shortest path over INTEGER
+    * edge weights — Bellman-Ford as min-plus iteration: after round
+    * `k`, `dist(v)` is the exact cheapest cost among paths of ≤ k
+    * edges (so `rounds` ≥ the hop diameter gives true shortest
+    * paths; fewer gives the bounded-horizon cost a crawl scheduler
+    * actually budgets). Unlike [[bfsHops]], a settled node can still
+    * improve (a longer-hop path may be cheaper), so every round joins
+    * the FULL distance table, not a frontier — min over integer sums
+    * is order-independent, so the round-k state is bit-replayable
+    * like [[pageRankInt]].
+    *
+    * Parallel (src, dst) edges pre-collapse to their minimum weight.
+    * Per round: one keyed join (edges ⋈ dist) + one min-aggregate;
+    * the distance table carries the [[pageRankInt]] broadcast hint
+    * while it fits, and freezes on the `freezeEvery` cadence.
+    * Negative weights are rejected — bounded-round Bellman-Ford would
+    * be well-defined, but no corpus-curation cost is negative and
+    * rejecting them keeps "dist never increases across rounds" as an
+    * invariant callers may rely on.
+    *
+    * @return (node LONG, dist LONG) — one row per node reachable from
+    *         any seed within `rounds` edges (seeds at 0)
+    */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int,
+              mat: Materializer = Materializer.Local,
+              broadcastDist: Boolean = true,
+              freezeEvery: Int = 8): DataFrame = {
+    require(rounds >= 0)
+    require(freezeEvery >= 0)
+    def hint(df: DataFrame) = if (broadcastDist) broadcast(df) else df
+    val e = mat.freeze(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"),
+          when(col(wCol).cast("long") < 0,
+            raise_error(lit("ssspInt: negative edge weight")))
+            .otherwise(col(wCol).cast("long")).as("w"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")),
+      Seq("src"), "sssp_edges")
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"))
+    for (k <- 1 to rounds) {
+      val cand = e
+        .join(hint(dist.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(cand).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (freezeEvery > 0 && k % freezeEvery == 0 && k < rounds && mat.frozen)
+        dist = mat.freeze(dist, Seq("node"), s"sssp_dist_$k")
+    }
+    dist
+  }
 }

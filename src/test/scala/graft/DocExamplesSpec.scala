@@ -83,11 +83,14 @@ class DocExamplesSpec extends SparkSpec {
     StreamOps.sessionizeBatch(events, gapMinutes = 30).count() shouldBe 2
   }
 
-  test("graph example (OPERATORS.md g1-g8)") {
+  test("graph example (OPERATORS.md g1-g9)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     GraphOps.pageRankInt(edges, "src", "dst", iters = 4).count() shouldBe 3
     val seeds = Seq(1L).toDF("seed")
     GraphOps.bfsHops(edges, "src", "dst", seeds, "seed", maxHops = 3)
+      .count() shouldBe 3
+    val wedges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 1L, 2L)).toDF("src", "dst", "w")
+    GraphOps.ssspInt(wedges, "src", "dst", "w", seeds, "seed", rounds = 3)
       .count() shouldBe 3
   }
 
@@ -104,6 +107,9 @@ class DocExamplesSpec extends SparkSpec {
       (4L, 40L, 9L, 15L)).toDF("doc_id", "x1", "x2", "y")
     val fit = graft.dfw.FitOps.ridgeFit2(feats, "x1", "x2", "y", lambda = 1e6)
     fit.count() shouldBe 1
+    val bySrc = feats.withColumn("source", col("doc_id") % 2)
+    graft.dfw.FitOps.ridgeFit2By(bySrc, Seq("source"), "x1", "x2", "y", 1e6)
+      .count() shouldBe 2
     val scored = graft.dfw.FitOps.ridgeResiduals2(feats, Seq("doc_id"), "x1", "x2", "y", 1e6)
     scored.count() shouldBe 4
   }

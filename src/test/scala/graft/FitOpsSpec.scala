@@ -72,6 +72,22 @@ class FitOpsSpec extends SparkSpec {
     r2r.isNullAt(4) shouldBe true
   }
 
+  test("ridgeFit2By: per-group fits equal independent per-group ridgeFit2 runs") {
+    val grouped = Seq(
+      // group "a": y = 1 + 2*x1 + 0*x2; group "b": y = 5 + 0*x1 + 3*x2
+      ("a", 1L, 9L, 3L), ("a", 2L, 1L, 5L), ("a", 3L, 4L, 7L), ("a", 5L, 2L, 11L),
+      ("b", 4L, 1L, 8L), ("b", 2L, 2L, 11L), ("b", 7L, 3L, 14L), ("b", 1L, 5L, 20L))
+      .toDF("g", "x1", "x2", "y")
+    val by = FitOps.ridgeFit2By(grouped, Seq("g"), "x1", "x2", "y", lambda = 3.0)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = FitOps.ridgeFit2(grouped.filter(col("g") === g), "x1", "x2", "y", lambda = 3.0)
+        .collect().head.toSeq
+      by(g) shouldBe solo
+    }
+    by.keySet shouldBe Set("a", "b")
+  }
+
   test("ridgeResiduals2: y = pred + resid, zero residuals on exact data, corpus not shuffled") {
     val withId = linear.withColumn("doc_id", monotonically_increasing_id())
     val scored = FitOps.ridgeResiduals2(withId, Seq("doc_id"), "x1", "x2", "y",

@@ -297,6 +297,42 @@ class GraphOpsSpec extends SparkSpec {
       Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L)
   }
 
+  test("ssspInt: bounded-round Bellman-Ford on a hand graph; cheaper long path wins") {
+    // 1 -> 2 costs 10 direct, but 1 -> 3 -> 4 -> 2 costs 1+1+1 = 3:
+    // round 1 settles 2 at 10, round 3 improves it to 3
+    val wedges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("seed")
+    def run(rounds: Int) =
+      GraphOps.ssspInt(wedges, "src", "dst", "w", seeds, "seed", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run(1) shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 1L)
+    run(2) shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 1L, 4L -> 2L)
+    run(3) shouldBe Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L)
+  }
+
+  test("ssspInt: parallel edges collapse to min weight; unit weights reduce to BFS hops") {
+    val dup = Seq((1L, 2L, 7L), (1L, 2L, 4L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    GraphOps.ssspInt(dup, "src", "dst", "w", Seq(1L).toDF("seed"), "seed", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 0L, 2L -> 4L, 3L -> 9L)
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val unit = edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val viaSssp = GraphOps.ssspInt(unit, "src", "dst", "w", Seq(0L).toDF("seed"), "seed", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaSssp shouldBe bfs(edges, Seq(0L), 4)
+  }
+
+  test("ssspInt rejects negative weights") {
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      GraphOps.ssspInt(neg, "src", "dst", "w", Seq(1L).toDF("seed"), "seed", 1).collect()
+    }
+    ex.getMessage should include("negative edge weight")
+  }
+
   test("bfsHops matches the in-memory reference on a dense random graph, any cadence") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
