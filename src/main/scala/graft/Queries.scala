@@ -4542,6 +4542,38 @@ object Queries {
              |  CAST(count(CASE WHEN vq // 32 = 7 THEN 1 END) AS BIGINT) AS h7
              |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- X5+X2: REAL DCT perceptual hash in the candidate→verify
+    // dedup shape — pHash (grayscale → 32×32 area resize → 2D DCT-II →
+    // median-bit code, ImageCodec.pHash) over REAL decoded PNG pixels
+    // generates candidates via the SimHash chunk banding at Hamming 0,
+    // then candidates VERIFY by exact blob bytes (the standard
+    // LSH-verify contract: identical pixels ⇒ identical pHash gives
+    // recall 1.0 on exact dups; verification kills the hash's false
+    // positives, which ARE real here — the structured pixel field
+    // collides ~6 distinct low-frequency gradients at sf0.01). The
+    // float DCT can't be replayed in SQL; the VERIFIED duplicate set
+    // can: the pixel field repeats exactly iff doc_id ≡ doc_id'
+    // (mod 1280) (dims cycle mod 8 and mod 5; 31·id mod 256 cycles
+    // mod 256 since 31 is odd ⇒ lcm(256, 40) = 1280). ----
+    ("x5_image_phash_dups",
+      (s: SparkSession, dir: String) => {
+        val blobs = MultimodalOps.documentsAsImages(
+          Tables.load(s, dir, "documents"), "doc_id")
+        val fps = MultimodalOps.pHashImages(blobs, "doc_id", "blob")
+        val cand = DedupOps.simHashPairs(fps, maxHamming = 0)
+          .select(col("doc1"), col("doc2"))
+        cand
+          .join(blobs.select(col("doc_id").as("doc1"), col("blob").as("b1")), "doc1")
+          .join(blobs.select(col("doc_id").as("doc2"), col("blob").as("b2")), "doc2")
+          .filter(col("b1") === col("b2"))
+          .select(col("doc1"), col("doc2"))
+          .orderBy(col("doc1"), col("doc2"))
+      },
+      Some("""SELECT a.doc_id AS doc1, b.doc_id AS doc2
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 1280 = 0
+             |ORDER BY doc1, doc2""".stripMargin)),
+
     // ---- X6: sliding time window ----
     ("x6_sliding_window",
       (s: SparkSession, dir: String) => {

@@ -20,6 +20,23 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache is DISK-backed: every read/write of
+  // an in-memory blob creates (and deletes) a temp FILE. At corpus
+  // grain that is one file-system round-trip per image per pass —
+  // measured ~2-4x the whole decode cost at 5k imgs × 32 threads.
+  // Memory-cached streams remove it; set once at class load (the JDK
+  // flag is JVM-global, which is the behavior we want everywhere).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode through the REAL JDK PNG writer (lossless; memory-cached
+    * stream — see the class-load flag above).
+    */
+  def writePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode to (width, height, channels, meanLuma) — None if the JDK
     * has no reader for the bytes.
     */

@@ -296,9 +296,7 @@ object MultimodalOps {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        (id, bos.toByteArray)
+        (id, ImageCodec.writePng(img))
       })
       .toDF("doc_id", "blob")
   }
@@ -409,9 +407,7 @@ object MultimodalOps {
               }
               cy += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            Some((id, ow, oh, bos.toByteArray))
+            Some((id, ow, oh, ImageCodec.writePng(out)))
           }
         }
       })
