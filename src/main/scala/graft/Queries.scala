@@ -115,6 +115,14 @@ object Queries {
     s"$indexRoot/docs_${corpusKey}_minhash"
   }
 
+  /** Where the persisted pHash fingerprint gate for `dir`'s corpus
+    * images (doc_id % 7 != 3 — the already-ingested slice) lives.
+    */
+  private def phashGatePath(dir: String): String = {
+    val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$indexRoot/docs_${corpusKey}_phashgate"
+  }
+
   /** Where the persisted near-dup cluster labels for `dir`'s OLD
     * corpus (doc_id % 7 != 0 — the already-ingested slice the
     * incremental-clustering queries fold deltas into) live.
@@ -4573,6 +4581,35 @@ object Queries {
              |FROM documents a JOIN documents b
              |  ON a.doc_id < b.doc_id AND (b.doc_id - a.doc_id) % 1280 = 0
              |ORDER BY doc1, doc2""".stripMargin)),
+
+    // ---- X5/X6: streaming image dedup gate run over the batch rows —
+    // incoming images (doc_id % 7 = 3; 1280 ∤ 7's multiples, so dup
+    // groups CROSS the slice boundary) probe the PERSISTED pHash
+    // fingerprint table at Hamming 0 and byte-verify against the
+    // corpus blobs. Completes the stateless ingest-gate quartet
+    // (Bloom / ANN / MinHash / pHash); StreamOpsSpec pins MemoryStream
+    // == this batch twin. Oracle = the provable duplicate set
+    // (pixel field repeats iff ids ≡ mod 1280), exact despite real
+    // pHash collisions because the gate byte-verifies
+    // (llm/MultimodalOps.pHashGate, streaming/StreamOps
+    // .imageGateStream). ----
+    ("x6_image_gate",
+      (s: SparkSession, dir: String) => {
+        val docs = Tables.load(s, dir, "documents")
+        val corpusBlobs = MultimodalOps.documentsAsImages(
+          docs.filter(col("doc_id") % 7 =!= 3), "doc_id")
+        val fps = MultimodalOps.loadOrBuildPhashGate(corpusBlobs, "doc_id", "blob",
+          phashGatePath(dir))
+        StreamOps.imageGateStream(
+            MultimodalOps.documentsAsImages(docs.filter(col("doc_id") % 7 === 3), "doc_id"),
+            fps, corpusBlobs)
+          .orderBy(col("in_id"), col("corpus_id"))
+      },
+      Some("""SELECT a.doc_id AS in_id, b.doc_id AS corpus_id
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+             | AND abs(a.doc_id - b.doc_id) % 1280 = 0 AND a.doc_id <> b.doc_id
+             |ORDER BY in_id, corpus_id""".stripMargin)),
 
     // ---- X6: sliding time window ----
     ("x6_sliding_window",

@@ -174,6 +174,55 @@ object MultimodalOps {
       }
   }
 
+  /** Persisted pHash fingerprint artifact for the streaming image
+    * gate — (doc_id, fp) through [[pHashImages]], stored once
+    * batch-side with the standard corpus-signature reuse check (the
+    * [[graft.llm.DedupOps.loadOrBuildMinHashGate]] gate-artifact
+    * pattern). The table is ROW-INDEPENDENT (one fp per doc, no
+    * cross-row state), so delta append is a plain union-write and
+    * delete is a plain id filter — no banding/list surgery needed.
+    */
+  def loadOrBuildPhashGate(corpusBlobs: DataFrame, idCol: String, blobCol: String,
+                           indexPath: String, rebuild: Boolean = false): DataFrame =
+    IndexStore.loadOrBuild(corpusBlobs, "phash-gate:dct32x8", indexPath, rebuild) {
+      pHashImages(corpusBlobs, idCol, blobCol)
+    }
+
+  /** X5+X6: stateless image ingest gate — incoming media probe a
+    * STATIC pHash fingerprint table at Hamming 0 (fp equality ⇒ plain
+    * stream-static equi-join, no banding machinery), then candidates
+    * VERIFY against the stored corpus blobs by exact bytes (pHash
+    * false positives are real — see `x5_image_phash_dups`). The
+    * fingerprint is computed IN-ROW alongside the blob (one
+    * `mapPartitions` pass; deriving it in a separate branch would make
+    * the probe a stream-stream self-join and drag in state), so the
+    * whole gate is stream-static joins only: no watermark, no state
+    * store — the fourth stateless ingest gate beside Bloom
+    * decontamination, ANN, and MinHash text near-dup.
+    *
+    * @return (in_id, corpus_id) — one row per byte-verified duplicate
+    */
+  def pHashGate(incoming: DataFrame, fingerprints: DataFrame, corpusBlobs: DataFrame,
+                idCol: String = "doc_id", blobCol: String = "blob"): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val probes = incoming.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = Option(bytes).getOrElse(Array.empty[Byte])
+        (id, b, ImageCodec.pHash(b).getOrElse(
+          graft.functions.ByteClassFingerprint.compute(b)))
+      })
+      .toDF("in_id", "in_blob", "fp")
+    probes
+      .join(fingerprints.select(col(idCol).cast("long").as("corpus_id"), col("fp")), "fp")
+      .filter(col("in_id") =!= col("corpus_id"))
+      .join(corpusBlobs.select(col(idCol).cast("long").as("corpus_id"),
+        col(blobCol).as("corpus_blob")), "corpus_id")
+      .filter(col("in_blob") === col("corpus_blob"))
+      .select(col("in_id"), col("corpus_id"))
+  }
+
   /** Fixed-size feature vector per media blob. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 

@@ -453,6 +453,23 @@ object StreamOps {
     graft.llm.DedupOps.minHashGatePrepared(incoming, bandedGate, shSets, idCol,
       textCol, shingleW, numHashes, bands, num, den)
 
+  /** X5/X6: streaming image dedup gate — an unbounded media stream
+    * probes the PERSISTED pHash fingerprint table at Hamming 0 and
+    * byte-verifies every candidate against the stored corpus blobs
+    * ([[graft.llm.MultimodalOps.pHashGate]]). The fingerprint computes
+    * in-row beside the blob, so the plan is stream-static joins only —
+    * no watermark, no state store. Completes the stateless
+    * ingest-gate QUARTET: Bloom decontamination (exact n-gram),
+    * ANN (embedding near-dup), MinHash (text near-dup), pHash
+    * (media exact-dup with hash-candidate recall). Same output as the
+    * batch op on the same rows (spec-pinned).
+    */
+  def imageGateStream(incoming: DataFrame, fingerprints: DataFrame,
+                      corpusBlobs: DataFrame,
+                      idCol: String = "doc_id", blobCol: String = "blob"): DataFrame =
+    graft.llm.MultimodalOps.pHashGate(incoming, fingerprints, corpusBlobs,
+      idCol, blobCol)
+
   /** Typed event row for the custom-state operators. */
   final case class Event(event_id: Long, user_id: Long, event_type: String,
                          value: Double, ts: Timestamp)

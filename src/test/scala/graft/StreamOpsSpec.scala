@@ -520,6 +520,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("imageGateStream: stateless pHash gate on a real stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus images from the deterministic generator; incoming ids
+    // 1280 apart have IDENTICAL pixels (the provable duplicate rule)
+    val corpusBlobs = graft.llm.MultimodalOps.documentsAsImages(
+      Seq(7L, 8L, 9L).toDF("doc_id"), "doc_id").localCheckpoint()
+    val fps = graft.llm.MultimodalOps.pHashImages(corpusBlobs, "doc_id", "blob")
+      .localCheckpoint() // static fingerprint artifact: built once
+    val incomingIds = Seq(1287L, 2567L, 42L) // dups of 7 (+1280, +2560); novel
+    val incomingRows = graft.llm.MultimodalOps.documentsAsImages(
+        incomingIds.toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.imageGateStream(mem.toDF().toDF("doc_id", "blob"),
+        fps, corpusBlobs)
+      .writeStream.format("memory").queryName("image_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(incomingRows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(incomingRows.drop(1): _*) // second micro-batch: no state carried
+      q.processAllAvailable()
+      val got = spark.table("image_gate_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = StreamOps.imageGateStream(
+          incomingRows.toDF("doc_id", "blob"), fps, corpusBlobs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe want
+      got shouldBe Set((1287L, 7L), (2567L, 7L)) // 42 stays silent
+    } finally q.stop()
+  }
+
   test("annGateStream: stateless ANN gate on a real stream equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus: two clusters; incoming rows: one near-dup of the
