@@ -50,11 +50,18 @@ object FitOps {
     val x1 = col(x1Col).cast("long")
     val x2 = col(x2Col).cast("long")
     val y = col(yCol).cast("long")
+    // Products are formed in DECIMAL, not LongType: a 64-bit product
+    // wraps silently once |x| ≳ 3.04e9, breaking the "exact at any row
+    // count" contract (the DuckDB oracle promotes to HUGEINT, so the
+    // wrap would also hash-mismatch loudly). Spark narrows
+    // decimal(38,0)×decimal(38,0) back to 38 digits — ample for
+    // squares of 19-digit longs.
+    val x1d = x1.cast(dec); val x2d = x2.cast(dec); val yd = y.cast(dec)
     val aggs = Seq(
       count(lit(1)).cast("double").as("n"),
       s(x1, "s1"), s(x2, "s2"),
-      s(x1 * x1, "s11"), s(x2 * x2, "s22"), s(x1 * x2, "s12"),
-      s(y, "sy"), s(x1 * y, "s1y"), s(x2 * y, "s2y"), s(y * y, "syy"))
+      s(x1d * x1d, "s11"), s(x2d * x2d, "s22"), s(x1d * x2d, "s12"),
+      s(y, "sy"), s(x1d * yd, "s1y"), s(x2d * yd, "s2y"), s(yd * yd, "syy"))
     val m = df.groupBy(byCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val l = lit(lambda)
     val n = col("n"); val s1 = col("s1"); val s2 = col("s2")

@@ -5,6 +5,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** REAL pixel-level image operations on the JDK's own codecs
   * (`javax.imageio` reads PNG/JPEG/GIF/BMP pure-JVM, no native deps) —
@@ -24,18 +25,29 @@ object ImageCodec {
   // an in-memory blob creates (and deletes) a temp FILE. At corpus
   // grain that is one file-system round-trip per image per pass —
   // measured ~2-4x the whole decode cost at 5k imgs × 32 threads.
-  // Memory-cached streams remove it; set once at class load (the JDK
-  // flag is JVM-global, which is the behavior we want everywhere).
-  javax.imageio.ImageIO.setUseCache(false)
+  // Memory-cached streams remove it. Scoped PER CALL (explicit
+  // MemoryCache image streams below) rather than the JVM-global
+  // `ImageIO.setUseCache(false)` flag an earlier revision set at class
+  // load — an embedding application's own ImageIO usage keeps whatever
+  // cache policy it chose.
 
-  /** Encode through the REAL JDK PNG writer (lossless; memory-cached
-    * stream — see the class-load flag above).
+  /** Encode through a REAL JDK image writer (memory-cached stream —
+    * see the cache note above). `format` is an ImageIO format name
+    * ("png" lossless, "jpg" lossy).
     */
-  def writePng(img: BufferedImage): Array[Byte] = {
+  def write(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      if (!ImageIO.write(img, format, ios))
+        throw new IllegalArgumentException(s"no ImageIO writer for format '$format'")
+      ios.flush()
+    } finally ios.close()
     bos.toByteArray
   }
+
+  /** Encode through the REAL JDK PNG writer (lossless). */
+  def writePng(img: BufferedImage): Array[Byte] = write(img, "png")
 
   /** Decode to (width, height, channels, meanLuma) — None if the JDK
     * has no reader for the bytes.
@@ -53,9 +65,19 @@ object ImageCodec {
       (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h))
     }
 
-  def read(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+  def read(bytes: Array[Byte]): Option[BufferedImage] = {
+    // Passing an ImageInputStream (not a raw InputStream) keeps the
+    // read on the per-call memory cache regardless of the JVM-global
+    // ImageIO cache flag. ImageIO.read(ImageInputStream) closes the
+    // stream itself on success (and only then) — the cleanup close
+    // below is for the failure paths and must swallow the
+    // "already closed" IOException of the success path.
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    val out = try Option(ImageIO.read(iis))
+              catch { case _: Exception => None }
+    try iis.close() catch { case _: Exception => () }
+    out
+  }
 
   private def luma(rgb: Int): Double = {
     val r = (rgb >> 16) & 0xff
@@ -74,9 +96,7 @@ object ImageCodec {
           RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(out, "png", bos)
-      bos.toByteArray
+      writePng(out)
     }
 
   /** Grayscale area-average downsample to `n`×`n` doubles. */
