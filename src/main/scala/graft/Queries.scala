@@ -1830,6 +1830,31 @@ object Queries {
              |WHERE hv < (CASE cls WHEN 'A' THEN 0.3 WHEN 'N' THEN 0.1 WHEN 'R' THEN 0.5 ELSE 0.0 END) * 1000000
              |ORDER BY cls, sample_id, l_quantity, l_extendedprice""".stripMargin)),
 
+    // ---- PRODUCTION-hash twin of t_sample_stratified: the operator's
+    // DEFAULT xxhash64 key hash (pure codegen, no md5 string round
+    // trip) — oracle-EXACT via the long-XXH64 DuckDB replica, hashed
+    // once per DISTINCT key then joined back (hv is a pure key
+    // function, so dup sample_ids inherit it). The md5 row stays as
+    // the engine-neutral anchor; this row is what ships. ----
+    ("t_sample_stratified_prod",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleStratified(
+            featureTable(s, dir).select("cls", "sample_id", "l_quantity", "l_extendedprice"),
+            "cls", "sample_id",
+            fractions = Map("A" -> 0.3, "N" -> 0.1, "R" -> 0.5), default = 0.0)
+          .orderBy(col("cls"), col("sample_id"), col("l_quantity"), col("l_extendedprice"))
+      },
+      Some(s"""WITH f AS (SELECT l_returnflag AS cls,
+             |    l_orderkey * 10 + l_linenumber AS sample_id, l_quantity, l_extendedprice
+             |  FROM lineitem),
+             |k AS (SELECT DISTINCT sample_id FROM f),
+             |${xxhash64LongCtes("k", "sample_id")},
+             |h AS (SELECT f.*, ((hx.xx64 % 1000000) + 1000000) % 1000000 AS hv
+             |      FROM f JOIN hx USING (sample_id))
+             |SELECT cls, sample_id, l_quantity, l_extendedprice FROM h
+             |WHERE hv < (CASE cls WHEN 'A' THEN 0.3 WHEN 'N' THEN 0.1 WHEN 'R' THEN 0.5 ELSE 0.0 END) * 1000000
+             |ORDER BY cls, sample_id, l_quantity, l_extendedprice""".stripMargin)),
+
     // ---- deterministic WEIGHTED sampling: acceptance ∝ document
     // length (importance sampling for corpus curation), decided by the
     // engine-neutral md5 key hash — exact sample membership reproduced
@@ -1846,6 +1871,26 @@ object Queries {
              |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hv
              |  FROM documents),
              |m AS (SELECT max(n_chars) AS maxw FROM documents)
+             |SELECT doc_id, n_chars, source FROM h, m
+             |WHERE hv < CAST(n_chars AS DOUBLE) / CAST(maxw AS DOUBLE) * 0.5 * 1000000
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- PRODUCTION-hash twin of t_weighted_sample: the DEFAULT
+    // xxhash64 key hash; acceptance threshold arithmetic identical,
+    // membership replayed exactly by the long-XXH64 replica. ----
+    ("t_weighted_sample_prod",
+      (s: SparkSession, dir: String) => {
+        TransformOps.sampleWeighted(
+            Tables.load(s, dir, "documents").select("doc_id", "n_chars", "source"),
+            "doc_id", "n_chars", scale = 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH k AS (SELECT doc_id FROM documents),
+             |${xxhash64LongCtes("k", "doc_id")},
+             |m AS (SELECT max(n_chars) AS maxw FROM documents),
+             |h AS (SELECT d.doc_id, d.n_chars, d.source,
+             |        ((hx.xx64 % 1000000) + 1000000) % 1000000 AS hv
+             |      FROM documents d JOIN hx USING (doc_id))
              |SELECT doc_id, n_chars, source FROM h, m
              |WHERE hv < CAST(n_chars AS DOUBLE) / CAST(maxw AS DOUBLE) * 0.5 * 1000000
              |ORDER BY doc_id""".stripMargin)),
@@ -2270,6 +2315,27 @@ object Queries {
              |SELECT doc_id, perm,
              |  row_number() OVER (ORDER BY perm, doc_id) - 1 AS shuffle_pos
              |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- PRODUCTION-hash twin of x4_shuffle_order: permutation key =
+    // xxhash64(doc_id) (full signed 64-bit — the shuffle only needs a
+    // total order, not a bounded range), same scalable range-partition
+    // rank machinery. The long-XXH64 replica replays the exact
+    // permutation, so every position is hash-checked. ----
+    ("x4_shuffle_order_prod",
+      (s: SparkSession, dir: String) => {
+        val hashed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), xxhash64(col("doc_id")).as("perm"))
+          .withColumn("corpus", (col("doc_id") * 0).cast("int"))
+        SplitOps.rankByPermutationScalable(hashed, Seq("corpus"),
+            Seq(col("perm"), col("doc_id")), numParts = 32)
+          .select(col("doc_id"), col("perm"), col("pos").as("shuffle_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH k AS (SELECT doc_id FROM documents),
+             |${xxhash64LongCtes("k", "doc_id")}
+             |SELECT doc_id, xx64 AS perm,
+             |  row_number() OVER (ORDER BY xx64, doc_id) - 1 AS shuffle_pos
+             |FROM hx ORDER BY doc_id""".stripMargin)),
 
     // ---- X4: within-doc repetition (Gopher-style duplicate-ngram rule) ----
     ("x4_rep_ngrams",
@@ -4246,6 +4312,28 @@ object Queries {
              |    (h, t) -> (h * 1000003 + t) % 2147483647) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- PRODUCTION-hash twin of x4_fingerprint: the rolling hash
+    // (bounded to 31 bits by its modulus — fine for ordering, weak
+    // dispersion for table addressing) finalized through xxhash64 into
+    // a full-width uniformly-dispersed 64-bit fingerprint — the
+    // avalanche step a production fingerprint store keys on. The
+    // long-XXH64 replica replays the finalization exactly. ----
+    ("x4_fingerprint_prod",
+      (s: SparkSession, dir: String) => {
+        TextOps.fingerprint(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), xxhash64(col("fp")).as("fp64"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fp0 AS (SELECT doc_id,
+             |    list_reduce(
+             |      list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(string_split(text, ' '),
+             |          t -> CAST(ascii(substr(t, 1, 1)) * 256 + length(t) AS BIGINT))),
+             |      (h, t) -> (h * 1000003 + t) % 2147483647) AS fp
+             |  FROM documents),
+             |${xxh64Stages("hxs", "fp0", Seq("doc_id"), "CAST(fp AS HUGEINT)", "42")}
+             |SELECT doc_id, xx64 AS fp64 FROM hxs ORDER BY doc_id""".stripMargin)),
+
     // ---- X5: multimodal blob metadata (binary column plumbing) ----
     ("x5_multimodal_meta",
       (s: SparkSession, dir: String) => {
@@ -4417,37 +4505,92 @@ object Queries {
              |  CAST(len AS BIGINT) AS frame_len, byte_sum
              |FROM b ORDER BY doc_id, sample_no""".stripMargin)),
 
+    // ---- X5: REAL compressed-video PIXEL decode — motion-JPEG: each
+    // doc synthesizes a real MP4 whose video samples are REAL JPEG
+    // interchange streams (QuickTime 'jpeg' sample entry) through the
+    // JDK encoder; the query demuxes the stss keyframes and decodes
+    // them through the REAL JDK JPEG codec
+    // (llm/MultimodalOps.documentsAsMjpeg / videoFrameRefError). JPEG
+    // is lossy, so the decoded pixels can't be replayed in SQL — the
+    // oracle pins every container-exact field (codec fourcc, decoded
+    // dims, pixel count, keyframe cadence) and the PSNR-floor verdict
+    // (max |decoded luma − source spec| ≤ 16 on the smooth gradient;
+    // measured = 1 at the JDK's default quality over 200 ids × all
+    // keyframes — the bound leaves 16× margin, and both sides of the
+    // gate run the same JDK). The
+    // pixel-EXACT twin is x5_video_pixels_png below. This retires the
+    // "compressed-video pixel decode needs codec libs" stub for the
+    // one video codec the JVM ships. ----
+    ("x5_video_pixels",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.videoFrameRefError(
+            MultimodalOps.documentsAsMjpeg(Tables.load(s, dir, "documents"), "doc_id", "jpg"),
+            "doc_id", "blob")(MultimodalOps.mjpegFramePixel)
+          .select(col("doc_id"), col("codec"), col("sample_no"),
+            col("width"), col("height"), col("n_px"),
+            (col("max_abs_err") <= 16).as("err_le_16"))
+          .orderBy(col("doc_id"), col("sample_no"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 32 + (doc_id % 4) * 16 AS w,
+             |    24 + (doc_id % 3) * 8 AS h, 6 + doc_id % 6 AS nf FROM documents),
+             |k AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d)
+             |SELECT doc_id, 'jpeg' AS codec, CAST(f + 1 AS INT) AS sample_no,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(w * h AS BIGINT) AS n_px, TRUE AS err_le_16
+             |FROM k WHERE f % 3 = 0 ORDER BY doc_id, sample_no""".stripMargin)),
+
+    // ---- X5: pixel-EXACT compressed-video decode twin — same demux +
+    // real-codec decode path on a 'png ' video track (QuickTime PNG
+    // codec; PNG is lossless), so the integer rec-601 gray sum of
+    // every decoded keyframe replays in SQL via the closed-form frame
+    // spec Σv = w·h·((f + id mod 8) + (w−1) + (h−1))
+    // (llm/MultimodalOps.videoFramePixels; gray pixels decode to luma
+    // v exactly). Together with x5_video_pixels this pins the decode
+    // path twice: bounded on the lossy codec, bit-exact on the
+    // lossless one. ----
+    ("x5_video_pixels_png",
+      (s: SparkSession, dir: String) => {
+        MultimodalOps.videoFramePixels(
+            MultimodalOps.documentsAsMjpeg(Tables.load(s, dir, "documents"), "doc_id", "png"),
+            "doc_id", "blob")
+          .orderBy(col("doc_id"), col("sample_no"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 32 + (doc_id % 4) * 16 AS w,
+             |    24 + (doc_id % 3) * 8 AS h, 6 + doc_id % 6 AS nf FROM documents),
+             |k AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d)
+             |SELECT doc_id, 'png ' AS codec, CAST(f + 1 AS INT) AS sample_no,
+             |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(w * h AS BIGINT) AS n_px,
+             |  CAST(w * h * ((f + doc_id % 8) + (w - 1) + (h - 1)) AS BIGINT) AS gray_sum
+             |FROM k WHERE f % 3 = 0 ORDER BY doc_id, sample_no""".stripMargin)),
+
     // ---- X5: REAL image decode — each doc synthesizes a genuine PNG
     // through the JDK encoder (grayscale-in-RGB, integer pixel spec)
-    // and the query recovers dimensions, channel count, and mean luma
-    // via the REAL javax.imageio pixel decode
-    // (llm/MultimodalOps.decodeImages). The oracle replays the integer
-    // generator spec — so encoder + decoder must round-trip every
-    // pixel exactly (the AudioCodec pattern; PNG is lossless). Mean
-    // luma is the one double (0.299r+0.587g+0.114b per pixel, summed),
-    // rounded to 5 dp to absorb summation-order ulps. ----
+    // and the query recovers dimensions, channel count, and the
+    // integer rec-601 luma sum via the REAL javax.imageio pixel decode
+    // (llm/MultimodalOps.decodeImagesExact). The oracle replays the
+    // integer generator spec — so encoder + decoder must round-trip
+    // every pixel exactly (the AudioCodec pattern; PNG is lossless).
+    // ALL-INTEGER outputs: a rounded float mean (the earlier form)
+    // could straddle a rounding boundary within summation-order ulps;
+    // luma_sum + n_px carry the same information exactly (for gray
+    // pixels rec-601 luma is v itself: (299+587+114)·v/1000 = v). ----
     ("x5_image_meta",
       (s: SparkSession, dir: String) => {
-        MultimodalOps.decodeImages(
+        MultimodalOps.decodeImagesExact(
             MultimodalOps.documentsAsImages(Tables.load(s, dir, "documents"), "doc_id"),
             "doc_id", "blob")
-          .toDF()
-          .select(col("doc_id"), col("width"), col("height"), col("channels"),
-            round(col("mean_byte"), 5).as("mean_luma"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
              |           FROM documents),
              |px AS (SELECT doc_id, w, h,
              |         (doc_id * 31 + (i // w) * 13 + (i % w) * 7) % 256 AS v
-             |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
-             |m AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
-             |        sum(0.299e0 * v + 0.587e0 * v + 0.114e0 * v) AS s,
-             |        count(*) AS n
-             |      FROM px GROUP BY doc_id)
-             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-             |  CAST(3 AS INT) AS channels, round(s / n, 5) AS mean_luma
-             |FROM m ORDER BY doc_id""".stripMargin)),
+             |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d))
+             |SELECT doc_id, CAST(any_value(w) AS INT) AS width,
+             |  CAST(any_value(h) AS INT) AS height, CAST(3 AS INT) AS channels,
+             |  CAST(sum(v) AS BIGINT) AS luma_sum, CAST(count(*) AS BIGINT) AS n_px
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- X5: REAL classical image features — 8-bin gray histogram,
     // gray mass, Sobel edge energy over REAL decoded pixels
@@ -4610,6 +4753,58 @@ object Queries {
              |  ON a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
              | AND abs(a.doc_id - b.doc_id) % 1280 = 0 AND a.doc_id <> b.doc_id
              |ORDER BY in_id, corpus_id""".stripMargin)),
+
+    // ---- X5: multimodal CURATION PIPELINE — the media sibling of
+    // x4_curation_pipeline_v2: pHash-candidate + byte-verified dedup
+    // (keep-earliest) → decoded-pixel quality gate (integer gray-mass
+    // band + min-width rule over REAL decoded pixels) → pixel-budget
+    // greedy packing, all in ONE lazy plan (Catalyst shares the image
+    // scan between the fingerprint and feature passes and plans the
+    // anti-join/join chain together). The oracle replays every stage:
+    // the verified dup set is provable (pixel field repeats iff ids ≡
+    // mod 1280 — see x5_image_phash_dups), the quality gate is exact
+    // integer arithmetic on the generator spec, the packing is the
+    // same windowed integer prefix sum. Pins that the X5 media ops
+    // COMPOSE like the X4 text ops do. ----
+    ("x5_curation_pipeline",
+      (s: SparkSession, dir: String) => {
+        val blobs = MultimodalOps.documentsAsImages(
+          Tables.load(s, dir, "documents"), "doc_id")
+        val fps = MultimodalOps.pHashImages(blobs, "doc_id", "blob")
+        val dupOf = DedupOps.simHashPairs(fps, maxHamming = 0)
+          .select(col("doc1"), col("doc2"))
+          .join(blobs.select(col("doc_id").as("doc1"), col("blob").as("b1")), "doc1")
+          .join(blobs.select(col("doc_id").as("doc2"), col("blob").as("b2")), "doc2")
+          .filter(col("b1") === col("b2"))
+          .select(col("doc2").as("doc_id")).distinct()
+        val kept = blobs.join(dupOf, Seq("doc_id"), "left_anti")
+        val quality = MultimodalOps.imageFeatures(kept, "doc_id", "blob")
+          .filter(col("gray_sum") >= col("n_px") * 112 &&
+            col("gray_sum") <= col("n_px") * 138 && col("width") >= 17)
+          .select(col("doc_id"), col("n_px"))
+        MultimodalOps.packByWeight(quality, "doc_id", "n_px",
+            budget = 4096L, shards = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH keep AS (SELECT doc_id, doc_id * 31 AS a,
+             |    16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+             |  FROM documents d
+             |  WHERE NOT EXISTS (SELECT 1 FROM documents o
+             |    WHERE o.doc_id < d.doc_id AND (d.doc_id - o.doc_id) % 1280 = 0)),
+             |px AS (SELECT doc_id, w, h, (a + (i // w) * 13 + (i % w) * 7) % 256 AS v
+             |       FROM (SELECT doc_id, a, w, h, unnest(range(0, w * h)) AS i FROM keep)),
+             |f AS (SELECT doc_id, any_value(w) AS w,
+             |        CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS gray_sum
+             |      FROM px GROUP BY doc_id),
+             |q AS (SELECT doc_id, n_px AS weight FROM f
+             |      WHERE gray_sum >= n_px * 112 AND gray_sum <= n_px * 138 AND w >= 17),
+             |t AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS shard, weight FROM q),
+             |c AS (SELECT doc_id, shard, weight,
+             |        CAST(COALESCE(sum(weight) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |      FROM t)
+             |SELECT doc_id, shard, weight, CAST(cum_before // 4096 AS BIGINT) AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- X6: sliding time window ----
     ("x6_sliding_window",
@@ -5086,21 +5281,25 @@ object Queries {
     // corpus curation weights documents by. Integer micro-unit
     // arithmetic makes every round's sums order-independent, so the
     // oracle's unrolled iteration matches bit-for-bit (llm/GraphOps).
+    // Node ids use the tag-bit encoding (cust·2 / supp·2+1, the g7
+    // scheme) in every bipartite graph query: the earlier
+    // supp+1,000,000 offset collides with custkey past sf≈7, silently
+    // merging nodes in a way a same-mapping oracle can't catch. ----
     ("g1_pagerank",
       (s: SparkSession, dir: String) => {
         val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
         GraphOps.pageRankInt(edges, "src", "dst", iters = 3)
           .orderBy(col("node"))
       },
       Some {
         val base =
-          """WITH b AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
-            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s
+          """WITH b AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+            |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |e AS (SELECT c AS src, s AS dst FROM b UNION SELECT s, c FROM b),
             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
@@ -5125,8 +5324,8 @@ object Queries {
         val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"),
             lit(1L).as("w"))
         val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         GraphOps.pageRankWeightedInt(edges, "src", "dst", "w", iters = 3)
@@ -5134,8 +5333,8 @@ object Queries {
       },
       Some {
         val base =
-          """WITH raw AS (SELECT CAST(o_custkey AS BIGINT) AS c,
-            |               CAST(l_suppkey + 1000000 AS BIGINT) AS s
+          """WITH raw AS (SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+            |               CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
             |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |e0 AS (SELECT c AS src, s AS dst, CAST(1 AS BIGINT) AS w FROM raw
             |       UNION ALL SELECT s, c, CAST(1 AS BIGINT) FROM raw),
@@ -5682,6 +5881,35 @@ object Queries {
              |  CAST(sum(sample_id) AS BIGINT) AS sum_ids,
              |  CAST(sum(hv) AS BIGINT) AS sum_hv
              |FROM sp GROUP BY split ORDER BY split""".stripMargin)),
+
+    // ---- PRODUCTION-hash twin of w_hash_split: the DEFAULT xxhash64
+    // key hash (hashSplit's fast path — one codegen'd expression, no
+    // md5 string detour). Same per-split integer checksums; the
+    // long-XXH64 replica replays every membership decision, so the
+    // twin is hash-exact, not rows-only. Dup sample_ids hash per ROW
+    // on both sides (the replica CTE carries every input row). ----
+    ("w_hash_split_prod",
+      (s: SparkSession, dir: String) => {
+        val base = Tables.load(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("sample_id"))
+        SplitOps.hashSplit(base, col("sample_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), xxhash64(_))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("sample_id")).as("sum_ids"),
+            sum(col("hash_val")).as("sum_hv"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH f AS (SELECT l_orderkey * 10 + l_linenumber AS sample_id FROM lineitem),
+             |${xxhash64LongCtes("f", "sample_id")},
+             |sp AS (SELECT sample_id, ((xx64 % 1000000) + 1000000) % 1000000 AS hv FROM hx),
+             |sp2 AS (SELECT sample_id, hv,
+             |         CASE WHEN hv < 800000 THEN 'train'
+             |              WHEN hv < 900000 THEN 'val' ELSE 'test' END AS split
+             |       FROM sp)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(sample_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(hv) AS BIGINT) AS sum_hv
+             |FROM sp2 GROUP BY split ORDER BY split""".stripMargin)),
 
     // ---- T: robust median/IQR scaling — the outlier-resistant twin
     // of t_standardize (25–50% breakdown quartiles vs a fragile σ);
@@ -6508,12 +6736,12 @@ object Queries {
         val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         GraphOps.kCoreProbe(cs, "src", "dst", k = 10, rounds = 3)
       },
-      Some("""WITH cs AS (SELECT CAST(o_custkey AS BIGINT) AS a,
-             |      CAST(l_suppkey AS BIGINT) + 1000000 AS b
+      Some("""WITH cs AS (SELECT CAST(o_custkey * 2 AS BIGINT) AS a,
+             |      CAST(l_suppkey * 2 + 1 AS BIGINT) AS b
              |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
              |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (SELECT a, b FROM cs WHERE a <> b
              |       UNION ALL SELECT b, a FROM cs WHERE a <> b)),
@@ -7786,22 +8014,22 @@ object Queries {
         val li = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = Tables.load(s, dir, "customer")
           .filter(col("c_custkey") % 100 === 1)
-          .select(col("c_custkey").as("seed"))
+          .select((col("c_custkey") * 2).cast("long").as("seed"))
         GraphOps.bfsHops(edges, "src", "dst", seeds, "seed", maxHops = 3)
           .orderBy(col("node"))
       },
       Some {
         val base =
-          """WITH b AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
-            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s
+          """WITH b AS (SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS c,
+            |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS s
             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |e AS (SELECT c AS src, s AS dst FROM b UNION SELECT s, c FROM b),
-            |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            |d0 AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
             |       FROM customer WHERE c_custkey % 100 = 1)""".stripMargin
         // d_{k-1} is consumed three times per round (frontier, NOT IN,
         // carry-forward) — MATERIALIZED stops DuckDB re-inlining each
@@ -7829,27 +8057,27 @@ object Queries {
           .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
         val ord = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         val cs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 1000000L).as("dst"),
+          .select((col("o_custkey").cast("long") * 2).as("src"),
+            (col("l_suppkey").cast("long") * 2 + 1).as("dst"),
             col("l_quantity").cast("long").as("w"))
         val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         val seeds = Tables.load(s, dir, "customer")
           .filter(col("c_custkey") % 100 === 1)
-          .select(col("c_custkey").as("seed"))
+          .select((col("c_custkey") * 2).cast("long").as("seed"))
         GraphOps.ssspInt(edges, "src", "dst", "w", seeds, "seed", rounds = 3)
           .orderBy(col("node"))
       },
       Some {
         val base =
-          """WITH b AS (SELECT CAST(o_custkey AS BIGINT) AS c,
-            |             CAST(l_suppkey + 1000000 AS BIGINT) AS s,
+          """WITH b AS (SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+            |             CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
             |             CAST(l_quantity AS BIGINT) AS w
             |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
             |e0 AS (SELECT c AS src, s AS dst, w FROM b
             |       UNION ALL SELECT s, c, w FROM b),
             |e AS MATERIALIZED (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
             |     FROM e0 GROUP BY src, dst),
-            |d0 AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+            |d0 AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
             |       FROM customer WHERE c_custkey % 100 = 1)""".stripMargin
         val rounds = (1 to 3).map { k =>
           s"""d$k AS MATERIALIZED (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (

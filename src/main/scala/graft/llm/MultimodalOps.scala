@@ -133,6 +133,41 @@ object MultimodalOps {
       }
   }
 
+  /** EXACT-integer decode tier: dimensions, channel count, and the
+    * integer rec-601 luma sum `Σ (299·r + 587·g + 114·b) / 1000`
+    * (floor) over REAL decoded pixels — every output column is exact
+    * integer arithmetic, so a SQL oracle replays it bit-for-bit (the
+    * float-mean form in [[decodeImages]] rides summation-order ulps;
+    * an oracle gate on it needs rounding that can still straddle a
+    * boundary). Non-image blobs produce no rows (absent-row contract,
+    * like [[imageFeatures]]).
+    */
+  def decodeImagesExact(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.read(Option(bytes).getOrElse(Array.empty[Byte])).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var lumaSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lumaSum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, img.getColorModel.getNumComponents, lumaSum, w.toLong * h)
+        }
+      })
+      .toDF("doc_id", "width", "height", "channels", "luma_sum", "n_px")
+  }
+
   /** REAL perceptual hash for image blobs — DCT pHash over decoded
     * pixels ([[ImageCodec.pHash]]); non-image blobs keep the
     * byte-class stub fingerprint so mixed corpora still fingerprint
@@ -221,6 +256,27 @@ object MultimodalOps {
         col(blobCol).as("corpus_blob")), "corpus_id")
       .filter(col("in_blob") === col("corpus_blob"))
       .select(col("in_id"), col("corpus_id"))
+  }
+
+  /** Weight-budget greedy packing — the media sibling of
+    * [[graft.llm.TextOps.packGreedy]] (tokens → an arbitrary integer
+    * weight column: pixels for images, samples for audio, bytes for
+    * raw blobs): shard by id, accumulate weights in id order, cut a
+    * new pack when the running sum crosses `budget`. Same scale
+    * contract: every window partition is shard-bounded — pick `shards`
+    * ≈ cluster parallelism and nothing sees a global order.
+    */
+  def packByWeight(df: DataFrame, idCol: String, weightCol: String,
+                   budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol).as("doc_id"), col(weightCol).cast("long").as("weight"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("weight")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .select("doc_id", "shard", "weight", "pack_id")
   }
 
   /** Fixed-size feature vector per media blob. */
@@ -324,29 +380,36 @@ object MultimodalOps {
     * from the spec without parsing PNG, while the Spark side
     * round-trips every pixel through the real encoder + decoder.
     */
+  /** One synthetic PNG from the generator spec above — shared by
+    * [[documentsAsImages]] and the streaming soak's media source
+    * (tools/StreamSoak `image_gate`), so stream and batch rows are
+    * byte-identical for the same id.
+    */
+  def synthImagePng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt
+    val h = 12 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + y.toLong * 13 + x.toLong * 7) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.writePng(img)
+  }
+
   def documentsAsImages(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
       // 8-byte input rows, per-row work is the PNG encode — spread it
       .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions(_.map { id =>
-        val w = 16 + (id % 8).toInt
-        val h = 12 + (id % 5).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = ((id * 31 + y.toLong * 13 + x.toLong * 7) % 256).toInt
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
-        }
-        (id, ImageCodec.writePng(img))
-      })
+      .mapPartitions(_.map(id => (id, synthImagePng(id))))
       .toDF("doc_id", "blob")
   }
 
@@ -540,6 +603,155 @@ object MultimodalOps {
       .toDF("doc_id", "brand", "movie_timescale", "movie_duration", "track_id",
         "handler", "codec", "timescale", "duration", "width", "height",
         "n_samples", "n_sync", "sample_bytes")
+  }
+
+  /** Frame pixel spec shared by [[documentsAsMjpeg]] and its oracles:
+    * a smooth gradient (no mod-256 wrap edges, so JPEG's DCT loss
+    * stays small and bounded) that varies per document and per frame:
+    * {{{
+    *   w = 32 + (id mod 4)·16, h = 24 + (id mod 3)·8
+    *   nFrames = 6 + id mod 6, sync every 3rd sample
+    *   v(x,y,f) = x·2 + y·2 + f + (id mod 8)   (max 253 — never clips)
+    * }}}
+    * Closed-form per-frame gray sum (gray pixels decode to rec-601
+    * luma v exactly): Σv = w·h·((f + id mod 8) + (w−1) + (h−1)).
+    */
+  def mjpegFramePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    x * 2 + y * 2 + f + (id % 8).toInt
+
+  /** Deterministic synthetic MOTION-JPEG (or PNG-track) MP4 per
+    * document: every video sample is a REAL compressed image encoded
+    * through the JDK codec (`format` "jpg" → sample-entry fourcc
+    * `jpeg`, the QuickTime motion-JPEG layout where each sample is a
+    * complete JPEG interchange stream; "png" → fourcc `png `, the
+    * QuickTime PNG video codec). Unlike [[documentsAsVideo]]'s opaque
+    * payload bytes, these samples DECODE to real pixels downstream —
+    * the "compressed video needs codec libs" stub narrows to codecs
+    * the JVM doesn't ship (H.26x/AV1).
+    */
+  def documentsAsMjpeg(docs: DataFrame, idCol: String,
+                       format: String = "jpg"): DataFrame = {
+    require(format == "jpg" || format == "png", s"format must be jpg|png: $format")
+    val fourcc = if (format == "jpg") "jpeg" else "png "
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      // same fan-out rationale as documentsAsVideo: 8-byte input rows,
+      // per-row work is nFrames real image encodes
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val w = 32 + (id % 4).toInt * 16
+        val h = 24 + (id % 3).toInt * 8
+        val nF = 6 + (id % 6).toInt
+        val frames = Array.tabulate(nF) { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = mjpegFramePixel(id, f, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          ImageCodec.write(img, format)
+        }
+        val track = VideoCodec.TrackSpec(
+          trackId = 1, handler = "vide", codec = fourcc,
+          timescale = 600, sampleDelta = 25, width = w, height = h,
+          sampleSizes = frames.map(_.length), syncEvery = 3)
+        (id, VideoCodec.buildMp4(Seq(track), movieTimescale = 600,
+          (_, i, j) => frames(i)(j)))
+      })
+      .toDF("doc_id", "blob")
+  }
+
+  /** REAL compressed-video pixel decode: demux each blob's video-track
+    * SYNC samples (full stsc/stco/stsz walk), decode every keyframe's
+    * bytes through the REAL JDK image codec (JPEG for motion-JPEG
+    * tracks, PNG for png-track files), and emit exact integer stats
+    * over the DECODED pixels — codec fourcc, decoded dimensions,
+    * pixel count, integer rec-601 gray sum. Keyframes that don't
+    * decode produce no rows (absent-row contract). One mapPartitions
+    * pass, O(pixels) per keyframe, no shuffle.
+    */
+  def videoFramePixels(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = Option(bytes).getOrElse(Array.empty[Byte])
+        VideoCodec.parseMp4(b).toSeq.flatMap { m =>
+          m.tracks.filter(_.handler == "vide").flatMap { t =>
+            t.syncSamples.iterator.flatMap { s =>
+              ImageCodec.read(VideoCodec.sampleData(b, t, s - 1)).map { img =>
+                val (w, h) = (img.getWidth, img.getHeight)
+                var graySum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    graySum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                      114 * (rgb & 0xff)) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, t.codec, s, w, h, w.toLong * h, graySum)
+              }
+            }
+          }
+        }
+      })
+      .toDF("doc_id", "codec", "sample_no", "width", "height", "n_px", "gray_sum")
+  }
+
+  /** Keyframe decode-error screen against a reference pixel function —
+    * the PSNR-floor QA gate a transcode pipeline runs (reference =
+    * the source decode; here the integer generator spec): demux sync
+    * samples, decode through the real codec, and report the MAX
+    * absolute integer-luma error vs the reference. Exact-by-container
+    * fields (dims, pixel count) ride along so an oracle can pin them
+    * even when the lossy-codec error itself is only boundable.
+    */
+  def videoFrameRefError(df: DataFrame, idCol: String, blobCol: String)
+                        (ref: (Long, Int, Int, Int) => Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = Option(bytes).getOrElse(Array.empty[Byte])
+        VideoCodec.parseMp4(b).toSeq.flatMap { m =>
+          m.tracks.filter(_.handler == "vide").flatMap { t =>
+            t.syncSamples.iterator.flatMap { s =>
+              ImageCodec.read(VideoCodec.sampleData(b, t, s - 1)).map { img =>
+                val (w, h) = (img.getWidth, img.getHeight)
+                var maxErr = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    val v = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                      114 * (rgb & 0xff)) / 1000
+                    val e = math.abs(v - ref(id, s - 1, x, y))
+                    if (e > maxErr) maxErr = e
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, t.codec, s, w, h, w.toLong * h, maxErr)
+              }
+            }
+          }
+        }
+      })
+      .toDF("doc_id", "codec", "sample_no", "width", "height", "n_px", "max_abs_err")
   }
 
   /** REAL keyframe sampling: demux each blob's video track and emit

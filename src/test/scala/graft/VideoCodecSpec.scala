@@ -126,4 +126,39 @@ class VideoCodecSpec extends SparkSpec {
     }
     got shouldBe expected
   }
+
+  test("motion-JPEG pipeline: keyframes decode through the real JDK JPEG codec " +
+    "with container-exact dims and bounded luma error") {
+    val docs = Seq(3L, 4L, 7L).toDF("doc_id")
+    val rows = MultimodalOps.videoFrameRefError(
+        MultimodalOps.documentsAsMjpeg(docs, "doc_id", "jpg"),
+        "doc_id", "blob")(MultimodalOps.mjpegFramePixel)
+      .orderBy("doc_id", "sample_no")
+      .as[(Long, String, Int, Int, Int, Long, Long)].collect().toSeq
+    val expectedKeys = Seq(3L, 4L, 7L).flatMap { id =>
+      val (w, h, nF) = (32 + (id % 4).toInt * 16, 24 + (id % 3).toInt * 8, 6 + (id % 6).toInt)
+      (1 to nF by 3).map(s => (id, "jpeg", s, w, h, w.toLong * h))
+    }
+    rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) shouldBe expectedKeys
+    // lossy codec: bounded, not exact (measured max 1 on this gradient)
+    all(rows.map(_._7)) should be <= 16L
+  }
+
+  test("png-track pipeline: keyframes decode losslessly — exact closed-form gray sums") {
+    val docs = Seq(2L, 9L).toDF("doc_id")
+    val rows = MultimodalOps.videoFramePixels(
+        MultimodalOps.documentsAsMjpeg(docs, "doc_id", "png"),
+        "doc_id", "blob")
+      .orderBy("doc_id", "sample_no")
+      .as[(Long, String, Int, Int, Int, Long, Long)].collect().toSeq
+    val expected = Seq(2L, 9L).flatMap { id =>
+      val (w, h, nF) = (32 + (id % 4).toInt * 16, 24 + (id % 3).toInt * 8, 6 + (id % 6).toInt)
+      (1 to nF by 3).map { s =>
+        val f = s - 1
+        (id, "png ", s, w, h, w.toLong * h,
+          w.toLong * h * ((f + (id % 8)) + (w - 1) + (h - 1)))
+      }
+    }
+    rows shouldBe expected
+  }
 }
