@@ -122,8 +122,15 @@ object Bench {
     // recorded evidence weak — the extra bench wall time buys numbers
     // that can actually be compared across rounds. Set 1 for dev loops.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Sub-second rows get extra reps (to SPARK_GRAFT_BENCH_SUBSEC_REPS,
+    // default 5): this box shows 1.3-2.7x day-to-day drift on exactly
+    // those rows at 3 reps (round-16 driver artifact vs same-binary
+    // idle-box medians — 45 queries, all sub-second, all box noise),
+    // and extra reps are cheap by construction there (<1 s each). The
+    // median of 5 pins the steady state; expensive rows keep `reps`.
+    val subSecReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt.max(reps)
     val results = names.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      def oneRep(): Rep = {
         System.gc()
         resetHeapPeaks()
         val gc0 = gcMillis()
@@ -142,6 +149,12 @@ object Bench {
           forensics.stageRetries.get() - retries0,
           forensics.failedTasks.get() - failed0)
       }
+      val base = (1 to reps).map(_ => oneRep())
+      val baseMedian = base.map(_.sec).sorted.apply((base.length - 1) / 2)
+      val runs =
+        if (baseMedian < 1.0 && base.forall(_.err.isEmpty))
+          base ++ (base.length until subSecReps).map(_ => oneRep())
+        else base
       // report the rep whose time IS the reported median, so the
       // attribution fields describe the measurement, not a sibling run
       val medianRep = runs.sortBy(_.sec).apply((runs.length - 1) / 2)

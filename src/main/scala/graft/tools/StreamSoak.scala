@@ -493,6 +493,32 @@ object StreamSoak {
        else "FAIL replay mutated the snapshot or diverged from the batch twin"))
     }
 
+    // 16) the stateless pHash IMAGE ingest gate — completes soak
+    // coverage of the ingest-gate quartet (Bloom / ANN / MinHash /
+    // pHash): incoming REAL PNGs (JDK-encoded from the same generator
+    // as the batch corpus, so stream rows are byte-identical to batch
+    // rows per id) fingerprint in-row, probe the static pHash table at
+    // Hamming 0, and byte-verify against the stored corpus blobs.
+    // Stream-static joins only — the plan must carry NO state operator.
+    scenario("image_gate") {
+    val igCorpus = graft.llm.MultimodalOps.documentsAsImages(
+        graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents").limit(2000),
+        "doc_id")
+      .localCheckpoint()
+    val igFps = graft.llm.MultimodalOps.pHashImages(igCorpus, "doc_id", "blob")
+      .localCheckpoint()
+    val igStream = rateSrc.select(col("value").as("doc_id")).as[Long]
+      .map(id => (id, graft.llm.MultimodalOps.synthImagePng(id)))
+      .toDF("doc_id", "blob")
+    val igStates = soak("image_gate",
+      StreamOps.imageGateStream(igStream, igFps, igCorpus)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$ckRoot/ig")
+        .trigger(Trigger.ProcessingTime(s"$triggerSec seconds")).start())
+    println(s"image_gate: stateRows across all batches=${igStates.sum} " +
+      (if (igStates.sum == 0) "PASS stateless (no state operator)" else "FAIL unexpected state"))
+    }
+
     spark.stop()
   }
 }
