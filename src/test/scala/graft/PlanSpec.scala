@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
     plan should include("Join")
   }
 
+  test("x5_curation_pipeline: media dedup + quality gate + packing in one plan, no cartesian") {
+    val plan = formatted("x5_curation_pipeline")
+    plan should not include "CartesianProduct"
+    // the byte-verified keep-earliest dedup rides as an anti join of
+    // verified dup ids against the corpus
+    plan should include("LeftAnti")
+    // the pack window partitions by shard — never a global (empty
+    // partition-spec) window over the corpus
+    plan should include("Window")
+  }
+
   test("x2_bloom_decontam: train is never join-shuffled — bitmap broadcasts, probes are scan-local") {
     val plan = formatted("x2_bloom_decontam")
     plan should not include "SortMergeJoin"
