@@ -121,14 +121,21 @@ object Bench {
     // outliers on UNCHANGED query code (box noise), making the round's
     // recorded evidence weak — the extra bench wall time buys numbers
     // that can actually be compared across rounds. Set 1 for dev loops.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+    val reps = repsEnv.getOrElse("3").toInt.max(1)
     // Sub-second rows get extra reps (to SPARK_GRAFT_BENCH_SUBSEC_REPS,
     // default 5): this box shows 1.3-2.7x day-to-day drift on exactly
     // those rows at 3 reps (round-16 driver artifact vs same-binary
     // idle-box medians — 45 queries, all sub-second, all box noise),
     // and extra reps are cheap by construction there (<1 s each). The
     // median of 5 pins the steady state; expensive rows keep `reps`.
-    val subSecReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5").toInt.max(reps)
+    // When REPS is EXPLICITLY 1 (the documented dev-loop setting) the
+    // sub-second boost defaults off too — a dev loop asking for one
+    // rep should get one rep, without also having to know about the
+    // second env var. SUBSEC_REPS set explicitly still wins.
+    val subSecDefault = if (repsEnv.contains("1")) reps else 5
+    val subSecReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS",
+      subSecDefault.toString).toInt.max(reps)
     val results = names.map { case (name, fn) =>
       def oneRep(): Rep = {
         System.gc()

@@ -600,12 +600,17 @@ object Queries {
        |  FROM d$r WHERE NOT dropped GROUP BY w, freq)""".stripMargin
   }
 
+  // sample_id/perm are cast("long") explicitly: the schema contract
+  // (Tables families) admits INT32 for the int family, and Spark's
+  // xxhash64 hashes int32 through a 4-byte path that differs from the
+  // 8-byte path the DuckDB long-XXH64 replica models — a physical-type
+  // drift must widen BEFORE hashing, not silently change memberships.
   private def featureTable(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem").select(
       col("l_returnflag").as("cls"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).as("sample_id"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("sample_id"),
       (((col("l_orderkey") % 999983L) * 2654435761L + col("l_linenumber") * 40503L) % 1000000007L)
-        .as("perm"),
+        .cast("long").as("perm"),
       col("l_quantity"), col("l_extendedprice"))
 
   private val fSql =
@@ -1329,6 +1334,65 @@ object Queries {
       },
       Some("SELECT vec_id, label FROM embeddings WHERE label BETWEEN 2 AND 6 ORDER BY vec_id")),
 
+    // ---- S1/S6: .mat ROUNDTRIP under the oracle gate — the media-codec
+    // pattern applied to the one previously unit-only source family.
+    // An integer-spec feature table (quantized per-key checksums from
+    // lineitem, so every value is an exact integer in a double) goes
+    // out through Sinks.writeMat (MAT v5 cell layout) and comes back
+    // through the graft-mat DataSource V2; the aggregate weights each
+    // value by its recovered row_idx, so the oracle — which replays the
+    // spec straight from lineitem with row_number() — checks values AND
+    // the writer's (cls, sample_id) row ordering AND the reader's cell
+    // indexing in one hash. The l_orderkey bound keeps the export at a
+    // few thousand rows at EVERY sf (orderkey prefix density is
+    // sf-independent), honoring writeMat's driver-side contract: .mat
+    // is the single-machine interop edge, not a distributed sink —
+    // table-scale data goes to parquet (Sinks scaladoc). ----
+    ("mat_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val corpusKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        val path = sys.props("java.io.tmpdir").stripSuffix("/") +
+          s"/graft-mat-roundtrip_$corpusKey.mat"
+        val feat = Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") <= 10000)
+          .groupBy(
+            when(col("l_returnflag") === "A", 0)
+              .when(col("l_returnflag") === "N", 1).otherwise(2).as("cls"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("sample_id"))
+          .agg(
+            sum(round(col("l_quantity")).cast("long")).as("f0"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("f1"),
+            count(lit(1)).as("f2"))
+          .select(col("cls"), col("sample_id"),
+            array(col("f0").cast("double"), col("f1").cast("double"),
+              col("f2").cast("double")).as("features"))
+        graft.sources.Sinks.writeMat(feat, path, "cls", "sample_id", "features")
+        s.read.format("graft-mat").load(path)
+          .filter(col("var") === "x" && col("cls") >= 1)
+          .select(col("cls"), col("row_idx"), col("vals"))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum((col("row_idx") + 1).cast("long") * col("vals")(0).cast("long")).as("ck_qty"),
+            sum((col("row_idx") + 1).cast("long") * col("vals")(1).cast("long")).as("ck_price"),
+            sum(col("vals")(2).cast("long")).as("n_src_rows"))
+          .orderBy(col("cls"))
+      },
+      Some("""WITH f AS (SELECT
+             |    CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS cls,
+             |    l_orderkey * 10 + l_linenumber AS sample_id,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS f0,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS f1,
+             |    CAST(count(*) AS BIGINT) AS f2
+             |  FROM lineitem WHERE l_orderkey <= 10000 GROUP BY 1, 2),
+             |r AS (SELECT cls,
+             |    row_number() OVER (PARTITION BY cls ORDER BY sample_id) - 1 AS row_idx,
+             |    f0, f1, f2 FROM f)
+             |SELECT cls, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum((row_idx + 1) * f0) AS BIGINT) AS ck_qty,
+             |  CAST(sum((row_idx + 1) * f1) AS BIGINT) AS ck_price,
+             |  CAST(sum(f2) AS BIGINT) AS n_src_rows
+             |FROM r WHERE cls >= 1 GROUP BY cls ORDER BY cls""".stripMargin)),
+
     // ---- P2: label-entry drop (intended semantics of the reference's dead flag) ----
     ("p2_label_drop",
       (s: SparkSession, dir: String) => {
@@ -1881,7 +1945,12 @@ object Queries {
     ("t_weighted_sample_prod",
       (s: SparkSession, dir: String) => {
         TransformOps.sampleWeighted(
-            Tables.load(s, dir, "documents").select("doc_id", "n_chars", "source"),
+            Tables.load(s, dir, "documents").select(
+              // widen the hash key BEFORE the default xxhash64 inside
+              // sampleWeighted — an INT32 drift would take the 4-byte
+              // hash path the long-XXH64 replica doesn't model
+              col("doc_id").cast("long").as("doc_id"),
+              col("n_chars"), col("source")),
             "doc_id", "n_chars", scale = 0.5)
           .orderBy(col("doc_id"))
       },
@@ -2324,7 +2393,9 @@ object Queries {
     ("x4_shuffle_order_prod",
       (s: SparkSession, dir: String) => {
         val hashed = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), xxhash64(col("doc_id")).as("perm"))
+          // cast("long") before hashing: the int-family contract admits
+          // INT32, whose 4-byte xxhash64 path differs from the replica
+          .select(col("doc_id"), xxhash64(col("doc_id").cast("long")).as("perm"))
           .withColumn("corpus", (col("doc_id") * 0).cast("int"))
         SplitOps.rankByPermutationScalable(hashed, Seq("corpus"),
             Seq(col("perm"), col("doc_id")), numParts = 32)
@@ -5860,7 +5931,10 @@ object Queries {
     ("w_hash_split",
       (s: SparkSession, dir: String) => {
         val base = Tables.load(s, dir, "lineitem").select(
-          (col("l_orderkey") * 10 + col("l_linenumber")).as("sample_id"))
+          // cast("long"): INT32 drift would switch xxhash64 to its
+          // 4-byte path, silently changing split membership (md5 twin
+          // is width-safe via the VARCHAR render; this keeps them equal)
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("sample_id"))
         SplitOps.hashSplit(base, col("sample_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             k => DedupOps.md5TokenHash(k.cast("string")))
@@ -5891,7 +5965,10 @@ object Queries {
     ("w_hash_split_prod",
       (s: SparkSession, dir: String) => {
         val base = Tables.load(s, dir, "lineitem").select(
-          (col("l_orderkey") * 10 + col("l_linenumber")).as("sample_id"))
+          // cast("long"): INT32 drift would switch xxhash64 to its
+          // 4-byte path, silently changing split membership (md5 twin
+          // is width-safe via the VARCHAR render; this keeps them equal)
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("sample_id"))
         SplitOps.hashSplit(base, col("sample_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), xxhash64(_))
           .groupBy(col("split"))
@@ -7569,7 +7646,7 @@ object Queries {
           .agg((sum(round(col("value") * 1e6).cast("long"))
             .cast("double") / 1e6).as("x"))
         AuditOps.poissonBootstrapMean(perUser, col("user_id"), col("x"),
-          reps = 200, pairHash = Some((k, r) => xxhash64(k, r)))
+          reps = 200, pairHash = Some((k, r) => xxhash64(k.cast("long"), r)))
       },
       Some(s"""WITH b AS (SELECT user_id AS k,
              |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS xq
@@ -7619,7 +7696,7 @@ object Queries {
     ("q_msprt",
       (s: SparkSession, dir: String) => {
         AuditOps.msprtDiff(Tables.load(s, dir, "events"), col("ts"),
-          pmod(xxhash64(col("user_id")), lit(2)) === 0, col("value"),
+          pmod(xxhash64(col("user_id").cast("long")), lit(2)) === 0, col("value"),
           tau2 = 1.0)
       },
       Some(s"""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
@@ -7681,7 +7758,7 @@ object Queries {
             sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("den"))
         AuditOps.poissonBootstrapRatio(perUser, col("user_id"),
           col("num"), col("den"), reps = 200,
-          pairHash = Some((k, r) => xxhash64(k, r)))
+          pairHash = Some((k, r) => xxhash64(k.cast("long"), r)))
       },
       Some(s"""WITH b AS (SELECT user_id AS k,
              |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000 AS BIGINT) AS xq,
@@ -7737,8 +7814,8 @@ object Queries {
           .agg((sum(round(col("value") * 1e6).cast("long"))
             .cast("double") / 1e6).as("x"))
         AuditOps.poissonBootstrapDiff(perUser, col("user_id"),
-          pmod(xxhash64(col("user_id")), lit(2)) === 0, col("x"),
-          reps = 200, pairHash = Some((k, r) => xxhash64(k, r)))
+          pmod(xxhash64(col("user_id").cast("long")), lit(2)) === 0, col("x"),
+          reps = 200, pairHash = Some((k, r) => xxhash64(k.cast("long"), r)))
       },
       Some(s"""WITH b AS (SELECT user_id AS k,
              |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS xq
@@ -8451,7 +8528,7 @@ object Queries {
         val users = Tables.load(s, dir, "events")
           .select(col("user_id")).distinct()
         AuditOps.sampleRatioCheck(users,
-          pmod(xxhash64(col("user_id")), lit(3)) === 0,
+          pmod(xxhash64(col("user_id").cast("long")), lit(3)) === 0,
           expectedAPpm = 333333L)
       },
       Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -8677,11 +8754,18 @@ object Queries {
          |               ON pp.rem = mc.rem AND pp.state = mc.dst
          |             GROUP BY 1, 2) vv ON vv.rem = o.rem AND vv.src = o.src)""".stripMargin
     }.mkString(",\n")
-    s"""WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type AS ch, ts, event_id FROM events),
-       |p AS (SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS pos FROM b),
-       |cp AS (SELECT *, min(CASE WHEN ch = 'purchase' THEN pos END)
+    // The event-grain chain (b→p→cp→kept) is MATERIALIZED: kept/cp are
+    // each referenced by multiple tr branches, and DuckDB re-inlines
+    // non-materialized CTEs per reference — at sf1 that re-evaluates
+    // 12M-row window chains three times concurrently (the 64 GB peak
+    // in the r17 gate). Materializing pins one evaluation each and
+    // drops the peak to one window pass; cnt onward is tiny (channel
+    // cardinality), value-identical either way.
+    s"""WITH b AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day, event_type AS ch, ts, event_id FROM events),
+       |p AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS pos FROM b),
+       |cp AS MATERIALIZED (SELECT *, min(CASE WHEN ch = 'purchase' THEN pos END)
        |    OVER (PARTITION BY user_id, day) AS cpos FROM p),
-       |kept AS (SELECT user_id, day, ch, cpos,
+       |kept AS MATERIALIZED (SELECT user_id, day, ch, cpos,
        |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn,
        |    lead(ch) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS nxt
        |  FROM cp WHERE ch <> 'purchase' AND (cpos IS NULL OR pos < cpos)),
@@ -8691,7 +8775,7 @@ object Queries {
        |  SELECT ch AS src, COALESCE(nxt, CASE WHEN cpos IS NOT NULL THEN '(conv)' ELSE '(null)' END) AS dst FROM kept
        |  UNION ALL
        |  SELECT '(start)' AS src, '(conv)' AS dst FROM cp WHERE pos = 1 AND ch = 'purchase'),
-       |cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+       |cnt AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
        |chans AS (SELECT DISTINCT src AS ch FROM cnt WHERE src <> '(start)'),
        |chains AS (SELECT '(base)' AS rem UNION ALL SELECT ch FROM chans),
        |m AS (SELECT ch.rem, c.src, CASE WHEN c.dst = ch.rem THEN '(null)' ELSE c.dst END AS dst,

@@ -69,9 +69,11 @@ object ImageCodec {
     // Passing an ImageInputStream (not a raw InputStream) keeps the
     // read on the per-call memory cache regardless of the JVM-global
     // ImageIO cache flag. ImageIO.read(ImageInputStream) closes the
-    // stream itself on success (and only then) — the cleanup close
-    // below is for the failure paths and must swallow the
-    // "already closed" IOException of the success path.
+    // stream in a finally whenever a reader was selected (success AND
+    // read-exception paths); it leaves the stream open only when no
+    // reader matched the bytes (returns null). The cleanup close below
+    // covers that no-reader path and must swallow the "already closed"
+    // IOException from the paths the JDK closed itself.
     val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     val out = try Option(ImageIO.read(iis))
               catch { case _: Exception => None }

@@ -51,6 +51,16 @@ def type_skew(con, name, sql, spark_glob):
 def main(sfdir, outdir, json_out=None, sf_label=None, round_no=None, scope=None):
     results = {}
     con = duckdb.connect()
+    # Memory-bounded staging for the sf1 monsters (VERDICT r17 item 4):
+    # without a limit DuckDB's q_markov_attribution replay peaked 64 GB
+    # on the 128 GiB box — one more testdata bump and the gate stops
+    # fitting. A hard limit + disk-backed temp makes the replica SPILL
+    # instead of balloon; results are unchanged. Override via env.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "24GB")
+    tmp = os.environ.get("GRAFT_ORACLE_TMP", "/tmp/graft-duckdb-spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table (e.g. tools/ScaleUp sf1)
