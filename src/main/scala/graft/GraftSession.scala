@@ -35,6 +35,17 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.shuffle.partitions", parallelism.toString)
+    // AQE can only coalesce DOWN from the initial partition count, so
+    // shuffle.partitions = cores caps every shuffle at (rows / cores)
+    // rows per partition — measured at the sf10 second-decade proof:
+    // 120M-row sorts in 32 partitions spill and turn a 10x data step
+    // into a 20x time step. A generous initial number with AQE
+    // coalescing is the posture that survives scale: small stages
+    // coalesce back to ~cores, big stages keep enough partitions to
+    // fit in memory. 8x cores locally; a cluster inherits the same
+    // rule via spark-submit conf.
+    .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (parallelism * 8).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -60,6 +60,24 @@ object Queries {
     IvfIndex.loadOrBuild(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
       nCentroids, kmeansIters = 2, ivfIndexPath(dir, nCentroids))
 
+  /** Corpus-adaptive IVF list count: target ~1000 vectors per inverted
+    * list, floor 16. A FIXED nlist is the quadratic term the sf10
+    * second-decade proof exposed: each probe set grows linearly with
+    * the corpus, so the query×candidate product grows with N² across
+    * decades (at sf10 the fixed-16 index put ~1B candidate pairs into
+    * one join). Production IVF sizes nlist with the corpus (FAISS
+    * guidance: N/1k…√N); with nlist ∝ N and fixed nProbe the probe-set
+    * size is constant and the whole query cost is O(queries). The
+    * fixed-16 queries stay as the oracle anchors at gate SFs.
+    */
+  private[graft] def adaptiveNlist(nVectors: Long): Int =
+    math.max(16L, nVectors / 1000L).toInt
+
+  private val nlistCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] def adaptiveNlistFor(s: SparkSession, dir: String): Int =
+    nlistCache.computeIfAbsent(dir,
+      _ => Int.box(adaptiveNlist(Tables.load(s, dir, "embeddings").count()))).intValue()
+
   /** Where the persisted IVF inverted lists for `dir` live; the
     * `__GRAFT_IVF_B<n>__` oracle placeholders resolve here.
     */
@@ -176,8 +194,11 @@ object Queries {
     * index is not charged for the build every other query reuses.
     */
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
-    Seq(8, 16, 64).foreach(n => embCentroids(s, dir, n).count())
-    Seq(16, 64).foreach(n => embLists(s, dir, n).count())
+    // the adaptive count collapses to an already-listed size at gate
+    // SFs; distinct keeps the big-corpus adaptive build single
+    val na = adaptiveNlistFor(s, dir)
+    (Seq(8, 16, 64) :+ na).distinct.foreach(n => embCentroids(s, dir, n).count())
+    (Seq(16, 64) :+ na).distinct.foreach(n => embLists(s, dir, n).count())
     embDeletedLists(s, dir, 16).count()
     IvfIndex.loadOrBuildLists(
       Tables.load(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -3415,6 +3436,53 @@ object Queries {
              |       WHERE rn <= 4),
              |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
              |       FROM read_parquet('__GRAFT_IVF_B16__/*.parquet')),
+             |p AS (SELECT qa.query_id, ca.neighbor_id,
+             |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
+             |        qa.na, ca.nb
+             |      FROM qa JOIN ca USING (centroid_id) WHERE qa.query_id <> ca.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id,
+             |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cosine FROM p),
+             |k AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+             |SELECT query_id, rnk, neighbor_id, cosine FROM k WHERE rnk <= 5
+             |ORDER BY query_id, rnk""".stripMargin)),
+
+    // ---- X3: the SCALE form of the indexed IVF query — identical
+    // probe→score→rank machinery, but the list count follows the
+    // corpus ([[adaptiveNlist]]: ~1000 vectors/list, floor 16) instead
+    // of the anchor's fixed 16. At the gate SFs the adaptive count IS
+    // 16 (200–2k vectors), so this row shares the anchor's persisted
+    // index and stays hash-green under the same oracle pattern; at
+    // sf1/sf10 it is the row whose cost stays O(queries) while the
+    // fixed-16 anchor's probe sets grow into a quadratic join (the
+    // sf10 proof measured the anchor at ~1B candidate pairs / OOM).
+    // Verify resolves __GRAFT_IVF_CA__/__GRAFT_IVF_BA__ to the
+    // adaptive index's paths at dump time. ----
+    ("x3_ann_ivf_indexed_scaled",
+      (s: SparkSession, dir: String) => {
+        val na = adaptiveNlistFor(s, dir)
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") % 10 === 0)
+        SimilarityOps.ivfTopKIndexed(queries, embLists(s, dir, na), "vec_id", "embedding",
+            k = 5, centroids = embCentroids(s, dir, na), nProbe = 4)
+          .withColumnRenamed("rank", "rnk")
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |       FROM embeddings WHERE vec_id % 10 = 0),
+             |n AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2 FROM v),
+             |c AS (SELECT centroid_id, "__centq" AS cq, "__centn2" AS cn2
+             |      FROM read_parquet('__GRAFT_IVF_CA__/*.parquet')),
+             |sc AS (SELECT n.vec_id, n.q, n.n2, c.centroid_id,
+             |         CASE WHEN n.n2 = 0 OR c.cn2 = 0 THEN -2.0
+             |              ELSE CAST(list_sum(list_transform(list_zip(n.q, c.cq), x -> x[1] * x[2])) AS DOUBLE)
+             |                   / sqrt(CAST(n.n2 * c.cn2 AS DOUBLE)) END AS s
+             |       FROM n, c),
+             |qa AS (SELECT vec_id AS query_id, q AS qv, n2 AS na, centroid_id
+             |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id) AS rn FROM sc)
+             |       WHERE rn <= 4),
+             |ca AS (SELECT centroid_id, vec_id AS neighbor_id, "__qv" AS qb, "__n2" AS nb
+             |       FROM read_parquet('__GRAFT_IVF_BA__/*.parquet')),
              |p AS (SELECT qa.query_id, ca.neighbor_id,
              |        CAST(list_sum(list_transform(list_zip(qa.qv, ca.qb), x -> x[1] * x[2])) AS BIGINT) AS dot,
              |        qa.na, ca.nb

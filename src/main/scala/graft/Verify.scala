@@ -61,7 +61,14 @@ object Verify {
     // above during the query run), so the path must be the one THIS
     // process resolved (GRAFT_INDEX_DIR / java.io.tmpdir aware).
     def resolve(sql: String): String = {
-      val c = "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(sql,
+      // corpus-ADAPTIVE index placeholders (x3_ann_ivf_indexed_scaled):
+      // the list count is a function of the corpus, so the path is
+      // resolved through the same helper the query body used
+      lazy val na = Queries.adaptiveNlistFor(spark, sfDir)
+      val a = sql
+        .replace("__GRAFT_IVF_CA__", Queries.ivfIndexPath(sfDir, na))
+        .replace("__GRAFT_IVF_BA__", Queries.ivfListsPath(sfDir, na))
+      val c = "__GRAFT_IVF_C(\\d+)__".r.replaceAllIn(a,
         m => Queries.ivfIndexPath(sfDir, m.group(1).toInt))
       val b = "__GRAFT_IVF_B(\\d+)__".r.replaceAllIn(c,
         m => Queries.ivfListsPath(sfDir, m.group(1).toInt))
