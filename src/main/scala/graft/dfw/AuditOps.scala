@@ -235,7 +235,7 @@ object AuditOps {
     *         largest ⌈n/10⌉ units)
     */
   def giniConcentration(df: DataFrame, valueCol: Column,
-                        numParts: Int = 32): DataFrame = {
+                        numParts: Int = 0): DataFrame = {
     val vals = df.select(valueCol.cast("long").as("__x")).where(col("__x").isNotNull)
     val counts = vals.groupBy(col("__x")).agg(count(lit(1)).as("__cnt"))
     val run = WindowOps.prefixSumScalable(counts, col("__x"),

@@ -158,7 +158,7 @@ object PreProcess {
   def generatorMulti(samples: DataFrame, configs: Seq[DbConfig],
                      orderCols: Seq[Column],
                      center: Boolean = false, extend: Boolean = false,
-                     numParts: Int = 32): DataFrame = {
+                     numParts: Int = 0): DataFrame = {
     require(configs.nonEmpty, "generatorMulti needs at least one database config")
     require(configs.map(_.db).distinct.length == configs.length,
       "one config per database")

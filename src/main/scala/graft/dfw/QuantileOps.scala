@@ -30,7 +30,7 @@ object QuantileOps {
     *         columns are wanted.
     */
   def exactQuantiles(df: DataFrame, grpCols: Seq[String], valueCol: String,
-                     qs: Seq[Double], numParts: Int = 32): DataFrame = {
+                     qs: Seq[Double], numParts: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1], got $qs")
     val vals = df
@@ -70,7 +70,7 @@ object QuantileOps {
     * per group.
     */
   def exactQuantileCols(df: DataFrame, grpCols: Seq[String], valueCol: String,
-                        names: Seq[(Double, String)], numParts: Int = 32): DataFrame = {
+                        names: Seq[(Double, String)], numParts: Int = 0): DataFrame = {
     val long = exactQuantiles(df, grpCols, valueCol, names.map(_._1), numParts)
     val aggs = names.map { case (q, name) =>
       min(when(col("q") === lit(q), col("value"))).as(name)
@@ -228,7 +228,7 @@ object QuantileOps {
     *         2·exp(−2D²·nm/(n+m)), 6 dp)
     */
   def ksTest(df: DataFrame, valueCol: String, isRef: Column,
-             numParts: Int = 32): DataFrame = {
+             numParts: Int = 0): DataFrame = {
     val sliced = df
       .select(col(valueCol).cast("double").as("v"),
         when(isRef, 1L).otherwise(0L).as("__r"))
@@ -310,7 +310,7 @@ object QuantileOps {
     *
     * @return single row: `n, median, ci_lo, ci_hi` (6 dp)
     */
-  def medianCi(df: DataFrame, valueCol: String, numParts: Int = 32): DataFrame = {
+  def medianCi(df: DataFrame, valueCol: String, numParts: Int = 0): DataFrame = {
     val vals = df.select(col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
       .withColumn("__g", lit(1))
@@ -425,7 +425,7 @@ object QuantileOps {
     *         NULL when either slice is empty or N < 2)
     */
   def mannWhitney(df: DataFrame, valueCol: String, isRef: Column,
-                  numParts: Int = 32): DataFrame = {
+                  numParts: Int = 0): DataFrame = {
     val sliced = df
       .select(col(valueCol).cast("double").as("v"),
         when(isRef, 1L).otherwise(0L).as("__r"))
@@ -474,7 +474,7 @@ object QuantileOps {
     * @return one row per q, ordered: `q, ctrl, treat, diff` (6 dp)
     */
   def quantileTreatmentEffect(df: DataFrame, armCol: Column, valueCol: String,
-                              qs: Seq[Double], numParts: Int = 32): DataFrame = {
+                              qs: Seq[Double], numParts: Int = 0): DataFrame = {
     val tagged = df.withColumn("__arm", armCol.cast("int"))
       .where(col("__arm").isin(0, 1))
     val quants = exactQuantiles(tagged, Seq("__arm"), valueCol, qs, numParts)

@@ -109,11 +109,17 @@ object SplitOps {
     * `n`. Requires `orderCols` to be a total order (ties crossing a
     * range boundary would get arbitrary relative ranks otherwise) —
     * the same requirement oracle determinism already imposes.
+    *
+    * `numParts <= 0` (the default) sizes the range shuffle from the
+    * input plan's size estimate via [[adaptiveRangeParts]]; an
+    * explicit positive count pins it (tests, or callers that know the
+    * distribution better than the stats do).
     */
   def rankByPermutationScalable(df: DataFrame, clsCols: Seq[String],
-                                orderCols: Seq[Column], numParts: Int): DataFrame = {
+                                orderCols: Seq[Column], numParts: Int = 0): DataFrame = {
     val parted = df
-      .repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+      .repartitionByRange(resolveRangeParts(df, numParts),
+        clsCols.map(col) ++ orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy((clsCols :+ "__pid").map(col): _*).orderBy(orderCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(localW).cast("long"))
@@ -130,6 +136,38 @@ object SplitOps {
       .withColumn("pos", col("rn") - 1)
       .drop("__pid", "__lrn", "__off")
   }
+
+  /** Range-partition count from the input plan's optimizer size
+    * estimate: one partition per ~32 MB of estimated (compressed-ish)
+    * input, clamped to [parallelism, 32×parallelism].
+    *
+    * Why not AQE-chosen (no explicit count)? The two-phase ops read
+    * the `spark_partition_id()` map from two plan branches, and an
+    * AQE-coalesced user repartition can diverge per branch — the
+    * exact failure [[graft.dfw.WindowOps.orderedAnalyticsScalable]]'s
+    * freeze note documents. A count computed once on the driver is
+    * deterministic across branches with no materialization cost.
+    *
+    * Why not a fixed count? The sf10 second-decade proof: 120 M-row
+    * sorts in 32 partitions spill, turning a 10× data step into a
+    * ~29× time step (gen_pipeline_multi, BASELINE.md decade table).
+    *
+    * The floor keeps small inputs at full parallelism; the ceiling
+    * bounds the damage when stats are garbage (post-join/window plans
+    * can estimate petabytes): 32× parallelism of ~ms-scheduling tasks,
+    * not millions. A cluster inherits both bounds via its
+    * spark.sql.shuffle.partitions.
+    */
+  def adaptiveRangeParts(df: DataFrame): Int = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = bytes / (32L * 1024 * 1024)
+    target.max(BigInt(parallelism)).min(BigInt(parallelism) * 32).toInt
+  }
+
+  /** `numParts <= 0` → [[adaptiveRangeParts]]; explicit stays. */
+  private[dfw] def resolveRangeParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts else adaptiveRangeParts(df)
 
   /** W1+W2: tag each ranked row `train` / `test`. Expects the columns
     * added by [[rankByPermutation]]. Adds `train_size` and `role`.

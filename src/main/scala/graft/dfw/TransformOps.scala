@@ -554,7 +554,7 @@ object TransformOps {
     *         4 dp; bounds are exact data values)
     */
   def winsorizeStats(df: DataFrame, grpCols: Seq[String], valueCol: String,
-                     p: Double, numParts: Int = 32): DataFrame = {
+                     p: Double, numParts: Int = 0): DataFrame = {
     require(p > 0 && p < 0.5, s"tail fraction must be in (0, 0.5), got $p")
     val vals = df
       .select(grpCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
@@ -630,7 +630,7 @@ object TransformOps {
     */
   def curriculumPhases(df: DataFrame, idCol: String, difficultyCol: Column,
                        tokensCol: Column, nPhases: Int,
-                       numParts: Int = 32): DataFrame = {
+                       numParts: Int = 0): DataFrame = {
     require(nPhases > 0, "nPhases must be positive")
     val base = df.select(col(idCol).as("__id"), difficultyCol.as("__d"),
       tokensCol.cast("long").as("__t"))

@@ -54,11 +54,16 @@ object WindowOps {
     */
   def orderedAnalyticsScalable(df: DataFrame, clsCols: Seq[String],
                                orderCols: Seq[Column], valCol: String,
-                               nTiles: Int, numParts: Int,
+                               nTiles: Int, numParts: Int = 0,
                                mat: graft.sources.Materializer =
                                  graft.sources.Materializer.Local): DataFrame = {
     require(nTiles > 0, "nTiles must be positive")
-    require(numParts > 1, "numParts must spread classes over >1 partition")
+    // numParts <= 0 → sized from the plan's stats (SplitOps
+    // .adaptiveRangeParts): computed once on the driver, so both
+    // partition-id consumers below see the same count — the fixed-32
+    // variant stopped fitting memory at the sf10 decade proof
+    val parts = SplitOps.resolveRangeParts(df, numParts)
+    require(parts > 1, "numParts must spread classes over >1 partition")
     // MATERIALIZE the range partitioning — with the partition id
     // stamped INTO the data first — before anything reads it: two
     // consumers follow (the per-partition count/offset aggregate and
@@ -78,7 +83,7 @@ object WindowOps {
       "orderedAnalyticsScalable needs a real Materializer (Lazy re-runs the " +
         "range exchange per consumer and the partition-id map diverges)")
     val parted = mat.freeze(
-      df.repartitionByRange(numParts, clsCols.map(col) ++ orderCols: _*)
+      df.repartitionByRange(parts, clsCols.map(col) ++ orderCols: _*)
         .withColumn("__pid", spark_partition_id()),
       clsCols :+ "__pid", "win_parted")
     val keyP = (clsCols :+ "__pid").map(col)
@@ -135,16 +140,17 @@ object WindowOps {
     * prefix by definition.
     */
   def prefixMaxScalable(df: DataFrame, orderCol: Column, valCol: Column,
-                        numParts: Int,
+                        numParts: Int = 0,
                         mat: graft.sources.Materializer =
                           graft.sources.Materializer.Local): DataFrame = {
-    require(numParts > 1, "numParts must spread the order over >1 partition")
+    val parts = SplitOps.resolveRangeParts(df, numParts)
+    require(parts > 1, "numParts must spread the order over >1 partition")
     require(mat.frozen,
       "prefixMaxScalable needs a real Materializer (Lazy re-runs the " +
         "range exchange per consumer and the partition-id map diverges)")
     val parted = mat.freeze(
       df.withColumn("__pv", valCol)
-        .repartitionByRange(numParts, orderCol)
+        .repartitionByRange(parts, orderCol)
         .withColumn("__pid", spark_partition_id()),
       Seq("__pid"), "pmax_parted")
     val localW = Window.partitionBy(col("__pid")).orderBy(orderCol)
@@ -178,10 +184,11 @@ object WindowOps {
     * [[prefixMaxScalable]].
     */
   def prefixSumScalable(df: DataFrame, orderCol: Column,
-                        valCols: Seq[(String, Column)], numParts: Int,
+                        valCols: Seq[(String, Column)], numParts: Int = 0,
                         mat: graft.sources.Materializer =
                           graft.sources.Materializer.Local): DataFrame = {
-    require(numParts > 1, "numParts must spread the order over >1 partition")
+    val parts = SplitOps.resolveRangeParts(df, numParts)
+    require(parts > 1, "numParts must spread the order over >1 partition")
     require(valCols.nonEmpty, "at least one value column to sum")
     require(mat.frozen,
       "prefixSumScalable needs a real Materializer (Lazy re-runs the " +
@@ -189,7 +196,7 @@ object WindowOps {
     val named = valCols.map { case (n, c) => (n, s"__pv_$n") }
     val parted = mat.freeze(
       valCols.foldLeft(df) { case (d, (n, c)) => d.withColumn(s"__pv_$n", c) }
-        .repartitionByRange(numParts, orderCol)
+        .repartitionByRange(parts, orderCol)
         .withColumn("__pid", spark_partition_id()),
       Seq("__pid"), "psum_parted")
     val localW = Window.partitionBy(col("__pid")).orderBy(orderCol)

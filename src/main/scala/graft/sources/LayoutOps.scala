@@ -83,7 +83,7 @@ object LayoutOps {
     *         key_max`, ordered by bin
     */
   def compactionPlan(files: DataFrame, keyCol: Column, bytesCol: Column,
-                     targetBytes: Long, numParts: Int = 32): DataFrame = {
+                     targetBytes: Long, numParts: Int = 0): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")
     val run = graft.dfw.WindowOps.prefixSumScalable(
       files.select(keyCol.as("__k"), bytesCol.cast("long").as("__b")),
