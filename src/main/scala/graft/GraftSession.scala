@@ -45,7 +45,8 @@ object GraftSession {
     // fit in memory. 8x cores locally; a cluster inherits the same
     // rule via spark-submit conf.
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-      (parallelism * 8).toString)
+      (parallelism *
+        sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_FACTOR", "8").toInt).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.aggregatePushdown", "true")
