@@ -47,6 +47,17 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
       (parallelism *
         sys.env.getOrElse("SPARK_GRAFT_AQE_INIT_FACTOR", "8").toInt).toString)
+    // AQE sort-merge -> shuffled-hash conversion: OFF by default
+    // upstream (threshold 0). Turning it on is runtime-SIZE-GUARDED —
+    // the rewrite happens only when every post-shuffle partition of
+    // the build side measures under the threshold — so unlike
+    // preferSortMergeJoin=false (static estimates) it cannot OOM a
+    // build side that turns out big; at any scale partitions are
+    // bounded by AQE's advisory size. Skips the sort on both sides of
+    // qualifying joins (guide §3.1). 64 MB = the advisory partition
+    // size, i.e. "convert when the build side is ordinary-sized".
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      (64L * 1024 * 1024).toString)
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.aggregatePushdown", "true")
