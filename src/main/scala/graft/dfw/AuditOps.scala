@@ -240,7 +240,10 @@ object AuditOps {
     val counts = vals.groupBy(col("__x")).agg(count(lit(1)).as("__cnt"))
     val run = WindowOps.prefixSumScalable(counts, col("__x"),
       Seq("cnt" -> col("__cnt"), "vs" -> (col("__x") * col("__cnt"))), numParts)
-    val totals = counts.agg(sum(col("__cnt")).as("n"),
+    // totals from the FROZEN prefix-sum output (identical exact-integer
+    // sums) — aggregating `counts` re-derived the raw scan + both
+    // groupBys a second time (same fix as QuantileOps.ksTest, r18)
+    val totals = run.agg(sum(col("__cnt")).as("n"),
       sum(col("__x") * col("__cnt")).as("total"))
     val rankSum = run.select(
         (col("__x").cast("decimal(38,0)") *

@@ -158,7 +158,9 @@ object PreProcess {
   def generatorMulti(samples: DataFrame, configs: Seq[DbConfig],
                      orderCols: Seq[Column],
                      center: Boolean = false, extend: Boolean = false,
-                     numParts: Int = 0): DataFrame = {
+                     numParts: Int = 0,
+                     mat: graft.sources.Materializer =
+                       graft.sources.Materializer.Local): DataFrame = {
     require(configs.nonEmpty, "generatorMulti needs at least one database config")
     require(configs.map(_.db).distinct.length == configs.length,
       "one config per database")
@@ -172,8 +174,14 @@ object PreProcess {
       }
       (c.db, t, isInt, c.cv)
     }.toDF("db", "__train", "__is_int", "__cv")
+    // freeze the multi-table union rank ONCE: this subtree (N source
+    // tables unioned, range-shuffled, locally ranked) is the one rank
+    // call site where re-derivation per consumer measurably loses to a
+    // checkpoint (r18 TimeQ: gen_pipeline_multidb 5.6s -> 3.4s at
+    // sf0.1) — the per-db split join and the centering aggregate both
+    // read it. Values identical; only re-execution is removed.
     val ranked = SplitOps.rankByPermutationScalable(
-      samples, Seq("db", "descriptor", "cls"), orderCols, numParts)
+      samples, Seq("db", "descriptor", "cls"), orderCols, numParts, mat)
     val split = ranked.join(broadcast(cfg), "db")
       .withColumn("train_size",
         SplitOps.trainSizeColDyn(col("n"), col("__train"), col("__is_int"), col("__cv")))

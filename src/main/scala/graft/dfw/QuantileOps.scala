@@ -38,24 +38,26 @@ object QuantileOps {
       .where(col("__v").isNotNull) // percentile semantics: nulls ignored
     val ranked = SplitOps
       .rankByPermutationScalable(vals, grpCols, Seq(col("__v")), numParts)
-    // group sizes come from a cheap partial-agg count over the INPUT,
-    // not from `ranked` — deriving them from the rank output would put
-    // the whole sort plan in the broadcast side's lineage and compute
-    // it twice. |groups| × |qs| rows — broadcastable by construction.
+    // Needed ranks come from the rank output's OWN `n` column — the
+    // former shape aggregated group counts from the raw input into a
+    // (group × q) broadcast table, which re-derived the input a second
+    // time (one extra scan + partial agg per call, r18 plan audit).
+    // `n` is the identical long the count aggregate produced, and the
+    // rank arithmetic below is the identical IEEE op sequence, so the
+    // kept rows and interpolation are bit-identical; only the second
+    // input derivation and the per-group broadcast build disappear.
+    // The |qs|-row literal table broadcasts into a nested-loop join —
+    // each data row evaluates |qs| rank predicates, all codegen.
     val spark = df.sparkSession
     import spark.implicits._
     val qlit = qs.toDF("q")
-    val needed = vals.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .crossJoin(qlit)
-      .withColumn("__fpos", col("q") * (col("__n") - 1).cast("double"))
-      .withColumn("__rlo", floor(col("__fpos")).cast("long") + 1)
-      .withColumn("__rhi", ceil(col("__fpos")).cast("long") + 1)
-      .withColumn("__frac", col("__fpos") - floor(col("__fpos")))
-      .select(grpCols.map(c => col(c).as(s"__g_$c")) ++
-        Seq(col("q"), col("__rlo"), col("__rhi"), col("__frac")): _*)
-    val joinCond = grpCols.map(c => ranked(c) === needed(s"__g_$c")).reduce(_ && _) &&
-      (ranked("rn") === needed("__rlo") || ranked("rn") === needed("__rhi"))
-    ranked.join(broadcast(needed), joinCond)
+    val fpos = col("q") * (col("n") - 1).cast("double")
+    ranked.join(broadcast(qlit),
+        col("rn") === floor(fpos).cast("long") + 1 ||
+          col("rn") === ceil(fpos).cast("long") + 1)
+      .withColumn("__rlo", floor(fpos).cast("long") + 1)
+      .withColumn("__rhi", ceil(fpos).cast("long") + 1)
+      .withColumn("__frac", fpos - floor(fpos))
       .groupBy(grpCols.map(col) :+ col("q"): _*)
       .agg(
         min(when(col("rn") === col("__rlo"), col("__v"))).as("__vlo"),
@@ -237,18 +239,25 @@ object QuantileOps {
       .agg(sum(col("__r")).as("rn"), (count(lit(1)) - sum(col("__r"))).as("cn"))
     val run = WindowOps.prefixSumScalable(counts, col("v"),
       Seq("rn" -> col("rn"), "cn" -> col("cn")), numParts)
-    val totals = counts.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
+    // totals from the FROZEN prefix-sum output (same exact-integer
+    // sums), not from `counts` — deriving them upstream re-ran the
+    // raw scan + groupBy a second time (r18 plan audit: two parquet
+    // scans for one query)
+    val totals = run.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
     val gaps = run.join(broadcast(totals))
       .select(col("v"), col("n_ref"), col("n_cur"),
         abs(col("run_rn").cast("double") / col("n_ref").cast("double") -
           col("run_cn").cast("double") / col("n_cur").cast("double")).as("__gap"))
-    val dMax = gaps.agg(max(col("__gap")).as("__d"))
-    gaps.join(broadcast(dMax), col("__gap") === col("__d"))
-      .groupBy(col("n_ref"), col("n_cur"), col("__d"))
-      .agg(min(col("v")).as("ks_at"))
+    // argmax in ONE aggregate: max over (gap, -v) structs picks the
+    // max gap and, among ties, the smallest v — identical to the old
+    // max-then-self-join (same doubles, same tie rule) but the gap
+    // table is computed once instead of twice and nothing re-joins.
+    gaps.groupBy(col("n_ref"), col("n_cur"))
+      .agg(max(struct(col("__gap").as("g"), (-col("v")).as("nv"))).as("__m"))
       .select(col("n_ref"), col("n_cur"),
-        round(col("__d") * 1e6).cast("long").as("d_ppm"), col("ks_at"),
-        round(lit(2.0) * exp(lit(-2.0) * col("__d") * col("__d") *
+        round(col("__m.g") * 1e6).cast("long").as("d_ppm"),
+        (-col("__m.nv")).as("ks_at"),
+        round(lit(2.0) * exp(lit(-2.0) * col("__m.g") * col("__m.g") *
           (col("n_ref") * col("n_cur")).cast("double") /
           (col("n_ref") + col("n_cur")).cast("double")), 6).as("p_value"))
   }
@@ -316,22 +325,23 @@ object QuantileOps {
       .withColumn("__g", lit(1))
     val ranked = SplitOps
       .rankByPermutationScalable(vals, Seq("__g"), Seq(col("__v")), numParts)
-      .select(col("rn"), col("__v")) // drop the helper's own n/pos columns
+      .select(col("rn"), col("n"), col("__v")) // keep the helper's n
     val z = 1.959964
     val nD = col("n").cast("double")
     val pos = (nD - 1.0) * 0.5 + 1.0
-    val bounds = vals.agg(count(lit(1)).as("n"))
-      .select(col("n"),
-        greatest(lit(1L), floor((nD - lit(z) * sqrt(nD)) / 2.0).cast("long"))
-          .as("__rlo"),
-        least(col("n"), ceil(lit(1.0) + (nD + lit(z) * sqrt(nD)) / 2.0).cast("long"))
-          .as("__rhi"),
-        floor(pos).cast("long").as("__mlo"),
-        ceil(pos).cast("long").as("__mhi"),
-        (pos - floor(pos)).as("__mf"))
-    ranked.join(broadcast(bounds),
-        col("rn") === col("__rlo") || col("rn") === col("__rhi") ||
-          col("rn") === col("__mlo") || col("rn") === col("__mhi"))
+    // the four needed ranks come from the rank output's OWN `n` — the
+    // former one-row count aggregate re-derived the input a second
+    // time (same long n, same IEEE rank formulas; see exactQuantiles)
+    ranked
+      .withColumn("__rlo",
+        greatest(lit(1L), floor((nD - lit(z) * sqrt(nD)) / 2.0).cast("long")))
+      .withColumn("__rhi",
+        least(col("n"), ceil(lit(1.0) + (nD + lit(z) * sqrt(nD)) / 2.0).cast("long")))
+      .withColumn("__mlo", floor(pos).cast("long"))
+      .withColumn("__mhi", ceil(pos).cast("long"))
+      .withColumn("__mf", pos - floor(pos))
+      .filter(col("rn") === col("__rlo") || col("rn") === col("__rhi") ||
+        col("rn") === col("__mlo") || col("rn") === col("__mhi"))
       .groupBy(col("n"), col("__mf"))
       .agg(min(when(col("rn") === col("__rlo"), col("__v"))).as("__lo"),
         min(when(col("rn") === col("__rhi"), col("__v"))).as("__hi"),
@@ -380,14 +390,16 @@ object QuantileOps {
       .withColumn("__gap",
         abs(col("__crn").cast("double") / col("n_ref").cast("double") -
           col("__ccn").cast("double") / col("n_cur").cast("double")))
-    val dMax = gaps.groupBy(col("grp").as("__g")).agg(max(col("__gap")).as("__d"))
-    gaps.join(broadcast(dMax),
-        col("grp") === col("__g") && col("__gap") === col("__d"))
-      .groupBy(col("grp"), col("n_ref"), col("n_cur"), col("__d"))
-      .agg(min(col("v")).as("ks_at"))
+    // per-group argmax in ONE aggregate (same struct-max device as
+    // [[ksTest]]): the windowed gap table is computed once instead of
+    // twice and the per-group max never round-trips through a
+    // broadcast self-join.
+    gaps.groupBy(col("grp"), col("n_ref"), col("n_cur"))
+      .agg(max(struct(col("__gap").as("g"), (-col("v")).as("nv"))).as("__m"))
       .select(col("grp"), col("n_ref"), col("n_cur"),
-        round(col("__d") * 1e6).cast("long").as("d_ppm"), col("ks_at"),
-        round(lit(2.0) * exp(lit(-2.0) * col("__d") * col("__d") *
+        round(col("__m.g") * 1e6).cast("long").as("d_ppm"),
+        (-col("__m.nv")).as("ks_at"),
+        round(lit(2.0) * exp(lit(-2.0) * col("__m.g") * col("__m.g") *
           (col("n_ref") * col("n_cur")).cast("double") /
           (col("n_ref") + col("n_cur")).cast("double")), 6).as("p_value"))
       .orderBy(col("grp"))
@@ -435,7 +447,10 @@ object QuantileOps {
       .withColumn("t", col("rn") + col("cn"))
     val run = WindowOps.prefixSumScalable(counts, col("v"),
       Seq("t" -> col("t")), numParts)
-    val totals = counts.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
+    // totals from the FROZEN prefix-sum output (identical exact-integer
+    // sums) — aggregating `counts` re-derived the raw scan + groupBy a
+    // second time (same fix as ksTest, r18)
+    val totals = run.agg(sum(col("rn")).as("n_ref"), sum(col("cn")).as("n_cur"))
     val reduced = run
       .select(
         (col("rn") * (lit(2L) * (col("run_t") - col("t")) + col("t") + 1L)).as("__rp"),

@@ -259,9 +259,12 @@ object TimeSeriesOps {
       .groupBy(col("duration"))
       .agg(sum(col("__e")).as("d"),
         sum(lit(1L) - col("__e")).as("c"))
-    val total = byDur.agg(sum(col("d") + col("c")).as("__N"))
     val run = WindowOps.prefixSumScalable(byDur, col("duration"),
       Seq(("rem", col("d") + col("c"))), numParts, mat)
+    // total from the FROZEN prefix-sum output (identical exact-integer
+    // sum) — aggregating `byDur` re-derived the raw scan + groupBy a
+    // second time (same fix as QuantileOps.ksTest, r18)
+    val total = run.agg(sum(col("d") + col("c")).as("__N"))
     val atRisk = run.crossJoin(broadcast(total))
       .withColumn("n_at_risk", col("__N") - (col("run_rem") - (col("d") + col("c"))))
       .drop("run_rem", "__N")
@@ -409,10 +412,12 @@ object TimeSeriesOps {
                        mat: graft.sources.Materializer =
                          graft.sources.Materializer.Local): DataFrame = {
     val base = df.select(tickCol.as("__tick"), vCol.cast("long").as("__v"))
-    val tot = base.agg(sum(col("__v")).as("__tot"),
-      count(lit(1)).as("__T"))
     val run = WindowOps.prefixSumScalable(base, col("__tick"),
       Seq(("v", col("__v")), ("one", lit(1L))), numParts, mat)
+    // totals from the FROZEN prefix-sum output (identical exact-integer
+    // sums) — aggregating `base` re-scanned the raw input a second time
+    val tot = run.agg(sum(col("__v")).as("__tot"),
+      count(lit(1)).as("__T"))
     val g = run.crossJoin(broadcast(tot))
       .withColumn("__g", col("__T") * col("run_v") - col("run_one") * col("__tot"))
     g.groupBy()

@@ -563,15 +563,14 @@ object TransformOps {
     // rank targets per group: ceil(p·n) is evaluated in double on BOTH
     // engines (identical IEEE result), then the bound is the value AT
     // that rank — value-at-rank is tie-insensitive, so no tiebreak
-    // column is needed for determinism.
-    val targets = vals.groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("__n"))
-      .withColumn("__rlo", greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")))
-      .withColumn("__rhi", col("__n") + 1L - col("__rlo"))
-      .select(grpCols.map(c => col(c).as(s"__g_$c")) ++
-        Seq(col("__rlo"), col("__rhi")): _*)
-    val tCond = grpCols.map(c => ranked(c) === targets(s"__g_$c")).reduce(_ && _) &&
-      (ranked("rn") === targets("__rlo") || ranked("rn") === targets("__rhi"))
-    val bounds = ranked.join(broadcast(targets), tCond)
+    // column is needed for determinism. The targets come from the rank
+    // output's OWN `n` column — the former per-group count-aggregate
+    // broadcast re-derived the input a second time (same long n, same
+    // IEEE formulas; see QuantileOps.exactQuantiles).
+    val bounds = ranked
+      .withColumn("__rlo", greatest(lit(1L), ceil(lit(p) * col("n")).cast("long")))
+      .withColumn("__rhi", col("n") + 1L - col("__rlo"))
+      .filter(col("rn") === col("__rlo") || col("rn") === col("__rhi"))
       .groupBy(grpCols.map(col): _*)
       .agg(min(when(col("rn") === col("__rlo"), col("__v"))).as("lo_bound"),
         min(when(col("rn") === col("__rhi"), col("__v"))).as("hi_bound"))
@@ -636,7 +635,10 @@ object TransformOps {
       tokensCol.cast("long").as("__t"))
     val run = WindowOps.prefixSumScalable(base,
       struct(col("__d"), col("__id")), Seq("t" -> col("__t")), numParts)
-    val total = base.agg(sum(col("__t")).as("__s"))
+    // total from the FROZEN prefix-sum output (identical exact-integer
+    // sum) — aggregating `base` re-derived the difficulty-score
+    // pipeline a second time (same fix as QuantileOps.ksTest, r18)
+    val total = run.agg(sum(col("__t")).as("__s"))
     run.join(broadcast(total))
       .withColumn("__budget",
         ceil(col("__s").cast("double") / nPhases).cast("long"))
