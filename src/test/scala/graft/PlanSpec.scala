@@ -685,10 +685,15 @@ class PlanSpec extends SparkSpec {
     plan should not include "Window"
   }
 
-  test("q_median_ci: rank-select order stats — 1-row rank table broadcast, no sort-merge") {
+  test("q_median_ci: rank-select order stats — per-row rank targets, no bounds join at all") {
     val plan = formatted("q_median_ci")
-    plan should include("BroadcastNestedLoopJoin") // OR-rank probe vs 1-row bounds
+    // r18: the four needed ranks are computed from the rank output's
+    // own `n` column and kept by a plain Filter — the former 1-row
+    // bounds table (count aggregate + BroadcastNestedLoopJoin probe)
+    // is gone, which also removed the second input derivation
+    plan should not include "BroadcastNestedLoopJoin"
     plan should not include "SortMergeJoin"
+    plan should include("Filter")
   }
 
   test("t_woe_encode: vocabulary aggregate with broadcast totals — no window, no sort-merge") {
